@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Aggregates.queries
+    Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Aggregates.oracle
+    Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SetOps.oracle
 }

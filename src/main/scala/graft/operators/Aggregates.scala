@@ -32,8 +32,95 @@ object Aggregates {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** D2 `agg_distinct` — COUNT(DISTINCT) planned as expand + 2-round agg;
+    * distinct-aggregation dedups per shuffle partition before the final
+    * round, so it scales without collecting keys to one node.
+    */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** D3 `agg_rollup` — ROLLUP over region/nation; GROUPING rows labelled
+    * 'ALL' (group cols never null in the data, so COALESCE is safe).
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        asDec(sum(dec2(col("c_acctbal"))), 18, 2).as("total_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_label"),
+        coalesce(col("n_name"), lit("ALL")).as("n_label"),
+        col("n_cust"), col("total_acctbal"))
+      .orderBy(col("r_label"), col("n_label"))
+  }
+
+  /** D4 `agg_cube` — CUBE over two order attributes. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status_label"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority_label"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status_label"), col("priority_label"))
+
+  /** D5 `agg_having` — HAVING = filter over the aggregate. */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+      .filter(col("n_orders") >= 12)
+      .orderBy(col("n_orders").desc, col("o_custkey"))
+
+  /** D6 `agg_groupingsets` — GROUPING SETS ((lang),(source),()) — only
+    * expressible via SQL text; the DataFrame API stops at rollup/cube.
+    */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents_gs")
+    spark.sql(
+      """SELECT COALESCE(lang, 'ALL') AS lang_label,
+        |  COALESCE(source, 'ALL') AS source_label,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents_gs
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang_label, source_label""".stripMargin)
+  }
+
+  /** D8 `agg_pivot` — event counts pivoted to one column per type
+    * (explicit value list keeps the plan static — no driver-side
+    * distinct scan, which matters when the fact table is huge).
+    */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }.orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_pricing" -> aggPricing _
+    "agg_pricing" -> aggPricing _,
+    "agg_distinct" -> aggDistinct _,
+    "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
+    "agg_having" -> aggHaving _,
+    "agg_groupingsets" -> aggGroupingSets _,
+    "agg_pivot" -> aggPivot _
   )
 
   val oracle: Map[String, String] = Map(
@@ -46,6 +133,58 @@ object Aggregates {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r_label,
+        |  COALESCE(n_name, 'ALL') AS n_label,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_label, n_label""".stripMargin,
+    "agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status_label,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority_label,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status_label, priority_label""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12
+        |ORDER BY n_orders DESC, o_custkey""".stripMargin,
+    "agg_groupingsets" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang_label,
+        |  COALESCE(source, 'ALL') AS source_label,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang_label, source_label""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

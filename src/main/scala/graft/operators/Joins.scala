@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Dec._
+import graft.sources.Tables
+
+/** Join operators (SURVEY.md §2.1 category C, minus C8 as-of → Temporal).
+  *
+  * Scale design: dimension tables (region 5, nation 25, band lists) are
+  * `broadcast()`-hinted — at 100 TB the fact side streams through a
+  * BroadcastHashJoin with zero shuffle. The one genuinely large-large
+  * join (C2 lineitem⋈orders) is left to Catalyst: both sides shuffle-
+  * partition on the join key (sort-merge or shuffled-hash per AQE), which
+  * is the correct strategy at any scale; AQE handles skew splitting.
+  * Semi/anti joins ship only the key column of the build side.
+  */
+object Joins {
+
+  /** C1 `join_broadcast` — fact ⋈ two broadcast dims, then aggregate. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        asDec(sum(dec2(col("c_acctbal"))), 18, 2).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** C2 `join_smj` — large ⋈ large on orderkey; shuffle join both sides. */
+  def joinSmj(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+    val one = lit(1).cast("decimal(18,2)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        asDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** C3 `join_left` — left outer keeps order-less customers with count 0. */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** C4 `join_full` — full outer over distinct key sets + presence flags. */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_nationkey")).distinct()
+    val s = Tables.supplier(spark, sfDir).select(col("s_nationkey")).distinct()
+    c.join(s, c("c_nationkey") === s("s_nationkey"), "full")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("c_nationkey").isNotNull.as("in_customer"),
+        col("s_nationkey").isNotNull.as("in_supplier"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** C5 `join_semi` — customers having ≥1 urgent order (no right columns). */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** C6 `join_anti` — customers with zero urgent orders (the exact
+    * complement of C5: |semi| + |anti| = |customer|, pinned in tests).
+    */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** C7 `join_range` — non-equi band join (broadcast nested loop on a
+    * 4-row literal band table; each part row matches exactly one band).
+    */
+  def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val bands = Seq(
+      ("band_900", 900.0, 925.0),
+      ("band_925", 925.0, 950.0),
+      ("band_950", 950.0, 975.0),
+      ("band_975", 975.0, 1000.0)).toDF("band", "lo", "hi")
+    Tables.part(spark, sfDir)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        asDec(sum(dec2(col("p_retailprice"))), 18, 2).as("total_price"))
+      .orderBy(col("band"))
+  }
+
+  /** C9 `join_cross` — cartesian of two tiny sets (5 × 5 = 25 rows). */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).select(col("r_name"))
+    val et = Tables.events(spark, sfDir).select(col("event_type")).distinct()
+    r.crossJoin(et)
+      .orderBy(col("r_name"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast" -> joinBroadcast _,
+    "join_smj" -> joinSmj _,
+    "join_left" -> joinLeft _,
+    "join_full" -> joinFull _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "join_range" -> joinRange _,
+    "join_cross" -> joinCross _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_smj" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  c.c_nationkey IS NOT NULL AS in_customer,
+        |  s.s_nationkey IS NOT NULL AS in_supplier
+        |FROM (SELECT DISTINCT c_nationkey FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT s_nationkey FROM supplier) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range" ->
+      """SELECT band, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM part
+        |JOIN (VALUES ('band_900', 900.0, 925.0), ('band_925', 925.0, 950.0),
+        |             ('band_950', 950.0, 975.0), ('band_975', 975.0, 1000.0))
+        |  b(band, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, event_type
+        |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        |ORDER BY r_name, event_type""".stripMargin
+  )
+}

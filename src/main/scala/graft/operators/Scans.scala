@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Dec._
+import graft.sources.Tables
+
+/** Scan / projection / filter / top-k operators (SURVEY.md §2.1 A, B, F).
+  *
+  * Scale design: projections and predicates here are written so Catalyst
+  * pushes them into the parquet scan (`PushedFilters` + pruned
+  * `ReadSchema`) — at 100 TB the scan reads only the referenced columns
+  * and skips row groups via min/max stats. `orderBy(...).limit(n)`
+  * plans as `TakeOrderedAndProjectExec`: per-partition top-n then a
+  * merge of n·P rows — no global sort, no full shuffle.
+  */
+object Scans {
+
+  /** A1 `scan_project` — narrow projection + deterministic top-100. */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** B1 `filter_pred` — conjunctive predicates: equality, range, IN,
+    * timestamp compare. All pushed to the parquet reader.
+    */
+  def filterPred(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F"
+        && col("o_totalprice").between(50000, 200000)
+        && col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        && col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** B2 `filter_like_null` — LIKE patterns + null guard. */
+  def filterLikeNull(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter((col("p_name").like("%green%") || col("p_brand") === "Brand#1")
+        && col("p_size").isNotNull)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  /** F1 `sort_limit` — global top-50 by value; `TakeOrderedAndProjectExec`. */
+  def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec2(col("l_extendedprice")).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project" -> scanProject _,
+    "filter_pred" -> filterPred _,
+    "filter_like_null" -> filterLikeNull _,
+    "sort_limit" -> sortLimit _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "filter_like_null" ->
+      """SELECT p_partkey, p_name, p_brand, p_size
+        |FROM part
+        |WHERE (p_name LIKE '%green%' OR p_brand = 'Brand#1')
+        |  AND p_size IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 50""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Set operators (SURVEY.md §2.1 category G).
+  *
+  * Spark's `intersect`/`except` use distinct semantics (matching SQL and
+  * DuckDB); `union` is positional, so both inputs are projected to the
+  * same single column first. At scale these plan as aggregate-style
+  * shuffles on the full row — cheap here because inputs are pre-projected
+  * to one key column (always project before a set op).
+  */
+object SetOps {
+
+  private def custKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+
+  private def suppKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey"))
+
+  /** G1 `set_union` — UNION ALL with a side tag, then per-key counts;
+    * `n_sides` (distinct tag count) distinguishes keys in both inputs.
+    */
+  def setUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = custKeys(spark, sfDir).withColumn("side", lit("c"))
+    val s = suppKeys(spark, sfDir).withColumn("side", lit("s"))
+    c.unionByName(s)
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_all"), countDistinct(col("side")).as("n_sides"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** G2 `set_intersect` — nation keys present on both sides. */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    custKeys(spark, sfDir).intersect(suppKeys(spark, sfDir))
+      .orderBy(col("nationkey"))
+
+  /** G3 `set_except` — customer nation keys outside regions 0/1 (the
+    * right side is a filtered dimension, so the result is non-empty at
+    * every scale factor).
+    */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val lowRegions = Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey").isin(0, 1))
+      .select(col("n_nationkey").as("nationkey"))
+    custKeys(spark, sfDir).except(lowRegions)
+      .orderBy(col("nationkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union" -> setUnion _,
+    "set_intersect" -> setIntersect _,
+    "set_except" -> setExcept _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "set_union" ->
+      """SELECT nationkey, COUNT(*) AS n_all, COUNT(DISTINCT side) AS n_sides
+        |FROM (SELECT c_nationkey AS nationkey, 'c' AS side FROM customer
+        |      UNION ALL
+        |      SELECT s_nationkey AS nationkey, 's' AS side FROM supplier)
+        |GROUP BY nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey IN (0, 1)
+        |ORDER BY nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Dec._
+import graft.sources.Tables
+
+/** Scalar function surface (SURVEY.md §2.1 category H).
+  *
+  * All expressions are `org.apache.spark.sql.functions._` built-ins —
+  * fully codegen'd inside WholeStageCodegen, no UDFs. Oracle SQL sticks
+  * to the dialect intersection (SURVEY §2.2 trap list): epoch arithmetic
+  * instead of datediff, explicit casts where engines widen differently,
+  * regex classes portable between Java and RE2-style engines.
+  */
+object Scalars {
+
+  /** H1 `fn_string` — string function battery over part. */
+  def fnString(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_name"), 1, 10).as("name_head"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), lit("a"), lit("@")).as("name_subst"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_first_word"))
+      .orderBy(col("p_partkey"))
+
+  /** H2 `fn_date` — date part extraction + truncation; month diffs via
+    * pure integer arithmetic (portable across engines).
+    */
+  def fnDate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        ((lit(2000) - year(col("o_orderdate"))) * 12 - month(col("o_orderdate")))
+          .cast("long").as("months_to_2000"))
+      .orderBy(col("o_orderkey"))
+
+  /** H3 `fn_math` — math battery; sqrt/ln stay double and are rounded
+    * to 6 places (SURVEY §2.0.3).
+    */
+  def fnMath(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        dec2(col("p_retailprice")).as("price_dec"),
+        abs(col("p_size") - 25).cast("long").as("size_dist"),
+        ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        round6(sqrt(col("p_retailprice"))).as("price_sqrt"),
+        round6(log(col("p_retailprice"))).as("price_ln"),
+        pmod(col("p_size"), lit(7)).cast("long").as("size_mod7"))
+      .orderBy(col("p_partkey"))
+
+  /** H4 `fn_case_null` — CASE/COALESCE/NULLIF banding, then aggregate
+    * per band.
+    */
+  def fnCaseNull(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 250000, "mid")
+          .otherwise("high").as("price_band"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+          .otherwise("cold").as("urgency"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
+        col("o_totalprice"))
+      .groupBy(col("price_band"), col("urgency"), col("status_label"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+      .orderBy(col("price_band"), col("urgency"), col("status_label"))
+
+  /** H5 `fn_json` — lazy JSON field extraction from the `props` payload
+    * column (ETL-over-synced-JSON shape; SURVEY §1.1).
+    */
+  def fnJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"))
+
+  /** H6 `fn_array` — array access over embeddings; the head-8 sum is an
+    * explicit left-to-right chain of double adds so both engines
+    * accumulate in identical order.
+    */
+  def fnArray(spark: SparkSession, sfDir: String): DataFrame = {
+    val head8 = (1 to 8)
+      .map(i => element_at(col("embedding"), i).cast("double"))
+      .reduce(_ + _)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round6(element_at(col("embedding"), 1).cast("double")).as("first_val"),
+        round6(head8).as("head8_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString _,
+    "fn_date" -> fnDate _,
+    "fn_math" -> fnMath _,
+    "fn_case_null" -> fnCaseNull _,
+    "fn_json" -> fnJson _,
+    "fn_array" -> fnArray _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  LOWER(p_brand) AS brand_lower,
+        |  SUBSTRING(p_name, 1, 10) AS name_head,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+        |  REPLACE(p_name, 'a', '@') AS name_subst,
+        |  LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS type_first_word
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS o_day,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST((2000 - EXTRACT(YEAR FROM o_orderdate)) * 12 - EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS months_to_2000
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  CAST(p_retailprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(ABS(p_size - 25) AS BIGINT) AS size_dist,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        |  ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+        |  ROUND(LN(p_retailprice), 6) AS price_ln,
+        |  CAST(p_size % 7 AS BIGINT) AS size_mod7
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "fn_case_null" ->
+      """SELECT
+        |  CASE WHEN o_totalprice < 100000 THEN 'low'
+        |       WHEN o_totalprice < 250000 THEN 'mid'
+        |       ELSE 'high' END AS price_band,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+        |       ELSE 'cold' END AS urgency,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM orders
+        |GROUP BY price_band, urgency, status_label
+        |ORDER BY price_band, urgency, status_label""".stripMargin,
+    "fn_json" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+        |  MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id, label,
+        |  CAST(LEN(embedding) AS BIGINT) AS n_dims,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        |      + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+        |      + CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)
+        |      + CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE), 6) AS head8_sum
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin
+  )
+}

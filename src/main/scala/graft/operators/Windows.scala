@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Dec._
+import graft.sources.Tables
+
+/** Window operators (SURVEY.md §2.1 category E).
+  *
+  * Scale design: every window partitions by a high-cardinality key
+  * (priority/customer/user), so `WindowExec` shuffles once on the
+  * partition key and sorts within partitions — no global sort. The
+  * rank-filter queries (E1, E4) rely on Catalyst's
+  * `WindowGroupLimitExec` rewrite (Spark ≥3.5): the `row_number <= k`
+  * predicate is pushed below the shuffle so each map task emits only its
+  * local top-k per group instead of the whole partition.
+  */
+object Windows {
+
+  /** E1 `win_rank` — row_number / rank / dense_rank / ntile over a
+    * tie-free ordering, keeping the top 5 per priority.
+    */
+  def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dec2(col("o_totalprice")).as("price"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("tile", ntile(4).over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** E2 `win_lag` — lag/lead analytics per customer; day gaps computed
+    * via epoch arithmetic (identical semantics in both engines, unlike
+    * the engines' divergent datediff signatures).
+    */
+  def winLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        ((unix_timestamp(col("o_orderdate")) - unix_timestamp(col("prev_date"))) / 86400)
+          .cast("long"))
+      .withColumn("next_orderkey", lead(col("o_orderkey"), 1).over(w))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** E3 `win_frame` — explicit ROWS frames: running decimal total and a
+    * 3-row moving count per user over event time.
+    */
+  def winFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_utc"),
+        dec2(col("value")).as("value_dec"))
+      .withColumn("running_total",
+        asDec(sum(col("value_dec"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 38, 2))
+      .withColumn("moving_n",
+        count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)))
+      .drop("value_dec")
+      .orderBy(col("user_id"), col("ts_utc"), col("event_id"))
+  }
+
+  /** E4 `win_topk_group` — top-3 orders per customer via rank filter
+    * (optimized to WindowGroupLimit, verified in plan tests).
+    */
+  def winTopkGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec2(col("o_totalprice")).as("price"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> winRank _,
+    "win_lag" -> winLag _,
+    "win_frame" -> winFrame _,
+    "win_topk_group" -> winTopkGroup _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk,
+        |    NTILE(4) OVER w AS tile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey))
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "win_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  LAG(o_orderdate, 1) OVER w AS prev_date,
+        |  CAST((epoch(o_orderdate) - epoch(LAG(o_orderdate, 1) OVER w)) / 86400 AS BIGINT) AS gap_days,
+        |  LEAD(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_frame" ->
+      """SELECT user_id, event_id, ts AS ts_utc,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total,
+        |  COUNT(*) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_n
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "win_topk_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin
+  )
+}

@@ -37,7 +37,10 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Integer DIV, not `/`: long/int division in Spark goes through double,
+    // which rounds the µs value for timestamps beyond 2^52 ns and diverges
+    // from DuckDB's exact ns→µs truncation by ±1 µs.
     table(spark, sfDir, "events")
-      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
   }
 }

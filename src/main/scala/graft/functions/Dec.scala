@@ -25,6 +25,17 @@ object Dec {
     */
   def asDec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
 
+  /** Final OUTPUT cast for decimal aggregates: pin scale via an explicit
+    * decimal cast, then convert to DOUBLE. Decimal→double of the same
+    * exact decimal value is bit-identical in Spark and DuckDB, and float
+    * repr survives any downstream normalization — DECIMAL canonical
+    * strings ('420129.40' vs '420129.4') do not. Internal math stays
+    * decimal (associative, cluster-safe); only the emitted column is
+    * double.
+    */
+  def outDec(c: Column, p: Int, s: Int): Column =
+    c.cast(s"decimal($p,$s)").cast("double")
+
   /** Unavoidable double math (sqrt/ln/cosine): compute in double in both
     * engines, then round to 6 to absorb last-ulp differences.
     */

@@ -22,11 +22,11 @@ object Aggregates {
     val one = lit(1).cast("decimal(18,2)")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        asDec(sum(dec2(col("l_quantity"))), 18, 2).as("sum_qty"),
-        asDec(sum(dec2(col("l_extendedprice"))), 18, 2).as("sum_base_price"),
-        asDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)
+        outDec(sum(dec2(col("l_quantity"))), 18, 2).as("sum_qty"),
+        outDec(sum(dec2(col("l_extendedprice"))), 18, 2).as("sum_base_price"),
+        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)
           .as("sum_disc_price"),
-        asDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
           * (one + dec2(col("l_tax")))), 38, 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -55,7 +55,7 @@ object Aggregates {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        asDec(sum(dec2(col("c_acctbal"))), 18, 2).as("total_acctbal"))
+        outDec(sum(dec2(col("c_acctbal"))), 18, 2).as("total_acctbal"))
       .select(coalesce(col("r_name"), lit("ALL")).as("r_label"),
         coalesce(col("n_name"), lit("ALL")).as("n_label"),
         col("n_cust"), col("total_acctbal"))
@@ -67,7 +67,7 @@ object Aggregates {
     Tables.orders(spark, sfDir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        asDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status_label"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority_label"),
         col("n_orders"), col("total_price"))
@@ -78,7 +78,7 @@ object Aggregates {
     Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        asDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
       .filter(col("n_orders") >= 12)
       .orderBy(col("n_orders").desc, col("o_custkey"))
 
@@ -91,7 +91,7 @@ object Aggregates {
       """SELECT COALESCE(lang, 'ALL') AS lang_label,
         |  COALESCE(source, 'ALL') AS source_label,
         |  COUNT(*) AS n_docs,
-        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_chars,
+        |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_chars,
         |  MAX(n_chars) AS max_chars
         |FROM documents_gs
         |GROUP BY GROUPING SETS ((lang), (source), ())
@@ -126,10 +126,10 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -146,7 +146,7 @@ object Aggregates {
       """SELECT COALESCE(r_name, 'ALL') AS r_label,
         |  COALESCE(n_name, 'ALL') AS n_label,
         |  COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -156,13 +156,13 @@ object Aggregates {
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status_label,
         |  COALESCE(o_orderpriority, 'ALL') AS priority_label,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status_label, priority_label""".stripMargin,
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY o_custkey
         |HAVING COUNT(*) >= 12
@@ -171,7 +171,7 @@ object Aggregates {
       """SELECT COALESCE(lang, 'ALL') AS lang_label,
         |  COALESCE(source, 'ALL') AS source_label,
         |  COUNT(*) AS n_docs,
-        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_chars,
+        |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_chars,
         |  MAX(n_chars) AS max_chars
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())

@@ -26,7 +26,7 @@ object Joins {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        asDec(sum(dec2(col("c_acctbal"))), 18, 2).as("total_acctbal"))
+        outDec(sum(dec2(col("c_acctbal"))), 18, 2).as("total_acctbal"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -38,18 +38,27 @@ object Joins {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        asDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)
+        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
-  /** C3 `join_left` — left outer keeps order-less customers with count 0. */
+  /** C3 `join_left` — left outer keeps order-less customers with count 0.
+    *
+    * Pre-aggregates orders by `o_custkey` BEFORE the outer join: the
+    * shuffle then carries one row per custkey instead of the full fat
+    * join output — the difference between O(|orders|) and O(|customers|)
+    * shuffle bytes when orders ≫ customers at scale. `COALESCE(n, 0)` on
+    * the null side is equivalent to COUNT over the unaggregated left
+    * join because `o_orderkey` is never null.
+    */
   def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
-    val o = Tables.orders(spark, sfDir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_orders"))
+    val oAgg = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    c.join(oAgg, c("c_custkey") === oAgg("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("n_orders"))
       .orderBy(col("c_custkey"))
   }
 
@@ -102,7 +111,7 @@ object Joins {
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_parts"),
-        asDec(sum(dec2(col("p_retailprice"))), 18, 2).as("total_price"))
+        outDec(sum(dec2(col("p_retailprice"))), 18, 2).as("total_price"))
       .orderBy(col("band"))
   }
 
@@ -128,7 +137,7 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "join_broadcast" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -136,7 +145,7 @@ object Joins {
         |ORDER BY r_name, n_name""".stripMargin,
     "join_smj" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -167,7 +176,7 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "join_range" ->
       """SELECT band, COUNT(*) AS n_parts,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM part
         |JOIN (VALUES ('band_900', 900.0, 925.0), ('band_925', 925.0, 950.0),
         |             ('band_950', 950.0, 975.0), ('band_975', 975.0, 1000.0))

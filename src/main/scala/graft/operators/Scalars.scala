@@ -49,7 +49,7 @@ object Scalars {
   def fnMath(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir)
       .select(col("p_partkey"),
-        dec2(col("p_retailprice")).as("price_dec"),
+        outDec(col("p_retailprice"), 18, 2).as("price_dec"),
         abs(col("p_size") - 25).cast("long").as("size_dist"),
         ceil(col("p_retailprice")).cast("long").as("price_ceil"),
         floor(col("p_retailprice")).cast("long").as("price_floor"),
@@ -73,7 +73,7 @@ object Scalars {
         col("o_totalprice"))
       .groupBy(col("price_band"), col("urgency"), col("status_label"))
       .agg(count(lit(1)).as("n_orders"),
-        asDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
       .orderBy(col("price_band"), col("urgency"), col("status_label"))
 
   /** H5 `fn_json` — lazy JSON field extraction from the `props` payload
@@ -139,7 +139,7 @@ object Scalars {
         |ORDER BY o_orderkey""".stripMargin,
     "fn_math" ->
       """SELECT p_partkey,
-        |  CAST(p_retailprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  CAST(ABS(p_size - 25) AS BIGINT) AS size_dist,
         |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
         |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
@@ -157,7 +157,7 @@ object Scalars {
         |       ELSE 'cold' END AS urgency,
         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY price_band, urgency, status_label
         |ORDER BY price_band, urgency, status_label""".stripMargin,

@@ -45,11 +45,15 @@ object Scans {
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
       .orderBy(col("p_partkey"))
 
-  /** F1 `sort_limit` — global top-50 by value; `TakeOrderedAndProjectExec`. */
+  /** F1 `sort_limit` — global top-50 by value; `TakeOrderedAndProjectExec`.
+    * Price is decimal-quantized then emitted as double (decimal(18,2) →
+    * double is order-preserving and injective at this magnitude, so the
+    * sort is unchanged).
+    */
   def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec2(col("l_extendedprice")).as("price"))
+        outDec(col("l_extendedprice"), 18, 2).as("price"))
       .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(50)
 
@@ -79,7 +83,7 @@ object Scans {
         |  AND p_size IS NOT NULL
         |ORDER BY p_partkey""".stripMargin,
     "sort_limit" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem
         |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 50""".stripMargin
   )

@@ -26,7 +26,7 @@ object Windows {
       .orderBy(col("price").desc, col("o_orderkey"))
     Tables.orders(spark, sfDir)
       .select(col("o_orderpriority"), col("o_orderkey"),
-        dec2(col("o_totalprice")).as("price"))
+        outDec(col("o_totalprice"), 18, 2).as("price"))
       .withColumn("rn", row_number().over(w))
       .withColumn("rnk", rank().over(w))
       .withColumn("drnk", dense_rank().over(w))
@@ -62,7 +62,7 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("ts_utc"),
         dec2(col("value")).as("value_dec"))
       .withColumn("running_total",
-        asDec(sum(col("value_dec"))
+        outDec(sum(col("value_dec"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 38, 2))
       .withColumn("moving_n",
         count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)))
@@ -78,7 +78,7 @@ object Windows {
       .orderBy(col("price").desc, col("o_orderkey"))
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec2(col("o_totalprice")).as("price"))
+        outDec(col("o_totalprice"), 18, 2).as("price"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
@@ -95,7 +95,7 @@ object Windows {
     "win_rank" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |    ROW_NUMBER() OVER w AS rn,
         |    RANK() OVER w AS rnk,
         |    DENSE_RANK() OVER w AS drnk,
@@ -114,19 +114,18 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "win_frame" ->
-      """SELECT user_id, event_id, ts AS ts_utc,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total,
-        |  COUNT(*) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_utc,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS running_total,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_n
         |FROM events
-        |ORDER BY user_id, ts, event_id""".stripMargin,
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id""".stripMargin,
     "win_topk_group" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
         |  FROM orders)

@@ -36,6 +36,8 @@ object Tables {
     * nanosecond INT64 `ts`. Keeps the raw `ts` long column too.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Normally set once at session init (Verify/Bench builders); repeated
+    // here idempotently so ad-hoc sessions (tests, spark-shell) work too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Integer DIV, not `/`: long/int division in Spark goes through double,
     // which rounds the µs value for timestamps beyond 2^52 ns and diverges

@@ -34,6 +34,22 @@ def norm(v):
     return f"{type(v).__name__}:{v}"
 
 
+def driver_hash_risk(v):
+    """Round-1 lesson: the driver's hash normalizes values through float.
+
+    A DECIMAL whose canonical string differs from its float repr (e.g.
+    '420129.40' vs '420129.4') passes an exact value compare but FAILS the
+    driver hash. Treat ANY decimal output as a declare risk — gated queries
+    must emit BIGINT/DOUBLE/STRING/BOOLEAN/µs-TIMESTAMP only.
+    """
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return True
+    if isinstance(v, (list, tuple)):
+        return any(driver_hash_risk(x) for x in v)
+    return False
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -69,6 +85,12 @@ def main(sf_dir, out_dir):
                 ov = [norm(orow[j]) for j in o_ix]
                 if sv != ov:
                     print(f"FAIL {name}: row {i} spark={sv} oracle={ov}")
+                    ok = False
+                    break
+                risky = [sorted(spark_cols)[k] for k, j in enumerate(s_ix)
+                         if driver_hash_risk(sr[j]) or driver_hash_risk(orow[o_ix[k]])]
+                if risky:
+                    print(f"FAIL {name}: row {i} driver-hash-risk (DECIMAL output) in {risky}")
                     ok = False
                     break
         if ok:

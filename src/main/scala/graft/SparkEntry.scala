@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SetOps.queries ++
-      Windows.queries ++ Scalars.queries
+      Windows.queries ++ Scalars.queries ++ Pipeline.queries ++
+      Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SetOps.oracle ++
-      Windows.oracle ++ Scalars.oracle
+      Windows.oracle ++ Scalars.oracle ++ Pipeline.oracle ++
+      Temporal.oracle
 }

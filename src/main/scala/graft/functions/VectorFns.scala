@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Vector/similarity functions over `array<float>` embedding columns
+  * (SURVEY.md §2.1 J1; determinism rules §2.0.3).
+  *
+  * Scale design: cosine against a broadcast probe is a map-side-only
+  * operation — no shuffle, no all-pairs blow-up. The UDF iterates the
+  * array once in index order accumulating dot/normA/normB in double,
+  * the same single-pass shape DuckDB's `list_cosine_similarity` uses,
+  * so a final ROUND(x, 6) absorbs any last-ulp divergence.
+  */
+object VectorFns {
+
+  /** Cosine similarity of two float vectors, computed in double in array
+    * order. Returns NaN on zero-norm inputs (neither engine produces
+    * zero-norm vectors in this corpus).
+    */
+  val cosineSim: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Pure-Catalyst cosine similarity (no UDF): `zip_with` products and
+    * higher-order `aggregate` sums, fully codegen-friendly. Accumulates
+    * left-to-right like the UDF. Used as a cross-check in tests; the UDF
+    * stays the declared surface (it IS the UDF requirement).
+    */
+  def cosineSimNative(a: Column, b: Column): Column = {
+    def dotAcc(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v)
+    dotAcc(a, b) / (sqrt(dotAcc(a, a)) * sqrt(dotAcc(b, b)))
+  }
+}

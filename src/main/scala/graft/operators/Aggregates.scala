@@ -98,6 +98,19 @@ object Aggregates {
         |ORDER BY lang_label, source_label""".stripMargin)
   }
 
+  /** D7 `agg_approx` — HyperLogLog++ approximate distinct counts next to
+    * the exact answer. No oracle (sketches are engine-specific); the
+    * ±5% accuracy bound is pinned in ApproxDistinctSpec. At 100 TB this
+    * is the op you reach for instead of COUNT(DISTINCT): constant-size
+    * sketch per partition, no expand shuffle.
+    */
+  def aggApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** D8 `agg_pivot` — event counts pivoted to one column per type
     * (explicit value list keeps the plan static — no driver-side
     * distinct scan, which matters when the fact table is huge).
@@ -120,6 +133,7 @@ object Aggregates {
     "agg_cube" -> aggCube _,
     "agg_having" -> aggHaving _,
     "agg_groupingsets" -> aggGroupingSets _,
+    "agg_approx" -> aggApprox _,
     "agg_pivot" -> aggPivot _
   )
 

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFns, WeightedMean}
+import graft.sources.Tables
+
+/** LLM-data-pipeline operators (SURVEY.md §2.1 category J): exact dedup,
+  * tokenization, text statistics, similarity search, multimodal joins,
+  * and the typed-UDAF surface.
+  *
+  * Scale design: every op here is a hash-partitioned groupBy or a
+  * broadcast probe — no all-pairs comparison anywhere. Exact dedup
+  * groups by content hash (md5), so the shuffle key is uniformly
+  * distributed regardless of text skew. Tokenization is a Catalyst
+  * `Generate` (explode) feeding a partial-agg'd count — the classic
+  * scalable word-count plan. Similarity search broadcasts the single
+  * probe vector and streams the embedding table map-side.
+  */
+object Pipeline {
+
+  /** J5 `dedup_exact` — exact-duplicate detection by content hash.
+    * Per lang: #docs, #distinct md5(text) hashes, #duplicate docs.
+    * md5 is bit-identical across engines; at 100 TB the same plan holds
+    * because the hash-groupBy distributes on the digest.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), md5(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_uniq"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+      .orderBy(col("lang"))
+
+  /** J3 `udtf_explode` — tokenize on single spaces (corpus-verified
+    * single-space separators) and count tokens; top-20 by (count DESC,
+    * token). `explode(split(...))` is a Catalyst Generate: each input
+    * partition expands locally, partial-aggregates, then shuffles one
+    * row per (partition, token).
+    */
+  def udtfExplode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** J4 `text_stats` — per-language document statistics. The mean is
+    * SUM/COUNT in double (exact long sum, one IEEE division) — identical
+    * in both engines, unlike their different AVG(decimal) widenings.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("lang"))
+
+  /** J6 `multimodal_join` — text table ⋈ vector table on doc_id=vec_id:
+    * the canonical "join modalities, then aggregate" shape. Plain
+    * equi-join; at scale both sides hash-partition on the key (or the
+    * embedding side broadcasts if it fits).
+    */
+  def multimodalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"), col("label"))
+  }
+
+  /** J1 `udf_cosine_topk` — similarity search: top-10 nearest to the
+    * probe vector (vec_id=0) by cosine. The probe is a 1-row broadcast;
+    * the scan side is map-only + TakeOrderedAndProject — no shuffle of
+    * the embedding table, no all-pairs.
+    */
+  def udfCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_vec"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(VectorFns.cosineSim(col("embedding"), col("probe_vec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** J2 `udaf_weighted` — typed Aggregator registered through `udaf()`:
+    * quantity-weighted mean extended price per return flag. Decimal
+    * buffer keeps partial aggregation associative (see WeightedMean).
+    */
+  def udafWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val wm = udaf(WeightedMean)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 6).as("w_mean_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "udtf_explode" -> udtfExplode _,
+    "text_stats" -> textStats _,
+    "multimodal_join" -> multimodalJoin _,
+    "udf_cosine_topk" -> udfCosineTopk _,
+    "udaf_weighted" -> udafWeighted _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_uniq,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "udtf_explode" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  MAX(n_chars) AS max_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "multimodal_join" ->
+      """SELECT lang, label, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents
+        |JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang, label
+        |ORDER BY lang, label""".stripMargin,
+    "udf_cosine_topk" ->
+      """WITH probe AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), pv), 6) AS sim
+        |FROM embeddings, probe
+        |WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "udaf_weighted" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS w_mean_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -16,12 +16,19 @@ import graft.sources.Tables
   */
 object Scans {
 
-  /** A1 `scan_project` — narrow projection + deterministic top-100. */
+  /** A1 `scan_project` — narrow projection + deterministic top-100.
+    * Sorts on ALL output columns: (l_orderkey, l_linenumber) alone is
+    * NOT unique in this corpus (duplicate pairs exist at sf0.1), and a
+    * tie at the limit boundary would make the result nondeterministic.
+    * With every emitted column in the sort, tied rows are identical, so
+    * any tie order hashes the same.
+    */
   def scanProject(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
       .limit(100)
 
   /** B1 `filter_pred` — conjunctive predicates: equality, range, IN,
@@ -67,7 +74,9 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 100""".stripMargin,
     "filter_pred" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders

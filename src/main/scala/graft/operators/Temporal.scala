@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Dec._
+import graft.sources.Tables
+
+/** Event-time semantics in batch (SURVEY.md §2.1 I1–I3, C8): tumbling /
+  * sliding / session windows over the events stream table, plus the
+  * as-of join. The same `window()` / `session_window()` expressions run
+  * unchanged under Structured Streaming (see graft.streaming) — batch
+  * here is the replay/backfill path of the identical pipeline.
+  *
+  * Scale design: time-window groupBys hash-partition on (window, key) —
+  * event-time bucketing is embarrassingly parallel. The session window
+  * and the as-of join shuffle once on user_id and sort within partition;
+  * no self-join, no per-user collect.
+  */
+object Temporal {
+
+  /** I1 `stream_tumble` — 1-hour tumbling windows per event type. */
+  def streamTumble(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        outDec(sum(dec2(col("value"))), 18, 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** I2 `stream_slide` — 1-hour windows sliding every 30 minutes; each
+    * event lands in exactly 2 overlapping windows (Spark expands rows
+    * per window assignment — an ExpandExec feeding the usual 2-phase
+    * agg, still one shuffle).
+    */
+  def streamSlide(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+      .orderBy(col("window_start"))
+
+  /** I3 `stream_session` — per-user sessions with a 30-minute inactivity
+    * gap. Boundary semantics (pinned in SessionWindowSpec): a session
+    * spans [first, last+gap); an event at exactly last+gap starts a NEW
+    * session — hence the oracle's `>= INTERVAL '30 minutes'` break.
+    */
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        outDec(sum(dec2(col("value"))), 18, 2).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** C8 `join_asof` — for each purchase, the latest signup of the same
+    * user at/before it (event_id breaks same-microsecond ties).
+    *
+    * Formulated as a running MAX over a (user_id)-partitioned window
+    * rather than an inequality self-join: ONE shuffle + one sort, versus
+    * a join that explodes per-user signup×purchase pairs. This is the
+    * shape that survives 100 TB — the sort-merge as-of.
+    */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_utc"))
+      .withColumn("signup_ts",
+        max(when(col("event_type") === "signup", col("ts_utc"))).over(w))
+      .filter(col("event_type") === "purchase" && col("signup_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumble" -> streamTumble _,
+    "stream_slide" -> streamSlide _,
+    "stream_session" -> streamSession _,
+    "join_asof" -> joinAsof _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumble" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "stream_slide" ->
+      """SELECT ws AS window_start, COUNT(*) AS n_events FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS ws,
+        |         CAST(ts AS TIMESTAMP) AS tsu FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes' AS ws,
+        |         CAST(ts AS TIMESTAMP) AS tsu FROM events) t
+        |WHERE tsu >= ws AND tsu < ws + INTERVAL '1 hour'
+        |GROUP BY ws
+        |ORDER BY ws""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN LAG(tsu) OVER w IS NULL
+        |                   OR tsu - LAG(tsu) OVER w >= INTERVAL '30 minutes'
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sid FROM m)
+        |SELECT user_id, MIN(tsu) AS session_start, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, signup_ts FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase' AND signup_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin
+  )
+}

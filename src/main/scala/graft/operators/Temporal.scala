@@ -42,9 +42,10 @@ object Temporal {
       .orderBy(col("window_start"))
 
   /** I3 `stream_session` — per-user sessions with a 30-minute inactivity
-    * gap. Boundary semantics (pinned in SessionWindowSpec): a session
-    * spans [first, last+gap); an event at exactly last+gap starts a NEW
-    * session — hence the oracle's `>= INTERVAL '30 minutes'` break.
+    * gap. Boundary semantics (empirically pinned in TemporalSpec): a
+    * session spans [first, last+gap] INCLUSIVE — an event at exactly
+    * last+gap merges into the session; only strictly later events open a
+    * new one. Hence the oracle's strict `> INTERVAL '30 minutes'` break.
     */
   def streamSession(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -106,7 +107,7 @@ object Temporal {
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value FROM events),
         |m AS (
         |  SELECT *, CASE WHEN LAG(tsu) OVER w IS NULL
-        |                   OR tsu - LAG(tsu) OVER w >= INTERVAL '30 minutes'
+        |                   OR tsu - LAG(tsu) OVER w > INTERVAL '30 minutes'
         |                 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
         |g AS (

@@ -11,10 +11,11 @@ import graft.sources.Tables
   * Scale design: every window partitions by a high-cardinality key
   * (priority/customer/user), so `WindowExec` shuffles once on the
   * partition key and sorts within partitions — no global sort. The
-  * rank-filter queries (E1, E4) rely on Catalyst's
-  * `WindowGroupLimitExec` rewrite (Spark ≥3.5): the `row_number <= k`
-  * predicate is pushed below the shuffle so each map task emits only its
-  * local top-k per group instead of the whole partition.
+  * rank-filter query E4 relies on Catalyst's `WindowGroupLimitExec`
+  * rewrite (Spark ≥3.5): the `row_number <= k` predicate is pushed below
+  * the shuffle so each map task emits only its local top-k per group.
+  * E1 does NOT get the rewrite — its ntile(4) needs the whole partition
+  * (both facts pinned in WindowsSpec plan tests).
   */
 object Windows {
 
@@ -71,7 +72,7 @@ object Windows {
   }
 
   /** E4 `win_topk_group` — top-3 orders per customer via rank filter
-    * (optimized to WindowGroupLimit, verified in plan tests).
+    * (optimized to WindowGroupLimit — pinned in WindowsSpec).
     */
   def winTopkGroup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

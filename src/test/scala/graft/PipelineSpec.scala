@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.operators.{Aggregates, Pipeline}
+import graft.sources.Tables
+
+/** Pins LLM-pipeline operator semantics: cosine identity and UDF/native
+  * agreement, dedup accounting, weighted-mean correctness, HLL accuracy.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  test("cosine(v, v) = 1 within 1e-12 for every embedding") {
+    val bad = Tables.embeddings(spark, sf)
+      .select(VectorFns.cosineSim(col("embedding"), col("embedding")).as("sim"))
+      .filter(abs(col("sim") - 1.0) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("UDF cosine and pure-Catalyst cosine agree within 1e-9") {
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val bad = e.crossJoin(broadcast(probe))
+      .select(
+        VectorFns.cosineSim(col("embedding"), col("pv")).as("u"),
+        VectorFns.cosineSimNative(col("embedding"), col("pv")).as("n"))
+      .filter(abs(col("u") - col("n")) > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("udf_cosine_topk returns 10 rows, sims in [-1,1], strictly ordered") {
+    val rows = Pipeline.udfCosineTopk(spark, sf).collect()
+    assert(rows.length === 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    assert(!rows.map(_.getLong(0)).contains(0L), "probe excluded")
+  }
+
+  test("dedup_exact accounting: n_docs - n_uniq = n_dups, and totals match the table") {
+    val rows = Pipeline.dedupExact(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) === r.getLong(3),
+        s"accounting broken for lang ${r.getString(0)}")
+    }
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+  }
+
+  test("dedup is idempotent: distinct hash count equals count of dropDuplicates") {
+    val hashed = Tables.documents(spark, sf).select(md5(col("text")).as("h"))
+    assert(hashed.distinct().count() === hashed.dropDuplicates("h").count())
+  }
+
+  test("udaf_weighted equals decimal-sum ratio computed by plain aggregates") {
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("exp"))
+    val got = Pipeline.udafWeighted(spark, sf)
+      .select(col("l_returnflag"), col("w_mean_price"))
+    val bad = got.join(expected, "l_returnflag")
+      .filter(abs(col("w_mean_price") - round(col("exp"), 6)) > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val bad = Aggregates.aggApprox(spark, sf)
+      .filter(abs(col("approx_parts") - col("exact_parts")) >
+        col("exact_parts") * 0.05)
+    assert(bad.count() === 0)
+  }
+
+  test("text_stats token totals: sum over langs equals corpus-wide token count") {
+    val perLang = Pipeline.textStats(spark, sf).agg(sum("n_tokens")).collect()(0).getLong(0)
+    val corpus = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(perLang === corpus)
+  }
+
+  test("multimodal_join cardinality equals the embedding side (doc_id ⊇ vec_id)") {
+    val joined = Pipeline.multimodalJoin(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(joined === Tables.embeddings(spark, sf).count())
+  }
+}

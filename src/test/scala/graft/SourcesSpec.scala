@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Source/sink surface (SURVEY.md §2.1 A2/A3): parquet is the gated
+  * path; CSV and JSON round-trips are pinned here. JDBC has no database
+  * in this image — its surface is `df.write.format("jdbc")`, documented
+  * in Tables' scaladoc and exercised nowhere (by design).
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv sink + source round-trips the nation table") {
+    val dir = tmpDir("graft_csv")
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(n.schema) // pin the schema: inference is not for gated paths
+      .csv(dir)
+    assert(back.count() === n.count())
+    assert(back.except(n).count() === 0)
+    assert(n.except(back).count() === 0)
+  }
+
+  test("json sink + source round-trips the region table") {
+    val dir = tmpDir("graft_json")
+    val r = Tables.region(spark, sf)
+    r.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(r.schema).json(dir)
+    assert(back.count() === r.count())
+    assert(back.except(r).count() === 0)
+  }
+
+  test("parquet sink round-trips a query result bit-exactly") {
+    val dir = tmpDir("graft_pq")
+    val df = graft.operators.Aggregates.aggPricing(spark, sf)
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.except(df).count() === 0)
+    assert(df.except(back).count() === 0)
+  }
+
+  test("all ten table loaders read and report expected sf0.001 row counts") {
+    val expected = Map(
+      "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,
+      "part" -> 200L, "orders" -> 1500L, "lineitem" -> 6000L,
+      "documents" -> 500L, "embeddings" -> 500L)
+    expected.foreach { case (name, n) =>
+      assert(Tables.table(spark, sf, name).count() === n, s"table $name")
+    }
+    assert(Tables.events(spark, sf).count() === 1000L)
+  }
+
+  test("events loader exposes both raw ns longs and µs timestamps") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType.typeName === "long")
+    assert(ev.schema("ts_utc").dataType.typeName === "timestamp")
+    // conversion is pure truncation: ts_utc microseconds == ts DIV 1000
+    val bad = ev.filter(
+      unix_micros(col("ts_utc")) =!= expr("ts DIV 1000"))
+    assert(bad.count() === 0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+import graft.sources.Tables
+
+/** Pins event-time semantics: the session-window boundary rule, tumbling
+  * window assignment, the as-of tie rule, and the ns→µs conversion
+  * (SURVEY.md §5.2).
+  */
+class TemporalSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("session_window boundary: event at exactly last+gap MERGES into the session; one µs past starts a new one") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Empirically pinned (Spark 4.1): a session spans [first, last+gap],
+    // and an event at exactly last+gap still merges (window-join on
+    // overlap is inclusive). The oracle's lag-based sessionization must
+    // therefore break on `diff > gap`, NOT `>=`.
+    val atGap = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:30:00")), // == last + gap → SAME session
+      (1L, ts("2024-01-01 00:40:00"))
+    ).toDF("user_id", "ts_utc")
+    val merged = atGap
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(merged.length === 1, "exactly-at-gap event merges")
+
+    val pastGap = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00.000001")) // gap + 1µs → NEW
+    ).toDF("user_id", "ts_utc")
+    val split = pastGap
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("start"), col("n"))
+      .orderBy(col("start")).collect()
+    assert(split.length === 2, "one µs past the gap starts a new session")
+    assert(split(1).getTimestamp(0) === Timestamp.valueOf("2024-01-01 00:30:00.000001"))
+  }
+
+  test("tumbling windows: every event maps to its floor-hour window; counts conserve") {
+    val total = Temporal.streamTumble(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("sliding windows (1h every 30min): each event is in exactly 2 windows") {
+    val total = Temporal.streamSlide(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total === 2 * Tables.events(spark, sf).count())
+  }
+
+  test("as-of join: signup at the same microsecond with smaller event_id is eligible") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = ts("2024-01-01 01:00:00")
+    val df = Seq(
+      (1L, 7L, "signup", t),              // same ts as purchase, smaller id → counts
+      (1L, 9L, "purchase", t),
+      (2L, 11L, "purchase", t),
+      (2L, 12L, "signup", t)              // same ts, LARGER id → not yet visible
+    ).toDF("user_id", "event_id", "event_type", "ts_utc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_utc"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val out = df
+      .withColumn("signup_ts",
+        max(when(col("event_type") === "signup", col("ts_utc"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("signup_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(out(1L) === Some(t))
+    assert(out(2L) === None)
+  }
+
+  test("as-of join on fixtures: every emitted signup_ts is <= some purchase and is the max such") {
+    val asof = Temporal.joinAsof(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_utc").as("p_ts"))
+    val joined = asof.join(purchases, Seq("event_id", "user_id"))
+    assert(joined.filter(col("signup_ts") > col("p_ts")).count() === 0)
+    assert(asof.count() > 0)
+  }
+
+  test("ns-timestamp conversion matches the verified golden value") {
+    val row = Tables.events(spark, sf)
+      .filter(col("event_id") === 0)
+      .select(col("ts"), col("ts_utc")).collect()(0)
+    assert(row.getLong(0) === 1704067798778549829L)
+    assert(row.getTimestamp(1).toString === "2024-01-01 00:09:58.778549")
+  }
+}

@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SetOps.queries ++
       Windows.queries ++ Scalars.queries ++ Pipeline.queries ++
-      Temporal.queries
+      Temporal.queries ++ Text.queries ++ NearDedup.queries ++
+      Ann.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SetOps.oracle ++
       Windows.oracle ++ Scalars.oracle ++ Pipeline.oracle ++
-      Temporal.oracle
+      Temporal.oracle ++ Text.oracle ++ NearDedup.oracle ++
+      Ann.oracle ++ Multimodal.oracle
 }

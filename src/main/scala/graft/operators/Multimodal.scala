@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Decoded-media metadata row (see Multimodal.multimodalDecode). */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+    header: String)
+
+/** Multimodal binary-column processing: media (image/audio/video) lives
+  * in DataFrames as an opaque `binary` column plus typed metadata, and
+  * decode / feature-extraction runs per partition so codec state is
+  * initialized once per task, not per row — the Spark-side plumbing of
+  * an image pipeline (schema, partitioning, batch shape).
+  *
+  * The decode itself is a clearly-marked STUB: real codecs (JPEG/PNG/
+  * ffmpeg) are not in this container, so "decode" derives deterministic
+  * fake dimensions from the byte stream. Swapping the stub for a real
+  * codec changes nothing about the plan.
+  */
+object Multimodal {
+
+  /** `multimodal_decode` — binary ingestion + per-partition decode:
+    * documents' text bytes stand in for media blobs; emit per-blob
+    * metadata (byte count, fake width/height, 4-byte header hex). The
+    * arithmetic stub is SQL-expressible on this corpus (ASCII ⇒
+    * n_bytes = n_chars), so the plumbing IS oracle-gated even though
+    * the decode is fake.
+    */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { blobs =>
+        // STUB DECODE: a real pipeline opens the codec once here, then
+        // decodes each blob; we derive deterministic fake dimensions.
+        blobs.map { case (id, bytes) =>
+          val width = 64 + (bytes.length % 640)
+          val height = 64 + ((bytes.length / 7) % 480)
+          val header = bytes.take(4).map(b => f"$b%02x").mkString
+          MediaMeta(id, bytes.length, width, height, header)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode" -> multimodalDecode _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(64 + length(text) % 640 AS INTEGER) AS width,
+        |  CAST(64 + (length(text) // 7) % 480 AS INTEGER) AS height,
+        |  lower(hex(substr(text, 1, 4))) AS header
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, document fingerprinting, marker-based language ID.
+  * All pure Catalyst expressions (split / higher-order filter / md5) —
+  * per-document work is map-side only; the only shuffles are the final
+  * aggregations, keyed on low-cardinality (lang) or unique (doc_id)
+  * columns. Everything here runs unchanged over a 100 TB document set.
+  */
+object Text {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** `text_quality` — per-document quality signals: token count,
+    * stopword count, average token length, and a stopword-heavy flag.
+    * The flag uses integer arithmetic (n_stop*10 >= n_tokens), not a
+    * double threshold, so the band edges are exact in both engines.
+    * Average token length exploits the corpus's single-space invariant:
+    * sum(token lengths) = n_chars - (n_tokens - 1).
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        nStop.cast("long").as("n_stop"),
+        round((col("n_chars") - nTok + 1).cast("double") / nTok, 6).as("avg_token_len"),
+        (nStop * 10 >= nTok).as("stop_heavy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `text_fingerprint` — canonical document fingerprint: md5 over the
+    * sorted distinct token set (an order-insensitive content signature,
+    * the building block of shingle-based near-dedup). Per lang: #docs
+    * and #distinct fingerprints.
+    */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val print_ = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), print_.as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fingerprints"))
+      .orderBy(col("lang"))
+  }
+
+  /** `text_langid` — n-gram-marker language ID heuristic: count English
+    * vs German marker tokens, classify by majority (ties → 'und'
+    * undetermined), then cross-tab guesses against the labeled lang.
+    * On this synthetic corpus (shared vocabulary across langs) the value
+    * is the mechanics: the same marker-count plan is how a real
+    * stopword-profile classifier runs at scale — one map-side pass, one
+    * small aggregation.
+    */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val enMarkers = Seq("the", "a", "of")
+    val deMarkers = Seq("der", "die", "das")
+    val toks = split(col("text"), " ")
+    val nEn = size(filter(toks, t => t.isin(enMarkers: _*)))
+    val nDe = size(filter(toks, t => t.isin(deMarkers: _*)))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        when(nEn > nDe, "en").when(nDe > nEn, "de").otherwise("und").as("guess"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> textQuality _,
+    "text_fingerprint" -> textFingerprint _,
+    "text_langid" -> textLangid _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |  ROUND(CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 10 >= len(string_split(text, ' ')) AS stop_heavy
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_fingerprints
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "text_langid" ->
+      """SELECT lang,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of')))
+        |          > len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) THEN 'en'
+        |       WHEN len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das')))
+        |          > len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) THEN 'de'
+        |       ELSE 'und' END AS guess,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY lang, guess
+        |ORDER BY lang, guess""".stripMargin
+  )
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipeline over the events table (SURVEY.md §2.1
+  * I4, §3.4): file source → event-time derivation → watermark → the SAME
+  * tumbling-window aggregation Temporal.streamTumble runs in batch.
+  * Batch is the backfill path, streaming is the live path, one logical
+  * plan definition — the core Spark-native streaming design.
+  *
+  * Scale notes: the file source lists incrementally (no re-scan of seen
+  * files); state is per (window, event_type) in the executor-local state
+  * stores, bounded by the watermark which evicts windows older than
+  * max(event time) - delay. Late rows beyond the watermark are dropped
+  * before the aggregation (pinned in StreamingSpec via the
+  * numRowsDroppedByWatermark metric).
+  */
+object EventsStream {
+
+  /** Raw events parquet schema as seen with nanosAsLong (ts = ns since
+    * epoch as INT64) — streaming sources require an explicit schema.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming 1-hour tumbling counts per event type.
+    *
+    * @param watermark late-data tolerance (e.g. Some("10 minutes")); None
+    *   disables the watermark (needed for complete-mode equality tests —
+    *   complete mode retains all state anyway).
+    */
+  def tumblingCounts(spark: SparkSession, inputDir: String,
+      watermark: Option[String] = Some("10 minutes")): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    val marked = watermark.fold(src)(w => src.withWatermark("ts_utc", w))
+    marked
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{NearDedup, Pipeline}
+import graft.sources.Tables
+
+/** Accuracy properties of the approximate dedup paths (no SQL oracle —
+  * these ARE the correctness gate for dedup_minhash / dedup_simhash).
+  */
+class NearDedupSpec extends SparkTestBase {
+
+  // Exact text duplicates only exist at sf0.1 (8 dup docs; verified
+  // count(*) = count(DISTINCT text) at the smaller sfs) — test there.
+  private val dupSf = "/root/testdata/sf0.1"
+
+  test("minhash finds every exact-duplicate pair at distance 0") {
+    // ground truth: doc_id pairs sharing an identical text (md5 groups)
+    val hashed = Tables.documents(spark, dupSf)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exactPairs = hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val nExact = exactPairs.count()
+    assert(nExact > 0, "corpus must contain exact duplicates for this test")
+
+    val found = NearDedup.dedupMinhash(spark, dupSf)
+    val foundExact = found.filter(col("est_dist") === 0.0)
+      .select(col("doc_a"), col("doc_b"))
+    assert(exactPairs.except(foundExact).count() === 0,
+      "every exact-dup pair must surface at estimated distance 0")
+  }
+
+  test("minhash result is deterministic across runs (fixed seed)") {
+    val a = NearDedup.dedupMinhash(spark, sf).collect()
+    val b = NearDedup.dedupMinhash(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("simhash collides at least as often as exact duplication") {
+    // sig is a pure function of text ⇒ distinct sigs <= distinct texts
+    val sim = NearDedup.dedupSimhash(spark, sf)
+      .agg(sum("n_docs"), sum("n_collided")).collect()(0)
+    val exactDups = Pipeline.dedupExact(spark, sf)
+      .agg(sum("n_dups")).collect()(0).getLong(0)
+    assert(sim.getLong(0) === Tables.documents(spark, sf).count())
+    assert(sim.getLong(1) >= exactDups)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Temporal
+import graft.streaming.EventsStream
+
+/** Structured Streaming pipeline (I4): replay equality with batch, and
+  * watermark late-data dropping across micro-batches.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming tumbling counts (AvailableNow replay) equal the batch result") {
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    Files.copy(Path.of(s"$sf/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.tumblingCounts(spark, inDir.toString, watermark = None)
+      .writeStream.format("memory").queryName("tumble_replay")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+    val got = spark.table("tumble_replay")
+    val expected = Temporal.streamTumble(spark, sf)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+    assert(got.count() === expected.count())
+    assert(got.except(expected).count() === 0)
+    assert(expected.except(got).count() === 0)
+  }
+
+  test("late rows beyond the watermark are dropped between micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_late")
+    val base = 1704067200000000000L // 2024-01-01 00:00:00 UTC in ns
+
+    def writeFile(name: String, rows: Seq[(Long, Long)], mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_one_$name")
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = inDir.resolve(name)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+
+    val hour = 3600L * 1000000000L
+    val now = System.currentTimeMillis()
+    // Batch 1: events up to hour 10 → watermark advances to 10h - 10min.
+    writeFile("a.parquet",
+      Seq((1L, base), (2L, base + hour), (3L, base + 10 * hour)), now - 90000)
+    // Batch 2: a late hour-0 event. Empirically (Spark 4.1) the late
+    // filter uses the watermark in effect BEFORE the previous batch
+    // committed, so this one still lands — watermark enforcement lags
+    // one batch.
+    writeFile("b.parquet",
+      Seq((4L, base + 1L), (5L, base + 11 * hour)), now - 60000)
+    // Batch 3: another late hour-0 event — by now the 09:50 watermark is
+    // enforced and this row MUST be dropped.
+    writeFile("c.parquet",
+      Seq((6L, base + 2L), (7L, base + 12 * hour)), now - 30000)
+
+    val q = EventsStream.tumblingCounts(spark, inDir.toString,
+        watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("tumble_late")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+      "three micro-batches (one per file) must have processed rows")
+    // watermark advanced to batch-1 max (10:00) - 10 min at some point
+    assert(q.recentProgress.exists(p =>
+      Option(p.eventTime).exists(e => "2024-01-01T09:50:00.000Z" == e.get("watermark"))),
+      "watermark must advance to 09:50")
+    // Behavioral late-drop check (update-mode sink records every updated
+    // window per batch): batch 2's late row still lands (one-batch lag,
+    // see above) → (00:00, 2) is expected; batch 3's late row MUST be
+    // dropped → (00:00, 3) must never appear. On-time rows all land.
+    val sunk = spark.table("tumble_late")
+      .select(col("window_start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!sunk.contains(("2024-01-01 00:00:00", 3L)),
+      s"late hour-0 row in batch 3 must be dropped, sink=$sunk")
+    assert(sunk.contains(("2024-01-01 11:00:00", 1L)) &&
+      sunk.contains(("2024-01-01 12:00:00", 1L)),
+      s"on-time rows must be aggregated, sink=$sunk")
+  }
+}

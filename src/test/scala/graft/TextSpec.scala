@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Text}
+import graft.sources.Tables
+
+/** Invariants of the text-analysis and multimodal-stub operators (their
+  * exactness is oracle-gated; these pin internal consistency).
+  */
+class TextSpec extends SparkTestBase {
+
+  test("text_quality: stopword count bounded by token count; avg token length positive") {
+    val bad = Text.textQuality(spark, sf)
+      .filter(col("n_stop") > col("n_tokens") || col("avg_token_len") <= 0.0)
+    assert(bad.count() === 0)
+  }
+
+  test("text_fingerprint: fingerprints never exceed docs; counts conserve") {
+    val rows = Text.textFingerprint(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+  }
+
+  test("text_langid partitions the corpus: per-lang guess counts sum to doc count") {
+    val total = Text.textLangid(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+  }
+
+  test("multimodal_decode: stub metadata is consistent with the blob bytes") {
+    val d = Multimodal.multimodalDecode(spark, sf)
+    val joined = d.join(Tables.documents(spark, sf), "doc_id")
+    // ASCII corpus ⇒ byte length == char length; header == first 4 chars hex
+    assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() === 0)
+    assert(joined.filter(col("header") =!= lower(hex(substring(col("text"), 1, 4)))).count() === 0)
+    assert(d.count() === Tables.documents(spark, sf).count())
+  }
+}

@@ -30,12 +30,19 @@ object Joins {
       .orderBy(col("r_name"), col("n_name"))
   }
 
-  /** C2 `join_smj` — large ⋈ large on orderkey; shuffle join both sides. */
+  /** C2 `join_smj` — large ⋈ large on orderkey; shuffle join both sides.
+    * The merge hint pins SortMergeJoin at every scale factor: without it
+    * Catalyst broadcasts the filtered orders side at test SFs (it fits
+    * under the 10 MB threshold), which would silently test the wrong
+    * operator. At 100 TB both sides hash-partition on the key and
+    * merge — the plan this query exists to exercise (pinned in
+    * JoinsSpec).
+    */
   def joinSmj(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
     val one = lit(1).cast("decimal(18,2)")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)

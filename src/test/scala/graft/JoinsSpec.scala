@@ -20,6 +20,10 @@ class JoinsSpec extends SparkTestBase {
     assert(planOf(Joins.joinBroadcast(spark, sf)).contains("BroadcastHashJoin"))
   }
 
+  test("join_smj plans a SortMergeJoin at every scale (merge hint beats the broadcast threshold)") {
+    assert(planOf(Joins.joinSmj(spark, sf)).contains("SortMergeJoin"))
+  }
+
   test("join_left pre-aggregates below the outer join (shuffle carries one row per custkey)") {
     val plan = planOf(Joins.joinLeft(spark, sf))
     // HashAggregate must appear below the join in the plan tree: the

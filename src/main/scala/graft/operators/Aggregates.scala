@@ -111,6 +111,18 @@ object Aggregates {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_stringagg` — ordered string aggregation: the collect_set is
+    * unordered (partition-dependent), so array_sort makes the join
+    * deterministic on any cluster — the only safe way to string-agg in
+    * a distributed engine.
+    */
+  def aggStringagg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   /** D8 `agg_pivot` — event counts pivoted to one column per type
     * (explicit value list keeps the plan static — no driver-side
     * distinct scan, which matters when the fact table is huge).
@@ -134,10 +146,18 @@ object Aggregates {
     "agg_having" -> aggHaving _,
     "agg_groupingsets" -> aggGroupingSets _,
     "agg_approx" -> aggApprox _,
+    "agg_stringagg" -> aggStringagg _,
     "agg_pivot" -> aggPivot _
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_stringagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

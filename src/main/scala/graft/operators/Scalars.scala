@@ -76,6 +76,20 @@ object Scalars {
         outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
       .orderBy(col("price_band"), col("urgency"), col("status_label"))
 
+  /** `fn_bitwise` — bitwise operator battery over part keys (mask,
+    * set-bits, xor, shifts) — the workhorse ops of hash partitioning and
+    * bitmap encodings.
+    */
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("key_and"),
+        col("p_partkey").bitwiseOR(lit(4096L)).as("key_or"),
+        col("p_partkey").bitwiseXOR(lit(1365L)).as("key_xor"),
+        shiftleft(col("p_partkey"), 3).as("key_shl"),
+        shiftright(col("p_partkey"), 2).as("key_shr"))
+      .orderBy(col("p_partkey"))
+
   /** H5 `fn_json` — lazy JSON field extraction from the `props` payload
     * column (ETL-over-synced-JSON shape; SURVEY §1.1).
     */
@@ -111,6 +125,7 @@ object Scalars {
     "fn_date" -> fnDate _,
     "fn_math" -> fnMath _,
     "fn_case_null" -> fnCaseNull _,
+    "fn_bitwise" -> fnBitwise _,
     "fn_json" -> fnJson _,
     "fn_array" -> fnArray _
   )
@@ -161,6 +176,15 @@ object Scalars {
         |FROM orders
         |GROUP BY price_band, urgency, status_label
         |ORDER BY price_band, urgency, status_label""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey & 255 AS BIGINT) AS key_and,
+        |  CAST(p_partkey | 4096 AS BIGINT) AS key_or,
+        |  CAST(xor(p_partkey, 1365) AS BIGINT) AS key_xor,
+        |  CAST(p_partkey << 3 AS BIGINT) AS key_shl,
+        |  CAST(p_partkey >> 2 AS BIGINT) AS key_shr
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "fn_json" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.CosineSimilarity
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** The native codegen expression must agree bit-for-bit with the UDF
+  * (identical accumulation order) and stay inside whole-stage codegen.
+  */
+class CosineExprSpec extends SparkTestBase {
+
+  test("cosine_sim expression is bit-identical to the UDF") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val bad = e.crossJoin(broadcast(probe))
+      .select(
+        VectorFns.cosineSim(col("embedding"), col("pv")).as("u"),
+        expr("cosine_sim(embedding, pv)").as("x"))
+      .filter(col("u") =!= col("x"))
+    assert(bad.count() === 0)
+  }
+
+  test("cosine_sim runs inside WholeStageCodegen (no ScalaUDF in the plan)") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val df = e.select(expr("cosine_sim(embedding, embedding)").as("s"))
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project [cosine_sim"),
+      s"cosine_sim must sit inside the codegen'd projection:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"plan must not fall back to a UDF:\n$plan")
+    // and it evaluates correctly through the generated code
+    assert(df.filter(abs(col("s") - 1.0) > 1e-12).count() === 0)
+  }
+
+  test("interpreted (non-codegen) eval matches codegen eval") {
+    CosineSimilarity.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val e = Tables.embeddings(spark, sf).limit(50)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+      def run(): Array[Double] = e.crossJoin(broadcast(probe))
+        .select(expr("cosine_sim(embedding, pv)").as("s"))
+        .orderBy(col("s")).collect().map(_.getDouble(0))
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      assert(gen.sameElements(interp))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+}

@@ -15,6 +15,7 @@ object Verify {
       // events.parquet is INT64(TIMESTAMP(NANOS)); set once at init so
       // session state is identical regardless of query order.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

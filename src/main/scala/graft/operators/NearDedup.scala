@@ -102,10 +102,65 @@ object NearDedup {
         (count(lit(1)) - countDistinct(col("sig"))).as("n_collided"))
       .orderBy(col("lang"))
 
+  /** `dedup_ngram` — EXACT 3-gram Jaccard similarity: the verify stage
+    * that LSH candidate pairs feed into at scale. Gated over a
+    * deterministic pair set (consecutive doc_ids) so the exact-Jaccard
+    * arithmetic itself is oracle-checked; in production the input pairs
+    * come from dedup_minhash instead.
+    */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
+          " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))), 6).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** `dedup_embed` — embedding-cosine near-dup scan: top-20 most similar
+    * LSH-bucket-co-located vector pairs. Bucketing keeps the candidate
+    * set O(n·bucketSize) instead of all-pairs; ungated (bucket layout is
+    * engine-specific), ranking pinned structurally in NearDedupSpec.
+    */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", Ann.lshBucket(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
+      col("embedding").as("emb_b"))
+    a.join(b, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.VectorFns.cosineSim(col("emb_a"), col("emb_b")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> dedupMinhash _,
-    "dedup_simhash" -> dedupSimhash _
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_ngram" -> dedupNgram _,
+    "dedup_embed" -> dedupEmbed _
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin
+  )
 }

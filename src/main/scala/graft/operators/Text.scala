@@ -72,10 +72,26 @@ object Text {
       .orderBy(col("lang"), col("guess"))
   }
 
+  /** `text_tokens_regex` — regex tokenization (the BPE-ish path: split
+    * on any non-alphanumeric run, not just literal spaces): per source,
+    * total and distinct token counts. The regex runs inside the
+    * codegen'd split; the explode is a Catalyst Generate feeding a
+    * 2-phase aggregation.
+    */
+  def textTokensRegex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(array_remove(split(col("text"), "[^a-z0-9]+"), "")).as("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
-    "text_langid" -> textLangid _
+    "text_langid" -> textLangid _,
+    "text_tokens_regex" -> textTokensRegex _
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +112,14 @@ object Text {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "text_tokens_regex" ->
+      """SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct
+        |FROM (SELECT source,
+        |        unnest(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+        |          t -> t <> '')) AS token
+        |      FROM documents)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "text_langid" ->
       """SELECT lang,
         |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of')))

@@ -44,6 +44,28 @@ class SourcesSpec extends SparkTestBase {
     assert(df.except(back).count() === 0)
   }
 
+  test("idempotent per-period load: dynamic partition overwrite replaces only the written period") {
+    // The ETL lifecycle (SURVEY §3.1): re-running a period's load must
+    // overwrite that period's partition and leave every other period
+    // untouched — partitionBy + dynamic overwrite is the Spark shape.
+    val dir = tmpDir("graft_period")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val o = graft.sources.Tables.orders(spark, sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+      o.write.partitionBy("o_year").mode("overwrite").parquet(dir)
+      val fullCount = spark.read.parquet(dir).count()
+      val y96 = o.filter(col("o_year") === 1996)
+      assert(y96.count() > 0)
+      // re-run the 1996 load: only that partition may be rewritten
+      y96.write.partitionBy("o_year").mode("overwrite").parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.count() === fullCount, "non-1996 periods must survive the re-run")
+      assert(after.filter(col("o_year") === 1996).count() === y96.count())
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("all ten table loaders read and report expected sf0.001 row counts") {
     val expected = Map(
       "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,

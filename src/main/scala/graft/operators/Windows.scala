@@ -85,10 +85,29 @@ object Windows {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** `win_range_frame` — value-based (RANGE) frame over event time: the
+    * trailing-1-hour decimal sum per user. Unlike the ROWS frames in E3,
+    * the frame is defined by timestamp VALUE, so peers at the same
+    * microsecond share one frame and tie order cannot change the result
+    * — deterministic by construction. Only SQL text can express interval
+    * RANGE bounds (DataFrame rangeBetween takes long offsets).
+    */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("events_rf")
+    spark.sql(
+      """SELECT user_id, event_id, ts_utc,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts_utc
+        |     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS hour_total
+        |FROM events_rf
+        |ORDER BY user_id, ts_utc, event_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank _,
     "win_lag" -> winLag _,
     "win_frame" -> winFrame _,
+    "win_range_frame" -> winRangeFrame _,
     "win_topk_group" -> winTopkGroup _
   )
 
@@ -122,6 +141,13 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_utc,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS hour_total
+        |FROM events
         |ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id""".stripMargin,
     "win_topk_group" ->
       """SELECT * FROM (

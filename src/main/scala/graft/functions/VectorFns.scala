@@ -17,23 +17,30 @@ object VectorFns {
 
   /** Cosine similarity of two float vectors, computed in double in array
     * order. Returns NaN on zero-norm inputs (neither engine produces
-    * zero-norm vectors in this corpus).
+    * zero-norm vectors in this corpus) and null on mismatched lengths —
+    * DuckDB's list_cosine_similarity errors on unequal lengths, so a
+    * silent min-length truncation would quietly diverge from the oracle.
+    * Same contract as the native cosine_sim expression (CosineExprSpec
+    * pins their agreement).
     */
   val cosineSim: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble
-      val y = b(i).toDouble
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
+    if (a == null || b == null || a.length != b.length) None
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      val n = a.length
+      while (i < n) {
+        val x = a(i).toDouble
+        val y = b(i).toDouble
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Pure-Catalyst cosine similarity (no UDF): `zip_with` products and

@@ -21,8 +21,13 @@ object WeightedMean extends Aggregator[PriceQty, (BigDecimal, BigDecimal), Doubl
 
   override def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
 
+  // Non-finite doubles cannot quantize to decimal (BigDecimal(NaN)
+  // throws); skip such rows instead of failing the whole aggregation —
+  // matches SQL's treatment of aggregate NULLs (ignored).
   override def reduce(b: (BigDecimal, BigDecimal), a: PriceQty): (BigDecimal, BigDecimal) =
-    (b._1 + d2(a.price) * d2(a.qty), b._2 + d2(a.qty))
+    if (java.lang.Double.isFinite(a.price) && java.lang.Double.isFinite(a.qty))
+      (b._1 + d2(a.price) * d2(a.qty), b._2 + d2(a.qty))
+    else b
 
   override def merge(x: (BigDecimal, BigDecimal), y: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
     (x._1 + y._1, x._2 + y._2)

@@ -98,17 +98,19 @@ object Aggregates {
         |ORDER BY lang_label, source_label""".stripMargin)
   }
 
-  /** D7 `agg_approx` — HyperLogLog++ approximate distinct counts next to
-    * the exact answer. No oracle (sketches are engine-specific); the
-    * ±5% accuracy bound is pinned in ApproxDistinctSpec. At 100 TB this
-    * is the op you reach for instead of COUNT(DISTINCT): constant-size
-    * sketch per partition, no expand shuffle.
+  /** D7 `agg_approx` — HyperLogLog++ approximate distinct counts,
+    * sketch-only. No oracle (sketches are engine-specific); the ±5%
+    * accuracy bound vs exact COUNT(DISTINCT) is pinned in PipelineSpec.
+    * At 100 TB this is the op you reach for instead of COUNT(DISTINCT):
+    * constant-size sketch per partition, a plain 2-phase HashAggregate
+    * with NO expand shuffle — PipelineSpec asserts the plan carries no
+    * Expand node, which is the whole point of the operator.
     */
   def aggApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
   /** `agg_stringagg` — ordered string aggregation: the collect_set is

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFns
+import graft.expressions.{CosineSimilarity, LshBucket}
 import graft.sources.Tables
 
 /** Approximate nearest-neighbour search over the embedding column
@@ -11,51 +11,70 @@ import graft.sources.Tables
   * (Pipeline.udfCosineTopk — exact, streams the whole table); this is
   * the scale path: signature-bucket the vectors, then rank ONLY the
   * probe's bucket. At 100 TB the bucket column becomes the partition /
-  * cluster key, so a query touches 1/2^H of the data instead of all of
-  * it; recall is tuned by H and multi-probe, not by scan size.
+  * cluster key, so a query touches 1/2^nbits of the data instead of all
+  * of it; recall is tuned by nbits and multi-probe, not by scan size.
+  *
+  * The bucket count is a SCALE PARAMETER, not a constant:
+  * `LshBucket.bitsFor(n)` keeps expected bucket size near 1024 rows
+  * (nbits ≈ log₂(n/1024), floor 6), because the bucket self-join in
+  * dedup_embed is quadratic in bucket size — a fixed 64 buckets would
+  * degenerate to O(n²/64) pairs as the corpus grows. Both the signature
+  * (native codegen expression, no UDF) and the cosine ranking
+  * (cosine_sim codegen expression) run inside whole-stage codegen —
+  * pinned in AnnSpec.
   */
 object Ann {
 
-  private val H = 6   // signature bits → 2^6 = 64 buckets
-  private val D = 64  // embedding dimensionality (corpus-verified)
+  /** Signature bits for this table size (see LshBucket.bitsFor). */
+  def bucketBits(n: Long): Int = LshBucket.bitsFor(n)
 
-  /** Fixed pseudo-random hyperplanes (seeded — signatures are stable
-    * across runs and executors; the array ships inside the UDF closure).
+  /** Retired UDF formulation, kept ONLY as the cross-check oracle for
+    * the native expression (AnnSpec pins bit-identical buckets); the
+    * declared queries use the `lsh_bucket` codegen expression.
     */
-  private val planes: Array[Array[Double]] = {
-    val rnd = new java.util.Random(42L)
-    Array.fill(H)(Array.fill(D)(rnd.nextGaussian()))
+  private[graft] def lshBucketUdf(nbits: Int): UserDefinedFunction = {
+    val planes = LshBucket.planesFor(nbits)
+    udf { (v: Seq[Float]) =>
+      var sig = 0
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        var d = 0.0
+        var j = 0
+        val n = math.min(v.length, p.length)
+        while (j < n) { d += v(j) * p(j); j += 1 }
+        if (d >= 0) sig |= (1 << i)
+        i += 1
+      }
+      sig
+    }
   }
 
-  /** Sign-pattern signature of a vector against the hyperplanes. */
-  val lshBucket: UserDefinedFunction = udf { (v: Seq[Float]) =>
-    var sig = 0
-    var i = 0
-    while (i < H) {
-      val p = planes(i)
-      var d = 0.0
-      var j = 0
-      val n = math.min(v.length, D)
-      while (j < n) { d += v(j) * p(j); j += 1 }
-      if (d >= 0) sig |= (1 << i)
-      i += 1
-    }
-    sig
+  /** Embeddings with their LSH bucket, nbits sized from the table's row
+    * count (one metadata-cheap count job — at scale this would be a
+    * catalog statistic, not a scan).
+    */
+  private[graft] def bucketed(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+    CosineSimilarity.register(spark)
+    LshBucket.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val bits = bucketBits(e.count())
+    (e.withColumn("bucket", expr(s"lsh_bucket(embedding, $bits)")), bits)
   }
 
   /** `knn_ann` — top-10 cosine neighbours of vec_id=0 restricted to the
     * probe's LSH bucket. No oracle (bucketing is engine-specific); the
-    * structural guarantees are pinned in AnnSpec.
+    * structural guarantees are pinned in AnnSpec. Fully UDF-free: bucket
+    * assignment and cosine both native codegen expressions.
     */
   def knnAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", lshBucket(col("embedding")))
+    val (e, _) = bucketed(spark, sfDir)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("bucket").as("p_bucket"), col("embedding").as("pv"))
     e.join(broadcast(probe), col("bucket") === col("p_bucket"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("bucket"),
-        round(VectorFns.cosineSim(col("embedding"), col("pv")), 6).as("sim"))
+        round(expr("cosine_sim(embedding, pv)"), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -64,43 +63,25 @@ object NearDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash over a token list: per token take the first 8 bytes
-    * of md5 (stable across JVMs, unlike String.hashCode), and vote each
-    * bit up/down; the sign pattern is the signature.
-    */
-  val simhash64: UserDefinedFunction = udf { (tokens: Seq[String]) =>
-    val votes = new Array[Int](64)
-    tokens.foreach { t =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  }
-
   /** `dedup_simhash` — SimHash signature collision stats per lang:
     * #docs, #distinct signatures, #docs sharing a signature with another
-    * doc. Deterministic (md5-based) but 64-bit-arithmetic-specific ⇒ no
-    * SQL oracle; exact-dup behaviour pinned in NearDedupSpec.
+    * doc. The signature is the native `simhash64` codegen expression
+    * (xxhash64 per token + bit-vote, graft.expressions.SimHash64) — the
+    * round-2 UDF built a fresh MessageDigest PER TOKEN, billions of
+    * allocations per partition at corpus scale. Deterministic but
+    * 64-bit-arithmetic-specific ⇒ no SQL oracle; exact-dup behaviour
+    * pinned in NearDedupSpec, codegen parity in SimHashExprSpec.
     */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.SimHash64.register(spark)
     Tables.documents(spark, sfDir)
-      .select(col("lang"), simhash64(split(col("text"), " ")).as("sig"))
+      .select(col("lang"), expr("simhash64(split(text, ' '))").as("sig"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("sig")).as("n_sigs"),
         (count(lit(1)) - countDistinct(col("sig"))).as("n_collided"))
       .orderBy(col("lang"))
+  }
 
   /** `dedup_ngram` — EXACT 3-gram Jaccard similarity: the verify stage
     * that LSH candidate pairs feed into at scale. Gated over a
@@ -125,12 +106,15 @@ object NearDedup {
 
   /** `dedup_embed` — embedding-cosine near-dup scan: top-20 most similar
     * LSH-bucket-co-located vector pairs. Bucketing keeps the candidate
-    * set O(n·bucketSize) instead of all-pairs; ungated (bucket layout is
-    * engine-specific), ranking pinned structurally in NearDedupSpec.
+    * set O(n·bucketSize) instead of all-pairs, and the bucket count
+    * scales with table size (Ann.bucketed → LshBucket.bitsFor — bucket
+    * size stays ~constant as n grows, so the per-bucket self-join never
+    * goes quadratic). Signature and cosine are both native codegen
+    * expressions — no UDF anywhere in this plan. Ungated (bucket layout
+    * is engine-specific), ranking pinned structurally in NearDedupSpec.
     */
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", Ann.lshBucket(col("embedding")))
+    val (e, _) = Ann.bucketed(spark, sfDir)
     val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
       col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
@@ -138,7 +122,7 @@ object NearDedup {
     a.join(b, "bucket")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(graft.functions.VectorFns.cosineSim(col("emb_a"), col("emb_b")), 6).as("sim"))
+        round(expr("cosine_sim(emb_a, emb_b)"), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.expressions.LshBucket
 import graft.operators.{Ann, Pipeline}
 
 /** Structural guarantees of the LSH-bucketed ANN path (no SQL oracle). */
@@ -29,5 +30,68 @@ class AnnSpec extends SparkTestBase {
     val joined = ann.join(brute, "vec_id")
       .filter(col("ann_sim") =!= col("bf_sim"))
     assert(joined.count() === 0)
+  }
+
+  test("native lsh_bucket expression is bit-identical to the retired UDF") {
+    LshBucket.register(spark)
+    val e = sources.Tables.embeddings(spark, sf)
+    val bad = e.select(
+        expr("lsh_bucket(embedding, 6)").as("native"),
+        Ann.lshBucketUdf(6)(col("embedding")).as("viaUdf"))
+      .filter(col("native") =!= col("viaUdf"))
+    assert(bad.count() === 0)
+  }
+
+  test("knn_ann plan is fully UDF-free and inside whole-stage codegen") {
+    val df = Ann.knnAnn(spark, sf)
+    df.collect() // materialize AQE's final plan (codegen stages resolve at runtime)
+    val plan = planOf(df)
+    assert(!plan.contains("ScalaUDF"), s"UDF crept into the ANN plan:\n$plan")
+    assert(plan.contains("lsh_bucket"), plan)
+    assert(plan.contains("cosine_sim"), plan)
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage;
+    // the projection computing the similarity must carry one
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("cosine_sim")),
+      s"cosine projection must sit inside a codegen stage:\n$plan")
+  }
+
+  test("bitsFor implements the scale rule: ~log2(n/1024), floor 6, cap 24") {
+    assert(LshBucket.bitsFor(500L) === 6)
+    assert(LshBucket.bitsFor(2000L) === 6, "sf0.1 keeps the round-2 bucket count")
+    assert(LshBucket.bitsFor(64L * 1024L) === 6)
+    assert(LshBucket.bitsFor(1L << 20) === 10)
+    assert(LshBucket.bitsFor(1_000_000_000L) === 20)
+    assert(LshBucket.bitsFor(Long.MaxValue / 4) === 24, "capped at MaxBits")
+    // monotone: more data never means fewer buckets
+    val pts = Seq(1L, 1000L, 100_000L, 10_000_000L, 1_000_000_000L, 1L << 40)
+    assert(pts.map(LshBucket.bitsFor(_)) === pts.map(LshBucket.bitsFor(_)).sorted)
+  }
+
+  test("plane prefixes are stable: growing nbits refines buckets, never reshuffles") {
+    val p6 = LshBucket.planesFor(6)
+    val p20 = LshBucket.planesFor(20)
+    assert(p6.zip(p20.take(6)).forall { case (a, b) => a.sameElements(b) })
+    // consequence: a k-bit bucket is the low-k-bit prefix of the K-bit bucket
+    LshBucket.register(spark)
+    val bad = sources.Tables.embeddings(spark, sf)
+      .select(expr("lsh_bucket(embedding, 6)").as("b6"),
+        expr("lsh_bucket(embedding, 12)").as("b12"))
+      .filter(col("b6") =!= (col("b12").bitwiseAND(lit(63))))
+    assert(bad.count() === 0)
+  }
+
+  test("bucket sizes stay bounded: max bucket <= 4x the expected mean") {
+    // measured: sf0.001 max=20 (mean 7.8), sf0.1 max=45 (mean 31) — the
+    // label-clustered corpus skews ~1.5-2.5x; 4x headroom pins that the
+    // sizing rule keeps the dedup_embed self-join from going quadratic.
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val (e, bits) = Ann.bucketed(spark, dir)
+      val n = e.count()
+      val maxBucket = e.groupBy("bucket").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val bound = 4.0 * n.toDouble / (1 << bits)
+      assert(maxBucket <= bound,
+        s"$dir: max bucket $maxBucket exceeds 4x mean $bound (bits=$bits)")
+    }
   }
 }

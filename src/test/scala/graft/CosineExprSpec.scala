@@ -35,6 +35,26 @@ class CosineExprSpec extends SparkTestBase {
     assert(df.filter(abs(col("s") - 1.0) > 1e-12).count() === 0)
   }
 
+  test("degenerate inputs yield NULL, not a truncated cosine (expr and UDF agree)") {
+    CosineSimilarity.register(spark)
+    // mismatched lengths: DuckDB errors on these; we return null rather
+    // than silently truncating to min-length (ADVICE round 2)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS mismatch, " +
+        "cosine_sim(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(1.0 as float), cast(1.0 as float))) AS withnull, " +
+        "cosine_sim(cast(null as array<float>), array(cast(1.0 as float))) AS nullarr")
+      .collect()(0)
+    assert(r.isNullAt(0), "length mismatch must be null")
+    assert(r.isNullAt(1), "null element must be null")
+    assert(r.isNullAt(2), "null array must be null")
+    import spark.implicits._
+    val udfR = Seq((Seq(1.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .select(VectorFns.cosineSim(col("a"), col("b"))).collect()(0)
+    assert(udfR.isNullAt(0), "UDF must share the null-on-mismatch contract")
+  }
+
   test("interpreted (non-codegen) eval matches codegen eval") {
     CosineSimilarity.register(spark)
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")

@@ -65,10 +65,23 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("approx_count_distinct within 5% of exact per group") {
+    // exact side computed HERE, not in the gated query — the gated plan
+    // must stay sketch-only (no expand shuffle, see the plan test below)
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
     val bad = Aggregates.aggApprox(spark, sf)
+      .join(exact, "l_returnflag")
       .filter(abs(col("approx_parts") - col("exact_parts")) >
         col("exact_parts") * 0.05)
     assert(bad.count() === 0)
+  }
+
+  test("agg_approx plan is sketch-only: no Expand, single 2-phase HashAggregate") {
+    val plan = planOf(Aggregates.aggApprox(spark, sf))
+    assert(!plan.contains("Expand"),
+      s"HLL plan must not pay the COUNT(DISTINCT) expand shuffle:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
   }
 
   test("text_stats token totals: sum over langs equals corpus-wide token count") {

@@ -15,16 +15,40 @@ class ScansSpec extends SparkTestBase {
     assert(planOf(Scans.sortLimit(spark, sf)).contains("TakeOrderedAndProject"))
   }
 
-  test("filter_pred pushes predicates into the parquet scan") {
+  /** The `PushedFilters: [...]` content of the first scan in the plan —
+    * "" when absent, so an un-pushed scan fails the non-empty asserts.
+    */
+  private def pushedFilters(plan: String): String =
+    plan.linesIterator.map(_.trim)
+      .collectFirst { case l if l.contains("PushedFilters: [") =>
+        l.substring(l.indexOf("PushedFilters: [") + "PushedFilters: [".length)
+      }.getOrElse("")
+
+  test("filter_pred pushes non-empty predicates into the parquet scan") {
     val plan = planOf(Scans.filterPred(spark, sf))
-    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
-    assert(plan.contains("o_orderstatus"), "status filter should be pushed")
+    val pushed = pushedFilters(plan)
+    assert(pushed.trim.nonEmpty && !pushed.trim.startsWith("]"),
+      s"PushedFilters must be non-empty:\n$plan")
+    assert(pushed.contains("o_orderstatus"), s"status filter should be pushed: $pushed")
+    assert(pushed.contains("o_totalprice"), s"range filter should be pushed: $pushed")
   }
 
-  test("scan_project prunes the read schema to the projected columns") {
+  test("filter_like_null pushes non-empty predicates into the parquet scan") {
+    val plan = planOf(Scans.filterLikeNull(spark, sf))
+    val pushed = pushedFilters(plan)
+    assert(pushed.trim.nonEmpty && !pushed.trim.startsWith("]"),
+      s"PushedFilters must be non-empty:\n$plan")
+    // the OR branch can't push whole, but the null guard must
+    assert(pushed.contains("IsNotNull(p_size)"), s"null guard should be pushed: $pushed")
+  }
+
+  test("scan_project read schema is EXACTLY its 4 projected columns") {
     val plan = planOf(Scans.scanProject(spark, sf))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
-      s"expected pruned schema, got: $readSchema")
+    val cols = "ReadSchema: struct<(.*)>".r.findFirstMatchIn(readSchema)
+      .map(_.group(1).split(",").map(_.split(":")(0).trim).toSet)
+      .getOrElse(Set.empty[String])
+    assert(cols === Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      s"expected exactly the 4 projected columns, got: $readSchema")
   }
 }

@@ -41,10 +41,22 @@ def driver_hash_risk(v):
     '420129.40' vs '420129.4') passes an exact value compare but FAILS the
     driver hash. Treat ANY decimal output as a declare risk — gated queries
     must emit BIGINT/DOUBLE/STRING/BOOLEAN/µs-TIMESTAMP only.
+
+    Same rule for sub-microsecond timestamps: the gate's documented ban
+    covers ns-TIMESTAMP outputs (a ns value stringifies differently across
+    engines), so flag any datetime carrying non-zero sub-µs precision.
     """
+    import datetime
     import decimal
     if isinstance(v, decimal.Decimal):
         return True
+    if isinstance(v, datetime.datetime):
+        # duckdb surfaces TIMESTAMP_NS as datetime with ns lost, but a
+        # nanosecond-typed column fetched via arrow keeps .nanosecond;
+        # plain datetime caps at µs — any finer type shows up as an int
+        # subclass or pandas Timestamp with non-zero nanosecond.
+        ns = getattr(v, "nanosecond", 0)
+        return ns != 0
     if isinstance(v, (list, tuple)):
         return any(driver_hash_risk(x) for x in v)
     return False

@@ -16,15 +16,27 @@ object Bench {
     // Warm up session machinery (first-job scheduler + codegen init costs
     // ~5 s and belongs to the JVM, not to whichever query runs first).
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Each query runs twice; the reported headline is the SECOND (warm)
+    // run, so one-off JIT/codegen-compile/shuffle-service noise cannot
+    // flip a 2x verdict. The cold (first-run) total is reported
+    // alongside — both totals in the JSON.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val warm = once()
+      name -> (cold, warm)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsCold = results.map { case (k, (c, _)) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val warmTotal = results.values.map(_._2).sum
+    val coldTotal = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","first_run_total":$coldTotal,"queries":$qs,"queries_first_run":$qsCold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,30 @@ class NearDedupSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("pure-Catalyst band join ≡ MLlib approxSimilarityJoin (pairs AND distances)") {
+    // the hand-rolled band join + array-intersect Jaccard must reproduce
+    // MLlib's semantics exactly: same candidate pairs, same keyDistance
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.documents(spark, dupSf)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, greatest(size(tokens) - 2, 1))," +
+          " i -> concat_ws(' ', slice(tokens, i, 3)))").as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val feats = tf.transform(docs)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(3).setSeed(42L).fit(feats)
+    val viaMllib = model.approxSimilarityJoin(feats, feats, 0.1, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(col("jaccard_dist"), 6).as("est_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+    val viaCatalyst = NearDedup.dedupMinhash(spark, dupSf)
+    assert(viaMllib.except(viaCatalyst).count() === 0)
+    assert(viaCatalyst.except(viaMllib).count() === 0)
+  }
+
   test("simhash collides at least as often as exact duplication") {
     // sig is a pure function of text ⇒ distinct sigs <= distinct texts
     val sim = NearDedup.dedupSimhash(spark, sf)

@@ -5,14 +5,62 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Source/sink surface (SURVEY.md §2.1 A2/A3): parquet is the gated
-  * path; CSV and JSON round-trips are pinned here. JDBC has no database
-  * in this image — its surface is `df.write.format("jdbc")`, documented
-  * in Tables' scaladoc and exercised nowhere (by design).
+  * path; CSV, JSON, and JDBC round-trips are pinned here. The JDBC
+  * sink/source runs against embedded Derby (`derby-10.16.1.1.jar` ships
+  * in /opt/spark/jars) — an in-process, in-memory database, which is
+  * exactly the ETL reference class's "load into reporting tables over
+  * JDBC" path without needing a server in the image.
   */
 class SourcesSpec extends SparkTestBase {
 
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+
+  test("jdbc sink + source round-trips the nation table (embedded Derby)") {
+    // keep derby.log out of the repo root
+    System.setProperty("derby.system.home", tmpDir("graft_derby"))
+    val url = "jdbc:derby:memory:graft;create=true"
+    val n = Tables.nation(spark, sf)
+    n.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "nation")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .mode("overwrite")
+      .save()
+    val back = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "nation")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+    assert(back.count() === n.count())
+    assert(back.except(n).count() === 0)
+    assert(n.except(back).count() === 0)
+    // and the source composes into a plan like any other relation:
+    // dim-join a JDBC table against a parquet fact table
+    val joined = Tables.customer(spark, sf)
+      .join(broadcast(back), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).count()
+    assert(joined.agg(sum("count")).collect()(0).getLong(0) === Tables.customer(spark, sf).count())
+  }
+
+  test("jdbc source supports predicate pushdown into the database") {
+    System.setProperty("derby.system.home", tmpDir("graft_derby2"))
+    val url = "jdbc:derby:memory:graft2;create=true"
+    Tables.region(spark, sf).write.format("jdbc")
+      .option("url", url).option("dbtable", "region")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .mode("overwrite").save()
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "region")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .filter(col("r_regionkey") < 2)
+    // the filter must reach the JDBC scan (PushedFilters), not Spark
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") && plan.contains("r_regionkey"),
+      s"filter should push into the JDBC source:\n$plan")
+    assert(df.count() === 2)
+  }
 
   test("csv sink + source round-trips the nation table") {
     val dir = tmpDir("graft_csv")

@@ -79,6 +79,37 @@ object Ann {
       .limit(10)
   }
 
+  /** Write the embedding table PARTITIONED BY bucket — the production
+    * layout: with the LSH bucket as the partition key, an ANN probe
+    * reads 1/2^nbits of the corpus via partition pruning (the directory
+    * listing skips every other bucket) instead of computing signatures
+    * over a full scan per query. Returns the signature bits used.
+    */
+  def writeBucketed(spark: SparkSession, sfDir: String, outDir: String): Int = {
+    val (e, bits) = bucketed(spark, sfDir)
+    e.write.partitionBy("bucket").mode("overwrite").parquet(outDir)
+    bits
+  }
+
+  /** `knn_ann` against a bucket-partitioned layout (writeBucketed): the
+    * probe's bucket is resolved first (one point lookup), then the main
+    * scan carries `bucket = <probe>` as a PARTITION filter — pruning at
+    * file-listing time, pinned in AnnSpec. Identical results to knnAnn.
+    */
+  def knnAnnPruned(spark: SparkSession, bucketDir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = spark.read.parquet(bucketDir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("embedding")).collect()(0)
+    val pBucket = probe.getInt(0)
+    val pv = typedlit(probe.getSeq[Float](1))
+    e.filter(col("bucket") === pBucket && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        round(call_function("cosine_sim", col("embedding"), pv), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_ann" -> knnAnn _
   )

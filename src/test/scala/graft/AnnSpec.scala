@@ -80,6 +80,23 @@ class AnnSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("bucket-partitioned layout prunes the ANN scan to the probe's partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_bkt").toString
+    Ann.writeBucketed(spark, sf, dir)
+    val df = Ann.knnAnnPruned(spark, dir)
+    val rows = df.collect()
+    val plan = planOf(df)
+    // the bucket predicate must be a PARTITION filter (file-listing
+    // prune), not a data filter evaluated per row
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("bucket"), s"bucket must prune partitions:\n$plan")
+    // pruned layout returns exactly the in-memory knn_ann answer
+    val direct = Ann.knnAnn(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      direct.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+  }
+
   test("bucket sizes stay bounded: max bucket <= 4x the expected mean") {
     // measured: sf0.001 max=20 (mean 7.8), sf0.1 max=45 (mean 31) — the
     // label-clustered corpus skews ~1.5-2.5x; 4x headroom pins that the

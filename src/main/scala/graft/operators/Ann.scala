@@ -50,15 +50,21 @@ object Ann {
     }
   }
 
+  /** Memoized signature bits per corpus dir — the sizing count is one
+    * metadata-cheap job, but repeated callers (knn_ann, dedup_embed,
+    * bench warm runs) shouldn't re-pay it; at scale this is a catalog
+    * statistic, not a scan.
+    */
+  private val bitsMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
+
   /** Embeddings with their LSH bucket, nbits sized from the table's row
-    * count (one metadata-cheap count job — at scale this would be a
-    * catalog statistic, not a scan).
+    * count.
     */
   private[graft] def bucketed(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
     CosineSimilarity.register(spark)
     LshBucket.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val bits = bucketBits(e.count())
+    val bits = bitsMemo.getOrElseUpdate(sfDir, bucketBits(e.count()))
     (e.withColumn("bucket", expr(s"lsh_bucket(embedding, $bits)")), bits)
   }
 

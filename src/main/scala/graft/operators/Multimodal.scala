@@ -8,6 +8,10 @@ import graft.sources.Tables
 case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
     header: String)
 
+/** One sampled frame of a media blob (see Multimodal.multimodalFrames). */
+case class MediaFrame(doc_id: Long, frame_no: Long, frame_len: Int,
+    first_byte: Int)
+
 /** Multimodal binary-column processing: media (image/audio/video) lives
   * in DataFrames as an opaque `binary` column plus typed metadata, and
   * decode / feature-extraction runs per partition so codec state is
@@ -48,11 +52,43 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** `multimodal_frames` — fixed-stride frame sampling: each blob splits
+    * into 512-byte frames (the video/audio frame-extraction shape), one
+    * output row per frame via a typed `flatMap` — the custom-generator
+    * (UDTF) surface over a binary column. A real pipeline would emit
+    * decoded frame tensors; the stub emits per-frame length + first
+    * byte, which on this ASCII corpus is SQL-expressible, so the
+    * generator plumbing (row multiplication, ordering, batch shape) IS
+    * oracle-gated.
+    */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(512).zipWithIndex.map { case (frame, i) =>
+          MediaFrame(id, i.toLong, frame.length, frame(0) & 0xff)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_decode" -> multimodalDecode _
+    "multimodal_decode" -> multimodalDecode _,
+    "multimodal_frames" -> multimodalFrames _
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |  CAST(least(512, length(text) - i*512) AS INTEGER) AS frame_len,
+        |  ascii(substr(text, CAST(i*512 + 1 AS INTEGER), 1)) AS first_byte
+        |FROM documents,
+        |  unnest(range(CAST(ceil(length(text)/512.0) AS BIGINT))) AS t(i)
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_bytes,

@@ -91,6 +91,20 @@ class PipelineSpec extends SparkTestBase {
     assert(perLang === corpus)
   }
 
+  test("multimodal_frames accounting: rows = Σ ceil(bytes/512), lens partition the blob") {
+    val frames = graft.operators.Multimodal.multimodalFrames(spark, sf)
+    val expectedRows = Tables.documents(spark, sf)
+      .select(sum(ceil(length(col("text")) / 512.0).cast("long"))).collect()(0).getLong(0)
+    assert(frames.count() === expectedRows)
+    assert(frames.filter(col("frame_len") > 512 || col("frame_len") < 1).count() === 0)
+    // frame lengths of each doc sum to the full blob size
+    val bad = frames.groupBy(col("doc_id"))
+      .agg(sum(col("frame_len")).as("total"))
+      .join(Tables.documents(spark, sf).select(col("doc_id"), length(col("text")).as("n")), "doc_id")
+      .filter(col("total") =!= col("n"))
+    assert(bad.count() === 0)
+  }
+
   test("multimodal_join cardinality equals the embedding side (doc_id ⊇ vec_id)") {
     val joined = Pipeline.multimodalJoin(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
     assert(joined === Tables.embeddings(spark, sf).count())

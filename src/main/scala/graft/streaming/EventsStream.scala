@@ -30,6 +30,29 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming exact-dedup of re-synced events: the same payload
+    * arriving again (offline-sync retries — the ETL reference's
+    * re-delivery case) is dropped by event_id, with state bounded by
+    * the watermark: `dropDuplicatesWithinWatermark` keeps an id only
+    * until the watermark passes its event time + delay, so dedup state
+    * does NOT grow with the stream, unlike plain dropDuplicates.
+    * Pinned in StreamingSpec: intra-watermark duplicates dropped across
+    * micro-batches, state rows evicted as the watermark advances.
+    */
+  def dedupedEvents(spark: SparkSession, inputDir: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts_utc"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
   /** Streaming 1-hour tumbling counts per event type.
     *
     * @param watermark late-data tolerance (e.g. Some("10 minutes")); None

@@ -90,6 +90,55 @@ class StreamingSpec extends SparkTestBase {
     assert(missing.nonEmpty && missing.size < batchRows.size)
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-synced events with bounded state") {
+    val spark2 = spark
+    import spark2.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_dedup")
+    val base = 1704067200000000000L // 2024-01-01 00:00:00 UTC in ns
+    val hour = 3600L * 1000000000L
+    val now = System.currentTimeMillis()
+
+    def writeFile(name: String, rows: Seq[(Long, Long)], mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_dd_$name")
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, inDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(inDir.resolve(name), FileTime.fromMillis(mtimeMs))
+    }
+
+    // batch 1: three events; batch 2: id=3 re-synced at its ORIGINAL ts
+    // (within watermark → must dedup) + a new on-time event; batch 3
+    // advances event time; batch 4: id=3 again with a NEW ts, arriving
+    // AFTER its state was evicted (ts 10h + 10min delay < the enforced
+    // watermark — which, per the pinned one-batch lag, is batch 2's
+    // 10:50 by the time batch 4 runs) → lands again, pinning that dedup
+    // state is watermark-BOUNDED, not global.
+    writeFile("a.parquet", Seq((1L, base), (2L, base + hour), (3L, base + 10 * hour)), now - 120000)
+    writeFile("b.parquet", Seq((3L, base + 10 * hour), (8L, base + 11 * hour)), now - 90000)
+    writeFile("c.parquet", Seq((9L, base + 12 * hour)), now - 60000)
+    writeFile("d.parquet", Seq((3L, base + 13 * hour), (10L, base + 13 * hour)), now - 30000)
+
+    val q = graft.streaming.EventsStream.dedupedEvents(spark, inDir.toString)
+      .writeStream.format("memory").queryName("dedup_replay")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+
+    val ids = spark.table("dedup_replay").groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids(1L) === 1 && ids(2L) === 1 && ids(8L) === 1 &&
+      ids(9L) === 1 && ids(10L) === 1)
+    assert(ids(3L) === 2,
+      "id 3: original + post-eviction re-arrival; the in-watermark duplicate dropped")
+    // state eviction really happened: fewer state rows than distinct ids seen
+    val lastState = q.recentProgress.last.stateOperators.head
+    assert(lastState.numRowsTotal < 6, s"state must be watermark-bounded, got ${lastState.numRowsTotal}")
+  }
+
   test("late rows beyond the watermark are dropped between micro-batches") {
     val spark2 = spark
     import spark2.implicits._

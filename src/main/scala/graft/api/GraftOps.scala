@@ -1,0 +1,196 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.{CosineSimilarity, LshBucket, SimHash64}
+
+/** The library-facing API: every LLM-pipeline operator as a
+  * DataFrame→DataFrame (or Column) function over ARBITRARY input — the
+  * corpus-bound entries in `graft.operators` are thin bindings of these
+  * to the test corpus. A user switching from the reference engine calls
+  * these on their own tables.
+  *
+  * All functions are pure plan constructors (no actions, no writes
+  * unless documented); custom scalars are native codegen expressions,
+  * so every operator here composes inside whole-stage codegen.
+  */
+object GraftOps {
+
+  /** Ensure graft's native functions resolve in this session. */
+  private def ensureRegistered(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    CosineSimilarity.register(spark)
+    SimHash64.register(spark)
+    LshBucket.register(spark)
+  }
+
+  // ---- text shaping ----------------------------------------------------
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct k-gram shingles over a token array (the near-dedup unit:
+    * shingling cubes the effective vocabulary so LSH buckets only
+    * collide for genuinely similar documents).
+    */
+  def shingles(tokens: Column, k: Int = 3): Column =
+    array_distinct(expr_transform(tokens, k))
+
+  private def expr_transform(tokens: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(tokens) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(k))))
+
+  // ---- dedup family ----------------------------------------------------
+
+  /** Exact-duplicate statistics per group: input any DataFrame, returns
+    * (groupCols..., n_rows, n_uniq, n_dups) with duplicates defined by
+    * md5 of `textCol`. Hash-groupBy on the digest: uniform shuffle keys
+    * regardless of content skew.
+    */
+  def dedupExactStats(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ md5(col(textCol)).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__h")).as("n_uniq"),
+        (count(lit(1)) - countDistinct(col("__h"))).as("n_dups"))
+
+  /** Keep one row per distinct `textCol` content (first by `keyCol`
+    * order): the materializing form of exact dedup.
+    */
+  def dedupExactKeep(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** 64-bit SimHash signature of a token-array column (native codegen
+    * expression — xxhash64 bit-vote, no UDF, no explode). Column-level
+    * helpers resolve through the function registry: sessions built with
+    * GraftExtensions have them; otherwise call `SimHash64.register`
+    * (the DataFrame-level ops here do this automatically).
+    */
+  def simhash(tokens: Column): Column = call_function("simhash64", tokens)
+
+  // ---- similarity family ----------------------------------------------
+
+  /** Cosine similarity of two array<float> columns (codegen expression;
+    * null on length mismatch / null elements).
+    */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** LSH bucket id of an embedding column; `nbits` from `bucketBitsFor`. */
+  def lshBucket(vec: Column, nbits: Int): Column =
+    call_function("lsh_bucket", vec, lit(nbits))
+
+  /** The bucket-count sizing rule: ~log2(n/1024), floor 6, cap 24. */
+  def bucketBitsFor(n: Long): Int = LshBucket.bitsFor(n)
+
+  /** Exact top-k cosine neighbours of one probe row, over any
+    * embeddings DataFrame: broadcast 1-row probe, map-side cosine,
+    * TakeOrderedAndProject — no shuffle of the vector table.
+    */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, k: Int): DataFrame = {
+    ensureRegistered(embeddings)
+    val probe = embeddings.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__pv"))
+    embeddings.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), round(cosine(col(vecCol), col("__pv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed approximate top-k: rank only the probe's bucket.
+    * `nbits` defaults to the sizing rule over a caller-supplied count
+    * (a catalog statistic at scale).
+    */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, k: Int, n: Long): DataFrame = {
+    ensureRegistered(embeddings)
+    val bits = bucketBitsFor(n)
+    val e = embeddings.withColumn("__bucket", lshBucket(col(vecCol), bits))
+    val probe = e.filter(col(idCol) === probeId)
+      .select(col("__bucket").as("__pb"), col(vecCol).as("__pv"))
+    e.join(broadcast(probe), col("__bucket") === col("__pb"))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), round(cosine(col(vecCol), col("__pv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** MinHash signature table over any (id, text) DataFrame: one row per
+    * document with `idx` (hashed 3-gram shingle indices, array<int>) and
+    * `h` (one minhash value per band, array<double>) — plain
+    * parquet-native types by design. AT SCALE, WRITE THIS ONCE per
+    * corpus snapshot and run `minhashPairsFromSignatures` against the
+    * re-read: an unpersisted signature plan is re-evaluated on BOTH
+    * sides of every band join (2·numTables scans of the raw text —
+    * measured 16.7 s vs 1 s at sf0.1 in this repo's bench history).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numTables: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shingles(col("__toks")).as("__sh"))
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__sh").setOutputCol("__features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val feats = tf.transform(docs)
+    val lsh = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("__features").setOutputCol("__sig")
+      .setNumHashTables(numTables).setSeed(42L)
+    val model = lsh.fit(feats)
+    val toIdx = udf { (v: org.apache.spark.ml.linalg.Vector) => v.toSparse.indices }
+    val toH = udf { (s: Seq[org.apache.spark.ml.linalg.Vector]) => s.map(_(0)) }
+    model.transform(feats)
+      .select(col(idCol), toIdx(col("__features")).as("idx"),
+        toH(col("__sig")).as("h"))
+  }
+
+  /** Near-duplicate pairs from a signature table (minhashSignatures
+    * output, ideally re-read from parquet): candidate iff SOME band
+    * collides (numTables equi-joins — AQE skew-join handles hot band
+    * values), verified with exact Jaccard over the hashed shingle index
+    * sets. Semantics pinned row-identical to MLlib's
+    * approxSimilarityJoin in NearDedupSpec.
+    */
+  def minhashPairsFromSignatures(sig: DataFrame, idCol: String,
+      maxDist: Double = 0.1, numTables: Int = 3): DataFrame = {
+    val bands = (0 until numTables).map { j =>
+      val a = sig.select(col(idCol).as("id_a"), col("idx").as("__idx_a"),
+        col("h").getItem(j).as("__hb"))
+      val b = sig.select(col(idCol).as("id_b"), col("idx").as("__idx_b"),
+        col("h").getItem(j).as("__hb"))
+      a.join(b, "__hb").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__idx_a"), col("__idx_b"))
+    }
+    bands.reduce(_ unionAll _)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", lit(1.0) -
+        size(array_intersect(col("__idx_a"), col("__idx_b"))).cast("double") /
+          size(array_union(col("__idx_a"), col("__idx_b"))).cast("double"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), round(col("dist"), 6).as("est_dist"))
+  }
+
+  /** Convenience one-shot for small inputs: signatures + band join in
+    * one plan (re-evaluates the signature lineage per band side — use
+    * the two-step form with a parquet write at scale).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Double = 0.1, numTables: Int = 3): DataFrame =
+    minhashPairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, numTables), idCol, maxDist, numTables)
+
+  /** Exact k-gram Jaccard similarity between paired texts. */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
+    val ga = shingles(tokens(a), k)
+    val gb = shingles(tokens(b), k)
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double")
+  }
+}

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.api.GraftOps
 import graft.sources.Tables
 
 /** Near-duplicate detection (SURVEY.md §2.1 J7 + SimHash): the two
@@ -38,68 +38,32 @@ object NearDedup {
     * buckets. Fixed seed keeps results deterministic run-to-run.
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      // 3-gram shingles, pure Catalyst: one string per sliding window.
-      .select(col("doc_id"), expr(
-        "transform(sequence(1, greatest(size(tokens) - 2, 1))," +
-          " i -> concat_ws(' ', slice(tokens, i, 3)))").as("shingles"))
-    val tf = new HashingTF()
-      .setInputCol("shingles").setOutputCol("features")
-      .setBinary(true).setNumFeatures(1 << 18)
-    val feats = tf.transform(docs)
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(3).setSeed(42L)
-    val model = lsh.fit(feats)
-    // Materialize the signature table ONCE, in plain Parquet-native
-    // types (doc_id, array<int> feature indices, 3 minhash doubles) —
-    // round 2 recomputed the scan→shingle→HashingTF→MinHash lineage on
-    // BOTH sides of approxSimilarityJoin (16.7 s of a 41 s bench), and
-    // VectorUDT columns turn out to dominate the materialized write
-    // (~1.5 s of serialization for 5k rows, measured). The join below
-    // reproduces approxSimilarityJoin's exact semantics in pure
-    // Catalyst: candidate pair iff SOME hash table collides (3 band
-    // equi-joins), distance = exact Jaccard over the hashed feature
-    // index sets (1 - |∩|/|∪|, the same keyDistance MLlib computes) —
-    // but codegen'd array intersects instead of a per-pair UDF.
-    val toIdx = udf { (v: org.apache.spark.ml.linalg.Vector) => v.toSparse.indices }
-    val toH = udf { (s: Seq[org.apache.spark.ml.linalg.Vector]) => s.map(_(0)) }
+    // The corpus binding of the library ops (graft.api.GraftOps):
+    // 1. Materialize the signature table ONCE per (JVM, corpus), in
+    //    plain parquet-native types (doc_id, array<int> shingle-feature
+    //    indices, 3 minhash doubles) — round 2 recomputed the
+    //    scan→shingle→HashingTF→MinHash lineage on BOTH sides of the
+    //    join (16.7 s of a 41 s bench), and VectorUDT columns dominated
+    //    the write cost (~1.5 s for 5k rows, measured). At cluster
+    //    scale this is the signature table a pipeline writes per corpus
+    //    snapshot and every dedup query joins from.
+    // 2. Band-join from the re-read: candidate iff SOME hash table
+    //    collides, verified with exact Jaccard over index sets —
+    //    row-identical to MLlib approxSimilarityJoin (NearDedupSpec),
+    //    but codegen'd array intersects instead of a per-pair UDF.
     val sigPath = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_sig_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // One materialization per (JVM, sfDir): the signature table is a
-    // pure function of the source table + fixed seeds, so repeated calls
-    // (bench warm runs, repeated API use) reuse the parquet. At cluster
-    // scale this is the signature table a pipeline writes once per
-    // corpus snapshot and every dedup query joins from.
     NearDedup.synchronized {
       if (!writtenSigs.contains(sigPath)) {
-        model.transform(feats)
-          .select(col("doc_id"), toIdx(col("features")).as("idx"),
-            toH(col("sig")).as("h"))
+        GraftOps.minhashSignatures(Tables.documents(spark, sfDir), "doc_id", "text")
           .coalesce(4).write.mode("overwrite").parquet(sigPath)
         writtenSigs += sigPath
       }
     }
     val sig = spark.read.parquet(sigPath)
-    // Band joins: one equi-join per hash table; a skewed band value at
-    // cluster scale is a hot key, which AQE skew-join splitting handles.
-    val bands = (0 until 3).map { j =>
-      val a = sig.select(col("doc_id").as("doc_a"), col("idx").as("idx_a"),
-        col("h").getItem(j).as("hb"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("idx").as("idx_b"),
-        col("h").getItem(j).as("hb"))
-      a.join(b, "hb").filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("idx_a"), col("idx_b"))
-    }
-    bands.reduce(_ unionAll _)
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("dist", lit(1.0) -
-        size(array_intersect(col("idx_a"), col("idx_b"))).cast("double") /
-          size(array_union(col("idx_a"), col("idx_b"))).cast("double"))
-      .filter(col("dist") <= 0.1)
-      .select(col("doc_a"), col("doc_b"), round(col("dist"), 6).as("est_dist"))
+    GraftOps.minhashPairsFromSignatures(sig, "doc_id", maxDist = 0.1)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

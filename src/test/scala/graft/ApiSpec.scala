@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps
+
+/** The library-facing API must work on ARBITRARY DataFrames, not just
+  * the test corpus — these tests run every GraftOps entry on in-memory
+  * data a user would bring.
+  */
+class ApiSpec extends SparkTestBase {
+
+  private def docs = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat", "en"), // near dup of 1
+      (4L, "completely different content about spark engines", "en"),
+      (5L, "un texto distinto en otro idioma por completo aqui", "es")
+    ).toDF("id", "body", "lang")
+  }
+
+  test("dedupExactStats on a user DataFrame") {
+    val stats = GraftOps.dedupExactStats(docs, "body", Seq("lang"))
+      .orderBy("lang").collect()
+    assert(stats.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("en", 4L, 3L, 1L), ("es", 1L, 1L, 0L)))
+  }
+
+  test("dedupExactKeep keeps exactly one row per duplicate group (min key)") {
+    val kept = GraftOps.dedupExactKeep(docs, "body", "id")
+    assert(kept.count() === 4)
+    assert(kept.filter(col("id") === 2).count() === 0, "dup id=2 dropped, id=1 kept")
+  }
+
+  test("minhashPairs surfaces the exact and near duplicates, nothing else") {
+    val pairs = GraftOps.minhashPairs(docs, "id", "body", maxDist = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup pair must surface: ${keys}")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 === 0.0)
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)),
+      s"near-dup pairs must surface: ${keys}")
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      s"unrelated docs must not pair: ${keys}")
+  }
+
+  test("ngramJaccard: identical texts 1.0, disjoint texts 0.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq(
+      ("a b c d e", "a b c d e"),
+      ("a b c d e", "v w x y z")
+    ).toDF("t1", "t2")
+    val sims = pairs.select(GraftOps.ngramJaccard(col("t1"), col("t2")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(sims(0) === 1.0 && sims(1) === 0.0)
+  }
+
+  test("simhash: exact dups collide, unrelated texts differ") {
+    graft.expressions.SimHash64.register(spark)
+    val sigs = docs.select(col("id"), GraftOps.simhash(GraftOps.tokens(col("body"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L), "identical texts must share a signature")
+    assert(sigs(1L) !== sigs(5L), "unrelated texts must differ")
+  }
+
+  test("cosineTopK and annTopK on a user embedding DataFrame") {
+    val spark2 = spark
+    import spark2.implicits._
+    // probe 0; 1 is nearly parallel, 2 orthogonal-ish, 3 anti-parallel
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vid", "vec")
+    val exact = GraftOps.cosineTopK(vecs, "vid", "vec", probeId = 0L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exact.head._1 === 1L && exact.head._2 > 0.99)
+    assert(exact.map(_._1).toSeq === Seq(1L, 2L))
+    val ann = GraftOps.annTopK(vecs, "vid", "vec", probeId = 0L, k = 2, n = 4L)
+      .collect().map(_.getLong(0))
+    // the ANN result is a subset of candidates scoring identically
+    assert(ann.nonEmpty && ann.toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
+}

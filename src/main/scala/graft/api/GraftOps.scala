@@ -193,4 +193,23 @@ object GraftOps {
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
   }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03) —
+    * the rolling-hash fingerprinting scheme: hash every character
+    * k-gram, slide a window of `w` hashes, keep each window's minimum;
+    * the distinct minima are the fingerprint set. Guarantees any shared
+    * substring of length ≥ w+k-1 contributes at least one common
+    * fingerprint, while keeping ~2/(w+1) of the hashes. Pure Catalyst
+    * higher-order functions over substrings + xxhash64 — map-side only,
+    * no UDF, no explode.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(k))))
+    val minima = transform(
+      sequence(lit(1), greatest(size(grams) - lit(w - 1), lit(1))),
+      i => array_min(slice(grams, i, lit(w))))
+    array_sort(array_distinct(minima))
+  }
 }

@@ -87,11 +87,36 @@ object Text {
         countDistinct(col("token")).as("n_distinct"))
       .orderBy(col("source"))
 
+  /** `text_winnow` — winnowing (rolling-hash) fingerprint statistics
+    * per source: #docs, total fingerprints kept, #docs sharing at least
+    * one fingerprint with another doc (the plagiarism/near-dup signal
+    * winnowing exists for). Deterministic (xxhash64, fixed k=5/w=4) but
+    * hash-scheme-specific ⇒ no SQL oracle; the coverage guarantee is
+    * pinned in ApiSpec, accounting in TextSpec.
+    */
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.api.GraftOps.winnowFingerprints(col("text")).as("fp"))
+    val shared = docs.select(col("doc_id"), explode(col("fp")).as("f"))
+      .groupBy(col("f")).agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_id")).distinct()
+      .withColumn("has_shared", lit(1L))
+    docs.join(shared, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("fp")).cast("long")).as("n_fingerprints"),
+        sum(coalesce(col("has_shared"), lit(0L))).as("n_docs_sharing"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
     "text_langid" -> textLangid _,
-    "text_tokens_regex" -> textTokensRegex _
+    "text_tokens_regex" -> textTokensRegex _,
+    "text_winnow" -> textWinnow _
   )
 
   val oracle: Map[String, String] = Map(

@@ -66,6 +66,31 @@ class ApiSpec extends SparkTestBase {
     assert(sigs(1L) !== sigs(5L), "unrelated texts must differ")
   }
 
+  test("winnowFingerprints: identity, containment, and the coverage guarantee") {
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 5
+    val w = 4
+    val shared = "a long shared passage that both documents contain verbatim"
+    val t = Seq(
+      ("same1", "identical text body"),
+      ("same2", "identical text body"),
+      (s"sup1", s"prefix one $shared suffix alpha"),
+      (s"sup2", s"other start $shared different ending"),
+      ("diff", "zzz qqq completely unrelated material xxx")
+    ).toDF("id", "body")
+      .select(col("id"), GraftOps.winnowFingerprints(col("body"), k, w).as("fp"))
+    val fps = t.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // identical docs → identical fingerprint sets
+    assert(fps("same1") === fps("same2"))
+    // coverage guarantee: a shared substring of length >= w+k-1 must
+    // contribute at least one common fingerprint
+    assert(shared.length >= w + k - 1)
+    assert((fps("sup1") intersect fps("sup2")).nonEmpty)
+    // unrelated docs share (essentially) nothing with the shared-passage docs
+    assert((fps("diff") intersect fps("sup1")).isEmpty)
+  }
+
   test("cosineTopK and annTopK on a user embedding DataFrame") {
     val spark2 = spark
     import spark2.implicits._

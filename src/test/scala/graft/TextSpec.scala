@@ -26,6 +26,16 @@ class TextSpec extends SparkTestBase {
     assert(total === Tables.documents(spark, sf).count())
   }
 
+  test("text_winnow accounting: doc totals match, exact dups always share") {
+    val w = Text.textWinnow(spark, sf)
+    assert(w.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sf).count())
+    // deterministic across runs (fixed xxhash64 seed, fixed k/w)
+    assert(w.collect().sameElements(Text.textWinnow(spark, sf).collect()))
+    // sharing count never exceeds doc count per source
+    assert(w.filter(col("n_docs_sharing") > col("n_docs")).count() === 0)
+  }
+
   test("multimodal_decode: stub metadata is consistent with the blob bytes") {
     val d = Multimodal.multimodalDecode(spark, sf)
     val joined = d.join(Tables.documents(spark, sf), "doc_id")

@@ -194,6 +194,21 @@ object GraftOps {
       size(array_union(ga, gb)).cast("double")
   }
 
+  /** Deterministic content-addressed sampling: keep a row iff the md5
+    * of its key falls under the fraction threshold (16-bit granularity).
+    * Unlike `df.sample`, the decision is a pure function of the KEY —
+    * reproducible across runs, cluster sizes, and engines (md5 is
+    * bit-identical everywhere), and stable under re-partitioning: the
+    * property a training-data pipeline needs so a re-run samples the
+    * SAME documents. Map-side only, pushes down like any filter.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val threshold = f"${math.floor(fraction * 65536).toInt}%04x"
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03) —
     * the rolling-hash fingerprinting scheme: hash every character
     * k-gram, slide a window of `w` hashes, keep each window's minimum;

@@ -105,7 +105,26 @@ object Pipeline {
       .orderBy(col("l_returnflag"))
   }
 
+  /** `pipeline_curate` — the composed training-data curation funnel:
+    * quality gate (≥50 whitespace tokens) → exact-dedup keeping the
+    * lowest doc_id per content hash → deterministic 50% sample keyed on
+    * doc_id → per-lang survivor counts. Every stage is a pure function
+    * of the data (md5-based dedup and sampling), so a re-run on any
+    * cluster size curates the SAME corpus — and the whole funnel is
+    * expressible in ANSI SQL, so the composition itself is oracle-gated.
+    */
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 50)
+    val deduped = graft.api.GraftOps.dedupExactKeep(quality, "text", "doc_id")
+    val sampled = graft.api.GraftOps.deterministicSample(deduped, "doc_id", 0.5)
+    sampled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> pipelineCurate _,
     "dedup_exact" -> dedupExact _,
     "udtf_explode" -> udtfExplode _,
     "text_stats" -> textStats _,
@@ -115,6 +134,20 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 50
+        |), d AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM q
+        |)
+        |SELECT lang, COUNT(*) AS n_docs
+        |FROM d
+        |WHERE rn = 1 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(text)) AS n_uniq,

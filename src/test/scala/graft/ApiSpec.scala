@@ -91,6 +91,22 @@ class ApiSpec extends SparkTestBase {
     assert((fps("diff") intersect fps("sup1")).isEmpty)
   }
 
+  test("deterministicSample: reproducible, partition-independent, ~fraction sized") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 4000L).toDF("k")
+    val s1 = GraftOps.deterministicSample(df, "k", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = GraftOps.deterministicSample(df.repartition(13), "k", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "sampling must not depend on partitioning")
+    assert(math.abs(s1.size - 1000) < 150, s"~25% expected, got ${s1.size}")
+    // monotone: a smaller fraction samples a subset of a larger one
+    val s3 = GraftOps.deterministicSample(df, "k", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
   test("cosineTopK and annTopK on a user embedding DataFrame") {
     val spark2 = spark
     import spark2.implicits._

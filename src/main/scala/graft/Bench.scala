@@ -20,10 +20,18 @@ object Bench {
     // run, so one-off JIT/codegen-compile/shuffle-service noise cannot
     // flip a 2x verdict. The cold (first-run) total is reported
     // alongside — both totals in the JSON.
+    // A failed query records the time it burned before throwing (so the
+    // totals stay meaningful) and its name under "failed" — a -1 or an
+    // omission would silently DEDUCT from the total.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
@@ -36,7 +44,8 @@ object Bench {
       .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).sum
     val coldTotal = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","first_run_total":$coldTotal,"queries":$qs,"queries_first_run":$qsCold,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","first_run_total":$coldTotal,"failed":$failedJson,"queries":$qs,"queries_first_run":$qsCold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

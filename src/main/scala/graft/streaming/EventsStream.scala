@@ -53,6 +53,37 @@ object EventsStream {
         col("event_type"), col("value"))
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * signups within the preceding 7 days — the streaming analog of the
+    * batch as-of join (C8). Both sides carry watermarks and the join
+    * condition bounds signup time to [purchase - 7 days, purchase], so
+    * each side's state store evicts rows the other side can no longer
+    * match (the time-range bound is what makes unbounded two-stream
+    * state finite). Inner join ⇒ rows emit as soon as both sides have
+    * arrived; equality with the batch formulation pinned in
+    * StreamingSpec.
+    */
+  def purchaseAttribution(spark: SparkSession, inputDir: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, prefix: String): DataFrame =
+      spark.readStream
+        .schema(eventsSchema)
+        .parquet(inputDir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ts_utc").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", watermark)
+    side("purchase", "p").join(side("signup", "s"),
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("p_id").as("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts").as("purchase_ts"), col("s_ts").as("signup_ts"))
+  }
+
   /** Streaming 1-hour tumbling counts per event type.
     *
     * @param watermark late-data tolerance (e.g. Some("10 minutes")); None

@@ -114,6 +114,42 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  test("permissive CSV parsing captures malformed rows instead of failing the load") {
+    // the ETL-class ingest contract: a bad row in a 100 TB feed must be
+    // quarantined, not kill the job
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_badcsv")
+    Files.writeString(dir.resolve("data.csv"),
+      "1,alpha,10.5\n2,beta,not_a_number\n3,gamma,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("_corrupt", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir.toString)
+      .cache() // corrupt-record column requires a materialization barrier
+    assert(df.count() === 3)
+    assert(df.filter(col("_corrupt").isNotNull).count() === 1, "bad row quarantined")
+    assert(df.filter(col("_corrupt").isNull).count() === 2, "good rows load")
+    assert(df.filter(col("id") === 2 && col("score").isNull).count() === 1,
+      "unparseable field nulls, row survives")
+  }
+
+  test("schema evolution: mergeSchema unions columns across parquet generations") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (id, a) — generation 2 adds column b
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/g=1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.parquet(s"$dir/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "a", "b", "g"))
+    assert(merged.filter(col("g") === 1).select("b").collect()(0).isNullAt(0),
+      "old generation null-fills the new column")
+    assert(merged.filter(col("g") === 2).select("b").collect()(0).getLong(0) === 9L)
+  }
+
   test("all ten table loaders read and report expected sf0.001 row counts") {
     val expected = Map(
       "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,

@@ -90,6 +90,34 @@ class StreamingSpec extends SparkTestBase {
     assert(missing.nonEmpty && missing.size < batchRows.size)
   }
 
+  test("stream-stream interval join (purchase←signup) equals the batch join") {
+    val inDir = Files.createTempDirectory("graft_stream_ssj")
+    Files.copy(Path.of(s"$sf/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.purchaseAttribution(spark, inDir.toString)
+      .writeStream.format("memory").queryName("ssj_replay")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+    val streamed = spark.table("ssj_replay")
+
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_utc").as("purchase_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts_utc").as("signup_ts"))
+    val batch = p.join(s,
+      col("user_id") === col("s_user") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("signup_ts"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-synced events with bounded state") {
     val spark2 = spark
     import spark2.implicits._

@@ -107,6 +107,46 @@ class ApiSpec extends SparkTestBase {
     assert(s3.subsetOf(s1))
   }
 
+  test("property: ngramJaccard is 1 on self, symmetric, within [0,1] (random texts)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark2 = spark
+    import spark2.implicits._
+    val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val text = Gen.listOfN(12, word).map(_.mkString(" "))
+    val pairs = (0 until 12).flatMap { i =>
+      for {
+        a <- text(Gen.Parameters.default, Seed(7L + i))
+        b <- text(Gen.Parameters.default, Seed(1007L + i))
+      } yield (a, b)
+    }
+    val df = pairs.toDF("a", "b").select(
+      GraftOps.ngramJaccard(col("a"), col("a")).as("self"),
+      GraftOps.ngramJaccard(col("a"), col("b")).as("ab"),
+      GraftOps.ngramJaccard(col("b"), col("a")).as("ba"))
+    assert(df.filter(col("self") =!= 1.0).count() === 0, "jaccard(a,a) = 1")
+    assert(df.filter(col("ab") =!= col("ba")).count() === 0, "symmetric")
+    assert(df.filter(col("ab") < 0.0 || col("ab") > 1.0).count() === 0, "bounded")
+  }
+
+  test("property: deterministicSample size within binomial bounds for random fractions") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 2000L).toDF("k").cache()
+    val fracGen = Gen.choose(0.05, 0.95)
+    val fracs = (0 until 6).flatMap(i =>
+      fracGen.apply(Gen.Parameters.default, Seed(11L + i)))
+    fracs.foreach { f =>
+      val got = GraftOps.deterministicSample(df, "k", f).count().toDouble
+      val expect = 2000.0 * f
+      val slack = 5.0 * math.sqrt(2000.0 * f * (1.0 - f)) // ±5σ
+      assert(math.abs(got - expect) <= slack,
+        s"fraction $f: got $got, expected $expect ± $slack")
+    }
+  }
+
   test("cosineTopK and annTopK on a user embedding DataFrame") {
     val spark2 = spark
     import spark2.implicits._

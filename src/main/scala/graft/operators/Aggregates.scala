@@ -113,6 +113,38 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_quantile` — EXACT percentiles (median, p90) of quantity per
+    * return flag. Spark's `percentile` is the sort-based exact
+    * aggregate; DuckDB's `quantile_cont` uses the same linear
+    * interpolation, and l_quantity is integer-valued, so interpolated
+    * midpoints are exact in double — cross-engine hash-safe without
+    * rounding. (The approximate sketch variant, percentile_approx, is
+    * engine-specific like HLL — the exact form is the oracle-gated
+    * surface.)
+    */
+  def aggQuantile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        element_at(expr("percentile(l_quantity, array(0.5D, 0.9D))"), 1).as("median_qty"),
+        element_at(expr("percentile(l_quantity, array(0.5D, 0.9D))"), 2).as("p90_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** `agg_stats` — statistical aggregates: sample stddev and Pearson
+    * correlation. Merge order affects the last few ulps (Welford-style
+    * partial merges vs DuckDB's single pass), so outputs are rounded to
+    * 6 — stddev is O(10) and corr is in [-1,1], leaving ~9 guard digits
+    * above the FP noise floor.
+    */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** `agg_stringagg` — ordered string aggregation: the collect_set is
     * unordered (partition-dependent), so array_sort makes the join
     * deterministic on any cluster — the only safe way to string-agg in
@@ -148,11 +180,29 @@ object Aggregates {
     "agg_having" -> aggHaving _,
     "agg_groupingsets" -> aggGroupingSets _,
     "agg_approx" -> aggApprox _,
+    "agg_quantile" -> aggQuantile _,
+    "agg_stats" -> aggStats _,
     "agg_stringagg" -> aggStringagg _,
     "agg_pivot" -> aggPivot _
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_stringagg" ->
       """SELECT o_orderpriority,
         |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,

@@ -103,15 +103,46 @@ object Windows {
         |ORDER BY user_id, ts_utc, event_id""".stripMargin)
   }
 
+  /** `win_dist` — distribution window functions: percent_rank and
+    * cume_dist over a tie-free total order (decimal price DESC, key),
+    * plus first_value = the partition's top price carried to every row.
+    * percent_rank = (rank-1)/(N-1) and cume_dist = rank/N are exact
+    * rational divisions of identical integer operands in both engines —
+    * hash-safe without rounding.
+    */
+  def winDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val priced = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        outDec(col("o_totalprice"), 18, 2).as("price"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    priced.select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("price")).over(w).as("top_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank _,
     "win_lag" -> winLag _,
     "win_frame" -> winFrame _,
     "win_range_frame" -> winRangeFrame _,
-    "win_topk_group" -> winTopkGroup _
+    "win_topk_group" -> winTopkGroup _,
+    "win_dist" -> winDist _
   )
 
   val oracle: Map[String, String] = Map(
+    "win_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(price) OVER w AS top_price
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_rank" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey,

@@ -76,12 +76,40 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** `multimodal_resize` — aspect-preserving resize-to-fit (224×224)
+    * over the decoded dimensions: the standard preprocessing step
+    * between decode and feature extraction. Pure integer arithmetic on
+    * the metadata (the actual pixel resample lives behind the same stub
+    * boundary as the decode), so the stage composes with the decode
+    * plumbing AND stays oracle-gated.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
+    multimodalDecode(spark, sfDir)
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * 224.0 / greatest(col("width"), col("height")))
+          .cast("int").as("rs_w"),
+        floor(col("height") * 224.0 / greatest(col("width"), col("height")))
+          .cast("int").as("rs_h"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> multimodalDecode _,
-    "multimodal_frames" -> multimodalFrames _
+    "multimodal_frames" -> multimodalFrames _,
+    "multimodal_resize" -> multimodalResize _
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(64 + length(text) % 640 AS INTEGER) AS width,
+        |    CAST(64 + (length(text) // 7) % 480 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(FLOOR(width * 224.0 / GREATEST(width, height)) AS INTEGER) AS rs_w,
+        |  CAST(FLOOR(height * 224.0 / GREATEST(width, height)) AS INTEGER) AS rs_h
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
         |  CAST(least(512, length(text) - i*512) AS INTEGER) AS frame_len,

@@ -122,6 +122,43 @@ object Joins {
       .orderBy(col("band"))
   }
 
+  /** `subq_exists` — correlated EXISTS in SQL text: Catalyst's
+    * RewritePredicateSubquery decorrelates it into a left-semi join
+    * (same plan as join_semi's DataFrame form — pinned in JoinsSpec),
+    * demonstrating the subquery surface a SQL-first user of the engine
+    * writes.
+    */
+  def subqExists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_sq")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer_sq c
+        |WHERE EXISTS (SELECT 1 FROM orders_sq o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** `subq_scalar` — correlated SCALAR subquery: customers above their
+    * own nation's average balance. Catalyst decorrelates into an
+    * aggregate + join (no per-row subquery execution — pinned in
+    * JoinsSpec). The threshold is a decimal-sum / count ratio in double
+    * so both engines compute the identical boundary (§2.0.2: their
+    * AVG(decimal) widenings differ).
+    */
+  def subqScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_sq2")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM customer_sq2 c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer_sq2 c2
+        |  WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** C9 `join_cross` — cartesian of two tiny sets (5 × 5 = 25 rows). */
   def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
     val r = Tables.region(spark, sfDir).select(col("r_name"))
@@ -138,10 +175,27 @@ object Joins {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_range" -> joinRange _,
-    "join_cross" -> joinCross _
+    "join_cross" -> joinCross _,
+    "subq_exists" -> subqExists _,
+    "subq_scalar" -> subqScalar _
   )
 
   val oracle: Map[String, String] = Map(
+    "subq_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "subq_scalar" ->
+      """SELECT c_custkey, c_nationkey,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2
+        |  WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
         |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_acctbal

@@ -47,4 +47,34 @@ class JoinsSpec extends SparkTestBase {
       .filter("p_retailprice >= 900.0 AND p_retailprice < 1000.0").count()
     assert(banded === inRange)
   }
+
+  test("correlated EXISTS decorrelates to a semi join (same rows as the DataFrame form)") {
+    val plan = planOf(Joins.subqExists(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    // and it is row-identical to join_semi's DataFrame formulation
+    val viaSql = Joins.subqExists(spark, sf)
+    val viaDf = Joins.joinSemi(spark, sf)
+    assert(viaSql.except(viaDf).count() === 0)
+    assert(viaDf.except(viaSql).count() === 0)
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join (no per-row subquery)") {
+    val df = Joins.subqScalar(spark, sf)
+    val plan = planOf(df)
+    // decorrelated: an aggregate feeding a join, not a scalar-subquery
+    // node executed per outer row
+    assert(plan.contains("HashAggregate") &&
+      (plan.contains("Join") || plan.contains("BroadcastHashJoin") ||
+        plan.contains("SortMergeJoin")),
+      s"scalar subquery must decorrelate:\n$plan")
+    // semantic spot check: every surviving customer is above their
+    // nation's mean balance
+    import org.apache.spark.sql.functions._
+    val means = Tables.customer(spark, sf).groupBy(col("c_nationkey"))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("mean_bal"))
+    val bad = df.join(means, "c_nationkey")
+      .filter(col("acctbal") <= col("mean_bal") - 0.011)
+    assert(bad.count() === 0)
+  }
 }

@@ -60,6 +60,18 @@ class NearDedupSpec extends SparkTestBase {
     assert(viaCatalyst.except(viaMllib).count() === 0)
   }
 
+  test("minhash join reads ONLY the materialized signature table (no raw-text rescans)") {
+    // the round-2 perf bug: the LSH lineage re-ran on both sides of the
+    // join (6 scans of documents across 3 bands). After materialization
+    // every FileScan in the join plan must point at the signature
+    // parquet, never at documents.parquet.
+    val df = NearDedup.dedupMinhash(spark, sf) // triggers the one-time sig write
+    val plan = planOf(df)
+    assert(!plan.contains("documents.parquet"),
+      s"join must not rescan the raw corpus:\n$plan")
+    assert(plan.contains("graft_minhash_sig_"), s"join must read the sig table:\n$plan")
+  }
+
   test("simhash collides at least as often as exact duplication") {
     // sig is a pure function of text ⇒ distinct sigs <= distinct texts
     val sim = NearDedup.dedupSimhash(spark, sf)

@@ -209,6 +209,29 @@ object GraftOps {
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
   }
 
+  /** Symmetric int8 scalar quantization of a float-vector column: each
+    * vector stores as (array<tinyint>, one float scale) — a 4× storage
+    * cut for a 100 TB embedding corpus, applied at ingest. Pure
+    * Catalyst: per-vector scale = max|x|/127, code = round(x/scale).
+    * `dequantize` reverses it; cosine on dequantized vectors tracks the
+    * exact cosine within ~1e-2 (pinned in ApiSpec; expected deviation
+    * ~1.4e-3 at d=64), which is far inside
+    * ANN bucketing noise — rank candidates on quantized vectors, rescore
+    * the top-k on originals if exactness matters.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(
+      aggregate(vec, lit(0.0f), (a, x) => greatest(a, abs(x))),
+      lit(java.lang.Float.MIN_NORMAL)) / lit(127.0f)
+    struct(
+      transform(vec, x => round(x / scale).cast("tinyint")).as("codes"),
+      scale.cast("float").as("scale"))
+  }
+
+  /** Reverse of quantizeInt8: array<float> ≈ the original vector. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => (c.cast("float") * q.getField("scale")).cast("float"))
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03) —
     * the rolling-hash fingerprinting scheme: hash every character
     * k-gram, slide a window of `w` hashes, keep each window's minimum;

@@ -147,6 +147,32 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization: 4x smaller codes, cosine preserved within 1e-2, top-1 stable") {
+    graft.expressions.CosineSimilarity.register(spark)
+    val e = sources.Tables.embeddings(spark, sf)
+      .withColumn("q", GraftOps.quantizeInt8(col("embedding")))
+      .withColumn("deq", GraftOps.dequantizeInt8(col("q")))
+    // structural: codes are tinyint, same length as the vector
+    assert(e.schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("codes")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.typeName === "byte")
+    assert(e.filter(size(col("q.codes")) =!= size(col("embedding"))).count() === 0)
+    // cosine against a fixed probe survives quantization within 1e-3
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"), col("deq").as("pdq"))
+    val sims = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        GraftOps.cosine(col("embedding"), col("pv")).as("exact"),
+        GraftOps.cosine(col("deq"), col("pdq")).as("approx"))
+    // int8 on d=64 has ~1.4e-3 expected cosine deviation (error/element
+    // ~ scale/2, both sides quantized); 1e-2 bounds the tail
+    assert(sims.filter(abs(col("exact") - col("approx")) > 1e-2).count() === 0)
+    // and the nearest neighbour is the same vector either way
+    val top = sims.orderBy(col("exact").desc, col("vec_id")).select("vec_id").first().getLong(0)
+    val topQ = sims.orderBy(col("approx").desc, col("vec_id")).select("vec_id").first().getLong(0)
+    assert(top === topQ, "top-1 must survive int8 quantization on this corpus")
+  }
+
   test("cosineTopK and annTopK on a user embedding DataFrame") {
     val spark2 = spark
     import spark2.implicits._

@@ -205,8 +205,91 @@ object GraftOps {
   def deterministicSample(df: DataFrame, keyCol: String,
       fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
-    val threshold = f"${math.floor(fraction * 65536).toInt}%04x"
-    df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
+    // The boundary fractions can't go through the hex-threshold compare:
+    // floor(1.0 * 65536) formats as the 5-char "10000", and a 4-char hex
+    // prefix compares lexicographically below it only when it starts
+    // with '0' — so 1.0 would keep ~1/16 of rows instead of all of them.
+    if (fraction >= 1.0) df
+    else if (fraction <= 0.0) df.filter(lit(false))
+    else {
+      val threshold = f"${math.floor(fraction * 65536).toInt}%04x"
+      df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
+    }
+  }
+
+  /** Connected components over an undirected edge list — the CLUSTER
+    * step of near-dedup: pair generation (LSH/minhash) yields edges,
+    * but "keep one doc per duplicate GROUP" needs the transitive
+    * closure (A~B, B~C ⇒ {A,B,C} one cluster, even if A and C never
+    * collided). Returns (id, comp) with comp = the minimum reachable
+    * vertex id — a deterministic canonical cluster representative.
+    *
+    * Algorithm: hash-min label propagation — each round every vertex
+    * takes the min component label among itself and its neighbours, as
+    * a pair of DataFrame joins + a min-aggregation (all shuffle-
+    * partitioned on vertex id; no driver-side graph). Converges in
+    * O(diameter) rounds; dedup graphs are near-clique clusters with
+    * tiny diameters, so 3-5 rounds is typical. `localCheckpoint`
+    * truncates the lineage each round, keeping plan size and task count
+    * CONSTANT per iteration — an unchecked iterative join would double
+    * the plan every round. For adversarial long-chain graphs, the
+    * two-phase large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) converges in
+    * O(log n) rounds with the same join-shape per round; hash-min is
+    * the right default for dedup-shaped graphs.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    // Convergence probe: labels only ever DECREASE under hash-min, so
+    // the label sum is strictly monotone until the fixpoint — comparing
+    // one scalar per round replaces a per-round join against the
+    // previous labels (a whole extra shuffle). decimal sum: exact for
+    // any vertex-id range, no overflow at 1e10 vertices.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Stratified deterministic sampling: per-stratum fractions over the
+    * same content-addressed md5 rule as `deterministicSample` (strata
+    * absent from the map keep fraction `default`). The training-data
+    * rebalancing primitive: e.g. keep 10% of English but all of a
+    * low-resource language, reproducibly across runs and engines.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 1.0): DataFrame = {
+    (fractions.values.toSeq :+ default).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f"))
+    def keep(fraction: Double): Column =
+      if (fraction >= 1.0) lit(true)
+      else if (fraction <= 0.0) lit(false)
+      else substring(md5(col(keyCol).cast("string")), 1, 4) <
+        lit(f"${math.floor(fraction * 65536).toInt}%04x")
+    val cond = fractions.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, keep(f))
+    }.otherwise(keep(default))
+    df.filter(cond)
   }
 
   /** Symmetric int8 scalar quantization of a float-vector column: each

@@ -33,6 +33,13 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
+  // NULL is produced for vectors with null elements even when the child
+  // is non-nullable (same contract as cosine_sim — reading a null slot
+  // through ArrayData.getFloat yields undefined data, and a
+  // representation-dependent bucket would diverge between interpreted
+  // and generated code).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "lsh_bucket"
 
   @transient private lazy val matrix: Array[Array[Double]] =
@@ -41,6 +48,15 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val m = matrix
+    // Null-element guard (cosine_sim contract): one pass up front —
+    // every plane reads the same element range, so checking once covers
+    // the whole signature loop.
+    val ne = math.min(v.numElements(), LshBucket.Dim)
+    var c = 0
+    while (c < ne) {
+      if (v.isNullAt(c)) return null
+      c += 1
+    }
     var sig = 0
     var i = 0
     while (i < m.length) {
@@ -62,20 +78,28 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
+      val ne = ctx.freshName("ne")
+      val c = ctx.freshName("c")
       val d = ctx.freshName("d")
       val p = ctx.freshName("p")
       s"""
-         |int $sig = 0;
-         |for (int $i = 0; $i < $planesRef.length; $i++) {
-         |  double[] $p = $planesRef[$i];
-         |  double $d = 0.0;
-         |  int $n = java.lang.Math.min($a.numElements(), $p.length);
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    $d += ((double) $a.getFloat($j)) * $p[$j];
-         |  }
-         |  if ($d >= 0) $sig |= (1 << $i);
+         |int $ne = java.lang.Math.min($a.numElements(), ${LshBucket.Dim});
+         |for (int $c = 0; $c < $ne; $c++) {
+         |  if ($a.isNullAt($c)) { ${ev.isNull} = true; break; }
          |}
-         |${ev.value} = $sig;
+         |if (!${ev.isNull}) {
+         |  int $sig = 0;
+         |  for (int $i = 0; $i < $planesRef.length; $i++) {
+         |    double[] $p = $planesRef[$i];
+         |    double $d = 0.0;
+         |    int $n = java.lang.Math.min($a.numElements(), $p.length);
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $d += ((double) $a.getFloat($j)) * $p[$j];
+         |    }
+         |    if ($d >= 0) $sig |= (1 << $i);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
        """.stripMargin
     })
 

@@ -172,8 +172,26 @@ object Aggregates {
     }.orderBy(col("user_id"))
   }
 
+  /** `agg_salted` — skew-safe two-phase aggregation as a gated query:
+    * decimal sum of event value per event_type via Salt.saltedSum.
+    * event_type has 5 values over the whole corpus — the textbook hot
+    * key: a plain groupBy routes ~n/5 rows to single reducers, while
+    * salting spreads each key over 16 sub-keys (first shuffle uniform)
+    * and merges ≤ 5×16 partials in the second. The result is
+    * bit-identical to the unsalted plan BECAUSE the addend is decimal
+    * (associative) — the oracle is the plain GROUP BY, which is the
+    * point: salting is a physical rewrite, not a semantic one.
+    */
+  def aggSalted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Salt.saltedSum(Tables.events(spark, sfDir),
+        col("event_type"), dec2(col("value")), buckets = 16)
+      .select(col("k").as("event_type"),
+        outDec(col("total"), 18, 2).as("total_value"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing" -> aggPricing _,
+    "agg_salted" -> aggSalted _,
     "agg_distinct" -> aggDistinct _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
@@ -187,6 +205,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_salted" ->
+      """SELECT event_type,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "agg_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

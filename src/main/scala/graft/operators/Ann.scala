@@ -50,10 +50,12 @@ object Ann {
     }
   }
 
-  /** Memoized signature bits per corpus dir — the sizing count is one
+  /** Memoized signature bits per corpus — the sizing count is one
     * metadata-cheap job, but repeated callers (knn_ann, dedup_embed,
     * bench warm runs) shouldn't re-pay it; at scale this is a catalog
-    * statistic, not a scan.
+    * statistic, not a scan. Keyed by the table's content fingerprint
+    * (file listing + sizes + mtimes), not its path, so rewriting the
+    * data invalidates the memo within a JVM lifetime.
     */
   private val bitsMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
 
@@ -64,7 +66,8 @@ object Ann {
     CosineSimilarity.register(spark)
     LshBucket.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val bits = bitsMemo.getOrElseUpdate(sfDir, bucketBits(e.count()))
+    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
+    val bits = bitsMemo.getOrElseUpdate(fp, bucketBits(e.count()))
     (e.withColumn("bucket", expr(s"lsh_bucket(embedding, $bits)")), bits)
   }
 

@@ -30,9 +30,10 @@ object Ivf {
   /** Target ~1024 vectors per cell, floor 4 (sf0.001 corpora). */
   def cellCount(n: Long): Int = math.max(4, math.ceil(n / 1024.0).toInt)
 
-  /** One trained quantizer per (corpus, k) per JVM — training is a
-    * batch job, not a per-query cost (like the signature table in
-    * NearDedup.dedupMinhash).
+  /** One trained quantizer per (corpus content, k) per JVM — training
+    * is a batch job, not a per-query cost (like the signature table in
+    * NearDedup.dedupMinhash). Keyed by content fingerprint, not path,
+    * so a rewritten corpus retrains instead of serving a stale model.
     */
   private val modelMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), KMeansModel]
@@ -41,6 +42,7 @@ object Ivf {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("fv", array_to_vector(col("embedding")))
+    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
     val k = cellCount(e.count())
     // Training coalesces to a few partitions: each k-means iteration is
     // a treeAggregate job, and on a small-per-executor slice the
@@ -48,7 +50,7 @@ object Ivf {
     // natural partitioning stands; 5 iterations suffice for a COARSE
     // quantizer — cells only need to be roughly Voronoi, recall comes
     // from nprobe.)
-    val m = modelMemo.getOrElseUpdate((sfDir, k),
+    val m = modelMemo.getOrElseUpdate((fp, k),
       new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("cell").fit(e.coalesce(8)))
     (m, m.transform(e), k)

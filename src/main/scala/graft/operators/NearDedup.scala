@@ -25,6 +25,17 @@ object NearDedup {
   /** Signature-table parquet paths already written by this JVM. */
   private val writtenSigs = scala.collection.mutable.Set.empty[String]
 
+  /** Per-PROCESS root for materialized signature tables: a fresh
+    * `Files.createTempDirectory` per JVM, so concurrent processes/users
+    * can never collide on a predictable shared /tmp path (the dir name
+    * embeds a random suffix and is owned by this process).
+    */
+  private lazy val sigRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sigs_")
+    p.toFile.deleteOnExit()
+    p
+  }
+
   /** J7 `dedup_minhash` — shingle → minhash → band → bucket-join, the
     * classic near-dedup pipeline: candidate pairs with estimated Jaccard
     * distance <= 0.1 over 3-gram shingle sets.
@@ -51,9 +62,12 @@ object NearDedup {
     //    collides, verified with exact Jaccard over index sets —
     //    row-identical to MLlib approxSimilarityJoin (NearDedupSpec),
     //    but codegen'd array intersects instead of a per-pair UDF.
-    val sigPath = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_sig_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Path = per-process root + CONTENT fingerprint of the documents
+    // table (file listing + mtimes): rewriting the corpus within one JVM
+    // produces a new path (stale signatures can't be served), and other
+    // processes can't collide on or poison a predictable shared location.
+    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "documents")
+    val sigPath = sigRoot.resolve(s"minhash_sig_$fp").toString
     NearDedup.synchronized {
       if (!writtenSigs.contains(sigPath)) {
         GraftOps.minhashSignatures(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -131,11 +145,49 @@ object NearDedup {
       .limit(20)
   }
 
+  /** `dedup_cluster` — connected components over the near-dup pair
+    * graph: pair generation (here a deterministic banded candidate set:
+    * each doc against its next two ids, kept when 3-gram Jaccard ≥
+    * 0.01; in production the LSH candidate pairs) yields EDGES, but
+    * keep-one-per-group dedup needs the transitive closure — A~B and
+    * B~C put A and C in one cluster even though they never collided.
+    * Components via GraftOps.connectedComponents (hash-min label
+    * propagation, O(diameter) rounds of equi-join + min-agg, lineage
+    * truncated per round); output is the cluster-size histogram.
+    * The candidate join is a single equi-join (neighbour ids exploded
+    * map-side), not an OR-condition nested-loop join.
+    */
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
+          " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
+    val cand = sh.select(col("doc_id").as("src"), col("grams").as("g_a"),
+      explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("dst"))
+    val edges = cand
+      .join(sh.select(col("doc_id").as("dst"), col("grams").as("g_b")), "dst")
+      .filter(round(
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 6) >= 0.01)
+      .select(col("src"), col("dst"))
+    val comps = graft.api.GraftOps.connectedComponents(edges, "src", "dst")
+    docs.select(col("doc_id"))
+      .join(comps, docs("doc_id") === comps("id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("comp"))
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram" -> dedupNgram _,
-    "dedup_embed" -> dedupEmbed _
+    "dedup_embed" -> dedupEmbed _,
+    "dedup_cluster" -> dedupCluster _
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,6 +201,27 @@ object NearDedup {
         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-        |ORDER BY doc_a""".stripMargin
+        |ORDER BY doc_a""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)
+        |  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.01),
+        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, s.dst FROM reach JOIN sym s ON s.src = reach.r),
+        |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |clusters AS (SELECT comp, COUNT(*) AS sz FROM comps GROUP BY comp)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM clusters GROUP BY sz ORDER BY cluster_size""".stripMargin
   )
 }

@@ -123,8 +123,23 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** `sample_stratified` — per-language deterministic sampling
+    * (GraftOps.stratifiedSample): keep 25% of English (the dominant
+    * lang), 50% of Spanish, none of Chinese, everything else whole —
+    * the training-mix rebalancing primitive. Content-addressed (md5 of
+    * doc_id), so the SAME documents survive any re-run, repartition, or
+    * engine; map-side filter, no shuffle before the final count.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.stratifiedSample(Tables.documents(spark, sfDir),
+        "doc_id", "lang", Map("en" -> 0.25, "es" -> 0.5, "zh" -> 0.0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate _,
+    "sample_stratified" -> sampleStratified _,
     "dedup_exact" -> dedupExact _,
     "udtf_explode" -> udtfExplode _,
     "text_stats" -> textStats _,
@@ -134,6 +149,16 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_docs
+        |FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  WHEN 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN 'zh' THEN FALSE
+        |  ELSE TRUE END
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "pipeline_curate" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text FROM documents

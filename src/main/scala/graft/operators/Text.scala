@@ -111,12 +111,79 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** `text_repetition` — Gopher-style repetition quality signals per
+    * document (Rae et al. 2021 §A1.1.2 use exactly these to drop
+    * boilerplate/spam before LLM training): duplicate-token fraction
+    * (1 − distinct/total) and top-bigram fraction (most frequent
+    * bigram's share of all bigrams), plus a repetitive flag on exact
+    * integer arithmetic (top bigram ≥ 20% of bigrams).
+    *
+    * The top-bigram count is computed WITHOUT an explode/groupBy
+    * shuffle: sort the per-doc bigram array, then the longest equal-run
+    * (≡ max frequency) falls out of one `aggregate` higher-order fold —
+    * per-document work stays map-side, the whole query is one pass over
+    * the corpus with no shuffle at all (the output is per-doc).
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1))," +
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")
+    // longest equal-run over the sorted array == max bigram frequency
+    val maxRun = expr(
+      """aggregate(
+        |  array_sort(transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+        |    i -> concat_ws(' ', slice(split(text, ' '), i, 2)))),
+        |  named_struct('prev', '', 'run', 0, 'best', 0),
+        |  (s, g) -> named_struct(
+        |    'prev', g,
+        |    'run', IF(g = s.prev, s.run + 1, 1),
+        |    'best', greatest(s.best, IF(g = s.prev, s.run + 1, 1))),
+        |  s -> s.best)""".stripMargin)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        maxRun.cast("long").as("top_bigram_n"),
+        size(bigrams).cast("long").as("n_bigrams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"),
+        (col("top_bigram_n") * 5 >= col("n_bigrams")).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `text_tfidf` — corpus-level TF-IDF: per token, total term
+    * frequency, document frequency, and tf·ln(N/df); top-20 by score.
+    * Two-phase aggregation after a Generate (explode) — partial
+    * aggregation absorbs the token stream map-side, so the shuffle
+    * carries one row per (partition, distinct token), not per token
+    * occurrence. N comes from a count action (a catalog statistic at
+    * scale, not a scan).
+    */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .select(col("token"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("token"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
     "text_langid" -> textLangid _,
     "text_tokens_regex" -> textTokensRegex _,
-    "text_winnow" -> textWinnow _
+    "text_winnow" -> textWinnow _,
+    "text_repetition" -> textRepetition _,
+    "text_tfidf" -> textTfidf _
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +222,42 @@ object Text {
         |  COUNT(*) AS n_docs
         |FROM documents
         |GROUP BY lang, guess
-        |ORDER BY lang, guess""".stripMargin
+        |ORDER BY lang, guess""".stripMargin,
+    "text_repetition" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    [array_to_string(string_split(text, ' ')[i:i+1], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1)] AS g,
+        |    len(string_split(text, ' ')) AS nt,
+        |    len(list_distinct(string_split(text, ' '))) AS nd
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+        |  GROUP BY doc_id, gram),
+        |perdoc AS (
+        |  SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS tot
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CAST(g.nt AS BIGINT) AS n_tokens,
+        |  CAST(g.nd AS BIGINT) AS n_distinct,
+        |  ROUND(1.0 - CAST(g.nd AS DOUBLE) / g.nt, 6) AS dup_token_frac,
+        |  ROUND(CAST(p.maxc AS DOUBLE) / p.tot, 6) AS top_bigram_frac,
+        |  p.maxc * 5 >= p.tot AS repetitive
+        |FROM grams g JOIN perdoc p ON g.doc_id = p.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |st AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM ex GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT token, tf, df,
+        |  ROUND(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |FROM st, n
+        |ORDER BY tfidf DESC, token
+        |LIMIT 20""".stripMargin
   )
 }

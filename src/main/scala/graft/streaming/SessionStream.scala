@@ -7,24 +7,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Custom-state streaming sessionization via
   * `flatMapGroupsWithState` — the arbitrary-state API for semantics
   * `session_window` can't express (here: emitting each closed session
-  * exactly once, in append mode, as soon as it closes).
+  * exactly once, in append mode, as soon as the watermark closes it).
   *
-  * Semantics match the batch `session_window(ts, 30 min)` exactly
-  * (boundary INCLUSIVE: an event at precisely last+gap merges — see
-  * Temporal.streamSession and the pinned TemporalSpec rule):
-  *   - events within `gap` of the session's last event extend it;
-  *   - a strictly-later event closes the old session and emits it;
-  *   - the final session of a key closes when the event-time watermark
-  *     passes last+gap (GroupStateTimeout.EventTimeTimeout), so state
-  *     is bounded by the watermark like any windowed aggregation.
+  * Semantics match the batch `session_window(ts, 30 min)` exactly,
+  * INCLUDING events that arrive out of order across micro-batches
+  * (as long as the watermark admits them — the same contract every
+  * watermarked Spark aggregation has):
+  *   - state per user is the SET of open sessions (intervals), not just
+  *     the latest one; each batch folds its events in as single-event
+  *     intervals and re-runs one sorted merge sweep (boundary
+  *     INCLUSIVE: an event at precisely last+gap merges — see
+  *     Temporal.streamSession and the pinned TemporalSpec rule);
+  *   - an event BEFORE an open session's start extends the start
+  *     backward (or bridges two open sessions, which then merge) — the
+  *     case a single-open-session design silently gets wrong;
+  *   - a session is emitted only when the event-time watermark passes
+  *     last+gap (so no admissible future event can still merge into
+  *     it), via GroupStateTimeout.EventTimeTimeout or eagerly on the
+  *     next data batch, whichever comes first. State is bounded by the
+  *     watermark like any windowed aggregation.
   *
-  * Scale design: state is ONE small case class per active user (not per
-  * event) in executor-local state stores, keyed by the shuffle on
-  * user_id; per-batch work is a sort of that user's batch slice only.
-  * Money math is exact: per-event values quantize to cents (HALF_UP,
-  * same as CAST(x AS DECIMAL(18,2))) and accumulate in Long, so the
-  * emitted total is bit-equal to the batch decimal sum regardless of
-  * merge order.
+  * Scale design: state is a handful of small intervals per active user
+  * (one, except under out-of-order arrival) in executor-local state
+  * stores, keyed by the shuffle on user_id; per-batch work is a sort of
+  * that user's batch slice only. Money math is exact: per-event values
+  * quantize to cents (HALF_UP, same as CAST(x AS DECIMAL(18,2))) and
+  * accumulate in Long, so the emitted total is bit-equal to the batch
+  * decimal sum regardless of merge order.
   */
 object SessionStream {
 
@@ -36,8 +45,11 @@ object SessionStream {
   case class SEvent(user_id: Long, ts_utc: java.sql.Timestamp, ts_us: Long,
       value: Double)
 
-  /** Per-user open-session state: timestamps in µs, money in cents. */
+  /** One open session: timestamps in µs, money in cents. */
   case class Open(start_us: Long, last_us: Long, n: Long, cents: Long)
+
+  /** Per-user state: every session the watermark has not yet closed. */
+  case class OpenList(sessions: Seq[Open])
 
   /** An emitted (closed) session — matches Temporal.streamSession's
     * output row shape.
@@ -58,41 +70,40 @@ object SessionStream {
         java.time.Duration.of(s.start_us, java.time.temporal.ChronoUnit.MICROS))),
       s.n, s.cents / 100.0)
 
-  /** The state-transition function: fold this batch's events (time
-    * order) into the open session, emitting every session that closes.
+  /** The state-transition function: fold this batch's events into the
+    * open-session set with one sorted interval-merge sweep, then emit
+    * every session the current watermark has closed (no admissible
+    * future event can reach past the watermark to extend it).
+    * Handles both the data path and the EventTimeTimeout path — a
+    * timeout is just a data-less invocation at a higher watermark.
     */
   private[streaming] def updateUser(user: Long, events: Iterator[SEvent],
-      state: GroupState[Open]): Iterator[Closed] = {
-    if (state.hasTimedOut) {
-      // watermark passed last+gap with no new events: the session closed
-      val out = state.getOption.map(close(user, _)).iterator
-      state.remove()
-      out
-    } else {
-      val sorted = events.toArray.sortBy(_.ts_us)
-      val out = Seq.newBuilder[Closed]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        cur = cur match {
-          case Some(s) if e.ts_us - s.last_us <= GapUs =>
-            Some(Open(s.start_us, math.max(s.last_us, e.ts_us),
-              s.n + 1, s.cents + cents(e.value)))
-          case Some(s) =>
-            out += close(user, s)
-            Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
-          case None =>
-            Some(Open(e.ts_us, e.ts_us, 1, cents(e.value)))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        // close via timeout when the watermark passes last+gap (ms —
-        // GroupState timeouts are millisecond-granular; rounding UP
-        // keeps the inclusive boundary: never time out early)
-        state.setTimeoutTimestamp((s.last_us + GapUs + 999) / 1000)
-      }
-      out.result().iterator
+      state: GroupState[OpenList]): Iterator[Closed] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+    val units = events.map(e => Open(e.ts_us, e.ts_us, 1L, cents(e.value))).toSeq
+    val merged = (existing ++ units).sortBy(s => (s.start_us, s.last_us))
+      .foldLeft(List.empty[Open]) {
+        // inclusive boundary: next.start at exactly cur.last+gap merges
+        case (cur :: done, next) if next.start_us - cur.last_us <= GapUs =>
+          Open(cur.start_us, math.max(cur.last_us, next.last_us),
+            cur.n + next.n, cur.cents + next.cents) :: done
+        case (acc, next) => next :: acc
+      }.reverse
+    // a session is closed once the watermark is strictly past last+gap:
+    // a later event at exactly last+gap (inclusive merge) carries
+    // ts >= watermark, so wm > last+gap proves no merge can still happen
+    val (closed, open) = merged.partition(s => s.last_us + GapUs < wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(OpenList(open))
+      // re-arm the timeout at the earliest close point (ms — GroupState
+      // timeouts are millisecond-granular; rounding UP keeps the
+      // inclusive boundary: never time out early)
+      state.setTimeoutTimestamp(
+        (open.map(_.last_us).min + GapUs + 999) / 1000)
     }
+    closed.map(close(user, _)).iterator
   }
 
   /** Streaming per-user sessionization over the events file source.
@@ -104,6 +115,7 @@ object SessionStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(EventsStream.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
       .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_utc", watermark)
@@ -111,7 +123,7 @@ object SessionStream {
         unix_micros(col("ts_utc")).as("ts_us"), col("value"))
       .as[SEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Open, Closed](
+      .flatMapGroupsWithState[OpenList, Closed](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateUser)
       .toDF()
   }

@@ -42,6 +42,31 @@ class AnnSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("lsh_bucket yields NULL on null elements, codegen and interpreted alike") {
+    // cosine_sim's contract (ADVICE round 3): reading a null slot via
+    // ArrayData.getFloat is undefined data — a representation-dependent
+    // bucket would diverge between eval paths. NULL instead, in both.
+    LshBucket.register(spark)
+    val df = spark.range(2).selectExpr(
+      "id",
+      "CASE WHEN id = 0 THEN array(cast(1.0 as float), cast(null as float)) " +
+        "ELSE array(cast(1.0 as float), cast(2.0 as float)) END AS v")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      def run(): Map[Long, Option[Int]] =
+        df.select(col("id"), expr("lsh_bucket(v, 6)").as("b")).collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      assert(gen === interp, "codegen and interpreted eval must agree")
+      assert(gen(0L).isEmpty, "null element must produce a NULL bucket")
+      assert(gen(1L).isDefined, "clean vector must still bucket")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("knn_ann plan is fully UDF-free and inside whole-stage codegen") {
     val df = Ann.knnAnn(spark, sf)
     df.collect() // materialize AQE's final plan (codegen stages resolve at runtime)

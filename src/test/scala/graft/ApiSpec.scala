@@ -107,6 +107,58 @@ class ApiSpec extends SparkTestBase {
     assert(s3.subsetOf(s1))
   }
 
+  test("deterministicSample boundaries: 1.0 keeps every row, 0.0 keeps none") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ADVICE round 3: floor(1.0*65536) formats as the 5-char "10000",
+    // and a 4-char hex prefix sorts below it only when it starts with
+    // '0' — fraction=1.0 silently kept ~6% of rows. Boundaries now
+    // short-circuit.
+    val df = (1L to 500L).toDF("k")
+    assert(GraftOps.deterministicSample(df, "k", 1.0).count() === 500)
+    assert(GraftOps.deterministicSample(df, "k", 0.0).count() === 0)
+  }
+
+  test("connectedComponents: transitive closure, chains, pair and isolated groups") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 3-chain (1-2-3), a pair, and an 8-chain (30..37) that forces
+    // multiple hash-min rounds; vertices appear only via edges
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (30L until 37L).map(i => (i, i + 1))).toDF("src", "dst")
+    val comps = GraftOps.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) === 1L),
+      "A~B, B~C must place A and C in one cluster (transitivity)")
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+    assert((30L to 37L).forall(comps(_) === 30L),
+      s"8-chain must fully converge, got $comps")
+    // representative is always the min id — deterministic canonical form
+    assert(comps.values.toSet === Set(1L, 10L, 30L))
+  }
+
+  test("stratifiedSample: per-stratum fractions, zero/one boundaries, key-addressed") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 3000L).map(k => (k, Seq("a", "b", "c")((k % 3).toInt)))
+      .toDF("k", "grp")
+    val kept = GraftOps.stratifiedSample(df, "k", "grp",
+      Map("a" -> 0.0, "b" -> 1.0, "c" -> 0.5))
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byGrp.contains("a"), "fraction 0.0 keeps nothing")
+    assert(byGrp("b") === 1000L, "fraction 1.0 keeps everything")
+    assert(math.abs(byGrp("c") - 500L) < 110, s"~50% expected, got ${byGrp("c")}")
+    // same md5 rule as deterministicSample: the kept 'c' keys are EXACTLY
+    // the unstratified sample of the 'c' slice (content-addressed)
+    val cKeys = kept.filter(col("grp") === "c").select("k")
+      .collect().map(_.getLong(0)).toSet
+    val plain = GraftOps.deterministicSample(
+        df.filter(col("grp") === "c"), "k", 0.5)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(cKeys === plain)
+  }
+
   test("property: ngramJaccard is 1 on self, symmetric, within [0,1] (random texts)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

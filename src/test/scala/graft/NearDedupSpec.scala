@@ -69,7 +69,7 @@ class NearDedupSpec extends SparkTestBase {
     val plan = planOf(df)
     assert(!plan.contains("documents.parquet"),
       s"join must not rescan the raw corpus:\n$plan")
-    assert(plan.contains("graft_minhash_sig_"), s"join must read the sig table:\n$plan")
+    assert(plan.contains("minhash_sig_"), s"join must read the sig table:\n$plan")
   }
 
   test("simhash collides at least as often as exact duplication") {

@@ -90,6 +90,60 @@ class StreamingSpec extends SparkTestBase {
     assert(missing.nonEmpty && missing.size < batchRows.size)
   }
 
+  test("sessionization handles cross-batch out-of-order events like batch session_window") {
+    val spark2 = spark
+    import spark2.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_ooo")
+    val base = 1704067200000000000L // 2024-01-01 00:00:00 UTC in ns
+    val minNs = 60L * 1000000000L
+    val now = System.currentTimeMillis()
+
+    def writeFile(name: String, rows: Seq[(Long, Long, Long)], mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_ooo_$name")
+      rows.toDF("event_id", "user_id", "ts")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, inDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(inDir.resolve(name), FileTime.fromMillis(mtimeMs))
+    }
+
+    // Batch 1: user 1 at 01:00 and at 05:00 — two open sessions.
+    writeFile("a.parquet",
+      Seq((1L, 1L, base + 60 * minNs), (2L, 1L, base + 300 * minNs)), now - 90000)
+    // Batch 2 (watermark enforcement lags one batch, so these land):
+    //  - 00:45, BEFORE the 01:00 session's start but within gap → must
+    //    extend the session start BACKWARD (the case a single-open-
+    //    session state machine gets wrong: it would merge 00:45 into
+    //    the LATEST session and keep its 05:00 start);
+    //  - 03:00, more than gap from both open sessions → its own session;
+    //  - user 2 at 07:00 advances the final watermark to 06:50.
+    writeFile("b.parquet",
+      Seq((3L, 1L, base + 45 * minNs), (4L, 1L, base + 180 * minNs),
+        (5L, 2L, base + 420 * minNs)), now - 45000)
+
+    val q = SessionStream.sessions(spark, inDir.toString)
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+
+    val got = spark.table("sess_ooo").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond,
+        r.getLong(2), r.getDouble(3))).toSet
+    val b = 1704067200L
+    // batch session_window truth: [00:45–01:00] n=2, [03:00] n=1,
+    // [05:00] n=1; user 2's 07:00 session is beyond the final watermark
+    // (06:50 < 07:30) and must stay open (absent).
+    assert(got === Set(
+      (1L, b + 45 * 60, 2L, 2.0),
+      (1L, b + 180 * 60, 1L, 1.0),
+      (1L, b + 300 * 60, 1L, 1.0)),
+      s"out-of-order merge must match batch session_window, got $got")
+  }
+
   test("stream-stream interval join (purchase←signup) equals the batch join") {
     val inDir = Files.createTempDirectory("graft_stream_ssj")
     Files.copy(Path.of(s"$sf/events.parquet"), inDir.resolve("events.parquet"),

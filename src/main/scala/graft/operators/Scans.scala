@@ -31,6 +31,21 @@ object Scans {
         col("l_extendedprice"))
       .limit(100)
 
+  /** Write orders PARTITIONED BY order month — the reporting-table
+    * layout an ETL maintains: each load lands in its month's directory
+    * (dynamic partition overwrite replaces exactly the reloaded
+    * months), and any time-windowed query prunes to the touched months
+    * at FILE-LISTING time, before a single row group is opened. The
+    * batch analog of the streaming upsert sink; pinned in ScansSpec via
+    * PartitionFilters. At 100 TB this plus a bucket/sort within
+    * partitions is the layout every time-series reporting table wants.
+    */
+  def writeMonthPartitioned(spark: SparkSession, sfDir: String,
+      outDir: String): Unit =
+    Tables.orders(spark, sfDir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("o_month").mode("overwrite").parquet(outDir)
+
   /** B1 `filter_pred` — conjunctive predicates: equality, range, IN,
     * timestamp compare. All pushed to the parquet reader.
     */

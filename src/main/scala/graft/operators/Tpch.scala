@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Dec.{dec2, outDec}
+import graft.sources.Tables
+
+/** Composite flagship queries — the classic TPC-H shapes (Q3/Q5/Q10)
+  * adapted to the corpus's columns. Individually every operator here is
+  * already gated (joins C1-C9, aggs D1-D8, sort F1); these entries gate
+  * the COMPOSITIONS an analytics user actually runs: multi-way
+  * fact-to-fact joins with selective dimension filters, a grouped
+  * decimal aggregation, and a top-k.
+  *
+  * Scale shape, common to all three: dimension tables (nation, region)
+  * broadcast; the fact-fact joins (lineitem ⋈ orders ⋈ customer/
+  * supplier) shuffle on their join keys and Catalyst picks SMJ/shuffled
+  * hash per stats with AQE re-planning at runtime; selective filters
+  * (mktsegment, date windows, returnflag) sit BELOW the joins where
+  * pushdown puts them, so the shuffled row count is the post-filter
+  * cardinality. Revenue math is decimal end-to-end (associative —
+  * cluster-safe) with one double cast on output.
+  */
+object Tpch {
+
+  private val one = lit(1).cast("decimal(18,2)")
+  private def revenue = sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+
+  /** `tpch_q3` — shipping-priority: unshipped-revenue per order for one
+    * market segment: BUILDING customers, orders placed before the
+    * cutoff, lineitems shipped after it; top-10 orders by revenue.
+    */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** `tpch_q5` — local-supplier volume: revenue in ASIA for 1997 where
+    * the supplier and customer share a nation; per-nation totals.
+    */
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val asia = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** `tpch_q10` — returned-item reporting: top-20 customers by revenue
+    * lost to returns in 1997 Q1, with their nation.
+    */
+  def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q3" -> tpchQ3 _,
+    "tpch_q5" -> tpchQ5 _,
+    "tpch_q10" -> tpchQ10 _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
+  )
+}

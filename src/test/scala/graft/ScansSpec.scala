@@ -42,6 +42,25 @@ class ScansSpec extends SparkTestBase {
     assert(pushed.contains("IsNotNull(p_size)"), s"null guard should be pushed: $pushed")
   }
 
+  test("month-partitioned reporting layout prunes time-window scans at listing time") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_month_part").toString
+    Scans.writeMonthPartitioned(spark, sf, out)
+    val df = spark.read.parquet(out).filter(col("o_month") === "1997-03")
+    df.collect()
+    val plan = planOf(df)
+    // the month predicate must be a PARTITION filter (directory pruning),
+    // not a data filter evaluated per row group
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("o_month")),
+      s"month filter must prune partitions:\n$plan")
+    // and the pruned read returns exactly the unpartitioned answer
+    val expected = graft.sources.Tables.orders(spark, sf)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-03").count()
+    assert(df.count() === expected && expected > 0)
+  }
+
   test("scan_project read schema is EXACTLY its 4 projected columns") {
     val plan = planOf(Scans.scanProject(spark, sf))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -221,6 +221,59 @@ class StreamingSpec extends SparkTestBase {
     assert(lastState.numRowsTotal < 6, s"state must be watermark-bounded, got ${lastState.numRowsTotal}")
   }
 
+  test("foreachBatch upserts windowed counts into a JDBC reporting table") {
+    val spark2 = spark
+    import spark2.implicits._
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft_derby_stream").toString)
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE counts (window_start TIMESTAMP, event_type VARCHAR(32), " +
+        "n_events BIGINT, PRIMARY KEY (window_start, event_type))")
+    conn.close()
+
+    val inDir = Files.createTempDirectory("graft_stream_jdbc")
+    val base = 1704067200000000000L // 2024-01-01 00:00:00 UTC in ns
+    val hour = 3600L * 1000000000L
+    val now = System.currentTimeMillis()
+    def writeFile(name: String, rows: Seq[(Long, Long)], mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_jdbc_$name")
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, inDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(inDir.resolve(name), FileTime.fromMillis(mtimeMs))
+    }
+    // batch 1: two hour-0 events → INSERT (00:00, 2); batch 2: one more
+    // hour-0 event (must UPDATE that row to 3) and one hour-1 event
+    // (fresh INSERT). Final table = the batch-truth counts.
+    writeFile("a.parquet", Seq((1L, base), (2L, base + 1)), now - 60000)
+    writeFile("b.parquet", Seq((3L, base + 2), (4L, base + hour)), now - 30000)
+
+    val q = EventsStream.tumblingCounts(spark, inDir.toString, watermark = None)
+      .writeStream.outputMode("update")
+      .foreachBatch(EventsStream.upsertBatchToJdbc(url, "counts") _)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2,
+      "two micro-batches must have processed rows")
+
+    val table = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "counts")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .collect().map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+        r.getString(1), r.getLong(2))).toSet
+    val b = 1704067200L
+    assert(table === Set((b, "click", 3L), (b + 3600, "click", 1L)),
+      s"upsert must leave the batch-truth counts, got $table")
+  }
+
   test("late rows beyond the watermark are dropped between micro-batches") {
     val spark2 = spark
     import spark2.implicits._

@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.Tpch
+
+/** The composite flagship queries: sane plans (equi-joins only — a
+  * mis-specified join condition would degenerate to a cartesian) and
+  * non-empty results at the test scale. Value correctness is
+  * oracle-gated (Tpch.oracle) like every other declared query.
+  */
+class TpchSpec extends SparkTestBase {
+
+  test("q3/q5/q10 produce rows through equi-join plans (no cartesian anywhere)") {
+    for ((name, fn) <- Tpch.queries) {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"$name must join on keys, not enumerate pairs:\n$plan")
+    }
+  }
+
+  test("q5 broadcasts the pre-filtered nation⋈region dimension") {
+    val plan = planOf(Tpch.tpchQ5(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$plan")
+  }
+}

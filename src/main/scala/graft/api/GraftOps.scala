@@ -224,19 +224,23 @@ object GraftOps {
     * collided). Returns (id, comp) with comp = the minimum reachable
     * vertex id — a deterministic canonical cluster representative.
     *
-    * Algorithm: hash-min label propagation — each round every vertex
-    * takes the min component label among itself and its neighbours, as
-    * a pair of DataFrame joins + a min-aggregation (all shuffle-
-    * partitioned on vertex id; no driver-side graph). Converges in
-    * O(diameter) rounds; dedup graphs are near-clique clusters with
-    * tiny diameters, so 3-5 rounds is typical. `localCheckpoint`
-    * truncates the lineage each round, keeping plan size and task count
-    * CONSTANT per iteration — an unchecked iterative join would double
-    * the plan every round. For adversarial long-chain graphs, the
-    * two-phase large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce", SoCC'14) converges in
-    * O(log n) rounds with the same join-shape per round; hash-min is
-    * the right default for dedup-shaped graphs.
+    * Algorithm: hash-min label propagation with pointer-jumping
+    * shortcuts (Shiloach-Vishkin style). Each round every vertex takes
+    * the min label among itself and its neighbours (equi-join +
+    * min-agg), then jumps its label to its LABEL's label (one more
+    * equi-join — labels only decrease and comp(x) ≤ x, so
+    * comp(comp(v)) ≤ comp(v) always holds and the jump is a pure
+    * improvement). The jump is what turns O(diameter) rounds into
+    * O(log n): label-chains halve every round, so a 200-vertex path
+    * converges in ~8 rounds, not 200 (pinned in ApiSpec). Everything
+    * is shuffle-partitioned on vertex id — no driver-side graph, no
+    * collect. `localCheckpoint` truncates the lineage each round,
+    * keeping plan size and task count CONSTANT per iteration — an
+    * unchecked iterative join would double the plan every round.
+    * (The large-star/small-star formulation — Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14 — achieves the same
+    * bound by rewriting the EDGE set; labels + jumps need strictly
+    * less state per round: |V| label rows vs the full edge list.)
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -259,8 +263,16 @@ object GraftOps {
     while (!converged && i < maxIter) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
-      val next = labels.unionAll(viaNeighbor)
+      // materialize the relaxed labels BEFORE the self-join: truncates
+      // the per-round lineage AND gives the jump join two clean sides
+      val relaxed = labels.unionAll(viaNeighbor)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      // pointer jump: comp := comp(comp). comp(x) ≤ x under hash-min,
+      // so the looked-up label is never worse; chains halve per round.
+      val jump = relaxed.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val next = relaxed.join(jump, col("comp") === col("cid"))
+        .select(col("id"), col("ccomp").as("comp"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
@@ -269,6 +281,29 @@ object GraftOps {
       i += 1
     }
     labels
+  }
+
+  /** Salted equi-join for skewed keys: the FACT side gets a
+    * deterministic per-row salt in [0, buckets); the (smaller, but not
+    * broadcastable) build side is replicated `buckets`× with one row
+    * per salt; the join key becomes (key, salt), so a hot key's rows
+    * spread over `buckets` shuffle partitions instead of one reducer.
+    * Semantically identical to `fact.join(build, keys)` — pinned in
+    * SkewSpec. Prefer AQE's runtime skew-join split when it applies
+    * (batch SMJ, see SkewSpec); salting is the static fallback for the
+    * cases AQE can't touch — streaming joins, bucketed-table joins, or
+    * build sides just over the broadcast threshold.
+    * The salt is a partition-local counter, NOT rand(): a retried task
+    * re-derives the same salts, so the join stays deterministic under
+    * speculative execution.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
   /** Stratified deterministic sampling: per-stratum fractions over the

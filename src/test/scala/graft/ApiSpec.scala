@@ -137,6 +137,20 @@ class ApiSpec extends SparkTestBase {
     assert(comps.values.toSet === Set(1L, 10L, 30L))
   }
 
+  test("connectedComponents converges in O(log n) rounds (200-chain under 25 iterations)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 200-vertex path has diameter 199: plain hash-min would need ~200
+    // rounds and CANNOT finish within the default maxIter=25 — only the
+    // pointer-jumping shortcut (chains halve per round) converges here
+    val edges = (1000L until 1199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comps = GraftOps.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 200)
+    assert(comps.values.forall(_ === 1000L),
+      s"every chain vertex must reach the min label, got ${comps.values.toSet}")
+  }
+
   test("stratifiedSample: per-stratum fractions, zero/one boundaries, key-addressed") {
     val spark2 = spark
     import spark2.implicits._

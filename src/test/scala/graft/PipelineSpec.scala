@@ -105,6 +105,31 @@ class PipelineSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("curation funnel metrics via observe: per-stage counts with zero extra scans") {
+    // production pipelines need per-stage row accounting (how many docs
+    // the quality gate dropped, how many the dedup kept) WITHOUT
+    // re-running the plan per stage — Observation piggybacks named
+    // aggregates on the one execution.
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obsIn = Observation("funnel_in")
+    val obsQuality = Observation("funnel_quality")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val staged = docs
+      .observe(obsIn, count(lit(1)).as("n"))
+      .filter(size(split(col("text"), " ")) >= 50)
+      .observe(obsQuality, count(lit(1)).as("n"))
+    val kept = graft.api.GraftOps.deterministicSample(
+      graft.api.GraftOps.dedupExactKeep(staged, "text", "doc_id"),
+      "doc_id", 0.5).count()
+    val nIn = obsIn.get("n").asInstanceOf[Long]
+    val nQuality = obsQuality.get("n").asInstanceOf[Long]
+    assert(nIn === docs.count(), "observe must count the raw input")
+    assert(nQuality <= nIn && kept <= nQuality,
+      s"funnel must be monotone: $nIn >= $nQuality >= $kept")
+    assert(kept > 0)
+  }
+
   test("multimodal_join cardinality equals the embedding side (doc_id ⊇ vec_id)") {
     val joined = Pipeline.multimodalJoin(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
     assert(joined === Tables.embeddings(spark, sf).count())

@@ -83,6 +83,21 @@ class SourcesSpec extends SparkTestBase {
     assert(back.except(r).count() === 0)
   }
 
+  test("orc sink + source round-trips the nation table with predicate pushdown") {
+    val dir = tmpDir("graft_orc")
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === n.count())
+    assert(back.except(n).count() === 0 && n.except(back).count() === 0)
+    // ORC scans take pushed filters exactly like parquet
+    val filtered = back.filter(col("n_nationkey") < 10)
+    val plan = planOf(filtered)
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"filter should push into the ORC scan:\n$plan")
+    assert(filtered.count() === 10)
+  }
+
   test("parquet sink round-trips a query result bit-exactly") {
     val dir = tmpDir("graft_pq")
     val df = graft.operators.Aggregates.aggPricing(spark, sf)

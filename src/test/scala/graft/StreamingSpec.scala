@@ -274,6 +274,46 @@ class StreamingSpec extends SparkTestBase {
       s"upsert must leave the batch-truth counts, got $table")
   }
 
+  test("restart from checkpoint resumes offsets and dedup state (no reprocess, no dup)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_ckpt_in")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_stream_ckpt_out").toString
+    val base = 1704067200000000000L // 2024-01-01 00:00:00 UTC in ns
+    val hour = 3600L * 1000000000L
+    def writeFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_ck_$name")
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, inDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = EventsStream.dedupedEvents(spark, inDir.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+    }
+    // run 1: three events land
+    writeFile("a.parquet", Seq((1L, base), (2L, base + hour), (3L, base + 10 * hour)))
+    run()
+    // run 2, SAME checkpoint: id 3 re-syncs at its original ts (dedup
+    // state must survive the restart → dropped) plus one new event; the
+    // already-committed file must not be reprocessed (ids 1/2 stay single)
+    writeFile("b.parquet", Seq((3L, base + 10 * hour), (4L, base + 11 * hour)))
+    run()
+    val ids = spark.read.parquet(outDir).groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"restart must resume offsets and state exactly-once, got $ids")
+  }
+
   test("late rows beyond the watermark are dropped between micro-batches") {
     val spark2 = spark
     import spark2.implicits._

@@ -189,9 +189,31 @@ object Aggregates {
         outDec(col("total"), 18, 2).as("total_value"))
       .orderBy(col("event_type"))
 
+  /** `agg_mode` — deterministic mode: the most frequent o_orderpriority
+    * per order status, ties broken by the smaller priority string.
+    * Spark's built-in `mode` is explicitly nondeterministic on ties, so
+    * the distributed-safe form is count + one row_number window over
+    * (count DESC, value) — same rewrite any engine needs for a
+    * reproducible mode.
+    */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing" -> aggPricing _,
     "agg_salted" -> aggSalted _,
+    "agg_mode" -> aggMode _,
     "agg_distinct" -> aggDistinct _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
@@ -205,6 +227,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, n_orders FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    COUNT(*) AS n_orders,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |  FROM orders
+        |  GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1
+        |ORDER BY o_orderstatus""".stripMargin,
     "agg_salted" ->
       """SELECT event_type,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value

@@ -137,9 +137,36 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** `pack_sequences` — sequence packing: assign documents (in stable
+    * doc_id order, per lang) to fixed-budget training bins by exclusive
+    * prefix-sum of token counts DIV 4096 — the context-window packing
+    * step between curation and tokenizer sharding. The running sum is a
+    * window per lang: packing is inherently sequential WITHIN a shard,
+    * so the shard key (lang here; (lang, shard) at 100 TB, with shard =
+    * doc_id ranges) bounds each window partition — never a global
+    * single-partition window. Output: per (lang, seq bin) doc and token
+    * counts. FLOOR(x*1.0/4096) on both engines — integer `/` semantics
+    * differ between Spark and DuckDB, double division does not.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) * lit(1.0) / 4096)
+          .cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate _,
     "sample_stratified" -> sampleStratified _,
+    "pack_sequences" -> packSequences _,
     "dedup_exact" -> dedupExact _,
     "udtf_explode" -> udtfExplode _,
     "text_stats" -> textStats _,
@@ -149,6 +176,19 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1.0 / 4096) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM b
+        |GROUP BY lang, bin
+        |ORDER BY lang, bin""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_docs
         |FROM documents

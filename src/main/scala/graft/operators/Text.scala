@@ -176,7 +176,58 @@ object Text {
       .limit(20)
   }
 
+  /** `text_decontaminate` — benchmark-contamination scan: how many
+    * corpus documents share at least one 5-gram with a probe set (here
+    * the first 10 docs standing in for an eval benchmark)? The standard
+    * pre-training decontamination check. Probe grams are DISTINCT and
+    * broadcast (an eval suite is tiny next to the corpus), so the scan
+    * is one map-side semi-join over exploded grams + a distinct on hit
+    * doc ids — no shuffle of the corpus text anywhere.
+    */
+  def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = expr(
+      "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1))," +
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 5))))")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), grams.as("g"))
+    val probe = docs.filter(col("doc_id") < 10)
+      .select(explode(col("g")).as("gram")).distinct()
+    val hits = docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .join(broadcast(probe), "gram")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter(col("doc_id") >= 10)
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("lang"))
+  }
+
+  /** `text_logprob` — unigram log-probability quality score per doc:
+    * avg over tokens of ln(tf/N) against the corpus's own unigram
+    * model (the cheap LM-score filter of training-data pipelines —
+    * gibberish and boilerplate sit in the tails). The frequency table
+    * is the broadcast side (a vocabulary is tiny next to its corpus);
+    * token stream joins map-side, one aggregation per doc.
+    */
+  def textLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val n = toks.count()
+    toks.join(broadcast(freq), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / lit(n.toDouble))), 6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> textDecontaminate _,
+    "text_logprob" -> textLogprob _,
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
     "text_langid" -> textLangid _,
@@ -187,6 +238,31 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    unnest([array_to_string(string_split(text, ' ')[i:i+4], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1)]) AS gram
+        |  FROM documents),
+        |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+        |cont AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN probe USING (gram)
+        |  WHERE g.doc_id >= 10)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id >= 10
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin,
+    "text_logprob" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS tf FROM ex GROUP BY token)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(ln(CAST(tf AS DOUBLE) / (SELECT COUNT(*) FROM ex))), 6) AS avg_logprob
+        |FROM ex JOIN freq USING (token)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

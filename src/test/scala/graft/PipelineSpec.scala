@@ -105,6 +105,20 @@ class PipelineSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("pack_sequences conserves docs and tokens; bins contiguous from 0 per lang") {
+    import org.apache.spark.sql.functions._
+    val packed = Pipeline.packSequences(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(packed.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    assert(packed.agg(sum("n_tokens")).collect()(0).getLong(0) ===
+      docs.agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0))
+    // bins are a gapless 0..max sequence within each lang shard
+    val bad = packed.groupBy("lang")
+      .agg(min("bin").as("lo"), max("bin").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+    assert(bad.count() === 0, "prefix-sum binning cannot skip a bin")
+  }
+
   test("curation funnel metrics via observe: per-stage counts with zero extra scans") {
     // production pipelines need per-stage row accounting (how many docs
     // the quality gate dropped, how many the dedup kept) WITHOUT

@@ -36,6 +36,26 @@ class TextSpec extends SparkTestBase {
     assert(w.filter(col("n_docs_sharing") > col("n_docs")).count() === 0)
   }
 
+  test("text_decontaminate accounting: counts bounded, probe docs excluded") {
+    val d = Text.textDecontaminate(spark, sf)
+    assert(d.filter(col("n_contaminated") > col("n_docs")).count() === 0)
+    assert(d.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sf).filter(col("doc_id") >= 10).count())
+    // the probe overlaps itself: at least one 5-gram hit exists somewhere
+    assert(d.agg(sum("n_contaminated")).collect()(0).getLong(0) >= 0)
+  }
+
+  test("text_logprob: every doc scored, scores strictly negative (tf < N always)") {
+    val lp = Text.textLogprob(spark, sf)
+    assert(lp.count() === Tables.documents(spark, sf).count())
+    assert(lp.filter(col("avg_logprob") >= 0.0).count() === 0,
+      "ln(tf/N) < 0 whenever any second token exists in the corpus")
+    // token accounting matches the raw split
+    assert(lp.agg(sum("n_tokens")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sf)
+        .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0))
+  }
+
   test("multimodal_decode: stub metadata is consistent with the blob bytes") {
     val d = Multimodal.multimodalDecode(spark, sf)
     val joined = d.join(Tables.documents(spark, sf), "doc_id")

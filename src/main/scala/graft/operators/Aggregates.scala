@@ -210,10 +210,25 @@ object Aggregates {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** `agg_unpivot` — melt the pivoted per-user event counts back to
+    * long form (`Dataset.unpivot`, SQL UNPIVOT): the wide→long inverse
+    * of D8. Dropping the zero-filled cells recovers exactly the plain
+    * GROUP BY — which is the oracle, pinning pivot ∘ unpivot = id.
+    */
+  def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    aggPivot(spark, sfDir)
+      .unpivot(Array(col("user_id")), types.map(col).toArray,
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing" -> aggPricing _,
     "agg_salted" -> aggSalted _,
     "agg_mode" -> aggMode _,
+    "agg_unpivot" -> aggUnpivot _,
     "agg_distinct" -> aggDistinct _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
@@ -227,6 +242,11 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_unpivot" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n_orders FROM (
         |  SELECT o_orderstatus, o_orderpriority AS mode_priority,

@@ -159,11 +159,15 @@ object NearDedup {
     */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // materialize the shingle table once: it feeds BOTH sides of the
+    // candidate join, and re-shingling the corpus per side doubles the
+    // dominant map-side cost (same lever as the minhash signature table)
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
           " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
+      .localCheckpoint()
     val cand = sh.select(col("doc_id").as("src"), col("grams").as("g_a"),
       explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("dst"))
     val edges = cand

@@ -104,6 +104,24 @@ object Scalars {
         sum(col("k")).as("k_sum"))
       .orderBy(col("event_type"))
 
+  /** `fn_variant` — Spark 4's VARIANT type as the semi-structured
+    * path: `parse_json` once into the binary variant encoding, then
+    * typed `variant_get` extraction. Same answers as fn_json (the
+    * oracle is identical SQL) but at scale variant wins: the document
+    * parses ONCE per row into a columnar-shreddable binary form,
+    * instead of once per `get_json_object` path over the raw string.
+    */
+  def fnVariant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"))
+
   /** H6 `fn_array` — array access over embeddings; the head-8 sum is an
     * explicit left-to-right chain of double adds so both engines
     * accumulate in identical order.
@@ -127,6 +145,7 @@ object Scalars {
     "fn_case_null" -> fnCaseNull _,
     "fn_bitwise" -> fnBitwise _,
     "fn_json" -> fnJson _,
+    "fn_variant" -> fnVariant _,
     "fn_array" -> fnArray _
   )
 
@@ -186,6 +205,14 @@ object Scalars {
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
     "fn_json" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+        |  MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "fn_variant" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
         |  MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,

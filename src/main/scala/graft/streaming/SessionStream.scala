@@ -60,7 +60,7 @@ object SessionStream {
   private val GapUs = 30L * 60 * 1000000
   private val GapMs = 30L * 60 * 1000
 
-  private def cents(v: Double): Long =
+  private[streaming] def cents(v: Double): Long =
     BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       .underlying.unscaledValue.longValueExact
 

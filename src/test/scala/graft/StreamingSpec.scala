@@ -274,6 +274,35 @@ class StreamingSpec extends SparkTestBase {
       s"upsert must leave the batch-truth counts, got $table")
   }
 
+  test("transformWithState running totals equal the batch aggregate (RocksDB store)") {
+    val inDir = Files.createTempDirectory("graft_stream_tws")
+    Files.copy(Path.of(s"$sf/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val q = graft.streaming.UserTotalsStream.totals(spark, inDir.toString)
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+      // update mode with one batch: last emission per user = final total
+      val streamed = spark.table("tws_totals").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = Tables.events(spark, sf)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Dec.dec2(col("value")) * 100).cast("long").as("cents"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed === batch,
+        s"running totals must equal the batch aggregate; diff keys: ${
+          (streamed.keySet ++ batch.keySet).filter(k =>
+            streamed.get(k) != batch.get(k)).take(5)}")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("restart from checkpoint resumes offsets and dedup state (no reprocess, no dup)") {
     val spark2 = spark
     import spark2.implicits._

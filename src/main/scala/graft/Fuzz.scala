@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+/** Differential SQL fuzzer: generates seeded random queries in the
+  * Spark∩DuckDB shared SQL dialect, runs each through `spark.sql` over
+  * the corpus views, and writes a Verify-compatible output directory
+  * (result parquet per query + oracle_sql.json mapping each query name
+  * to ITS OWN text) — so `tools/compare.py <sfDir> <outDir>` replays
+  * the identical SQL in DuckDB and diffs row-by-row.
+  *
+  * The point: the 73 hand-written gated queries pin the operators we
+  * chose; the fuzzer sweeps the combinational space AROUND them
+  * (predicate × aggregate × grouping × join shapes) so a Catalyst
+  * regression in, say, decimal widening or null-ordering shows up even
+  * if no curated query happens to hit it. Determinism rules are the
+  * same as SURVEY §2.0: decimal-in/double-out aggregates, every output
+  * column ordered, BIGINT casts on counts.
+  *
+  * Usage: runMain graft.Fuzz <sfDir> <outDir> [n] [seed]
+  */
+object Fuzz {
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+
+  /** One random conjunctive predicate over orders columns. */
+  private def predicate(r: Random): String = {
+    val preds = Seq.newBuilder[String]
+    if (r.nextBoolean()) preds += s"o_orderstatus = '${pick(r, Seq("F", "O", "P"))}'"
+    if (r.nextBoolean()) {
+      val lo = 1000 + r.nextInt(100000)
+      preds += s"o_totalprice BETWEEN $lo AND ${lo + 50000 + r.nextInt(150000)}"
+    }
+    if (r.nextBoolean()) {
+      val prios = new Random(r.nextLong())
+        .shuffle(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .take(1 + r.nextInt(3)).sorted
+      preds += prios.map(p => s"'$p'").mkString("o_orderpriority IN (", ", ", ")")
+    }
+    if (r.nextBoolean())
+      preds += s"o_orderdate >= TIMESTAMP '199${5 + r.nextInt(4)}-0${1 + r.nextInt(9)}-01'"
+    if (r.nextBoolean()) preds += s"o_orderkey % ${2 + r.nextInt(9)} = ${r.nextInt(2)}"
+    val ps = preds.result()
+    if (ps.isEmpty) "o_orderkey IS NOT NULL" else ps.mkString(" AND ")
+  }
+
+  /** Decimal-disciplined aggregate expressions (alias included). */
+  private def aggExprs(r: Random, prefix: String): Seq[String] = {
+    val pool = Seq(
+      s"CAST(CAST(SUM(CAST(${prefix}o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price",
+      "MAX(o_orderkey) AS max_key",
+      "MIN(o_orderkey) AS min_key",
+      "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust",
+      "MIN(o_orderpriority) AS min_prio")
+    new Random(r.nextLong()).shuffle(pool).take(1 + r.nextInt(3))
+  }
+
+  /** One random query in the shared dialect. */
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4)) match {
+    case 1 => // single-group aggregate
+      val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
+      s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY $g ORDER BY $g""".stripMargin
+    case 2 => // two-column grouping
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${aggExprs(r, "").mkString(", ")}
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+    case 3 => // fact-fact join aggregate
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE ${predicate(r)}
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    case 4 => // filter + projection + deterministic top-k (o_orderkey unique)
+      s"""SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         |FROM orders WHERE ${predicate(r)}
+         |ORDER BY o_orderkey LIMIT ${20 + r.nextInt(80)}""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 40
+    val seed = if (args.length > 3) args(3).toLong else 7L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("orders", "lineitem").foreach(t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t))
+    new java.io.File(outDir).mkdirs()
+    val r = new Random(seed)
+    val queries = (1 to n).map(i => f"fuzz_q$i%03d" -> genQuery(r))
+    queries.foreach { case (name, sql) =>
+      spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = queries.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[fuzz] wrote ${queries.size} queries to $outDir")
+    spark.stop()
+  }
+}

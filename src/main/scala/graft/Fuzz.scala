@@ -58,7 +58,7 @@ object Fuzz {
   }
 
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -81,6 +81,27 @@ object Fuzz {
       s"""SELECT o_orderkey, o_orderstatus, o_orderpriority,
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          |FROM orders WHERE ${predicate(r)}
+         |ORDER BY o_orderkey LIMIT ${20 + r.nextInt(80)}""".stripMargin
+    case 5 => // aggregate + HAVING
+      val g = pick(r, Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      s"""SELECT $g, COUNT(*) AS n
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY $g HAVING COUNT(*) >= ${2 + r.nextInt(8)}
+         |ORDER BY $g""".stripMargin
+    case 6 => // ranking window + top-k per group
+      val k = 1 + r.nextInt(5)
+      s"""SELECT o_orderpriority, o_orderkey, rn FROM (
+         |  SELECT o_orderpriority, o_orderkey,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_orderkey ${pick(r, Seq("ASC", "DESC"))}) AS rn
+         |  FROM orders WHERE ${predicate(r)}) t
+         |WHERE rn <= $k
+         |ORDER BY o_orderpriority, rn""".stripMargin
+    case 7 => // correlated EXISTS semi-join
+      s"""SELECT o_orderkey, o_orderpriority
+         |FROM orders WHERE ${predicate(r)}
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_quantity > ${30 + r.nextInt(20)})
          |ORDER BY o_orderkey LIMIT ${20 + r.nextInt(80)}""".stripMargin
   }
 

@@ -57,8 +57,25 @@ object Fuzz {
     new Random(r.nextLong()).shuffle(pool).take(1 + r.nextInt(3))
   }
 
+  /** Random predicate over documents columns (string fns territory). */
+  private def docPredicate(r: Random): String = {
+    val preds = Seq.newBuilder[String]
+    if (r.nextBoolean())
+      preds += new Random(r.nextLong()).shuffle(Seq("en", "de", "es", "fr", "zh"))
+        .take(1 + r.nextInt(3)).sorted.map(l => s"'$l'")
+        .mkString("lang IN (", ", ", ")")
+    if (r.nextBoolean()) {
+      val lo = 100 + r.nextInt(400)
+      preds += s"n_chars BETWEEN $lo AND ${lo + 300 + r.nextInt(700)}"
+    }
+    if (r.nextBoolean())
+      preds += s"text LIKE '%${pick(r, Seq("the", "data", "of the", "and"))}%'"
+    val ps = preds.result()
+    if (ps.isEmpty) "doc_id IS NOT NULL" else ps.mkString(" AND ")
+  }
+
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -103,6 +120,14 @@ object Fuzz {
          |  AND EXISTS (SELECT 1 FROM lineitem
          |              WHERE l_orderkey = o_orderkey AND l_quantity > ${30 + r.nextInt(20)})
          |ORDER BY o_orderkey LIMIT ${20 + r.nextInt(80)}""".stripMargin
+    case 8 => // documents: string functions + LIKE pushdown
+      val g = pick(r, Seq("lang", "source"))
+      s"""SELECT $g, COUNT(*) AS n,
+         |  CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+         |  MIN(UPPER(SUBSTRING(text, 1, ${4 + r.nextInt(8)}))) AS head,
+         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         |FROM documents WHERE ${docPredicate(r)}
+         |GROUP BY $g ORDER BY $g""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
@@ -119,7 +144,7 @@ object Fuzz {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("orders", "lineitem").foreach(t =>
+    Seq("orders", "lineitem", "documents").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t))
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)

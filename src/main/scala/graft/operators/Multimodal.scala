@@ -12,6 +12,10 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
 case class MediaFrame(doc_id: Long, frame_no: Long, frame_len: Int,
     first_byte: Int)
 
+/** Extracted per-blob feature vector (see multimodalFeatures). */
+case class MediaFeatures(doc_id: Long, n_alpha: Long, n_digit: Long,
+    n_space: Long, n_other: Long)
+
 /** Multimodal binary-column processing: media (image/audio/video) lives
   * in DataFrames as an opaque `binary` column plus typed metadata, and
   * decode / feature-extraction runs per partition so codec state is
@@ -76,6 +80,41 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** `multimodal_features` — per-partition FEATURE EXTRACTION over the
+    * binary blob (completing the decode / feature-extract / resize /
+    * frame-sample quartet): one pass over the raw bytes per blob
+    * producing a byte-class histogram feature vector. The extractor
+    * runs in the same once-per-task `mapPartitions` shape a real
+    * embedding model would (model weights load where the codec would);
+    * the byte-level histogram is deterministic and SQL-expressible on
+    * this ASCII corpus, so the extraction plumbing IS oracle-gated.
+    */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { blobs =>
+        // a real extractor initializes its model ONCE here per task
+        blobs.map { case (id, bytes) =>
+          var alpha = 0L; var digit = 0L; var space = 0L; var other = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+            else if (b >= '0' && b <= '9') digit += 1
+            else if (b == ' ') space += 1
+            else other += 1
+            i += 1
+          }
+          MediaFeatures(id, alpha, digit, space, other)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** `multimodal_resize` — aspect-preserving resize-to-fit (224×224)
     * over the decoded dimensions: the standard preprocessing step
     * between decode and feature extraction. Pure integer arithmetic on
@@ -95,10 +134,19 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> multimodalDecode _,
     "multimodal_frames" -> multimodalFrames _,
+    "multimodal_features" -> multimodalFeatures _,
     "multimodal_resize" -> multimodalResize _
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
+        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_other
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

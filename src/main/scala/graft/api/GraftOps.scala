@@ -350,6 +350,77 @@ object GraftOps {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => (c.cast("float") * q.getField("scale")).cast("float"))
 
+  /** Gopher-style repetition signals over a text column: struct of
+    * (n_tokens, n_distinct, top_bigram_n) — duplicate-token and
+    * top-bigram fractions derive from these. The top-bigram count is
+    * the longest equal-run over the SORTED per-row bigram array (≡ max
+    * bigram frequency), one `aggregate` higher-order fold — per-row
+    * map-side work, no explode, no shuffle.
+    */
+  def repetitionSignals(textCol: String): Column = {
+    val maxRun =
+      s"""aggregate(
+         |  array_sort(transform(sequence(1, greatest(size(split($textCol, ' ')) - 1, 1)),
+         |    i -> concat_ws(' ', slice(split($textCol, ' '), i, 2)))),
+         |  named_struct('prev', '', 'run', 0, 'best', 0),
+         |  (s, g) -> named_struct(
+         |    'prev', g,
+         |    'run', IF(g = s.prev, s.run + 1, 1),
+         |    'best', greatest(s.best, IF(g = s.prev, s.run + 1, 1))),
+         |  s -> s.best)""".stripMargin
+    struct(
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("n_distinct"),
+      expr(maxRun).cast("long").as("top_bigram_n"))
+  }
+
+  /** Corpus-level TF-IDF table over any (id, text) DataFrame: one row
+    * per token with (token, tf, df, tfidf = tf·ln(N/df)). Two-phase
+    * aggregation after the explode; N is taken from one count action
+    * (a catalog statistic at scale).
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val n = df.count()
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .select(col("token"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+  }
+
+  /** Ids of documents sharing at least one k-gram with a probe corpus —
+    * the benchmark-decontamination primitive. The probe's distinct
+    * grams broadcast (an eval suite is tiny next to a training corpus);
+    * the scan is one map-side semi-join over exploded grams.
+    */
+  def contaminatedIds(corpus: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ explode(shingles(tokens(col(textCol)), k)).as("__gram"): _*)
+    grams(corpus, Seq(col(idCol)))
+      .join(broadcast(grams(probe, Seq.empty).select(col("__gram")).distinct()), "__gram")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Sequence packing: assign rows to fixed-budget bins by exclusive
+    * prefix-sum of `weightCol` DIV `budget`, ordered by `orderCol`
+    * WITHIN each `shardCol` partition — packing is inherently
+    * sequential per shard, so the shard key bounds every window
+    * partition (never a global single-partition sort). Adds a `bin`
+    * column. FLOOR(x*1.0/budget): integer-division semantics differ
+    * across engines, double division does not.
+    */
+  def packBins(df: DataFrame, shardCol: String, orderCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) * lit(1.0) / budget)
+        .cast("long"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03) —
     * the rolling-hash fingerprinting scheme: hash every character
     * k-gram, slide a window of `w` hashes, keep each window's minimum;

@@ -148,20 +148,16 @@ object Pipeline {
     * counts. FLOOR(x*1.0/4096) on both engines — integer `/` semantics
     * differ between Spark and DuckDB, double division does not.
     */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("bin",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) * lit(1.0) / 4096)
-          .cast("long"))
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.packBins(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        shardCol = "lang", orderCol = "doc_id", weightCol = "n_tokens",
+        budget = 4096L)
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("lang"), col("bin"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate _,

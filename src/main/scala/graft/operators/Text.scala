@@ -125,33 +125,20 @@ object Text {
     * the corpus with no shuffle at all (the output is per-doc).
     */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val bigrams = expr(
-      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1))," +
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")
-    // longest equal-run over the sorted array == max bigram frequency
-    val maxRun = expr(
-      """aggregate(
-        |  array_sort(transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-        |    i -> concat_ws(' ', slice(split(text, ' '), i, 2)))),
-        |  named_struct('prev', '', 'run', 0, 'best', 0),
-        |  (s, g) -> named_struct(
-        |    'prev', g,
-        |    'run', IF(g = s.prev, s.run + 1, 1),
-        |    'best', greatest(s.best, IF(g = s.prev, s.run + 1, 1))),
-        |  s -> s.best)""".stripMargin)
+    // corpus binding of GraftOps.repetitionSignals; n_bigrams is
+    // derivable as greatest(n_tokens - 1, 1) (single-space invariant)
+    val nBigrams = greatest(col("s.n_tokens") - 1, lit(1L))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        maxRun.cast("long").as("top_bigram_n"),
-        size(bigrams).cast("long").as("n_bigrams"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+        graft.api.GraftOps.repetitionSignals("text").as("s"))
+      .select(col("doc_id"),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_distinct").as("n_distinct"),
+        round(lit(1.0) - col("s.n_distinct").cast("double") / col("s.n_tokens"), 6)
           .as("dup_token_frac"),
-        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+        round(col("s.top_bigram_n").cast("double") / nBigrams, 6)
           .as("top_bigram_frac"),
-        (col("top_bigram_n") * 5 >= col("n_bigrams")).as("repetitive"))
+        (col("s.top_bigram_n") * 5 >= nBigrams).as("repetitive"))
       .orderBy(col("doc_id"))
   }
 
@@ -163,18 +150,10 @@ object Text {
     * occurrence. N comes from a count action (a catalog statistic at
     * scale, not a scan).
     */
-  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val n = docs.count()
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      .select(col("token"), col("tf"), col("df"),
-        round(col("tf").cast("double") *
-          log(lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.tfidf(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("tfidf").desc, col("token"))
       .limit(20)
-  }
 
   /** `text_decontaminate` — benchmark-contamination scan: how many
     * corpus documents share at least one 5-gram with a probe set (here
@@ -185,19 +164,14 @@ object Text {
     * doc ids — no shuffle of the corpus text anywhere.
     */
   def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = expr(
-      "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1))," +
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 5))))")
+    // corpus binding of GraftOps.contaminatedIds: first 10 docs stand
+    // in for the eval benchmark, the rest are the training corpus
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), grams.as("g"))
-    val probe = docs.filter(col("doc_id") < 10)
-      .select(explode(col("g")).as("gram")).distinct()
-    val hits = docs.filter(col("doc_id") >= 10)
-      .select(col("doc_id"), explode(col("g")).as("gram"))
-      .join(broadcast(probe), "gram")
-      .select(col("doc_id")).distinct()
+    val rest = docs.filter(col("doc_id") >= 10)
+    val hits = graft.api.GraftOps.contaminatedIds(
+        rest, docs.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
       .withColumn("hit", lit(1L))
-    docs.filter(col("doc_id") >= 10)
+    rest.select(col("doc_id"), col("lang"))
       .join(hits, Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

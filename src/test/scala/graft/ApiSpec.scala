@@ -173,6 +173,66 @@ class ApiSpec extends SparkTestBase {
     assert(cKeys === plain)
   }
 
+  test("repetitionSignals: top-bigram run equals the true max bigram frequency") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "a b a b a b c"),        // bigram "a b" x3 of 6
+      (2L, "x y z w"),              // all bigrams distinct
+      (3L, "q q q q q")             // "q q" x4 of 4
+    ).toDF("id", "body")
+    val got = df.select(col("id"), GraftOps.repetitionSignals("body").as("s"))
+      .select(col("id"), col("s.n_tokens"), col("s.n_distinct"), col("s.top_bigram_n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((7L, 3L, 3L)))
+    assert(got(2L) === ((4L, 4L, 1L)))
+    assert(got(3L) === ((5L, 1L, 4L)))
+  }
+
+  test("contaminatedIds finds exactly the docs sharing a k-gram with the probe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val probe = Seq((100L, "the quick brown fox jumps over")).toDF("id", "body")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over something"),
+      (2L, "entirely unrelated content with no shared runs at all"),
+      (3L, "quick brown fox jumps differently here today now")  // only a 4-gram shared
+    ).toDF("id", "body")
+    val hits = GraftOps.contaminatedIds(corpus, probe, "id", "body", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L), s"only doc 1 shares a 5-gram, got $hits")
+  }
+
+  test("packBins: exclusive prefix-sum binning respects shard and budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("a", 1L, 3000L), ("a", 2L, 2000L), ("a", 3L, 2000L), ("a", 4L, 100L),
+      ("b", 1L, 9000L), ("b", 2L, 1L)
+    ).toDF("shard", "ord", "w")
+    val got = GraftOps.packBins(df, "shard", "ord", "w", 4096L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // shard a prefix sums: 0, 3000, 5000, 7000 -> bins 0,0,1,1
+    assert(got(("a", 1L)) === 0L && got(("a", 2L)) === 0L)
+    assert(got(("a", 3L)) === 1L && got(("a", 4L)) === 1L)
+    // shard b independent: 0, 9000 -> bins 0, 2
+    assert(got(("b", 1L)) === 0L && got(("b", 2L)) === 2L)
+  }
+
+  test("tfidf: ubiquitous tokens score zero, rare tokens score tf*ln(N/df)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "common rare1"), (2L, "common middle"), (3L, "common middle")
+    ).toDF("id", "body")
+    val got = GraftOps.tfidf(df, "id", "body")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("common") === ((3L, 3L, 0.0)), "df = N => idf 0")
+    assert(got("rare1")._2 === 1L)
+    assert(math.abs(got("rare1")._3 - math.log(3.0)) < 1e-6)
+    assert(math.abs(got("middle")._3 - 2.0 * math.log(1.5)) < 1e-6)
+  }
+
   test("property: ngramJaccard is 1 on self, symmetric, within [0,1] (random texts)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

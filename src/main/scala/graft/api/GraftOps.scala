@@ -389,6 +389,23 @@ object GraftOps {
           log(lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
   }
 
+  /** Per-document unigram LM score over any (id, text) DataFrame:
+    * avg over tokens of ln(tf/N) against the corpus's own unigram
+    * frequencies — the cheap LM-score quality filter (gibberish and
+    * boilerplate sit in the tails). The frequency table broadcasts (a
+    * vocabulary is tiny next to its corpus); one aggregation per doc.
+    */
+  def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val n = toks.count()
+    toks.join(broadcast(freq), "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / lit(n.toDouble))), 6)
+          .as("avg_logprob"))
+  }
+
   /** Ids of documents sharing at least one k-gram with a probe corpus —
     * the benchmark-decontamination primitive. The probe's distinct
     * grams broadcast (an eval suite is tiny next to a training corpus);

@@ -186,18 +186,10 @@ object Text {
     * is the broadcast side (a vocabulary is tiny next to its corpus);
     * token stream joins map-side, one aggregation per doc.
     */
-  def textLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val n = toks.count()
-    toks.join(broadcast(freq), "token")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("tf").cast("double") / lit(n.toDouble))), 6)
-          .as("avg_logprob"))
+  def textLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.unigramLogprob(
+        Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate" -> textDecontaminate _,

@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs every declared query twice at
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
+  *
+  * The driver captures only the LAST ~2000 characters of stdout and
+  * parses the JSON line out of that tail (rounds 1-4 all came back
+  * "parsed": null because the full-precision cold+warm maps pushed the
+  * line past the window). So the stdout line is kept deliberately
+  * small: warm times at 2 decimals, cold runs summarized by one total,
+  * and an adaptive fallback that folds sub-threshold queries into one
+  * "others" bucket if the line would still overflow. Full-precision
+  * cold+warm per-query numbers go to target/bench_detail.json.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,11 +31,9 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     // Each query runs twice; the reported headline is the SECOND (warm)
     // run, so one-off JIT/codegen-compile/shuffle-service noise cannot
-    // flip a 2x verdict. The cold (first-run) total is reported
-    // alongside — both totals in the JSON.
-    // A failed query records the time it burned before throwing (so the
-    // totals stay meaningful) and its name under "failed" — a -1 or an
-    // omission would silently DEDUCT from the total.
+    // flip a 2x verdict. A failed query records the time it burned
+    // before throwing (so the totals stay meaningful) and its name
+    // under "failed" — a -1 or an omission would silently DEDUCT.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
@@ -38,14 +49,32 @@ object Bench {
       val warm = once()
       name -> (cold, warm)
     }
-    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, (c, _)) => s"\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).sum
     val coldTotal = results.values.map(_._1).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","first_run_total":$coldTotal,"failed":$failedJson,"queries":$qs,"queries_first_run":$qsCold,"sf":"$sfDir"}""")
+    def f2(d: Double): String = f"$d%.2f"
+
+    // Full precision for humans / plan review — NOT on stdout.
+    val detail = results.toSeq.sortBy(-_._2._2).map { case (k, (c, w)) =>
+      s"""  "$k": {"cold": $c, "warm": $w}"""
+    }.mkString("{\n", ",\n", "\n}")
+    val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val full = line(results.map { case (k, (_, w)) => "\"" + k + "\":" + f2(w) }
+      .mkString("{", ",", "}"))
+    // ~2000-char driver tail minus sbt's trailing "[success] ..." line.
+    val out = if (full.length <= 1800) full else {
+      val (big, small) = results.toSeq.partition(_._2._2 >= 0.25)
+      val qs = (big.sortBy(-_._2._2).map { case (k, (_, w)) => "\"" + k + "\":" + f2(w) } :+
+        ("\"_others_" + small.size + "q\":" + f2(small.map(_._2._2).sum)))
+        .mkString("{", ",", "}")
+      line(qs)
+    }
+    println(out)
     spark.stop()
   }
 }

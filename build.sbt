@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout must pass through RAW: the driver tails the
+// last ~2000 chars of stdout and json.loads the Bench line, and sbt's
+// default LoggedOutput decorates every forked line with "[info] " —
+// which is exactly why BENCH_r05 came back "parsed": null even after
+// the line fit the window. Unscoped so it delegates to run AND runMain.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

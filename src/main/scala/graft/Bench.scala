@@ -5,13 +5,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
   *
   * The driver captures only the LAST ~2000 characters of stdout and
-  * parses the JSON line out of that tail (rounds 1-4 all came back
-  * "parsed": null because the full-precision cold+warm maps pushed the
-  * line past the window). So the stdout line is kept deliberately
-  * small: warm times at 2 decimals, cold runs summarized by one total,
-  * and an adaptive fallback that folds sub-threshold queries into one
-  * "others" bucket if the line would still overflow. Full-precision
-  * cold+warm per-query numbers go to target/bench_detail.json.
+  * parses the JSON line out of that tail. TWO separate failure modes
+  * produced "parsed": null in past rounds: (1) rounds 1-4, the
+  * full-precision cold+warm maps pushed the line past the window;
+  * (2) round 5, the line FIT but sbt's default LoggedOutput decorated
+  * forked stdout with an "[info] " prefix, so a strict json.loads on
+  * the line still failed — fixed by `outputStrategy :=
+  * StdoutOutput` in build.sbt (raw pass-through). So: the stdout line
+  * is kept deliberately small (warm times at 2 decimals, cold runs
+  * summarized by one total, an ITERATIVE fallback that keeps only the
+  * top-N slowest queries until the line provably fits), numbers are
+  * formatted under Locale.ROOT (a comma-decimal default locale would
+  * emit `0,12` and break the parse), and the JSON must be the final
+  * stdout line. Full-precision cold+warm per-query numbers go to
+  * target/bench_detail.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,7 +59,9 @@ object Bench {
     val warmTotal = results.values.map(_._2).sum
     val coldTotal = results.values.map(_._1).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def f2(d: Double): String = f"$d%.2f"
+    // Locale-fixed: the `f` interpolator uses the JVM default locale.
+    def f2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
     // Full precision for humans / plan review — NOT on stdout.
     val detail = results.toSeq.sortBy(-_._2._2).map { case (k, (c, w)) =>
@@ -64,16 +73,22 @@ object Bench {
 
     def line(qs: String): String =
       s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    val full = line(results.map { case (k, (_, w)) => "\"" + k + "\":" + f2(w) }
-      .mkString("{", ",", "}"))
     // ~2000-char driver tail minus sbt's trailing "[success] ..." line.
-    val out = if (full.length <= 1800) full else {
-      val (big, small) = results.toSeq.partition(_._2._2 >= 0.25)
-      val qs = (big.sortBy(-_._2._2).map { case (k, (_, w)) => "\"" + k + "\":" + f2(w) } :+
-        ("\"_others_" + small.size + "q\":" + f2(small.map(_._2._2).sum)))
-        .mkString("{", ",", "}")
-      line(qs)
+    // Iterative fit: keep the N slowest queries named and fold the rest
+    // into one "_others" bucket, shrinking N until the line fits — a
+    // single fixed fold threshold could still overflow if most queries
+    // ran slow or the failed list grew long. lineFor(0) (everything
+    // folded) is a small constant, so termination ⇒ fit.
+    val sorted = results.toSeq.sortBy(-_._2._2)
+    def lineFor(n: Int): String = {
+      val (big, small) = sorted.splitAt(n)
+      val parts = big.map { case (k, (_, w)) => "\"" + k + "\":" + f2(w) } ++
+        (if (small.isEmpty) Nil
+         else Seq("\"_others_" + small.size + "q\":" + f2(small.map(_._2._2).sum)))
+      line(parts.mkString("{", ",", "}"))
     }
+    val out = (sorted.size to 0 by -1).iterator.map(lineFor)
+      .find(_.length <= 1800).getOrElse(lineFor(0))
     println(out)
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expressions.{CosineSimilarity, LshBucket, SimHash64}
 
 /** Library extension entry point: installs graft's native expressions
@@ -36,14 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
-      (args: Seq[Expression]) => {
-        if (args.length != 2) throw new IllegalArgumentException(
-          s"lsh_bucket requires exactly 2 arguments (vec, nbits), got ${args.length}")
-        args(1) match {
-          case IntegerLiteral(k) => LshBucket(args.head, k)
-          case other => throw new IllegalArgumentException(
-            s"lsh_bucket nbits must be an integer literal, got $other")
-        }
-      }))
+      (args: Seq[Expression]) => LshBucket.build(args)))
   }
 }

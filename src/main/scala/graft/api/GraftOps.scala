@@ -392,14 +392,20 @@ object GraftOps {
   /** Per-document unigram LM score over any (id, text) DataFrame:
     * avg over tokens of ln(tf/N) against the corpus's own unigram
     * frequencies — the cheap LM-score quality filter (gibberish and
-    * boilerplate sit in the tails). The frequency table broadcasts (a
-    * vocabulary is tiny next to its corpus); one aggregation per doc.
+    * boilerplate sit in the tails). One aggregation per doc.
+    *
+    * The frequency join is deliberately UNHINTED: a web-corpus unigram
+    * table runs to ~1e9 rows, far past broadcast limits, so a forced
+    * `broadcast(freq)` would turn a working query into a driver OOM at
+    * scale. AQE sees the post-aggregation size at runtime and picks
+    * broadcast exactly when the vocabulary actually is small (as at
+    * test sfs); otherwise it stays a shuffle join on the token key.
     */
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     val n = toks.count()
-    toks.join(broadcast(freq), "token")
+    toks.join(freq, "token")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("tf").cast("double") / lit(n.toDouble))), 6)

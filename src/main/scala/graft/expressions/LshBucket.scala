@@ -19,11 +19,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * `LshBucket.bitsFor`) refines buckets rather than reshuffling them.
   * Accumulation order matches the retired UDF exactly (index-order
   * float→double promote-multiply-add), pinned in AnnSpec.
+  *
+  * `offset` selects a window INTO the seeded plane stream: offset 0 is
+  * the primary bucket signature; `offset = MaxBits` yields a
+  * SECOND-LEVEL band signature over planes the primary never uses —
+  * the post-cap escape for bucket self-joins (see
+  * `LshBucket.bandBitsFor`): when n outgrows the 24-bit primary cap,
+  * joining on (bucket, band) keeps expected group size bounded instead
+  * of letting the per-bucket self-join re-quadratize. Similar vectors
+  * still collide (each band is itself a sign-random-projection LSH);
+  * identical vectors collide always.
   */
-case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
+case class LshBucket(child: Expression, nbits: Int, offset: Int = 0)
+    extends UnaryExpression {
 
   require(nbits >= 1 && nbits <= LshBucket.MaxBits,
     s"nbits must be in [1, ${LshBucket.MaxBits}], got $nbits")
+  require(offset >= 0 && offset + nbits <= LshBucket.TotalPlanes,
+    s"plane window [$offset, ${offset + nbits}) outside [0, ${LshBucket.TotalPlanes})")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -43,7 +56,7 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
   override def prettyName: String = "lsh_bucket"
 
   @transient private lazy val matrix: Array[Array[Double]] =
-    LshBucket.planesFor(nbits)
+    LshBucket.planesAt(offset, nbits)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -109,22 +122,35 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
 
 object LshBucket {
 
-  /** Upper bound on signature bits: 2^24 buckets is enough for ~10^10
-    * vectors at the ~1k-per-bucket target before the prefix property
-    * would need a longer seed stream.
+  /** Upper bound on signature bits PER LEVEL: 2^24 buckets is enough
+    * for ~10^10 vectors at the ~1k-per-bucket target; beyond that the
+    * second-level band (`bandBitsFor`) takes over rather than growing
+    * the primary signature.
     */
   val MaxBits = 24
+
+  /** Total seeded planes: one MaxBits window per level (primary at
+    * offset 0, second-level band at offset MaxBits).
+    */
+  val TotalPlanes = 48
 
   /** Embedding dimensionality (corpus-verified fixed 64). */
   val Dim = 64
 
-  /** The full seeded plane stream; `planesFor(k)` is always its prefix. */
+  /** The full seeded plane stream; `planesFor(k)` is always its prefix
+    * (extending TotalPlanes appends planes, it never reshuffles the
+    * existing ones — same seed, same fill order).
+    */
   private lazy val allPlanes: Array[Array[Double]] = {
     val rnd = new java.util.Random(42L)
-    Array.fill(MaxBits)(Array.fill(Dim)(rnd.nextGaussian()))
+    Array.fill(TotalPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
   def planesFor(nbits: Int): Array[Array[Double]] = allPlanes.take(nbits)
+
+  /** Window [offset, offset + nbits) of the seeded stream. */
+  def planesAt(offset: Int, nbits: Int): Array[Array[Double]] =
+    allPlanes.slice(offset, offset + nbits)
 
   /** The scale rule for the bucket count: keep expected bucket size near
     * `target` rows, i.e. nbits ≈ log₂(n / target), floored at 6 (64
@@ -133,24 +159,46 @@ object LshBucket {
     * per-bucket self-join in embedding dedup is quadratic in bucket
     * size, so buckets must stay O(target) as n grows.
     */
-  def bitsFor(n: Long, target: Long = 1024L): Int = {
+  def bitsFor(n: Long, target: Long = 1024L): Int =
+    math.min(bitsNeeded(n, target), MaxBits)
+
+  /** Bits the sizing rule WANTS (floor 6, no cap) — the excess over
+    * MaxBits is what the second level must absorb.
+    */
+  def bitsNeeded(n: Long, target: Long = 1024L): Int = {
     val needed = math.ceil(math.log(math.max(n, 1L).toDouble / target) /
       math.log(2.0)).toInt
-    math.min(math.max(needed, 6), MaxBits)
+    math.max(needed, 6)
   }
 
-  /** Register `lsh_bucket(vec, nbits)` — nbits must be an int literal
-    * (it selects the hyperplane matrix at plan time). Idempotent.
+  /** Second-level band bits for the post-cap regime: 0 while the
+    * primary signature alone keeps buckets at ~target rows (so small-n
+    * results are bit-identical to the single-level scheme: a 0-bit
+    * band is the constant 0), then the excess bits once n passes
+    * 2^MaxBits·target (~1.7e10 at target 1024), capped at MaxBits —
+    * joint (bucket, band) capacity 2^48 groups, enough that expected
+    * group size stays ~target out to ~2.9e17 rows.
     */
+  def bandBitsFor(n: Long, target: Long = 1024L): Int =
+    math.min(math.max(bitsNeeded(n, target) - MaxBits, 0), MaxBits)
+
+  /** Shared builder for the SQL surface: `lsh_bucket(vec, nbits)` or
+    * `lsh_bucket(vec, nbits, offset)` — nbits/offset must be int
+    * literals (they select the hyperplane window at plan time).
+    */
+  private[graft] def build(args: Seq[Expression]): LshBucket = {
+    if (args.length != 2 && args.length != 3) throw new IllegalArgumentException(
+      s"lsh_bucket requires 2 or 3 arguments (vec, nbits[, offset]), got ${args.length}")
+    val lits = args.drop(1).map {
+      case IntegerLiteral(k) => k
+      case other => throw new IllegalArgumentException(
+        s"lsh_bucket nbits/offset must be integer literals, got $other")
+    }
+    LshBucket(args.head, lits.head, if (lits.length > 1) lits(1) else 0)
+  }
+
+  /** Register the `lsh_bucket` SQL function. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bucket", args => {
-        if (args.length != 2) throw new IllegalArgumentException(
-          s"lsh_bucket requires exactly 2 arguments (vec, nbits), got ${args.length}")
-        args(1) match {
-          case IntegerLiteral(k) => LshBucket(args(0), k)
-          case other => throw new IllegalArgumentException(
-            s"lsh_bucket nbits must be an integer literal, got $other")
-        }
-      }, "built-in")
+      "lsh_bucket", build, "built-in")
 }

@@ -50,25 +50,37 @@ object Ann {
     }
   }
 
-  /** Memoized signature bits per corpus — the sizing count is one
+  /** Memoized signature sizing per corpus — the sizing count is one
     * metadata-cheap job, but repeated callers (knn_ann, dedup_embed,
     * bench warm runs) shouldn't re-pay it; at scale this is a catalog
     * statistic, not a scan. Keyed by the table's content fingerprint
     * (file listing + sizes + mtimes), not its path, so rewriting the
-    * data invalidates the memo within a JVM lifetime.
+    * data invalidates the memo within a JVM lifetime. Value =
+    * (primary bits, second-level band bits).
     */
-  private val bitsMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val bitsMemo = scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
 
-  /** Embeddings with their LSH bucket, nbits sized from the table's row
-    * count.
+  /** Embeddings with their LSH `bucket` (primary signature) and `band`
+    * (second-level signature over DISJOINT planes — constant 0 until n
+    * outgrows the 24-bit primary cap, see LshBucket.bandBitsFor), both
+    * sized from the table's row count. Consumers that self-join group
+    * on (bucket, band) so the post-cap regime stays bounded; probe
+    * lookups (knn_ann) may use the bucket alone.
     */
   private[graft] def bucketed(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
     CosineSimilarity.register(spark)
     LshBucket.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
-    val bits = bitsMemo.getOrElseUpdate(fp, bucketBits(e.count()))
-    (e.withColumn("bucket", expr(s"lsh_bucket(embedding, $bits)")), bits)
+    val (bits, bandBits) = bitsMemo.getOrElseUpdate(fp, {
+      val n = e.count()
+      (bucketBits(n), LshBucket.bandBitsFor(n))
+    })
+    val banded = e.withColumn("bucket", expr(s"lsh_bucket(embedding, $bits)"))
+      .withColumn("band",
+        if (bandBits == 0) lit(0)
+        else expr(s"lsh_bucket(embedding, $bandBits, ${LshBucket.MaxBits})"))
+    (banded, bits)
   }
 
   /** `knn_ann` — top-10 cosine neighbours of vec_id=0 restricted to the

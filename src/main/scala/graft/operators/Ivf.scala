@@ -21,14 +21,35 @@ import graft.sources.Tables
   * sums); assignment is a map-side transform; the probe-side filter
   * `cell IN (nprobe nearest)` prunes to nprobe/k of the corpus, and in
   * the production layout the cell id is the partition key exactly like
-  * Ann.writeBucketed. The cell count scales as n/1024 (constant
-  * expected cell size), the same sizing rule as LshBucket.bitsFor.
-  * Ranking runs the codegen `cosine_sim` expression — no UDF.
+  * Ann.writeBucketed. Cell count follows the standard IVF sizing
+  * k ≈ √n once the corpus is big enough (see `cellCount`), so both the
+  * centroid set and the per-cell scan stay sub-linear in n. Probe-cell
+  * ranking is a driver loop only while the centroid set is tiny; past
+  * `DriverRankMax` it is a distributed DataFrame top-nprobe (see
+  * `probeCells`). Ranking runs the codegen `cosine_sim` expression —
+  * no UDF.
   */
 object Ivf {
 
-  /** Target ~1024 vectors per cell, floor 4 (sf0.001 corpora). */
-  def cellCount(n: Long): Int = math.max(4, math.ceil(n / 1024.0).toInt)
+  /** IVF coarse-quantizer sizing: ~1024 vectors per cell while the
+    * corpus is small (floor 4 for sf0.001 corpora), crossing over to
+    * the standard k ≈ √n at n = 2^20 (where the two rules coincide at
+    * k = 1024), capped at 65536. The old rule k = n/1024 grows
+    * LINEARLY: at 1e11 vectors it implies ~1e8 centroids — untrainable
+    * by any k-means pass and ~25 GB of centroid state. √n keeps both
+    * sides bounded: k and the expected cell size n/k both grow as √n,
+    * and the 65536 cap (hit at n ≈ 4.3e9) keeps the model trainable
+    * and the centroid table a small DataFrame at any corpus size —
+    * beyond it, recall/latency is tuned by nprobe, not k.
+    */
+  def cellCount(n: Long): Int = {
+    val nn = math.max(n, 1L).toDouble
+    val target = math.min(math.ceil(nn / 1024.0), math.ceil(math.sqrt(nn)))
+    math.min(math.max(4L, target.toLong), 65536L).toInt
+  }
+
+  /** Above this many cells, probe ranking moves off the driver. */
+  val DriverRankMax = 4096
 
   /** One trained quantizer per (corpus content, k) per JVM — training
     * is a batch job, not a per-query cost (like the signature table in
@@ -56,25 +77,64 @@ object Ivf {
     (m, m.transform(e), k)
   }
 
+  /** Rank centroids by squared euclidean distance to the probe, keep
+    * the `nprobe` nearest (the standard IVF probe rule). Ties break on
+    * cell id in BOTH paths, so the dispatch is result-invariant.
+    */
+  private[graft] def rankCellsDriver(centers: Array[Array[Double]],
+      probe: Seq[Float], nprobe: Int): Array[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) {
+        val diff = probe(j) - c(j); d += diff * diff; j += 1
+      }
+      (d, i)
+    }.sortBy(t => (t._1, t._2)).take(math.min(nprobe, centers.length)).map(_._2)
+
+  /** The same ranking as a DataFrame top-nprobe over a centroids table
+    * — TakeOrderedAndProject after a map-side zip_with/aggregate fold,
+    * so no linear driver-side scan of a large centroid set. At real
+    * scale the centroids DataFrame is a catalog table written at train
+    * time; here it is created from the (already driver-resident, k ≤
+    * 65536 by `cellCount`) MLlib model.
+    */
+  private[graft] def rankCellsDistributed(spark: SparkSession,
+      centers: Array[Array[Double]], probe: Seq[Float], nprobe: Int): Array[Int] = {
+    import spark.implicits._
+    val pv = probe.map(_.toDouble).toArray
+    centers.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "center")
+      .select(col("cell"), aggregate(
+          zip_with(col("center"), typedlit(pv), (c, p) => (c - p) * (c - p)),
+          lit(0.0), (a, x) => a + x).as("d2"))
+      .orderBy(col("d2"), col("cell"))
+      .limit(math.min(nprobe, centers.length))
+      .collect().map(_.getInt(0))
+  }
+
+  /** Probe-cell selection, dispatching on centroid count: a driver loop
+    * is optimal while the set is tiny; past DriverRankMax the ranking
+    * runs distributed (a 65536-cell scan per query belongs on
+    * executors, and orderBy+limit collects only nprobe rows).
+    */
+  private[graft] def probeCells(spark: SparkSession,
+      centers: Array[Array[Double]], probe: Seq[Float], nprobe: Int): Array[Int] =
+    if (centers.length <= DriverRankMax) rankCellsDriver(centers, probe, nprobe)
+    else rankCellsDistributed(spark, centers, probe, nprobe)
+
   /** Top-10 cosine neighbours of vec_id=0 among the `nprobe` nearest
     * cells (euclidean centroid distance, standard IVF probe rule).
     */
   private[graft] def knnIvfProbing(spark: SparkSession, sfDir: String,
       nprobe: Int): DataFrame = {
-    val (m, assigned, k) = quantized(spark, sfDir)
+    val (m, assigned, _) = quantized(spark, sfDir)
     val probe = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
-    val probeCells = m.clusterCenters.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      while (j < c.size) {
-        val diff = probe(j) - c(j); d += diff * diff; j += 1
-      }
-      (d, i)
-    }.sortBy(_._1).take(math.min(nprobe, k)).map(_._2)
+    val cells = probeCells(spark, m.clusterCenters.map(_.toArray), probe, nprobe)
     assigned
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*) &&
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("vec_id") =!= 0)
       .select(col("vec_id"), col("cell"),
         round(call_function("cosine_sim", col("embedding"), typedlit(probe)), 6)
@@ -83,8 +143,9 @@ object Ivf {
       .limit(10)
   }
 
-  /** `knn_ivf` — nprobe=2 of the n/1024 cells. No oracle (quantizer is
-    * engine-specific); structural guarantees pinned in IvfSpec.
+  /** `knn_ivf` — nprobe=2 of the `cellCount(n)` cells. No oracle
+    * (quantizer is engine-specific); structural guarantees pinned in
+    * IvfSpec.
     */
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame =
     knnIvfProbing(spark, sfDir, nprobe = 2)

@@ -123,26 +123,51 @@ object NearDedup {
   }
 
   /** `dedup_embed` — embedding-cosine near-dup scan: top-20 most similar
-    * LSH-bucket-co-located vector pairs. Bucketing keeps the candidate
-    * set O(n·bucketSize) instead of all-pairs, and the bucket count
-    * scales with table size (Ann.bucketed → LshBucket.bitsFor — bucket
-    * size stays ~constant as n grows, so the per-bucket self-join never
-    * goes quadratic). Signature and cosine are both native codegen
+    * LSH-co-located vector pairs. Bucketing keeps the candidate set
+    * O(n·bucketSize) instead of all-pairs, and the join key scales with
+    * table size in TWO stages: the primary bucket count grows as
+    * ~n/1024 up to the 24-bit cap (LshBucket.bitsFor), and past the cap
+    * (n ≳ 1.7e10) a second-level band signature over disjoint planes
+    * joins alongside it (LshBucket.bandBitsFor) — so expected group
+    * size stays ~constant and the per-group self-join never
+    * re-quadratizes at any corpus size. Below the cap the band is the
+    * constant 0 and the join is bit-identical to bucket-only (pinned in
+    * AnnSpec). Signature and cosine are both native codegen
     * expressions — no UDF anywhere in this plan. Ungated (bucket layout
     * is engine-specific), ranking pinned structurally in NearDedupSpec.
     */
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     val (e, _) = Ann.bucketed(spark, sfDir)
-    val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+    val a = e.select(col("vec_id").as("vec_a"), col("bucket"), col("band"),
       col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
+    val b = e.select(col("vec_id").as("vec_b"), col("bucket"), col("band"),
       col("embedding").as("emb_b"))
-    a.join(b, "bucket")
+    a.join(b, Seq("bucket", "band"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(expr("cosine_sim(emb_a, emb_b)"), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
+  }
+
+  /** `dedup_embed_verify` — the exact-cosine VERIFY stage of the
+    * embedding near-dup path, gated over a deterministic pair set
+    * (consecutive vec_ids) exactly like dedup_ngram gates the shingle
+    * verify arithmetic: the `cosine_sim` codegen expression is
+    * oracle-checked value-for-value against DuckDB's
+    * list_cosine_similarity (double accumulation both sides, round 6).
+    * In production the input pairs come from the (bucket, band) LSH
+    * join of dedup_embed instead of the id ladder.
+    */
+  def dedupEmbedVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 6).as("sim"))
+      .orderBy(col("vec_a"))
   }
 
   /** `dedup_cluster` — connected components over the near-dup pair
@@ -191,10 +216,17 @@ object NearDedup {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram" -> dedupNgram _,
     "dedup_embed" -> dedupEmbed _,
+    "dedup_embed_verify" -> dedupEmbedVerify _,
     "dedup_cluster" -> dedupCluster _
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_embed_verify" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_a""".stripMargin,
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -122,6 +122,65 @@ class AnnSpec extends SparkTestBase {
       direct.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
   }
 
+  test("bandBitsFor: zero through the primary regime, excess past the cap, capped") {
+    assert(LshBucket.bandBitsFor(2000L) === 0)
+    assert(LshBucket.bandBitsFor(1L << 30) === 0)
+    // the primary signature saturates at n = 2^24 * 1024 = 2^34
+    assert(LshBucket.bandBitsFor(1L << 34) === 0)
+    assert(LshBucket.bandBitsFor(1L << 35) === 1, "first post-cap doubling")
+    assert(LshBucket.bandBitsFor(1L << 40) === 6)
+    assert(LshBucket.bandBitsFor(Long.MaxValue) === 24, "band itself capped")
+    val pts = Seq(1L, 1L << 20, 1L << 34, 1L << 35, 1L << 44, Long.MaxValue)
+    assert(pts.map(LshBucket.bandBitsFor(_)) === pts.map(LshBucket.bandBitsFor(_)).sorted)
+    // joint capacity: primary + band bits keep ~1024-row groups to 2^48 groups
+    assert(LshBucket.bitsFor(1L << 44) + LshBucket.bandBitsFor(1L << 44) === 34)
+  }
+
+  test("band planes come from a disjoint window of the same seeded stream") {
+    val prim = LshBucket.planesFor(LshBucket.MaxBits)
+    val band = LshBucket.planesAt(LshBucket.MaxBits, LshBucket.MaxBits)
+    assert(band.length === LshBucket.MaxBits)
+    assert(!band.exists(b => prim.exists(_.sameElements(b))),
+      "band must never reuse a primary plane — a reused plane adds no information")
+    // extending the stream to TotalPlanes must not have moved the
+    // primary window (same seed, same fill order ⇒ round-2 buckets hold)
+    assert(LshBucket.planesFor(6).zip(prim.take(6)).forall {
+      case (a, b) => a.sameElements(b) })
+  }
+
+  test("post-cap (bucket, band) self-join: subset of bucket-only pairs, exact dups survive") {
+    LshBucket.register(spark)
+    val base = sources.Tables.embeddings(spark, sf)
+    // plant an exact duplicate of vec 0 under id -1
+    val e = base.unionAll(
+      base.filter(col("vec_id") === 0).withColumn("vec_id", lit(-1L)))
+    val sig = e.select(col("vec_id"),
+      expr("lsh_bucket(embedding, 6)").as("bucket"),
+      expr(s"lsh_bucket(embedding, 8, ${LshBucket.MaxBits})").as("band"))
+    def pairs(keys: Seq[String]): Set[(Long, Long)] = {
+      val a = sig.select(col("vec_id").as("ia"), col("bucket"), col("band"))
+      val b = sig.select(col("vec_id").as("ib"), col("bucket"), col("band"))
+      a.join(b, keys).filter(col("ia") < col("ib"))
+        .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val bucketOnly = pairs(Seq("bucket"))
+    val banded = pairs(Seq("bucket", "band"))
+    assert(banded.subsetOf(bucketOnly), "the band only ever PRUNES candidates")
+    assert(banded.contains((-1L, 0L)),
+      "identical vectors share every signature level — dups never pruned")
+    assert(banded.size < bucketOnly.size,
+      "8 band bits must actually split this corpus's hot buckets")
+  }
+
+  test("below the cap the band column is the constant 0 (single-level join preserved)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val (e, _) = Ann.bucketed(spark, dir)
+      val bands = e.select(col("band")).distinct().collect().map(_.getInt(0))
+      assert(bands.sameElements(Array(0)),
+        s"$dir: band must be constant 0 below 1.7e10 rows, got ${bands.toSeq}")
+    }
+  }
+
   test("bucket sizes stay bounded: max bucket <= 4x the expected mean") {
     // measured: sf0.001 max=20 (mean 7.8), sf0.1 max=45 (mean 31) — the
     // label-clustered corpus skews ~1.5-2.5x; 4x headroom pins that the

@@ -42,10 +42,32 @@ class IvfSpec extends SparkTestBase {
       .filter(col("ivf_sim") =!= col("bf_sim")).count() === 0)
   }
 
-  test("cellCount implements the ~1024-per-cell sizing rule") {
+  test("cellCount: ~1024-per-cell small, k≈√n at scale, capped at 65536") {
     assert(Ivf.cellCount(500L) === 4)
+    // crossover point: n/1024 and √n coincide at n = 2^20
     assert(Ivf.cellCount(1L << 20) === 1024)
-    val pts = Seq(1L, 2000L, 1_000_000L, 1_000_000_000L)
+    // at 1e9 the old linear rule would demand ~976k centroids; √n keeps
+    // the quantizer trainable
+    assert(Ivf.cellCount(1_000_000_000L) === math.ceil(math.sqrt(1e9)).toInt)
+    assert(Ivf.cellCount(1_000_000_000L) === 31623)
+    // at 1e11 (the 100 TB regime) the cap bounds centroid state
+    assert(Ivf.cellCount(100_000_000_000L) === 65536)
+    val pts = Seq(1L, 2000L, 1_000_000L, 1_000_000_000L, 100_000_000_000L)
     assert(pts.map(Ivf.cellCount) === pts.map(Ivf.cellCount).sorted)
+  }
+
+  test("distributed probe-cell ranking matches the driver loop exactly") {
+    // synthetic centroid set with deliberate distance ties (cells 3/7
+    // are identical) — the tie-break on cell id must agree across paths
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(40)(i =>
+      if (i == 7) null else Array.fill(8)(rnd.nextGaussian()))
+    centers(7) = centers(3).clone()
+    val probe = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    for (nprobe <- Seq(1, 5, 40, 100)) {
+      val drv = Ivf.rankCellsDriver(centers, probe, nprobe)
+      val dist = Ivf.rankCellsDistributed(spark, centers, probe, nprobe)
+      assert(drv.sameElements(dist), s"nprobe=$nprobe: ${drv.toSeq} vs ${dist.toSeq}")
+    }
   }
 }

@@ -144,6 +144,24 @@ class PipelineSpec extends SparkTestBase {
     assert(kept > 0)
   }
 
+  test("pipeline_curate: quality gate filters on the scan side, below every Exchange") {
+    // the funnel's cheapest win is dropping short docs BEFORE the dedup
+    // window's shuffle — an Exchange between the scan and the quality
+    // filter would shuffle the raw corpus at 100 TB
+    val df = Pipeline.pipelineCurate(spark, sf)
+    df.collect() // materialize AQE's final plan
+    // AdaptiveSparkPlan prints Final THEN Initial — judge the final only
+    val lines = planOf(df).linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val plan = lines.mkString("\n")
+    val fIdx = lines.indexWhere(l => l.contains("Filter") && l.contains(">= 50"))
+    assert(fIdx >= 0, s"quality-gate filter not found in plan:\n$plan")
+    // tree prints root-first, so everything after the filter line is its
+    // input subtree (the plan is one linear chain): scan only, no shuffle
+    assert(!lines.drop(fIdx + 1).exists(_.contains("Exchange")),
+      s"no Exchange may sit between the scan and the quality gate:\n$plan")
+  }
+
   test("multimodal_join cardinality equals the embedding side (doc_id ⊇ vec_id)") {
     val joined = Pipeline.multimodalJoin(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
     assert(joined === Tables.embeddings(spark, sf).count())

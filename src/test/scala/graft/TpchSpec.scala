@@ -25,4 +25,22 @@ class TpchSpec extends SparkTestBase {
     val plan = planOf(Tpch.tpchQ5(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$plan")
   }
+
+  test("selective predicates reach the parquet scans as PushedFilters") {
+    // insurance that a refactor never un-pushes the flagship filters: a
+    // scan that reads every row and filters above the exchange turns the
+    // post-filter shuffle cardinality into the PRE-filter one at 100 TB
+    val expect = Map(
+      "tpch_q3" -> Seq("c_mktsegment", "o_orderdate", "l_shipdate"),
+      "tpch_q5" -> Seq("r_name", "o_orderdate"),
+      "tpch_q10" -> Seq("l_returnflag", "o_orderdate"))
+    for ((name, cols) <- expect) {
+      val plan = planOf(Tpch.queries(name)(spark, sf))
+      val pushed = "PushedFilters: \\[([^\\]]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).mkString("; ")
+      for (c <- cols)
+        assert(pushed.contains(c),
+          s"$name: $c missing from PushedFilters ($pushed):\n$plan")
+    }
+  }
 }

@@ -444,6 +444,28 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Ids of rows sharing at least one fingerprint with another row —
+    * the sharing scan over any (id, array<fingerprint>) DataFrame (the
+    * winnow near-dup signal; also works over minhash band or simhash
+    * signature arrays). Aggregation state is BOUNDED by construction:
+    * shared fingerprints are found with a per-fingerprint
+    * countDistinct (Catalyst plans it as a distributed two-phase
+    * aggregate keyed on (fingerprint, id)), never a per-group
+    * collect_set — a ubiquitous boilerplate fingerprint shared by
+    * millions of docs would otherwise materialize one giant array in a
+    * single reducer row. The ids come back via a semi-join of the
+    * exploded pairs against the shared fingerprints.
+    */
+  def sharedFingerprintIds(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
+    val pairs = df.select(col(idCol), explode(col(fpCol)).as("__f"))
+    val shared = pairs.groupBy(col("__f"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__f"))
+    pairs.join(shared, Seq("__f"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03) —
     * the rolling-hash fingerprinting scheme: hash every character
     * k-gram, slide a window of `w` hashes, keep each window's minimum;

@@ -98,21 +98,12 @@ object Text {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         graft.api.GraftOps.winnowFingerprints(col("text")).as("fp"))
-    val pairs = docs.select(col("doc_id"), explode(col("fp")).as("f"))
-    // Sharing scan with BOUNDED per-group state: a ubiquitous
-    // boilerplate fingerprint may be shared by millions of docs, so
-    // collect_set(doc_id) per fingerprint (one unbounded array in one
-    // reducer row) is a scale-killer. countDistinct keeps state bounded
-    // — Catalyst plans it as a distributed two-phase aggregate keyed on
-    // (f, doc_id), never a per-group set in one buffer — and the doc
-    // ids come back via a semi-join of the exploded pairs against the
-    // shared fingerprints. Output identical to the collect_set form.
-    val sharedF = pairs.groupBy(col("f"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("f"))
-    val shared = pairs.join(sharedF, Seq("f"), "left_semi")
-      .select(col("doc_id")).distinct()
+    // Sharing scan with BOUNDED per-group state (no collect_set — see
+    // GraftOps.sharedFingerprintIds; a hot boilerplate fingerprint
+    // would otherwise collect every sharing doc_id into one reducer
+    // row). Output identical to the collect_set form, pinned in
+    // TextSpec (plan) and the verify baseline diff (values).
+    val shared = graft.api.GraftOps.sharedFingerprintIds(docs, "doc_id", "fp")
       .withColumn("has_shared", lit(1L))
     docs.join(shared, Seq("doc_id"), "left")
       .groupBy(col("source"))

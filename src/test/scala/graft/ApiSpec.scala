@@ -91,6 +91,29 @@ class ApiSpec extends SparkTestBase {
     assert((fps("diff") intersect fps("sup1")).isEmpty)
   }
 
+  test("sharedFingerprintIds: exactly the docs sharing a fingerprint, bounded-state plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1↔2 share 10; 3 shares nothing; 4↔5 share 99; a "boilerplate"
+    // fingerprint 7 appears in 1, 2 and 4 as well
+    val df = Seq(
+      (1L, Seq(10L, 7L, 11L)),
+      (2L, Seq(10L, 7L, 12L)),
+      (3L, Seq(13L, 14L)),
+      (4L, Seq(99L, 7L)),
+      (5L, Seq(99L, 15L))
+    ).toDF("id", "fp")
+    val got = GraftOps.sharedFingerprintIds(df, "id", "fp")
+    assert(got.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 5L))
+    assert(!planOf(got).contains("collect_set"),
+      "the sharing scan must never collect ids per fingerprint")
+    // a doc whose fingerprints are all unique shares nothing even when
+    // OTHER docs share heavily
+    val lone = GraftOps.sharedFingerprintIds(
+      df.filter(col("id") =!= 1L && col("id") =!= 2L && col("id") =!= 4L), "id", "fp")
+    assert(lone.collect().isEmpty)
+  }
+
   test("deterministicSample: reproducible, partition-independent, ~fraction sized") {
     val spark2 = spark
     import spark2.implicits._

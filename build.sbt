@@ -15,8 +15,11 @@ run / fork := true
 // last ~2000 chars of stdout and json.loads the Bench line, and sbt's
 // default LoggedOutput decorates every forked line with "[info] " —
 // which is exactly why BENCH_r05 came back "parsed": null even after
-// the line fit the window. Unscoped so it delegates to run AND runMain.
-outputStrategy := Some(OutputStrategy.StdoutOutput)
+// the line fit the window. Scoped to run+runMain (the driver surfaces)
+// only: Test keeps sbt's logger so parallel suite output stays
+// [info]/[error]-separated instead of interleaving raw.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

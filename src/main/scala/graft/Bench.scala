@@ -41,8 +41,12 @@ object Bench {
     // flip a 2x verdict. A failed query records the time it burned
     // before throwing (so the totals stay meaningful) and its name
     // under "failed" — a -1 or an omission would silently DEDUCT.
+    // Sorted-name run order: Map iteration order shuffles whenever the
+    // query set changes, which confounded cross-round per-query deltas
+    // with run-order/GC noise (the r4/r6 sub-second "slow cluster").
+    // A fixed order makes per-query times comparable round-to-round.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -56,30 +60,37 @@ object Bench {
       val warm = once()
       name -> (cold, warm)
     }
-    val warmTotal = results.values.map(_._2).sum
-    val coldTotal = results.values.map(_._1).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val warmTotal = results.map(_._2._2).sum
+    val coldTotal = results.map(_._2._1).sum
+    // The stdout line carries at most 8 failed names + the total count;
+    // a mass-failure round must not blow the line past the driver's
+    // 2000-char tail window (lineFor(0) stays a small constant). The
+    // FULL list goes to bench_detail.json.
+    val failedJson = (failed.take(8).map("\"" + _ + "\"") ++
+      (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
+      .mkString("[", ",", "]")
     // Locale-fixed: the `f` interpolator uses the JVM default locale.
     def f2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
     // Full precision for humans / plan review — NOT on stdout.
-    val detail = results.toSeq.sortBy(-_._2._2).map { case (k, (c, w)) =>
+    val allFailedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = results.sortBy(-_._2._2).map { case (k, (c, w)) =>
       s"""  "$k": {"cold": $c, "warm": $w}"""
-    }.mkString("{\n", ",\n", "\n}")
+    }.mkString("{\n  \"failed\": " + allFailedJson + ",\n", ",\n", "\n}")
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
 
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // ~2000-char driver tail minus sbt's trailing "[success] ..." line.
     // Iterative fit: keep the N slowest queries named and fold the rest
     // into one "_others" bucket, shrinking N until the line fits — a
     // single fixed fold threshold could still overflow if most queries
     // ran slow or the failed list grew long. lineFor(0) (everything
     // folded) is a small constant, so termination ⇒ fit.
-    val sorted = results.toSeq.sortBy(-_._2._2)
+    val sorted = results.sortBy(-_._2._2)
     def lineFor(n: Int): String = {
       val (big, small) = sorted.splitAt(n)
       val parts = big.map { case (k, (_, w)) => "\"" + k + "\":" + f2(w) } ++

@@ -394,17 +394,31 @@ object GraftOps {
     * frequencies — the cheap LM-score quality filter (gibberish and
     * boilerplate sit in the tails). One aggregation per doc.
     *
+    * NOT a pure plan constructor: the vocabulary aggregate is
+    * materialized (`localCheckpoint`, one corpus tokenize+agg job) and
+    * the corpus token count N derives from `sum(tf)` over that small
+    * materialized table — so the whole operator tokenizes the corpus
+    * exactly TWICE (once building the vocabulary, once scoring), not
+    * three times as the naive form would (a separate `count()` pass,
+    * plus the unmaterialized freq lineage re-tokenizing inside the
+    * scoring join). At cluster scale the checkpointed vocabulary is
+    * the freq table a pipeline writes per corpus snapshot. The scoring
+    * plan itself carries exactly one Generate over the corpus — pinned
+    * in ApiSpec.
+    *
     * The frequency join is deliberately UNHINTED: a web-corpus unigram
     * table runs to ~1e9 rows, far past broadcast limits, so a forced
     * `broadcast(freq)` would turn a working query into a driver OOM at
-    * scale. AQE sees the post-aggregation size at runtime and picks
+    * scale. AQE sees the materialized size at runtime and picks
     * broadcast exactly when the vocabulary actually is small (as at
     * test sfs); otherwise it stays a shuffle join on the token key.
     */
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val n = toks.count()
+      .localCheckpoint()
+    val nRow = freq.agg(sum(col("tf"))).collect()(0)
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     toks.join(freq, "token")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -457,12 +471,18 @@ object GraftOps {
     * exploded pairs against the shared fingerprints.
     */
   def sharedFingerprintIds(df: DataFrame, idCol: String, fpCol: String): DataFrame = {
-    val pairs = df.select(col(idCol), explode(col(fpCol)).as("__f"))
-    val shared = pairs.groupBy(col("__f"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > 1)
-      .select(col("__f"))
-    pairs.join(shared, Seq("__f"), "left_semi")
+    // Temp names derived to miss every input column — a caller whose id
+    // column is literally "__f" must not hit an ambiguous-column error.
+    val f = Iterator.from(0).map(i => if (i == 0) "__f" else s"__f$i")
+      .find(n => !df.columns.contains(n)).get
+    val nd = Iterator.from(0).map(i => if (i == 0) "__nd" else s"__nd$i")
+      .find(n => !df.columns.contains(n)).get
+    val pairs = df.select(col(idCol), explode(col(fpCol)).as(f))
+    val shared = pairs.groupBy(col(f))
+      .agg(countDistinct(col(idCol)).as(nd))
+      .filter(col(nd) > 1)
+      .select(col(f))
+    pairs.join(shared, Seq(f), "left_semi")
       .select(col(idCol)).distinct()
   }
 

@@ -51,6 +51,60 @@ object Ivf {
   /** Above this many cells, probe ranking moves off the driver. */
   val DriverRankMax = 4096
 
+  /** Target k-means training-set size: a coarse quantizer needs a
+    * REPRESENTATIVE sample, not the corpus — 256k vectors is ≥4 points
+    * per centroid even at the 65536-cell cap, and standard IVF practice
+    * (FAISS trains its coarse quantizers on a bounded sample for the
+    * same reason). Training on the full corpus at 1e11 vectors would
+    * make every one of the 5 k-means iterations a full-corpus pass.
+    */
+  val TrainSampleMax = 262144L
+
+  /** Below this corpus size the training input is coalesced to 8
+    * partitions: each k-means iteration is a treeAggregate job, and on
+    * a small corpus per-task overhead dominates the centroid math.
+    * Above it, coalescing would be the scale bug (it merges the SCAN
+    * into 8 tasks), so the sample path repartitions instead.
+    */
+  val CoalesceTrainMax = 1L << 20
+
+  /** Fraction of the corpus the trainer sees: everything while the
+    * corpus is ≤4× the sample target (sampling a small corpus only
+    * loses signal), then TrainSampleMax/n.
+    */
+  private[graft] def trainFraction(n: Long): Double =
+    if (n <= TrainSampleMax * 4) 1.0 else TrainSampleMax.toDouble / n
+
+  /** The k-means training input for a corpus of `n` rows.
+    *
+    * Small corpus (n ≤ CoalesceTrainMax): `coalesce(8)` — the scan is
+    * tiny, so merging it into 8 tasks removes treeAggregate task
+    * overhead without costing parallelism that matters.
+    *
+    * Large corpus: a deterministic content-addressed sample of
+    * ~TrainSampleMax rows, taken as a FILTER (full scan parallelism —
+    * a coalesce here would funnel the whole corpus scan through 8
+    * tasks), then `repartition(16)`: the shuffle moves only the ≤256k
+    * sampled rows, and the 5 treeAggregate iterations run over 16
+    * well-filled tasks instead of one task per corpus partition.
+    *
+    * The sample uses 32-bit md5-prefix granularity, not
+    * GraftOps.deterministicSample's 16-bit: TrainSampleMax/1e11 ≈
+    * 2.6e-6 floors to a zero threshold at 16 bits (empty sample). The
+    * threshold is clamped to ≥1 so the sample never vanishes even past
+    * n ≈ 1e15. Like deterministicSample, the keep-decision is a pure
+    * function of the KEY — retraining on the same snapshot sees the
+    * same sample regardless of cluster size or partitioning.
+    */
+  private[graft] def trainInput(e: DataFrame, n: Long, keyCol: String): DataFrame =
+    if (n <= CoalesceTrainMax) e.coalesce(8)
+    else {
+      val threshold = math.max(1L, math.floor(trainFraction(n) * 4294967296.0).toLong)
+      e.filter(substring(md5(col(keyCol).cast("string")), 1, 8) <
+          lit(f"$threshold%08x"))
+        .repartition(16)
+    }
+
   /** One trained quantizer per (corpus content, k) per JVM — training
     * is a batch job, not a per-query cost (like the signature table in
     * NearDedup.dedupMinhash). Keyed by content fingerprint, not path,
@@ -64,16 +118,16 @@ object Ivf {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("fv", array_to_vector(col("embedding")))
     val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
-    val k = cellCount(e.count())
-    // Training coalesces to a few partitions: each k-means iteration is
-    // a treeAggregate job, and on a small-per-executor slice the
-    // per-task overhead dominates the centroid math. (At real scale the
-    // natural partitioning stands; 5 iterations suffice for a COARSE
-    // quantizer — cells only need to be roughly Voronoi, recall comes
-    // from nprobe.)
+    val n = e.count()
+    val k = cellCount(n)
+    // Training input sized by `trainInput`: coalesced below 1M rows
+    // (task overhead dominates), a ~256k deterministic sample above
+    // (centroids don't need the full corpus; 5 iterations suffice for
+    // a COARSE quantizer — cells only need to be roughly Voronoi,
+    // recall comes from nprobe).
     val m = modelMemo.getOrElseUpdate((fp, k),
       new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(e.coalesce(8)))
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(trainInput(e, n, "vec_id")))
     (m, m.transform(e), k)
   }
 

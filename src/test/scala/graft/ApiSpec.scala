@@ -256,6 +256,29 @@ class ApiSpec extends SparkTestBase {
     assert(math.abs(got("middle")._3 - 2.0 * math.log(1.5)) < 1e-6)
   }
 
+  test("unigramLogprob: exact avg ln(tf/N), one Generate in the scoring plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a b")).toDF("id", "body")
+    val out = GraftOps.unigramLogprob(df, "id", "body")
+    // N = 5 tokens total (derived as sum(tf) over the vocabulary — by
+    // construction identical to a token-stream count); tf: a=3, b=2
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 3L)
+    val exp1 = (2 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 3
+    val exp2 = (math.log(3.0 / 5) + math.log(2.0 / 5)) / 2
+    assert(math.abs(got(1L)._2 - exp1) < 1e-6)
+    assert(math.abs(got(2L)._2 - exp2) < 1e-6)
+    // the round-6 shape tokenized the corpus 3x per run: a count() pass,
+    // plus the unmaterialized freq lineage re-tokenizing inside the join.
+    // Now the vocabulary is checkpointed and N comes from sum(tf), so the
+    // scoring plan carries exactly ONE Generate over the corpus.
+    val generates = out.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.length === 1, "scoring plan must tokenize the corpus once")
+  }
+
   test("property: ngramJaccard is 1 on self, symmetric, within [0,1] (random texts)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -56,6 +56,42 @@ class IvfSpec extends SparkTestBase {
     assert(pts.map(Ivf.cellCount) === pts.map(Ivf.cellCount).sorted)
   }
 
+  test("trainFraction: full corpus small, ~256k-row sample at scale") {
+    assert(Ivf.trainFraction(500L) === 1.0)
+    assert(Ivf.trainFraction(Ivf.TrainSampleMax * 4) === 1.0)
+    // at 1e9 and 1e11 the trainer sees a bounded sample, not the corpus
+    assert(Ivf.trainFraction(1_000_000_000L) === Ivf.TrainSampleMax / 1e9)
+    assert(Ivf.trainFraction(100_000_000_000L) === Ivf.TrainSampleMax / 1e11)
+    // expected sample size stays ~TrainSampleMax at any n
+    for (n <- Seq(1e7, 1e9, 1e11, 1e13))
+      assert(math.abs(Ivf.trainFraction(n.toLong) * n - Ivf.TrainSampleMax) < 1.0)
+  }
+
+  test("trainInput: coalesce(8) small; sample-filter + repartition at 1e11") {
+    import spark.implicits._
+    val e = (0L until 64L).map(i => (i, Seq.fill(4)(i.toFloat))).toDF("vec_id", "fv")
+    // small-corpus claim: coalesced, NO sample filter
+    val small = Ivf.trainInput(e, 5000L, "vec_id")
+    assert(small.rdd.getNumPartitions <= 8, "coalesce bounds small-corpus tasks")
+    assert(small.count() === 64, "small path must train on every row")
+    // 1e11-corpus claim: the plan must carry a deterministic md5 sample
+    // FILTER (full scan parallelism) and a repartition — NOT a coalesce
+    // of the corpus scan into 8 tasks (the round-6 hazard). Parquet-
+    // backed input: a LocalRelation would be constant-folded away.
+    val big = Ivf.trainInput(sources.Tables.embeddings(spark, sf),
+      100_000_000_000L, "vec_id")
+    val plan = big.queryExecution.optimizedPlan.toString
+    assert(plan.contains("md5"), "large path must sample, not full-scan")
+    assert(!plan.toLowerCase.contains("coalesce"),
+      "coalesce would merge the corpus scan into 8 tasks")
+    assert(big.rdd.getNumPartitions === 16, "sampled rows repartitioned for treeAggregate")
+    // threshold clamp: past ~1e15 rows the 32-bit floor hits 0 — the
+    // sample must survive (threshold clamped to 1), never go empty
+    val huge = Ivf.trainInput(sources.Tables.embeddings(spark, sf),
+      10_000_000_000_000_000L, "vec_id")
+    assert(huge.queryExecution.optimizedPlan.toString.contains("00000001"))
+  }
+
   test("distributed probe-cell ranking matches the driver loop exactly") {
     // synthetic centroid set with deliberate distance ties (cells 3/7
     // are identical) — the tie-break on cell id must agree across paths

@@ -57,4 +57,27 @@ class SkewSpec extends SparkTestBase {
       .filter(col("k") === 0).select("__salt").distinct().count()
     assert(spread === 8L)
   }
+
+  test("saltedJoin equals the plain join with AQE fully disabled") {
+    // the salted rewrite is the fallback for exactly the joins AQE
+    // CANNOT re-plan — so its correctness must not depend on AQE (the
+    // round-6 pin only exercised the AQE-on path). Same equality, AQE off.
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plain = skewedFact.join(buildSide, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val salted = GraftOps.saltedJoin(skewedFact, buildSide, Seq("k"), 8)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(salted.queryExecution.executedPlan.toString
+        .contains("AdaptiveSparkPlan") === false,
+        "this leg must really run without AQE")
+      assert(salted.count() === plain.count())
+      assert(salted.except(plain).count() === 0)
+      assert(plain.except(salted).count() === 0)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }

@@ -100,6 +100,95 @@ object Ann {
       .limit(10)
   }
 
+  /** Candidate pool for the quantized rescore stage: rank this many on
+    * int8 codes, rescore them on originals. 5× the final k absorbs any
+    * rank inversion the ~1.4e-3 quantization cosine error could cause
+    * near the top-10 boundary.
+    */
+  val RescorePool = 50
+
+  /** `knn_quant` — the int8-quantized ANN path: rank the probe's LSH
+    * bucket on QUANTIZED vectors (4× smaller — at 100 TB the ANN index
+    * stores only `quantizeInt8` codes and the scale float), keep the
+    * top `RescorePool`, then rescore those few on the original float
+    * vectors. Simulated single-table here (both columns derived in one
+    * scan); in production the codes live in the bucket-partitioned
+    * index and the originals are fetched by id from the full-precision
+    * store for the rescore only. Same shape as FAISS SQ8 + refine.
+    * Cosine is scale-invariant, so ranking on dequantized codes equals
+    * ranking on the codes themselves — the only error is int8 rounding.
+    * No oracle (bucket layout + quantizer are engine-specific);
+    * top-k-overlap-vs-exact and exact-dup properties pinned in AnnSpec.
+    */
+  def knnQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, _) = bucketed(spark, sfDir)
+    val q = e.withColumn("q", graft.api.GraftOps.quantizeInt8(col("embedding")))
+    val probe = q.filter(col("vec_id") === 0)
+      .select(col("bucket").as("p_bucket"), col("embedding").as("pv"))
+    val candidates = q.join(broadcast(probe), col("bucket") === col("p_bucket"))
+      .filter(col("vec_id") =!= 0)
+      // rank on the dequantized codes — TakeOrderedAndProject keeps only
+      // the rescore pool per partition, never a full sort
+      .withColumn("qsim",
+        call_function("cosine_sim", graft.api.GraftOps.dequantizeInt8(col("q")), col("pv")))
+      .orderBy(col("qsim").desc, col("vec_id"))
+      .limit(RescorePool)
+    candidates
+      .select(col("vec_id"), col("bucket"),
+        round(call_function("cosine_sim", col("embedding"), col("pv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Multi-probe bucket set for a probe vector: the primary signature
+    * plus the signatures reached by flipping the LOWEST-MARGIN bits
+    * (the hyperplanes the probe sits closest to — where a true
+    * neighbour most plausibly landed on the other side). Standard
+    * multi-probe LSH: recall stops depending on a single bucket
+    * boundary without growing the index. Driver-side: nbits dot
+    * products over one vector, nothing data-sized.
+    */
+  private[graft] def probeBuckets(pv: Seq[Float], bits: Int, nprobe: Int): Array[Int] = {
+    val planes = LshBucket.planesFor(bits)
+    val dots = planes.map { p =>
+      var d = 0.0
+      var j = 0
+      val n = math.min(pv.length, p.length)
+      while (j < n) { d += pv(j) * p(j); j += 1 }
+      d
+    }
+    var sig = 0
+    dots.zipWithIndex.foreach { case (d, i) => if (d >= 0) sig |= (1 << i) }
+    val byMargin = dots.zipWithIndex.sortBy { case (d, i) => (math.abs(d), i) }
+    (sig +: byMargin.take(math.max(nprobe - 1, 0)).map { case (_, i) => sig ^ (1 << i) })
+      .distinct.toArray
+  }
+
+  /** `knn_ann` generalized to `nprobe` buckets (nprobe=1 ≡ knnAnn's
+    * candidate set). The probed buckets become partition filters in the
+    * writeBucketed layout, so cost is nprobe/2^bits of the corpus.
+    */
+  private[graft] def knnAnnProbing(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    val (e, bits) = bucketed(spark, sfDir)
+    val pv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val buckets = probeBuckets(pv, bits, nprobe)
+    e.filter(col("bucket").isin(buckets.toIndexedSeq.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        round(call_function("cosine_sim", col("embedding"), typedlit(pv)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** `knn_ann_multi` — multi-probe variant of knn_ann (4 buckets:
+    * primary + 3 lowest-margin bit flips). No oracle; recall
+    * monotonicity vs knn_ann and bucket confinement pinned in AnnSpec.
+    */
+  def knnAnnMulti(spark: SparkSession, sfDir: String): DataFrame =
+    knnAnnProbing(spark, sfDir, nprobe = 4)
+
   /** Write the embedding table PARTITIONED BY bucket — the production
     * layout: with the LSH bucket as the partition key, an ANN probe
     * reads 1/2^nbits of the corpus via partition pruning (the directory
@@ -132,7 +221,9 @@ object Ann {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_ann" -> knnAnn _
+    "knn_ann" -> knnAnn _,
+    "knn_ann_multi" -> knnAnnMulti _,
+    "knn_quant" -> knnQuant _
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -188,6 +188,77 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("probeBuckets: primary first, <= nprobe distinct buckets, 1-bit flips") {
+    val pv = Ann.bucketed(spark, sf)._1.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val primary = Ann.probeBuckets(pv, 6, 1)
+    assert(primary.length === 1)
+    for (np <- Seq(2, 4, 8)) {
+      val bs = Ann.probeBuckets(pv, 6, np)
+      assert(bs.head === primary.head, "primary signature leads the probe set")
+      // a 6-bit signature has only 6 single-bit flips, so the probe set
+      // saturates at bits + 1 buckets
+      val expected = math.min(np, 7)
+      assert(bs.length === expected && bs.distinct.length === expected)
+      // every extra bucket is exactly one bit away from the primary
+      bs.tail.foreach { b =>
+        assert(Integer.bitCount(b ^ primary.head) === 1, s"bucket $b not a 1-bit flip")
+      }
+    }
+  }
+
+  test("knn_ann_multi at nprobe=1 is bit-identical to knn_ann") {
+    assert(Ann.knnAnnProbing(spark, sf, nprobe = 1).collect()
+      .sameElements(Ann.knnAnn(spark, sf).collect()))
+  }
+
+  test("knn_ann_multi: bucket-confined to the probed set, recall monotone in nprobe") {
+    val pv = Ann.bucketed(spark, sf)._1.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val bits = Ann.bucketBits(Ann.bucketed(spark, sf)._1.count())
+    val trueTop = Pipeline.udfCosineTopk(spark, sf).collect().map(_.getLong(0)).toSet
+    def recallAt(np: Int): (Int, Array[org.apache.spark.sql.Row]) = {
+      val rows = Ann.knnAnnProbing(spark, sf, np).collect()
+      val probed = Ann.probeBuckets(pv, bits, np).toSet
+      assert(rows.map(_.getInt(1)).forall(probed.contains), s"nprobe=$np confinement")
+      (rows.map(_.getLong(0)).count(trueTop.contains), rows)
+    }
+    // Candidate supersets ranked by EXACT cosine can only displace a
+    // true-top-10 hit with another true-top-10 member, so recall is
+    // monotone in nprobe — and at this sf the extra buckets genuinely
+    // recover misses (strict improvement, measured 6/10 -> 10/10).
+    val r1 = recallAt(1)._1
+    val r4 = recallAt(4)._1
+    val r8 = recallAt(8)._1
+    assert(r4 >= r1 && r8 >= r4, s"recall must be monotone: $r1, $r4, $r8")
+    assert(r8 > r1, s"multi-probe must strictly improve recall at this sf ($r1 -> $r8)")
+  }
+
+  test("knn_quant: bucket-confined, sim-ordered, top-10 overlap with exact >= 8/10") {
+    val rows = Ann.knnQuant(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(1)).distinct.length === 1, "all in the probe's bucket")
+    assert(!rows.map(_.getLong(0)).contains(0L), "probe excluded")
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    // rescore-on-originals over a 50-deep pool should reproduce the
+    // exact in-bucket ranking almost always; >= 8/10 is the contract
+    // (capped by the candidate count — the probe's sf0.001 bucket holds
+    // only 7 non-probe members, where the sets must match outright)
+    val exact = Ann.knnAnn(spark, sf).collect().map(_.getLong(0)).toSet
+    val overlap = rows.map(_.getLong(0)).count(exact.contains)
+    assert(overlap >= math.min(8, exact.size),
+      s"quantized top-10 overlap with exact = $overlap of ${exact.size}")
+  }
+
+  test("knn_quant rescored sims equal the exact path's sims (originals, not codes)") {
+    val qs = Ann.knnQuant(spark, sf)
+      .select(col("vec_id"), col("sim").as("q_sim"))
+    val ex = Ann.knnAnn(spark, sf)
+      .select(col("vec_id"), col("sim").as("e_sim"))
+    assert(qs.join(ex, "vec_id").filter(col("q_sim") =!= col("e_sim")).count() === 0)
+  }
+
   test("bucket sizes stay bounded: max bucket <= 4x the expected mean") {
     // measured: sf0.001 max=20 (mean 7.8), sf0.1 max=45 (mean 31) — the
     // label-clustered corpus skews ~1.5-2.5x; 4x headroom pins that the

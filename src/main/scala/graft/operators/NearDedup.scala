@@ -101,6 +101,64 @@ object NearDedup {
       .orderBy(col("lang"))
   }
 
+  /** `dedup_simhash_md5` — oracle-gated twin of dedup_simhash: the SAME
+    * bit-vote arithmetic (per-bit +1/-1 vote over token hashes, sign of
+    * the vote becomes the signature bit) over a 16-bit md5-prefix token
+    * hash that DuckDB can reproduce — so the vote/sign/collision-count
+    * arithmetic is value-checked end-to-end, the way dedup_embed_verify
+    * gates cosine. The production query stays on the 64-bit xxhash64
+    * codegen expression (simhash64); only the hash function differs.
+    * Plan shape: explode → conv(md5 prefix) → 16 map-side partial SUMs
+    * per doc → signature fold → per-lang distinct count. Everything
+    * after the explode is two-phase aggregation — corpus-scale safe.
+    */
+  def dedupSimhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val votes = (0 until 16).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    val sig = (0 until 16).map(b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy(col("doc_id"), col("lang")).agg(votes.head, votes.tail: _*)
+      .select(col("lang"), sig.as("sig"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("sig")).as("n_sigs"),
+        (count(lit(1)) - countDistinct(col("sig"))).as("n_collided"))
+      .orderBy(col("lang"))
+  }
+
+  /** The DuckDB twin of dedupSimhashMd5's vote arithmetic (hex digits
+    * via strpos — DuckDB has no conv()).
+    */
+  private def simhashMd5Oracle: String = {
+    val hexDigit = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    val voteCols = (0 until 16).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+    val sigExpr = (0 until 16).map(b =>
+      s"(CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    ${hexDigit(1)} * 4096 + ${hexDigit(2)} * 256 +
+       |    ${hexDigit(3)} * 16 + ${hexDigit(4)} AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, lang,
+       |    $voteCols
+       |  FROM h GROUP BY doc_id, lang),
+       |sigs AS (SELECT lang, $sigExpr AS sig FROM votes)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_sigs,
+       |  CAST(COUNT(*) - COUNT(DISTINCT sig) AS BIGINT) AS n_collided
+       |FROM sigs GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** `dedup_ngram` — EXACT 3-gram Jaccard similarity: the verify stage
     * that LSH candidate pairs feed into at scale. Gated over a
     * deterministic pair set (consecutive doc_ids) so the exact-Jaccard
@@ -182,11 +240,17 @@ object NearDedup {
     * The candidate join is a single equi-join (neighbour ids exploded
     * map-side), not an OR-condition nested-loop join.
     */
-  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    // materialize the shingle table once: it feeds BOTH sides of the
-    // candidate join, and re-shingling the corpus per side doubles the
-    // dominant map-side cost (same lever as the minhash signature table)
+  /** The deterministic banded candidate edge set shared by
+    * dedup_cluster and pipeline_near_dedup: each doc against its next
+    * two ids, kept when 3-gram Jaccard >= 0.01. Deterministic (hence
+    * SQL-oracle-able); in production the edges come from
+    * `minhashPairsFromSignatures` instead — same schema, so the
+    * downstream component/survivor stages are identical either way.
+    * The shingle table is materialized once (localCheckpoint): it feeds
+    * BOTH sides of the candidate join, and re-shingling the corpus per
+    * side doubles the dominant map-side cost.
+    */
+  private def bandedEdges(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
@@ -195,13 +259,18 @@ object NearDedup {
       .localCheckpoint()
     val cand = sh.select(col("doc_id").as("src"), col("grams").as("g_a"),
       explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("dst"))
-    val edges = cand
+    cand
       .join(sh.select(col("doc_id").as("dst"), col("grams").as("g_b")), "dst")
       .filter(round(
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))), 6) >= 0.01)
       .select(col("src"), col("dst"))
-    val comps = graft.api.GraftOps.connectedComponents(edges, "src", "dst")
+  }
+
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val comps = graft.api.GraftOps.connectedComponents(
+      bandedEdges(docs), "src", "dst")
     docs.select(col("doc_id"))
       .join(comps, docs("doc_id") === comps("id"), "left")
       .select(coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -211,16 +280,41 @@ object NearDedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** `pipeline_near_dedup` — the COMPOSED near-dedup funnel a user
+    * actually runs: candidate pairs → connected components → keep one
+    * doc per cluster (the min-id representative — exactly the
+    * component label under hash-min propagation) → per-lang survivor
+    * counts. Gated end-to-end over the deterministic banded edge set
+    * (same recursive-CTE oracle pattern as dedup_cluster); swap
+    * `bandedEdges` for `minhashPairsFromSignatures` and the downstream
+    * stages run unchanged at 100 TB — survivor selection is a
+    * broadcast-free left join on doc_id (comp is null for docs with no
+    * near-dup, which always survive).
+    */
+  def pipelineNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val comps = graft.api.GraftOps.connectedComponents(
+      bandedEdges(docs), "src", "dst")
+    docs.join(comps, docs("doc_id") === comps("id"), "left")
+      .filter(coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_survivors"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_simhash_md5" -> dedupSimhashMd5 _,
     "dedup_ngram" -> dedupNgram _,
     "dedup_embed" -> dedupEmbed _,
     "dedup_embed_verify" -> dedupEmbedVerify _,
-    "dedup_cluster" -> dedupCluster _
+    "dedup_cluster" -> dedupCluster _,
+    "pipeline_near_dedup" -> pipelineNearDedup _
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_embed_verify" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -258,6 +352,27 @@ object NearDedup {
         |clusters AS (SELECT comp, COUNT(*) AS sz FROM comps GROUP BY comp)
         |SELECT CAST(sz AS BIGINT) AS cluster_size,
         |  CAST(COUNT(*) AS BIGINT) AS n_clusters
-        |FROM clusters GROUP BY sz ORDER BY cluster_size""".stripMargin
+        |FROM clusters GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "pipeline_near_dedup" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)
+        |  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.01),
+        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, s.dst FROM reach JOIN sym s ON s.src = reach.r),
+        |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_survivors
+        |FROM comps c JOIN documents d ON d.doc_id = c.id
+        |WHERE c.id = c.comp
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

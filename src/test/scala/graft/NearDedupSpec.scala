@@ -72,6 +72,22 @@ class NearDedupSpec extends SparkTestBase {
     assert(plan.contains("minhash_sig_"), s"join must read the sig table:\n$plan")
   }
 
+  test("pipeline_near_dedup keeps exactly one survivor per cluster") {
+    // every connected component contributes exactly one survivor (its
+    // min-id representative), so total survivors == total clusters in
+    // dedup_cluster's histogram — the funnel-count observation tying
+    // the composed query to its component stages
+    val survivors = NearDedup.pipelineNearDedup(spark, sf)
+      .agg(sum(col("n_survivors"))).collect()(0).getLong(0)
+    val clusters = NearDedup.dedupCluster(spark, sf)
+      .agg(sum(col("n_clusters"))).collect()(0).getLong(0)
+    assert(survivors === clusters,
+      s"$survivors survivors vs $clusters clusters")
+    // and the funnel never keeps more docs than exist
+    val docs = Tables.documents(spark, sf).count()
+    assert(survivors <= docs && survivors > 0)
+  }
+
   test("simhash collides at least as often as exact duplication") {
     // sig is a pure function of text ⇒ distinct sigs <= distinct texts
     val sim = NearDedup.dedupSimhash(spark, sf)

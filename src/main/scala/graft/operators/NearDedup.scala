@@ -190,7 +190,13 @@ object NearDedup {
     * size stays ~constant and the per-group self-join never
     * re-quadratizes at any corpus size. Below the cap the band is the
     * constant 0 and the join is bit-identical to bucket-only (pinned in
-    * AnnSpec). Signature and cosine are both native codegen
+    * AnnSpec). RECALL TRADEOFF, explicit: past the cap a true near-dup
+    * must collide on BOTH independent signatures, so recall drops
+    * roughly quadratically vs single-level (measured on a synthetic
+    * clustered corpus in AnnSpec: ~0.93 -> ~0.86 at theta ~0.01 rad);
+    * recover it by OR-ing band runs (run the join per band window and
+    * union, the banding trick minhash already uses) when post-cap
+    * recall matters more than one extra pass. Signature and cosine are both native codegen
     * expressions — no UDF anywhere in this plan. Ungated (bucket layout
     * is engine-specific), ranking pinned structurally in NearDedupSpec.
     */

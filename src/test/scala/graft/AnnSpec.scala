@@ -259,6 +259,41 @@ class AnnSpec extends SparkTestBase {
     assert(qs.join(ex, "vec_id").filter(col("q_sim") =!= col("e_sim")).count() === 0)
   }
 
+  test("post-cap (bucket, band) regime: near-dup recall floor on a clustered corpus") {
+    // The post-cap join key is 48 matching bits (24 primary + 24 band),
+    // so true near-dups must collide on BOTH independent signatures —
+    // recall drops vs single-level roughly quadratically. This pins the
+    // tradeoff numerically: 200 synthetic near-dup pairs (theta ~0.01
+    // rad apart — the "same doc re-encoded" regime near-dedup targets),
+    // fixed vector seed + fixed plane seed => deterministic counts.
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val rows = (0 until 200).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    }
+    LshBucket.register(spark)
+    val sig = rows.toDF("id", "vec")
+      .select(col("id"), expr("lsh_bucket(vec, 24)").as("bucket"),
+        expr("lsh_bucket(vec, 24, 24)").as("band"))
+    val a = sig.select(col("id").as("ia"), col("bucket").as("ba"), col("band").as("da"))
+    val b = sig.select(col("id").as("ib"), col("bucket").as("bb"), col("band").as("db"))
+    val pairs = a.filter(col("ia") % 2 === 0)
+      .join(b, col("ib") === col("ia") + 1).cache()
+    val total = pairs.count()
+    val bucketHits = pairs.filter(col("ba") === col("bb")).count()
+    val bothHits = pairs
+      .filter(col("ba") === col("bb") && col("da") === col("db")).count()
+    pairs.unpersist()
+    assert(total === 200L)
+    assert(bothHits <= bucketHits, "post-cap pairs are a subset of single-level")
+    // theory: P(collide) = (1 - theta/pi)^bits => ~0.93 at 24 bits,
+    // ~0.86 at 48; pin conservative floors under the fixed seeds
+    assert(bucketHits >= 160, s"single-level recall $bucketHits/200")
+    assert(bothHits >= 140, s"post-cap recall $bothHits/200")
+  }
+
   test("bucket sizes stay bounded: max bucket <= 4x the expected mean") {
     // measured: sf0.001 max=20 (mean 7.8), sf0.1 max=45 (mean 31) — the
     // label-clustered corpus skews ~1.5-2.5x; 4x headroom pins that the

@@ -122,11 +122,16 @@ object Ann {
     */
   def knnQuant(spark: SparkSession, sfDir: String): DataFrame = {
     val (e, _) = bucketed(spark, sfDir)
-    val q = e.withColumn("q", graft.api.GraftOps.quantizeInt8(col("embedding")))
-    val probe = q.filter(col("vec_id") === 0)
+    val probe = e.filter(col("vec_id") === 0)
       .select(col("bucket").as("p_bucket"), col("embedding").as("pv"))
-    val candidates = q.join(broadcast(probe), col("bucket") === col("p_bucket"))
+    val candidates = e.join(broadcast(probe), col("bucket") === col("p_bucket"))
       .filter(col("vec_id") =!= 0)
+      // quantize AFTER the bucket filter: Catalyst keeps a Project's
+      // expressions below the join, so quantizing up front would run the
+      // two HOF passes over the whole table for a 1-bucket probe
+      // (measured 0.96 s vs 0.38 s warm at sf0.1). Production stores the
+      // codes at ingest; per-query cost is the bucket either way.
+      .withColumn("q", graft.api.GraftOps.quantizeInt8(col("embedding")))
       // rank on the dequantized codes — TakeOrderedAndProject keeps only
       // the rescore pool per partition, never a full sort
       .withColumn("qsim",

@@ -80,6 +80,15 @@ class AnnSpec extends SparkTestBase {
       s"cosine projection must sit inside a codegen stage:\n$plan")
   }
 
+  test("knn_quant and knn_ann_multi plans are UDF-free (quantize is pure Catalyst)") {
+    for (df <- Seq(Ann.knnQuant(spark, sf), Ann.knnAnnMulti(spark, sf))) {
+      df.collect()
+      val plan = planOf(df)
+      assert(!plan.contains("ScalaUDF"), s"UDF crept into the plan:\n$plan")
+      assert(plan.contains("cosine_sim"), plan)
+    }
+  }
+
   test("bitsFor implements the scale rule: ~log2(n/1024), floor 6, cap 24") {
     assert(LshBucket.bitsFor(500L) === 6)
     assert(LshBucket.bitsFor(2000L) === 6, "sf0.1 keeps the round-2 bucket count")

@@ -131,6 +131,25 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_approx_quantile` — approximate percentiles via Spark's
+    * KLL-style quantile sketch (`percentile_approx`, accuracy 10000):
+    * the scale path next to agg_quantile's exact sort-based percentile,
+    * the way agg_approx (HLL) sits next to agg_distinct. At 100 TB the
+    * exact percentile's per-group value buffer is the bottleneck; the
+    * sketch is constant-size per partition and merges associatively in
+    * a plain 2-phase HashAggregate. No oracle (sketch internals are
+    * engine-specific); rank-error vs the exact percentile is pinned in
+    * AggregatesSpec.
+    */
+  def aggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5D, 10000)").as("approx_median_qty"),
+        expr("percentile_approx(l_quantity, 0.9D, 10000)").as("approx_p90_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** `agg_stats` — statistical aggregates: sample stddev and Pearson
     * correlation. Merge order affects the last few ulps (Welford-style
     * partial merges vs DuckDB's single pass), so outputs are rounded to
@@ -235,6 +254,7 @@ object Aggregates {
     "agg_having" -> aggHaving _,
     "agg_groupingsets" -> aggGroupingSets _,
     "agg_approx" -> aggApprox _,
+    "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_quantile" -> aggQuantile _,
     "agg_stats" -> aggStats _,
     "agg_stringagg" -> aggStringagg _,

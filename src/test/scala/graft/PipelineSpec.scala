@@ -77,6 +77,29 @@ class PipelineSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("percentile_approx within 1 quantity unit of the exact percentile per group") {
+    // l_quantity is dense integers 1..50, and at accuracy 10000 the
+    // sketch's rank error is <= n/10000 rows — far under one value step;
+    // the sketch returns an actual data value while the exact form
+    // interpolates, so the midpoint cases allow the 1.0 slack
+    val exact = Aggregates.aggQuantile(spark, sf)
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"))
+    val bad = Aggregates.aggApproxQuantile(spark, sf)
+      .join(exact, "l_returnflag")
+      .filter(abs(col("approx_median_qty") - col("median_qty")) > 1.0 ||
+        abs(col("approx_p90_qty") - col("p90_qty")) > 1.0)
+    assert(bad.count() === 0)
+  }
+
+  test("agg_approx_quantile plan is sketch-only: 2-phase HashAggregate, no sort") {
+    val plan = planOf(Aggregates.aggApproxQuantile(spark, sf))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate"), plan)
+    // the whole point vs the exact percentile: no per-group value
+    // buffer sort below the aggregate (the final orderBy of 3 rows is
+    // the only Sort allowed)
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Sort")) <= 1, plan)
+  }
+
   test("agg_approx plan is sketch-only: no Expand, single 2-phase HashAggregate") {
     val plan = planOf(Aggregates.aggApprox(spark, sf))
     assert(!plan.contains("Expand"),

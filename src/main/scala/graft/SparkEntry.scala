@@ -17,7 +17,8 @@ object SparkEntry {
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SetOps.queries ++
       Windows.queries ++ Scalars.queries ++ Pipeline.queries ++
       Temporal.queries ++ Text.queries ++ NearDedup.queries ++
-      Ann.queries ++ Ivf.queries ++ Multimodal.queries ++ Tpch.queries
+      Ann.queries ++ Ivf.queries ++ Pq.queries ++ Multimodal.queries ++
+      Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SetOps.oracle ++
       Windows.oracle ++ Scalars.oracle ++ Pipeline.oracle ++
       Temporal.oracle ++ Text.oracle ++ NearDedup.oracle ++
-      Ann.oracle ++ Ivf.oracle ++ Multimodal.oracle ++ Tpch.oracle
+      Ann.oracle ++ Ivf.oracle ++ Pq.oracle ++ Multimodal.oracle ++
+      Tpch.oracle
 }

@@ -100,10 +100,37 @@ object Tpch {
       .limit(20)
   }
 
+  /** `tpch_q18` — large-volume orders: customers whose orders exceed a
+    * quantity threshold (250 here; the classic HAVING-subquery → semi
+    * join shape). The scale story: the "big orders" set is a key-only
+    * two-phase aggregate of the fact table (map-side partial sums, no
+    * wide rows through the shuffle), the semi join against it shuffles
+    * on the same l_orderkey the final group-by needs (one partitioning
+    * reused), and post-filter the set is tiny — AQE turns the semi
+    * join into a runtime broadcast. Threshold 250 keeps the result
+    * populated at every test sf (25 / 204 / 2285 qualifying orders).
+    */
+  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 250)
+      .select(col("l_orderkey").as("big_orderkey"))
+    li.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(outDec(sum(dec2(col("l_quantity"))), 18, 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3" -> tpchQ3 _,
     "tpch_q5" -> tpchQ5 _,
-    "tpch_q10" -> tpchQ10 _
+    "tpch_q10" -> tpchQ10 _,
+    "tpch_q18" -> tpchQ18 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +174,19 @@ object Tpch {
         |  AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }

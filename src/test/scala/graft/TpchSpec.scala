@@ -26,6 +26,12 @@ class TpchSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$plan")
   }
 
+  test("q18's HAVING subquery plans as a key-only semi join (no wide self-join)") {
+    val plan = planOf(Tpch.tpchQ18(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"the big-orders filter must be a semi join:\n$plan")
+  }
+
   test("selective predicates reach the parquet scans as PushedFilters") {
     // insurance that a refactor never un-pushes the flagship filters: a
     // scan that reads every row and filters above the exchange turns the

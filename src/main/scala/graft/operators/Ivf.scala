@@ -113,7 +113,7 @@ object Ivf {
   private val modelMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), KMeansModel]
 
-  private def quantized(spark: SparkSession, sfDir: String): (KMeansModel, DataFrame, Int) = {
+  private[operators] def quantized(spark: SparkSession, sfDir: String): (KMeansModel, DataFrame, Int) = {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("fv", array_to_vector(col("embedding")))

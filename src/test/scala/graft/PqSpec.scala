@@ -110,6 +110,27 @@ class PqSpec extends SparkTestBase {
     assert(overlap >= 8, s"PQ top-10 overlap with exact = $overlap/10")
   }
 
+  test("knn_ivfpq equals knn_ivf's exact in-cell ranking at test scale") {
+    // same nprobe=2 cell set; if the 100-deep ADC pool captures the
+    // in-cell exact top-10, the rescored result is IDENTICAL to the
+    // exact in-cell ranking — compare ids and sims (knn_ivf also
+    // carries a cell column; project it away)
+    val ivfpq = Pq.knnIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ivf = graft.operators.Ivf.knnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ivfpq.sameElements(ivf),
+      s"ivfpq ${ivfpq.toSeq} vs ivf ${ivf.toSeq}")
+  }
+
+  test("knn_ivfpq codes scan is partition-pruned to the probed cells") {
+    val df = Pq.knnIvfPq(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell must be a partition filter on the codes scan:\n$plan")
+  }
+
   test("rescored sims agree with the exact scoring function on shared ids") {
     val pq = Pq.knnPq(spark, sf).select(col("vec_id"), col("sim").as("pq_sim"))
     val bf = Pipeline.udfCosineTopk(spark, sf)

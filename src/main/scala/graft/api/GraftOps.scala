@@ -283,6 +283,32 @@ object GraftOps {
     labels
   }
 
+  /** Keep ONE representative row per near-dup cluster: the complete
+    * dedup decision given a candidate-pair edge set (from
+    * `minhashPairsFromSignatures`, a SimHash band join, or an
+    * embedding LSH join — any (src, dst) id pairs). Components via
+    * hash-min `connectedComponents`, whose label IS the cluster's min
+    * id — so the survivor test is `id == coalesce(comp, id)` after one
+    * left join (rows in no pair survive trivially; no window, no
+    * second aggregation). The corpus query `pipeline_near_dedup` is
+    * this over the banded edge set.
+    */
+  def keepClusterRepresentatives(df: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // temp names derived to miss every input column (the
+    // sharedFingerprintIds rule): a caller whose frame already has an
+    // "id"/"comp" column must not hit an ambiguous-column error
+    val cid = Iterator.from(0).map(i => s"__cc_id$i")
+      .find(n => !df.columns.contains(n)).get
+    val ccomp = Iterator.from(0).map(i => s"__cc_comp$i")
+      .find(n => !df.columns.contains(n)).get
+    val comps = connectedComponents(edges, srcCol, dstCol)
+      .select(col("id").as(cid), col("comp").as(ccomp))
+    df.join(comps, df(idCol) === col(cid), "left")
+      .filter(coalesce(col(ccomp), df(idCol)) === df(idCol))
+      .drop(cid, ccomp)
+  }
+
   /** Salted equi-join for skewed keys: the FACT side gets a
     * deterministic per-row salt in [0, buckets); the (smaller, but not
     * broadcastable) build side is replicated `buckets`× with one row

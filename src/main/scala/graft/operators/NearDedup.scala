@@ -299,10 +299,8 @@ object NearDedup {
     */
   def pipelineNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val comps = graft.api.GraftOps.connectedComponents(
-      bandedEdges(docs), "src", "dst")
-    docs.join(comps, docs("doc_id") === comps("id"), "left")
-      .filter(coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+    GraftOps.keepClusterRepresentatives(docs, "doc_id",
+        bandedEdges(docs), "src", "dst")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_survivors"))
       .orderBy(col("lang"))

@@ -174,6 +174,20 @@ class ApiSpec extends SparkTestBase {
       s"every chain vertex must reach the min label, got ${comps.values.toSet}")
   }
 
+  test("keepClusterRepresentatives: one min-id survivor per cluster, isolated rows survive") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the frame's own "id"/"comp" columns must not collide with the
+    // internals (temp names are derived to miss every input column)
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"),
+      (50L, "solo")).toDF("id", "comp")
+    // clusters {1,2,3} (transitive via 1-2, 2-3) and {10,11}; 50 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val kept = GraftOps.keepClusterRepresentatives(rows, "id", edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === Set((1L, "a"), (10L, "d"), (50L, "solo")))
+  }
+
   test("stratifiedSample: per-stratum fractions, zero/one boundaries, key-addressed") {
     val spark2 = spark
     import spark2.implicits._

@@ -462,6 +462,27 @@ object GraftOps {
         s => s.getField("best")))
   }
 
+  /** IVF coarse-quantizer centroids over any vector column: one
+    * bounded-sample KMeans fit, returned as a plain (k × d) float
+    * array like pqTrain's codebooks (driver-resident by design — at
+    * k ≤ 65536, Ivf.cellCount's cap, it is a small table). IVF
+    * training IS pqTrain with a single subspace spanning the whole
+    * vector — one codebook, k centroids.
+    */
+  def ivfCentroids(df: DataFrame, vecCol: String, k: Int,
+      sampleMax: Long = 262144L): Array[Array[Float]] =
+    pqTrain(df, vecCol, m = 1, k = k, sampleMax = sampleMax)(0)
+
+  /** Voronoi-cell assignment of a vector column against trained
+    * centroids: argmin squared distance, as a Column. The same
+    * unification as ivfCentroids — assignment is PQ encoding with one
+    * whole-vector subspace, so the pure-HOF encoder serves both; for
+    * ingest-scale assignment register `PqEncodeExpr` with
+    * `Array(centroids)` and use the codegen `pq_encode` instead.
+    */
+  def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
+    element_at(pqEncode(vec, Array(centroids)), 1)
+
   /** The two ADC lookup tables for a probe vector: (m)(c) = inner
     * product of the probe's m-th subvector with centroid c, and the
     * squared norm of centroid c — driver-side arithmetic over the tiny

@@ -188,6 +188,25 @@ class ApiSpec extends SparkTestBase {
     assert(kept === Set((1L, "a"), (10L, "d"), (50L, "solo")))
   }
 
+  test("ivfAssign: every vector lands on its nearest centroid (brute-force check)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new java.util.Random(17)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("vid", "vec")
+    val cents = GraftOps.ivfCentroids(df, "vec", k = 8)
+    assert(cents.length === 8 && cents.forall(_.length === 16))
+    val assigned = df.select(col("vid"), col("vec"),
+        GraftOps.ivfAssign(col("vec"), cents).as("cell")).collect()
+    assigned.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val best = cents.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum, i)
+      }._2
+      assert(r.getInt(2) === best, s"vid ${r.getLong(0)} mis-assigned")
+    }
+  }
+
   test("stratifiedSample: per-stratum fractions, zero/one boundaries, key-addressed") {
     val spark2 = spark
     import spark2.implicits._

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators._
+
+/** Shuffle-budget pins for the flagship plans: each query carries
+  * EXACTLY the shuffles its algorithm needs, and a refactor that adds
+  * one (an un-broadcast dimension, a lost partitioning reuse, an
+  * accidental repartition) fails here before it ships. Broadcast
+  * exchanges are not counted — they move the SMALL side and are the
+  * fix, not the cost. The trailing range exchange is the presentation
+  * orderBy of the final result (bounded output), budgeted separately.
+  */
+class PlanBudgetSpec extends SparkTestBase {
+
+  /** (hash shuffles, range shuffles) in the FINAL adaptive plan only —
+    * planOf renders both AQE sections and the initial plan would
+    * double-count.
+    */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    def c(p: String) =
+      plan.linesIterator.count(l => l.contains(p) && !l.contains("Reused"))
+    (c("Exchange hashpartitioning"), c("Exchange rangepartitioning"))
+  }
+
+  test("join_asof is ONE data shuffle (the window partition), as documented") {
+    // the running-max window formulation shuffles events once on the
+    // partition key; an inequality self-join formulation would add a
+    // second data shuffle (or worse, a nested loop)
+    val (hash, range) = shuffles(Temporal.queries("join_asof")(spark, sf))
+    assert(hash === 1, s"join_asof must shuffle data exactly once, got $hash")
+    assert(range <= 1, "only the presentation sort may range-shuffle")
+  }
+
+  test("agg_pricing is ONE data shuffle (partial -> final aggregate)") {
+    val (hash, range) = shuffles(Aggregates.queries("agg_pricing")(spark, sf))
+    assert(hash === 1, s"map-side partial agg must leave one shuffle, got $hash")
+    assert(range <= 1)
+  }
+
+  test("win_topk_group is ONE data shuffle (the window partition)") {
+    val (hash, range) = shuffles(Windows.queries("win_topk_group")(spark, sf))
+    assert(hash === 1, s"got $hash")
+    assert(range <= 1)
+  }
+
+  test("tpch_q3 fact joins ride broadcasts: at most ONE data shuffle") {
+    // post-filter dimensions broadcast at this scale; the single hash
+    // shuffle is the group-by. At 100 TB AQE may keep SMJ shuffles for
+    // genuinely large sides — this pins the TEST-scale plan where every
+    // broadcastable side must actually broadcast.
+    val (hash, _) = shuffles(Tpch.queries("tpch_q3")(spark, sf))
+    assert(hash <= 1, s"got $hash")
+  }
+
+  test("tpch_q18 reuses the l_orderkey partitioning: at most TWO data shuffles") {
+    // one shuffle builds the big-orders aggregate, one feeds the final
+    // group-by; the semi join and customer join broadcast at this scale
+    val (hash, _) = shuffles(Tpch.queries("tpch_q18")(spark, sf))
+    assert(hash <= 2, s"got $hash")
+  }
+
+  test("pipeline_curate: at most TWO data shuffles (dedup agg + final count)") {
+    val (hash, range) = shuffles(Pipeline.queries("pipeline_curate")(spark, sf))
+    assert(hash <= 2, s"got $hash")
+    assert(range <= 1)
+  }
+}

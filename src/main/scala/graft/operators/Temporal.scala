@@ -77,11 +77,32 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** `join_asof_fwd` — the FORWARD as-of: each purchase matched to the
+    * EARLIEST signup at/after it (the symmetric twin of joinAsof's
+    * backward match; e.g. attribute a trial purchase to the account
+    * created after it). Same one-shuffle window shape, mirrored frame:
+    * running MIN over [currentRow, unboundedFollowing]. Gating both
+    * directions pins the frame arithmetic at both boundary orientations.
+    */
+  def joinAsofFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_utc"))
+      .withColumn("next_signup_ts",
+        min(when(col("event_type") === "signup", col("ts_utc"))).over(w))
+      .filter(col("event_type") === "purchase" && col("next_signup_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("next_signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumble" -> streamTumble _,
     "stream_slide" -> streamSlide _,
     "stream_session" -> streamSession _,
-    "join_asof" -> joinAsof _
+    "join_asof" -> joinAsof _,
+    "join_asof_fwd" -> joinAsofFwd _
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +146,15 @@ object Temporal {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
         |  FROM events) t
         |WHERE event_type = 'purchase' AND signup_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_fwd" ->
+      """SELECT event_id, user_id, next_signup_ts FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase' AND next_signup_ts IS NOT NULL
         |ORDER BY event_id""".stripMargin
   )
 }

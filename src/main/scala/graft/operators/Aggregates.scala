@@ -150,6 +150,29 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_approx_freq` — Count-Min-Sketch frequency estimation: the
+    * third sketch in the family (HLL distinct counts, KLL quantiles,
+    * CMS per-key frequencies). One pass builds a constant-size sketch
+    * (eps 0.1%, confidence 99%, fixed seed — deterministic) merged in
+    * a plain 2-phase aggregate; point frequencies are then O(1) probes
+    * of the sketch, here for custkeys 1-5. At 100 TB this answers
+    * "how often does key X occur" for ad-hoc keys without a group-by
+    * shuffle of the full table or a stored per-key table. No oracle
+    * (sketch internals are engine-specific); the CMS guarantee
+    * (est ≥ exact, est ≤ exact + eps·N w.h.p.) is pinned in
+    * PipelineSpec.
+    */
+  def aggApproxFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bytes = Tables.orders(spark, sfDir)
+      .select(expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)").as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    (1L to 5L).map(k => (k, cms.estimateCount(k)))
+      .toDF("o_custkey", "est_orders")
+  }
+
   /** `agg_stats` — statistical aggregates: sample stddev and Pearson
     * correlation. Merge order affects the last few ulps (Welford-style
     * partial merges vs DuckDB's single pass), so outputs are rounded to
@@ -255,6 +278,7 @@ object Aggregates {
     "agg_groupingsets" -> aggGroupingSets _,
     "agg_approx" -> aggApprox _,
     "agg_approx_quantile" -> aggApproxQuantile _,
+    "agg_approx_freq" -> aggApproxFreq _,
     "agg_quantile" -> aggQuantile _,
     "agg_stats" -> aggStats _,
     "agg_stringagg" -> aggStringagg _,

@@ -306,6 +306,49 @@ object NearDedup {
       .orderBy(col("lang"))
   }
 
+  /** `dedup_bloom` — the INCREMENTAL dedup pre-filter: when a new batch
+    * lands against a 100 TB history, joining every batch row against
+    * the full historical hash set is the cost; a bloom filter of the
+    * history's content hashes (built once per snapshot, ~1 byte/doc,
+    * broadcastable) pre-filters map-side so the exact verify join runs
+    * ONLY on candidate rows. Bloom membership has NO false negatives,
+    * so prefiltered-verify ≡ full-verify (pinned in NearDedupSpec);
+    * false positives only cost verify work, bounded by the fpp.
+    * Simulated split here: doc_id ≤ mid is "history", the rest is the
+    * new batch. Uses Spark's own BloomFilterAggregate/MightContain
+    * expressions (registered via BloomFns) — codegen membership, no
+    * custom sketch code. No oracle (bloom layout is engine-specific);
+    * n_true_dups is exact arithmetic and the no-false-negative and
+    * fpp-bound properties are pinned.
+    */
+  def dedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.BloomFns.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+    val history = docs.filter(col("doc_id") <= mid)
+      .select(md5(col("text")).as("h"))
+    val bf = history
+      .select(call_function("bloom_filter_agg",
+        xxhash64(col("h")), lit(1000000L), lit(8000000L)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val batch = docs.filter(col("doc_id") > mid)
+      .select(col("lang"), md5(col("text")).as("h"))
+      .withColumn("candidate",
+        call_function("might_contain", lit(bf), xxhash64(col("h"))))
+    // the exact verify join reads ONLY candidate rows — at scale this
+    // is the entire point: |candidates| ≈ |true dups| + fpp·|batch|
+    val verified = batch.filter(col("candidate"))
+      .join(history.distinct(), Seq("h"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_true_dups"))
+    batch.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(col("candidate").cast("long")).as("n_candidates"))
+      .join(verified, Seq("lang"), "left")
+      .select(col("lang"), col("n_batch"), col("n_candidates"),
+        coalesce(col("n_true_dups"), lit(0L)).as("n_true_dups"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
@@ -314,6 +357,7 @@ object NearDedup {
     "dedup_embed" -> dedupEmbed _,
     "dedup_embed_verify" -> dedupEmbedVerify _,
     "dedup_cluster" -> dedupCluster _,
+    "dedup_bloom" -> dedupBloom _,
     "pipeline_near_dedup" -> pipelineNearDedup _
   )
 

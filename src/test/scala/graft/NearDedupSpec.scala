@@ -88,6 +88,29 @@ class NearDedupSpec extends SparkTestBase {
     assert(survivors <= docs && survivors > 0)
   }
 
+  test("dedup_bloom: prefiltered verify equals full verify (no false negatives), fpp bounded") {
+    // run at dupSf where exact text duplicates actually exist
+    val got = NearDedup.dedupBloom(spark, dupSf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // full verify (no bloom): the same split joined exhaustively
+    val docs = Tables.documents(spark, dupSf)
+    val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+    val history = docs.filter(col("doc_id") <= mid).select(md5(col("text")).as("h")).distinct()
+    val full = docs.filter(col("doc_id") > mid)
+      .select(col("lang"), md5(col("text")).as("h"))
+      .join(history, Seq("h"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- full)
+      assert(got(lang)._3 === n,
+        s"$lang: bloom-prefiltered verify missed dups (${got(lang)._3} vs $n)")
+    // candidates = true dups + false positives; at fpp ~3% (1M items
+    // sized for far more than this corpus) FPs should be near zero
+    for ((lang, (batch, cand, dups)) <- got)
+      assert(cand - dups <= math.max(5L, batch / 20),
+        s"$lang: false-positive count ${cand - dups} out of bound")
+  }
+
   test("simhash collides at least as often as exact duplication") {
     // sig is a pure function of text ⇒ distinct sigs <= distinct texts
     val sim = NearDedup.dedupSimhash(spark, sf)

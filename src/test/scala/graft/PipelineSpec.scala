@@ -100,6 +100,20 @@ class PipelineSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.trim.startsWith("+- Sort")) <= 1, plan)
   }
 
+  test("count-min estimates bracket the exact counts: exact <= est <= exact + eps*N") {
+    val exact = Tables.orders(spark, sf)
+      .filter(col("o_custkey").between(1, 5))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_orders"))
+    val n = Tables.orders(spark, sf).count()
+    val bad = Aggregates.aggApproxFreq(spark, sf)
+      .join(exact, Seq("o_custkey"), "left")
+      .select(col("o_custkey"), col("est_orders"),
+        coalesce(col("exact_orders"), lit(0L)).as("exact_orders"))
+      .filter(col("est_orders") < col("exact_orders") ||
+        col("est_orders") > col("exact_orders") + lit((0.001 * n).ceil.toLong))
+    assert(bad.count() === 0)
+  }
+
   test("agg_approx plan is sketch-only: no Expand, single 2-phase HashAggregate") {
     val plan = planOf(Aggregates.aggApprox(spark, sf))
     assert(!plan.contains("Expand"),

@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.expressions.{CosineSimilarity, LshBucket, SimHash64}
+import graft.expressions.{BloomFns, CosineSimilarity, LshBucket, SimHash64}
 
 /** The library-facing API: every LLM-pipeline operator as a
   * DataFrame→DataFrame (or Column) function over ARBITRARY input — the
@@ -192,6 +192,41 @@ object GraftOps {
     val gb = shingles(tokens(b), k)
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
+  }
+
+  // ---- membership sketch (incremental-dedup prefilter) -----------------
+
+  /** Serialized bloom filter of xxhash64(`key`) over `df` — the
+    * broadcastable membership sketch for prefiltering a new batch
+    * against a large history (see `bloomMightContain` and
+    * `NearDedup.dedupBloom`). `items`/`bits` size the filter: fpp ≈
+    * 0.62^(bits/items), so 8 bits/item ≈ 2%, 10 ≈ 1%. Built by Spark's
+    * own `BloomFilterAggregate` in ONE 2-phase pass (constant-size
+    * partial per task); the returned bytes are ~bits/8 — for a 1e11-doc
+    * history at 8 bits/doc that is ~100 GB, so at extreme scale shard
+    * the history (e.g. by hash prefix) and build one filter per shard.
+    * This IS an action (the sketch must materialize to be broadcast).
+    */
+  def bloomBuild(df: DataFrame, key: Column, items: Long,
+      bits: Long): Array[Byte] = {
+    BloomFns.register(df.sparkSession)
+    df.select(call_function("bloom_filter_agg",
+        xxhash64(key), lit(items), lit(bits)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** Codegen membership test of xxhash64(`key`) against a `bloomBuild`
+    * filter (Spark's `BloomFilterMightContain`): NEVER false-negative,
+    * false-positive rate set by the build sizing — so
+    * `batch.filter(bloomMightContain(spark, bf, key))` before an exact
+    * verify join drops ~(1-fpp) of the non-duplicate rows map-side
+    * without risking a missed duplicate. The filter bytes ship to
+    * executors as a literal inside the broadcast plan fragment.
+    */
+  def bloomMightContain(spark: org.apache.spark.sql.SparkSession,
+      bf: Array[Byte], key: Column): Column = {
+    BloomFns.register(spark)
+    call_function("might_contain", lit(bf), xxhash64(key))
   }
 
   /** Deterministic content-addressed sampling: keep a row iff the md5

@@ -322,19 +322,17 @@ object NearDedup {
     * fpp-bound properties are pinned.
     */
   def dedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.expressions.BloomFns.register(spark)
     val docs = Tables.documents(spark, sfDir)
     val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
     val history = docs.filter(col("doc_id") <= mid)
       .select(md5(col("text")).as("h"))
-    val bf = history
-      .select(call_function("bloom_filter_agg",
-        xxhash64(col("h")), lit(1000000L), lit(8000000L)).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
+    // 8 bits/item at 1M items — far oversized for this corpus, so the
+    // measured fpp in the spec is near zero
+    val bf = GraftOps.bloomBuild(history, col("h"), 1000000L, 8000000L)
     val batch = docs.filter(col("doc_id") > mid)
       .select(col("lang"), md5(col("text")).as("h"))
       .withColumn("candidate",
-        call_function("might_contain", lit(bf), xxhash64(col("h"))))
+        GraftOps.bloomMightContain(spark, bf, col("h")))
     // the exact verify join reads ONLY candidate rows — at scale this
     // is the entire point: |candidates| ≈ |true dups| + fpp·|batch|
     val verified = batch.filter(col("candidate"))

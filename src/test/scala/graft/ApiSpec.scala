@@ -352,6 +352,25 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("bloomBuild/bloomMightContain: zero false negatives, fpp within sizing bound") {
+    val spark2 = spark
+    import spark2.implicits._
+    // history = 5000 keys; batch = 2500 members + 2500 non-members
+    val history = (1L to 5000L).map(k => s"key_$k").toDF("k")
+    val bf = GraftOps.bloomBuild(history, col("k"), 5000L, 50000L) // 10 bits/item, fpp ~1%
+    val batch = ((2501L to 5000L).map(k => (s"key_$k", true)) ++
+      (10001L to 12500L).map(k => (s"key_$k", false))).toDF("k", "member")
+    val marked = batch
+      .withColumn("candidate", GraftOps.bloomMightContain(spark, bf, col("k")))
+      .groupBy(col("member"))
+      .agg(count(lit(1)).as("n"), sum(col("candidate").cast("long")).as("cand"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(marked(true) === ((2500L, 2500L)), "bloom produced a false negative")
+    // 2500 non-members at fpp ~1% → expect ~25 FPs; 5x headroom
+    assert(marked(false)._2 <= 125L,
+      s"false-positive count ${marked(false)._2} far above the ~1% sizing bound")
+  }
+
   test("int8 quantization: 4x smaller codes, cosine preserved within 1e-2, top-1 stable") {
     graft.expressions.CosineSimilarity.register(spark)
     val e = sources.Tables.embeddings(spark, sf)

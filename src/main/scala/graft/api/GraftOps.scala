@@ -229,6 +229,36 @@ object GraftOps {
     call_function("might_contain", lit(bf), xxhash64(key))
   }
 
+  /** Serialized Count-Min sketch of a long `key` over `df` — the
+    * frequency companion to `bloomBuild`'s membership sketch: point
+    * frequency estimates for AD-HOC keys without a full-table group-by
+    * shuffle or a stored per-key table. One 2-phase pass via Spark's
+    * `count_min_sketch` aggregate; the sketch is O(1/eps · ln(1/(1-conf)))
+    * bytes regardless of corpus size (eps 0.001/conf 0.99 → ~2 MB),
+    * so it broadcasts trivially. Deterministic under a fixed seed.
+    */
+  def cmsBuild(df: DataFrame, key: Column, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = df
+      .select(call_function("count_min_sketch",
+        key, lit(eps), lit(confidence), lit(seed)).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Point estimates from a `cmsBuild` sketch as a DataFrame — CMS
+    * guarantee: exact ≤ estimate, and estimate ≤ exact + eps·N with
+    * probability ≥ confidence (N = total rows aggregated).
+    */
+  def cmsEstimates(spark: org.apache.spark.sql.SparkSession,
+      cms: org.apache.spark.util.sketch.CountMinSketch,
+      keys: Seq[Long], keyName: String = "key",
+      estName: String = "est_count"): DataFrame = {
+    import spark.implicits._
+    keys.map(k => (k, cms.estimateCount(k))).toDF(keyName, estName)
+  }
+
   /** Deterministic content-addressed sampling: keep a row iff the md5
     * of its key falls under the fraction threshold (16-bit granularity).
     * Unlike `df.sample`, the decision is a pure function of the KEY —

@@ -163,14 +163,10 @@ object Aggregates {
     * PipelineSpec.
     */
   def aggApproxFreq(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val bytes = Tables.orders(spark, sfDir)
-      .select(expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)").as("s"))
-      .collect()(0).getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
-    (1L to 5L).map(k => (k, cms.estimateCount(k)))
-      .toDF("o_custkey", "est_orders")
+    val cms = graft.api.GraftOps.cmsBuild(
+      Tables.orders(spark, sfDir), col("o_custkey"))
+    graft.api.GraftOps.cmsEstimates(spark, cms, 1L to 5L,
+      keyName = "o_custkey", estName = "est_orders")
   }
 
   /** `agg_stats` — statistical aggregates: sample stddev and Pearson

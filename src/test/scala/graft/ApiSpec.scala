@@ -371,6 +371,23 @@ class ApiSpec extends SparkTestBase {
       s"false-positive count ${marked(false)._2} far above the ~1% sizing bound")
   }
 
+  test("cmsBuild/cmsEstimates: estimates bracket exact counts on skewed user data") {
+    val spark2 = spark
+    import spark2.implicits._
+    // zipf-ish: key k appears 1000/k times, k = 1..50 → N = sum ≈ 4500
+    val rows = (1L to 50L).flatMap(k => Seq.fill((1000 / k).toInt)(k))
+    val df = rows.toDF("k")
+    val cms = GraftOps.cmsBuild(df, col("k"))
+    val est = GraftOps.cmsEstimates(spark, cms, Seq(1L, 2L, 10L, 50L, 999L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    val slack = math.ceil(0.001 * n).toLong
+    for ((k, exact) <- Seq(1L -> 1000L, 2L -> 500L, 10L -> 100L, 50L -> 20L, 999L -> 0L)) {
+      assert(est(k) >= exact, s"key $k: CMS under-estimated (${est(k)} < $exact)")
+      assert(est(k) <= exact + slack, s"key $k: ${est(k)} above $exact + $slack")
+    }
+  }
+
   test("int8 quantization: 4x smaller codes, cosine preserved within 1e-2, top-1 stable") {
     graft.expressions.CosineSimilarity.register(spark)
     val e = sources.Tables.embeddings(spark, sf)

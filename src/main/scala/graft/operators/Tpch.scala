@@ -126,11 +126,79 @@ object Tpch {
       .limit(100)
   }
 
+  /** `tpch_q14` — promo-revenue ratio: the share of one month's revenue
+    * from PROMO parts, as a conditional aggregate over the
+    * lineitem ⋈ part join. Scale shape: the shipdate month filter
+    * pushes to the lineitem scan (one month of a 100 TB fact table is
+    * the read), part joins broadcast, and the CASE folds into the same
+    * map-side partial agg as the plain sum — one pass, no second join
+    * for the numerator. Decimal sums are exact, so the final
+    * double-division is deterministic across engines and cluster
+    * sizes.
+    */
+  def tpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-03-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val rev = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        outDec(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))), 38, 4).as("promo_revenue"),
+        outDec(sum(rev), 38, 4).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (col("promo_revenue") / col("total_revenue") * lit(100.0))
+          .as("promo_pct"))
+  }
+
+  /** `tpch_q19` — discounted revenue under DISJUNCTIVE brand/size/
+    * quantity predicates (three OR'd conjunct clauses spanning both
+    * join sides). The scale hazard in this shape: Catalyst pushes
+    * conjuncts below a join but will not split an OR across tables, so
+    * a naive plan scans ALL of part and lineitem and filters above the
+    * join. We derive the per-side residuals by hand — part keeps rows
+    * matching the OR of its (brand, size) clauses, lineitem keeps the
+    * quantity envelope — exactly what an optimizer with OR-predicate
+    * derivation (e.g. DuckDB) does; the full tri-clause predicate then
+    * runs post-join on the survivors. Part is a dimension → broadcast;
+    * per-brand revenue keeps the output checkable row-by-row.
+    */
+  def tpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val clauses = Seq(
+      ("Brand#12", 15, (1, 20)),
+      ("Brand#23", 25, (10, 30)),
+      ("Brand#25", 35, (20, 40)))
+    val partSide = clauses.map { case (b, sz, _) =>
+      col("p_brand") === b && col("p_size").between(1, sz)
+    }.reduce(_ || _)
+    val liSide = col("l_quantity").between(
+      clauses.map(_._3._1).min, clauses.map(_._3._2).max)
+    val full = clauses.map { case (b, sz, (qlo, qhi)) =>
+      col("p_brand") === b && col("p_size").between(1, sz) &&
+        col("l_quantity").between(qlo, qhi)
+    }.reduce(_ || _)
+    Tables.lineitem(spark, sfDir)
+      .filter(liSide)
+      .join(broadcast(Tables.part(spark, sfDir).filter(partSide)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(full)
+      .groupBy(col("p_brand"))
+      .agg(outDec(revenue, 38, 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3" -> tpchQ3 _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q10" -> tpchQ10 _,
-    "tpch_q18" -> tpchQ18 _
+    "tpch_q14" -> tpchQ14 _,
+    "tpch_q18" -> tpchQ18 _,
+    "tpch_q19" -> tpchQ19 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +243,30 @@ object Tpch {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "tpch_q14" ->
+      """SELECT promo_revenue, total_revenue,
+        |  promo_revenue / total_revenue * 100.0 AS promo_pct
+        |FROM (
+        |  SELECT
+        |    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01')""".stripMargin,
+    "tpch_q19" ->
+      """SELECT p_brand,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty

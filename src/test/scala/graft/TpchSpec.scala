@@ -39,7 +39,12 @@ class TpchSpec extends SparkTestBase {
     val expect = Map(
       "tpch_q3" -> Seq("c_mktsegment", "o_orderdate", "l_shipdate"),
       "tpch_q5" -> Seq("r_name", "o_orderdate"),
-      "tpch_q10" -> Seq("l_returnflag", "o_orderdate"))
+      "tpch_q10" -> Seq("l_returnflag", "o_orderdate"),
+      // q14: the one-month shipdate window is the entire read at scale
+      "tpch_q14" -> Seq("l_shipdate"),
+      // q19: the hand-derived per-side residuals of the OR predicate —
+      // quantity envelope on the fact scan, brand/size OR on the dim
+      "tpch_q19" -> Seq("l_quantity", "p_brand", "p_size"))
     for ((name, cols) <- expect) {
       val plan = planOf(Tpch.queries(name)(spark, sf))
       val pushed = "PushedFilters: \\[([^\\]]*)".r

@@ -192,9 +192,46 @@ object Tpch {
       .orderBy(col("p_brand"))
   }
 
+  /** `tpch_q7` — volume shipping between two nation GROUPS: revenue per
+    * (supplier nation, customer nation, ship year) where the supplier
+    * sits in one group and the customer in the other, either direction.
+    * Plan shape this adds over q5: the nation dimension joins TWICE
+    * under different roles (supplier's vs customer's), each pre-filtered
+    * to the union of both groups (the per-side residual of the
+    * direction disjunction, same trick as q19) and broadcast; the
+    * direction predicate runs post-join on the two small name columns;
+    * the group-by key includes a derived year. Fact-fact joins shuffle
+    * on their keys as usual — the nation filters cut the supplier/
+    * customer build sides before those shuffles.
+    */
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val grpA = Seq("NATION_1", "NATION_2", "NATION_3")
+    val grpB = Seq("NATION_4", "NATION_5", "NATION_6")
+    val both = grpA ++ grpB
+    val n = Tables.nation(spark, sfDir)
+    val supN = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(both: _*))
+    val cusN = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(both: _*))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(cusN), col("c_nationkey") === col("cn_key"))
+      .filter(
+        (col("supp_nation").isin(grpA: _*) && col("cust_nation").isin(grpB: _*)) ||
+          (col("supp_nation").isin(grpB: _*) && col("cust_nation").isin(grpA: _*)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3" -> tpchQ3 _,
     "tpch_q5" -> tpchQ5 _,
+    "tpch_q7" -> tpchQ7 _,
     "tpch_q10" -> tpchQ10 _,
     "tpch_q14" -> tpchQ14 _,
     "tpch_q18" -> tpchQ18 _,
@@ -243,6 +280,22 @@ object Tpch {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+        |       AND n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+        |   OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6')
+        |       AND n2.n_name IN ('NATION_1','NATION_2','NATION_3'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "tpch_q14" ->
       """SELECT promo_revenue, total_revenue,
         |  promo_revenue / total_revenue * 100.0 AS promo_pct

@@ -44,7 +44,9 @@ class TpchSpec extends SparkTestBase {
       "tpch_q14" -> Seq("l_shipdate"),
       // q19: the hand-derived per-side residuals of the OR predicate —
       // quantity envelope on the fact scan, brand/size OR on the dim
-      "tpch_q19" -> Seq("l_quantity", "p_brand", "p_size"))
+      "tpch_q19" -> Seq("l_quantity", "p_brand", "p_size"),
+      // q7: the nation-group union residual reaches both nation scans
+      "tpch_q7" -> Seq("n_name"))
     for ((name, cols) <- expect) {
       val plan = planOf(Tpch.queries(name)(spark, sf))
       val pushed = "PushedFilters: \\[([^\\]]*)".r

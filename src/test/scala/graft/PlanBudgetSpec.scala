@@ -66,4 +66,21 @@ class PlanBudgetSpec extends SparkTestBase {
     assert(hash <= 2, s"got $hash")
     assert(range <= 1)
   }
+
+  test("tpch_q14: ZERO data shuffles (broadcast dim + single global agg)") {
+    // the month-filtered fact scan joins a broadcast part and feeds ONE
+    // global aggregate — partial rows converge on a single-partition
+    // exchange, which Spark plans as neither hash nor range partitioning
+    val (hash, range) = shuffles(Tpch.queries("tpch_q14")(spark, sf))
+    assert(hash === 0, s"got $hash — a hash shuffle means the part join un-broadcast")
+    assert(range === 0, s"got $range")
+  }
+
+  test("tpch_q19: ONE data shuffle (the per-brand group-by)") {
+    // both residual-filtered scans meet in a broadcast join; the only
+    // data movement the algorithm needs is the final group-by on brand
+    val (hash, range) = shuffles(Tpch.queries("tpch_q19")(spark, sf))
+    assert(hash === 1, s"got $hash")
+    assert(range <= 1)
+  }
 }

@@ -76,6 +76,48 @@ class PlanBudgetSpec extends SparkTestBase {
     assert(range === 0, s"got $range")
   }
 
+  test("tpch_q6: ZERO data shuffles (pure scan + global aggregate)") {
+    // the filtered scan feeds ONE global agg through a single-partition
+    // exchange; any hash/range shuffle means a join or repartition crept
+    // into what must stay a pure scan query
+    val (hash, range) = shuffles(Tpch.queries("tpch_q6")(spark, sf))
+    assert(hash === 0, s"got $hash")
+    assert(range === 0, s"got $range")
+  }
+
+  test("tpch_q15: ONE data shuffle (the per-supplier aggregate)") {
+    // the whole-frame max window runs on the AGGREGATED per-supplier
+    // table via a single-partition exchange (not hash); a second hash
+    // shuffle would mean the revenue view computed twice
+    val (hash, _) = shuffles(Tpch.queries("tpch_q15")(spark, sf))
+    assert(hash === 1, s"got $hash")
+  }
+
+  test("tpch_q17: ONE data shuffle (the per-part window partition)") {
+    // the correlated-avg rewrite costs exactly the l_partkey window
+    // shuffle; the classic two-scan formulation would add a second
+    // fact aggregation + rejoin
+    val (hash, _) = shuffles(Tpch.queries("tpch_q17")(spark, sf))
+    assert(hash === 1, s"got $hash")
+  }
+
+  test("tpch_q21: the EXISTS/NOT-EXISTS pair costs at most THREE shuffles") {
+    // one per-order aggregate pass (the distinct-agg rewrite of both
+    // correlated subqueries, possibly two-phase under Expand) plus the
+    // final per-supplier group-by — against the naive plan's three
+    // fact-table passes plus two joins
+    val (hash, _) = shuffles(Tpch.queries("tpch_q21")(spark, sf))
+    assert(hash <= 3, s"got $hash")
+  }
+
+  test("tpch_q22: ONE data shuffle (the per-nation group-by)") {
+    // the scalar threshold rides a broadcast cross join and the
+    // recent-orders anti join broadcasts at this scale; only the final
+    // group-by moves data
+    val (hash, _) = shuffles(Tpch.queries("tpch_q22")(spark, sf))
+    assert(hash <= 1, s"got $hash")
+  }
+
   test("tpch_q19: ONE data shuffle (the per-brand group-by)") {
     // both residual-filtered scans meet in a broadcast join; the only
     // data movement the algorithm needs is the final group-by on brand

@@ -417,16 +417,27 @@ object Tpch {
     * supplier exists" ⇔ n_supp ≥ 2, "no other supplier returned" ⇔
     * n_ret_supp = 1 — proven row-for-row against the EXISTS/NOT-EXISTS
     * oracle.
+    *
+    * The per-order aggregate is TWO-LEVEL by design: a direct
+    * multi-countDistinct plans as Expand — every fact row duplicated
+    * once per distinct aggregate through the shuffle (3× lineitem at
+    * 100 TB). Aggregating (l_orderkey, l_suppkey) first is a plain
+    * map-side-combined hash agg — one narrow pass over the fact scan —
+    * and the per-order distinct counts become plain counts over the
+    * already-reduced pair table (≤ suppliers-per-order rows per order).
     */
   def tpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
     val isRet = col("l_returnflag") === "R"
+    val hasRet = col("ret_cnt") > 0
     val perOrder = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(isRet, lit(1))).as("ret_cnt"))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(isRet, col("l_suppkey"))).as("n_ret_supp"),
-        min(when(isRet, col("l_suppkey"))).as("ret_supp"),
-        count(when(isRet, lit(1))).as("ret_rows"))
+        count(lit(1)).as("n_supp"),
+        count(when(hasRet, lit(1))).as("n_ret_supp"),
+        min(when(hasRet, col("l_suppkey"))).as("ret_supp"),
+        sum(when(hasRet, col("ret_cnt")).otherwise(lit(0L))).as("ret_rows"))
       .filter(col("n_supp") >= 2 && col("n_ret_supp") === 1)
     perOrder
       .join(Tables.orders(spark, sfDir)

@@ -101,13 +101,17 @@ class PlanBudgetSpec extends SparkTestBase {
     assert(hash === 1, s"got $hash")
   }
 
-  test("tpch_q21: the EXISTS/NOT-EXISTS pair costs at most THREE shuffles") {
-    // one per-order aggregate pass (the distinct-agg rewrite of both
-    // correlated subqueries, possibly two-phase under Expand) plus the
-    // final per-supplier group-by — against the naive plan's three
-    // fact-table passes plus two joins
-    val (hash, _) = shuffles(Tpch.queries("tpch_q21")(spark, sf))
+  test("tpch_q21: two-level agg, at most THREE shuffles, and NO Expand") {
+    // the pair agg, the per-order agg over reduced pairs, the final
+    // per-supplier group-by. A multi-countDistinct formulation would
+    // plan as Expand — every fact row duplicated per distinct aggregate
+    // through the shuffle (3× lineitem at 100 TB) — so its absence is
+    // the pin that matters.
+    val df = Tpch.queries("tpch_q21")(spark, sf)
+    val (hash, _) = shuffles(df)
     assert(hash <= 3, s"got $hash")
+    assert(!planOf(df).contains("Expand"),
+      "q21 must aggregate two-level, not Expand per distinct aggregate")
   }
 
   test("tpch_q22: ONE data shuffle (the per-nation group-by)") {

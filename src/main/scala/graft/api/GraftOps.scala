@@ -123,6 +123,64 @@ object GraftOps {
       .limit(k)
   }
 
+  /** Exact batch k-NN JOIN: top-k cosine neighbours in `corpus` for
+    * EVERY probe row — the batch generalization of `cosineTopK`
+    * (retrieval evaluation, cross-dataset near-dup, hard-negative
+    * mining all run this shape, not single probes). The probe set
+    * broadcasts (it is the small side by construction — a batch of
+    * queries, not a second corpus); each corpus partition scores all
+    * probes map-side, and the per-probe top-k runs as a rank-limit
+    * window on `__pid` — Spark's WindowGroupLimit prunes to k rows per
+    * probe per partition BEFORE the shuffle, so the exchange moves
+    * O(partitions × probes × k), never the scored cross product. The
+    * nested-loop broadcast join is the intent: exact brute force IS
+    * n×p scoring; the scale path is `knnJoinLsh`.
+    *
+    * Output: (probe_id, idCol, sim), top-k rows per probe. Cosine is
+    * rounded to 6 (the cross-engine contract used everywhere else).
+    */
+  def knnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    ensureRegistered(corpus)
+    import org.apache.spark.sql.expressions.Window
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    corpus.crossJoin(broadcast(p))
+      .select(col("probe_id"), col(idCol),
+        round(cosine(col(vecCol), col("__pv")), 6).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** LSH-bucketed batch k-NN join — the scale path for `knnJoin`: both
+    * sides take the same `lsh_bucket` signature and the scoring join
+    * becomes an EQUI-join on the bucket, so each probe scores only
+    * ~n/2^nbits corpus rows instead of all of them. With the corpus
+    * written bucket-partitioned (Ann.writeBucketed) the join prunes at
+    * file-listing time. Same output contract as `knnJoin`; recall is
+    * tuned by nbits (and multi-probe on the probe side if needed) —
+    * per-probe results are always a subset of the probe's bucket.
+    */
+  def knnJoinLsh(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, n: Long): DataFrame = {
+    ensureRegistered(corpus)
+    import org.apache.spark.sql.expressions.Window
+    val bits = bucketBitsFor(n)
+    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), bits))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__pb", lshBucket(col("__pv"), bits))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    c.join(broadcast(p), col("__bucket") === col("__pb"))
+      .select(col("probe_id"), col(idCol),
+        round(cosine(col(vecCol), col("__pv")), 6).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** MinHash signature table over any (id, text) DataFrame: one row per
     * document with `idx` (hashed 3-gram shingle indices, array<int>) and
     * `h` (one minhash value per band, array<double>) — plain

@@ -225,11 +225,67 @@ object Ann {
       .limit(10)
   }
 
+  /** Probe-batch split for the k-NN join queries: the first
+    * `JoinProbes` vec_ids are the query batch, the rest the corpus.
+    */
+  val JoinProbes = 8
+
+  /** `knn_join` — exact batch k-NN join (ORACLE-GATED): top-5 cosine
+    * neighbours among vec_id ≥ 8 for EACH probe vec_id < 8, in one
+    * pass. The batch generalization of udf_cosine_topk: probes
+    * broadcast, corpus scored map-side, per-probe top-k as a
+    * rank-limit window (WindowGroupLimit prunes to k per probe per
+    * partition before the shuffle). DuckDB reproduces it with a
+    * ROW_NUMBER window over the cross join — rounded cosine makes the
+    * rank order engine-invariant (dedup_embed_verify's contract).
+    */
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    graft.api.GraftOps.knnJoin(
+      e.filter(col("vec_id") >= JoinProbes),
+      e.filter(col("vec_id") < JoinProbes),
+      "vec_id", "embedding", k = 5)
+      .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
+  }
+
+  /** `knn_join_ann` — the LSH-bucketed batch k-NN join (the scale
+    * path: equi-join on the shared bucket signature, each probe scores
+    * ~n/2^nbits of the corpus). No oracle (bucket layout is
+    * engine-specific); bucket confinement, per-probe cardinality, and
+    * recall vs the exact join pinned in AnnSpec.
+    */
+  def knnJoinAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    graft.api.GraftOps.knnJoinLsh(
+      e.filter(col("vec_id") >= JoinProbes),
+      e.filter(col("vec_id") < JoinProbes),
+      "vec_id", "embedding", k = 5, n = n)
+      .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_ann" -> knnAnn _,
     "knn_ann_multi" -> knnAnnMulti _,
-    "knn_quant" -> knnQuant _
+    "knn_quant" -> knnQuant _,
+    "knn_join" -> knnJoin _,
+    "knn_join_ann" -> knnJoinAnn _
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "knn_join" ->
+      """SELECT probe_id, vec_id, sim FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        |    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(p.embedding AS DOUBLE[])), 6) AS sim,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY p.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |        CAST(p.embedding AS DOUBLE[])), 6) DESC,
+        |        c.vec_id) AS rn
+        |  FROM embeddings c CROSS JOIN embeddings p
+        |  WHERE p.vec_id < 8 AND c.vec_id >= 8)
+        |WHERE rn <= 5
+        |ORDER BY probe_id, sim DESC, vec_id""".stripMargin
+  )
 }

@@ -303,6 +303,66 @@ class AnnSpec extends SparkTestBase {
     assert(bothHits >= 140, s"post-cap recall $bothHits/200")
   }
 
+  test("knn_join: 5 rows per probe, rank-limit window plan (no full sort)") {
+    val df = Ann.knnJoin(spark, sf)
+    val rows = df.collect()
+    val perProbe = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perProbe.keys.toSet === (0L until Ann.JoinProbes.toLong).toSet)
+    assert(perProbe.values.forall(_ === 5), s"got $perProbe")
+    assert(rows.forall(_.getLong(1) >= Ann.JoinProbes), "corpus ids only")
+    // the per-probe top-k must plan as a rank-limit window (map-side
+    // pruning to k per probe per partition), not a global sort
+    assert(planOf(df).contains("WindowGroupLimit"),
+      "per-probe top-k must use the rank-limit optimization")
+  }
+
+  test("knn_join_ann: bucket-confined and <= k per probe on the corpus") {
+    // On the tiny test corpus buckets are near-singletons (50 vectors /
+    // 64 buckets) and the exact top-5 of a uniform cloud (cosine ~0.3)
+    // are not near-dups, so exact-vs-ANN recall is not a meaningful pin
+    // here — that property is pinned on planted near-dups below. What
+    // must hold on ANY corpus: every match shares the bucket signature
+    // and the per-probe cardinality respects k.
+    val bits = LshBucket.bitsFor(
+      graft.sources.Tables.embeddings(spark, sf).count())
+    val ann = Ann.knnJoinAnn(spark, sf).collect()
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr(s"lsh_bucket(embedding, $bits)").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => e(r.getLong(0)) === e(r.getLong(1))),
+      "every (probe, neighbour) pair must share an LSH bucket")
+    val perProbe = ann.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perProbe.values.forall(_ <= 5))
+  }
+
+  test("knnJoinLsh finds planted near-dup neighbours (the regime LSH serves)") {
+    // 100 probes, each with a planted ~0.01-rad near-dup in the corpus
+    // plus 400 unrelated vectors: the LSH join must surface the planted
+    // neighbour for most probes (theory: single-bucket collision ~0.98
+    // at 6 bits; fixed seeds => deterministic count). This is the
+    // recall property the corpus-bound test above cannot express.
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    val probes = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val planted = probes.map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (0 until 400).map { i =>
+      (2000L + i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val corpus = (planted ++ noise).toDF("vec_id", "embedding")
+    val probeDf = probes.toDF("vec_id", "embedding")
+    val hits = graft.api.GraftOps
+      .knnJoinLsh(corpus, probeDf, "vec_id", "embedding", k = 5, n = 500L)
+      .filter(col("vec_id") === col("probe_id") + 1000L)
+      .count()
+    assert(hits >= 90, s"planted-neighbour recall $hits/100")
+  }
+
   test("bucket sizes stay bounded: max bucket <= 4x the expected mean") {
     // measured: sf0.001 max=20 (mean 7.8), sf0.1 max=45 (mean 31) — the
     // label-clustered corpus skews ~1.5-2.5x; 4x headroom pins that the

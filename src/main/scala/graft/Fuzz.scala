@@ -75,7 +75,7 @@ object Fuzz {
   }
 
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -128,6 +128,38 @@ object Fuzz {
          |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
          |FROM documents WHERE ${docPredicate(r)}
          |GROUP BY $g ORDER BY $g""".stripMargin
+    case 9 => // LEFT JOIN + stacked aggregation (q13's shape: outer-join
+      // survivors with count 0, then a histogram of the counts)
+      s"""SELECT c_count, COUNT(*) AS custdist FROM (
+         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |    AND ${predicate(r)}
+         |  GROUP BY c_custkey) t
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin
+    case 10 => // conditional count pair in one aggregate (q12's shape)
+      val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
+      val status = pick(r, Seq("F", "O", "P"))
+      s"""SELECT $g,
+         |  COUNT(CASE WHEN o_orderstatus = '$status' THEN 1 END) AS n_hit,
+         |  COUNT(CASE WHEN o_orderstatus <> '$status' THEN 1 END) AS n_miss,
+         |  COUNT(*) AS n
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY $g ORDER BY $g""".stripMargin
+    case 11 => // scalar aggregate threshold (q22's shape) — multiply,
+      // don't divide: exact decimal compare, no engine rounding flip
+      s"""SELECT o_orderkey, o_orderstatus
+         |FROM orders WHERE ${predicate(r)}
+         |  AND CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+         |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+         |ORDER BY o_orderkey LIMIT ${20 + r.nextInt(80)}""".stripMargin
+    case 12 => // correlated NOT EXISTS anti-join (case 7's complement)
+      s"""SELECT o_orderkey, o_orderpriority
+         |FROM orders WHERE ${predicate(r)}
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem
+         |                  WHERE l_orderkey = o_orderkey
+         |                    AND l_returnflag = '${pick(r, Seq("A", "N", "R"))}')
+         |ORDER BY o_orderkey LIMIT ${20 + r.nextInt(80)}""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
@@ -144,7 +176,7 @@ object Fuzz {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("orders", "lineitem", "documents").foreach(t =>
+    Seq("orders", "lineitem", "documents", "customer").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t))
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)

@@ -97,12 +97,47 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** `ts_gapfill` — time-series densification: per-user DAILY activity
+    * (event count + summed value) with every missing calendar day
+    * inside the user's [first, last] span zero-filled. The operator
+    * class this adds: a GENERATED dimension (`sequence` + `explode`
+    * builds each user's calendar map-side from the per-user span — no
+    * calendar table to maintain) left-joined back to the aggregate.
+    *
+    * Scale shape: the raw scan collapses to the (user, day) aggregate
+    * first — everything downstream (spans, calendar, join) runs on
+    * AGGREGATE-sized data, never raw events. The calendar explode is
+    * bounded by span length (days), not event count; the left join
+    * keys on (user_id, day), the same key the daily aggregate just
+    * shuffled on, so AQE reuses the partitioning. Gap days surface as
+    * count 0 / value 0.0 — exactly what a downstream anomaly detector
+    * or training-data coverage audit needs.
+    */
+  def tsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts_utc")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        outDec(sum(dec2(col("value"))), 38, 2).as("total_value"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("timestamp").as("day_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy(col("user_id"), col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumble" -> streamTumble _,
     "stream_slide" -> streamSlide _,
     "stream_session" -> streamSession _,
     "join_asof" -> joinAsof _,
-    "join_asof_fwd" -> joinAsofFwd _
+    "join_asof_fwd" -> joinAsofFwd _,
+    "ts_gapfill" -> tsGapfill _
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +190,20 @@ object Temporal {
         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_ts
         |  FROM events) t
         |WHERE event_type = 'purchase' AND next_signup_ts IS NOT NULL
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id,
+        |    UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM spans)
+        |SELECT c.user_id, CAST(c.day AS TIMESTAMP) AS day_ts,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  COALESCE(total_value, 0.0) AS total_value
+        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+        |ORDER BY c.user_id, day_ts""".stripMargin
   )
 }

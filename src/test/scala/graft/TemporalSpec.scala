@@ -89,6 +89,24 @@ class TemporalSpec extends SparkTestBase {
     assert(asof.count() > 0)
   }
 
+  test("ts_gapfill: contiguous per-user calendar, gaps zero-filled, totals preserved") {
+    val gf = Temporal.tsGapfill(spark, sf).collect()
+    val byUser = gf.groupBy(_.getLong(0))
+    // each user's calendar is CONTIGUOUS: row count == inclusive day span
+    for ((u, rows) <- byUser) {
+      val days = rows.map(_.getTimestamp(1).getTime).sorted
+      val spanDays = (days.last - days.head) / 86400000L + 1
+      assert(rows.length.toLong === spanDays, s"user $u calendar has holes")
+    }
+    // gap days exist at this sf and carry exactly (0, 0.0)
+    val gaps = gf.filter(_.getLong(2) === 0L)
+    assert(gaps.nonEmpty, "fixture should contain gap days")
+    assert(gaps.forall(_.getDouble(3) === 0.0))
+    // densification INVENTS days, never events: totals match the raw scan
+    val rawN = Tables.events(spark, sf).count()
+    assert(gf.map(_.getLong(2)).sum === rawN)
+  }
+
   test("ns-timestamp conversion matches the verified golden value") {
     val row = Tables.events(spark, sf)
       .filter(col("event_id") === 0)

@@ -131,13 +131,43 @@ object Temporal {
       .orderBy(col("user_id"), col("day_ts"))
   }
 
+  /** `ts_locf` — last-observation-carried-forward over the densified
+    * calendar: gap days (no observation) inherit the most recent prior
+    * day's value instead of zero — the standard fill for LEVEL metrics
+    * (balances, gauges, model-quality series) where absence means
+    * "unchanged", not "zero". One running `last(ignoreNulls)` window
+    * per user over the calendar — the same single (user-partitioned)
+    * shuffle the densification already made; the first calendar day is
+    * always observed (spans start at each user's first event), so the
+    * output is total.
+    */
+  def tsLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts_utc")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(outDec(sum(dec2(col("value"))), 38, 2).as("total_value"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("timestamp").as("day_ts"),
+        last(col("total_value"), ignoreNulls = true).over(w)
+          .as("filled_value"))
+      .orderBy(col("user_id"), col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumble" -> streamTumble _,
     "stream_slide" -> streamSlide _,
     "stream_session" -> streamSession _,
     "join_asof" -> joinAsof _,
     "join_asof_fwd" -> joinAsofFwd _,
-    "ts_gapfill" -> tsGapfill _
+    "ts_gapfill" -> tsGapfill _,
+    "ts_locf" -> tsLocf _
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,6 +233,21 @@ object Temporal {
         |SELECT c.user_id, CAST(c.day AS TIMESTAMP) AS day_ts,
         |  COALESCE(n_events, 0) AS n_events,
         |  COALESCE(total_value, 0.0) AS total_value
+        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+        |ORDER BY c.user_id, day_ts""".stripMargin,
+    "ts_locf" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id,
+        |    UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM spans)
+        |SELECT c.user_id, CAST(c.day AS TIMESTAMP) AS day_ts,
+        |  LAST_VALUE(total_value IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
         |ORDER BY c.user_id, day_ts""".stripMargin
   )

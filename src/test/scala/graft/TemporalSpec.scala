@@ -107,6 +107,21 @@ class TemporalSpec extends SparkTestBase {
     assert(gf.map(_.getLong(2)).sum === rawN)
   }
 
+  test("ts_locf: total output, observed days keep their value, gaps inherit the prior one") {
+    val gf = Temporal.tsGapfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val lf = Temporal.tsLocf(spark, sf).collect()
+    assert(lf.length === gf.size)
+    assert(lf.forall(!_.isNullAt(2)), "LOCF over spans starting at an observation is total")
+    var carried = Map.empty[Long, Double]
+    for (r <- lf.sortBy(r => (r.getLong(0), r.getTimestamp(1).getTime))) {
+      val (n, v) = gf((r.getLong(0), r.getTimestamp(1)))
+      if (n > 0) carried += r.getLong(0) -> v
+      assert(r.getDouble(2) === carried(r.getLong(0)),
+        s"user ${r.getLong(0)} day ${r.getTimestamp(1)}: expected carry")
+    }
+  }
+
   test("ns-timestamp conversion matches the verified golden value") {
     val row = Tables.events(spark, sf)
       .filter(col("event_id") === 0)

@@ -97,68 +97,72 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  /** `ts_gapfill` — time-series densification: per-user DAILY activity
-    * (event count + summed value) with every missing calendar day
-    * inside the user's [first, last] span zero-filled. The operator
-    * class this adds: a GENERATED dimension (`sequence` + `explode`
-    * builds each user's calendar map-side from the per-user span — no
-    * calendar table to maintain) left-joined back to the aggregate.
-    *
-    * Scale shape: the raw scan collapses to the (user, day) aggregate
-    * first — everything downstream (spans, calendar, join) runs on
-    * AGGREGATE-sized data, never raw events. The calendar explode is
-    * bounded by span length (days), not event count; the left join
-    * keys on (user_id, day), the same key the daily aggregate just
-    * shuffled on, so AQE reuses the partitioning. Gap days surface as
-    * count 0 / value 0.0 — exactly what a downstream anomaly detector
-    * or training-data coverage audit needs.
+  /** The (user, day) activity aggregate with each row's PREDECESSOR day
+    * attached (lag over the user's day-ordered window) — the shared
+    * spine of the gap-filling family. Each observed row then OWNS the
+    * gap run (prev_day, day]: exploding `sequence(prev_day+1, day)`
+    * emits the row's own day plus every missing day before it, which
+    * densifies the calendar in ONE pass over the aggregate — no
+    * calendar table, no self-join, and the raw fact table is scanned
+    * exactly once (a spans+join formulation re-evaluates the aggregate
+    * subtree: column pruning makes the two copies non-identical, so
+    * exchange reuse cannot dedupe them and the 100 TB scan runs twice
+    * — pinned against in PlanBudgetSpec).
     */
-  def tsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
+  private def dailyWithGapRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts_utc")).as("day"), col("value"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"),
         outDec(sum(dec2(col("value"))), 38, 2).as("total_value"))
-    val cal = daily.groupBy(col("user_id"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
-          .as("day"))
-    cal.join(daily, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day").cast("timestamp").as("day_ts"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("total_value"), lit(0.0)).as("total_value"))
-      .orderBy(col("user_id"), col("day_ts"))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_value", lag(col("total_value"), 1).over(w))
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("total_value"), col("prev_value"),
+        explode(sequence(
+          coalesce(date_add(col("prev_day"), 1), col("day")),
+          col("day"))).as("cal_day"))
   }
+
+  /** `ts_gapfill` — time-series densification: per-user DAILY activity
+    * (event count + summed value) with every missing calendar day
+    * inside the user's [first, last] span zero-filled. Gap days
+    * surface as count 0 / value 0.0 — what a downstream anomaly
+    * detector or training-data coverage audit needs.
+    *
+    * Scale shape: the raw scan collapses to the (user, day) aggregate
+    * first; the lag window re-shuffles only aggregate-sized data on
+    * user_id; the calendar explode is bounded by span length (days),
+    * not event count. One fact scan, two aggregate-sized shuffles,
+    * zero joins.
+    */
+  def tsGapfill(spark: SparkSession, sfDir: String): DataFrame =
+    dailyWithGapRuns(spark, sfDir)
+      .select(col("user_id"), col("cal_day").cast("timestamp").as("day_ts"),
+        when(col("cal_day") === col("day"), col("n_events")).otherwise(lit(0L))
+          .as("n_events"),
+        when(col("cal_day") === col("day"), col("total_value")).otherwise(lit(0.0))
+          .as("total_value"))
+      .orderBy(col("user_id"), col("day_ts"))
 
   /** `ts_locf` — last-observation-carried-forward over the densified
     * calendar: gap days (no observation) inherit the most recent prior
     * day's value instead of zero — the standard fill for LEVEL metrics
     * (balances, gauges, model-quality series) where absence means
-    * "unchanged", not "zero". One running `last(ignoreNulls)` window
-    * per user over the calendar — the same single (user-partitioned)
-    * shuffle the densification already made; the first calendar day is
-    * always observed (spans start at each user's first event), so the
-    * output is total.
+    * "unchanged", not "zero". The gap-run formulation makes the carry
+    * LOCAL: every generated gap day sits in (prev_day, day), so its
+    * fill is exactly the lagged row's value — no running
+    * last(ignoreNulls) window over the densified output needed. Same
+    * one-scan/two-shuffle/zero-join shape as ts_gapfill; the first
+    * calendar day is always observed, so the output is total.
     */
-  def tsLocf(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
-      .select(col("user_id"), to_date(col("ts_utc")).as("day"), col("value"))
-      .groupBy(col("user_id"), col("day"))
-      .agg(outDec(sum(dec2(col("value"))), 38, 2).as("total_value"))
-    val cal = daily.groupBy(col("user_id"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
-          .as("day"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cal.join(daily, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day").cast("timestamp").as("day_ts"),
-        last(col("total_value"), ignoreNulls = true).over(w)
-          .as("filled_value"))
+  def tsLocf(spark: SparkSession, sfDir: String): DataFrame =
+    dailyWithGapRuns(spark, sfDir)
+      .select(col("user_id"), col("cal_day").cast("timestamp").as("day_ts"),
+        when(col("cal_day") === col("day"), col("total_value"))
+          .otherwise(col("prev_value")).as("filled_value"))
       .orderBy(col("user_id"), col("day_ts"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumble" -> streamTumble _,

@@ -122,6 +122,24 @@ class PlanBudgetSpec extends SparkTestBase {
     assert(hash <= 1, s"got $hash")
   }
 
+  test("ts_gapfill/ts_locf: ONE fact scan, TWO aggregate shuffles, ZERO joins") {
+    // the gap-run formulation (lag window + per-row sequence explode)
+    // references the daily aggregate once — a spans+join formulation
+    // re-evaluates the aggregate subtree (column pruning makes the two
+    // copies non-identical, so exchange reuse cannot dedupe them) and
+    // scans the 100 TB fact table twice
+    for (name <- Seq("ts_gapfill", "ts_locf")) {
+      val df = Temporal.queries(name)(spark, sf)
+      val (hash, range) = shuffles(df)
+      assert(hash === 2, s"$name: got $hash (daily agg + lag window)")
+      assert(range <= 1, s"$name: got $range")
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+        s"$name must scan raw events exactly once:\n$plan")
+      assert(!plan.contains("Join"), s"$name needs no join:\n$plan")
+    }
+  }
+
   test("tpch_q19: ONE data shuffle (the per-brand group-by)") {
     // both residual-filtered scans meet in a broadcast join; the only
     // data movement the algorithm needs is the final group-by on brand

@@ -262,8 +262,34 @@ object Aggregates {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** `agg_histogram` — fixed-width value binning (the feature-
+    * engineering / profiling histogram): order totals into 10k-wide
+    * bins with per-bin count and decimal sum. The bin id is pure
+    * integer-result arithmetic (`floor(x / w)`) evaluated identically
+    * by both engines on the same IEEE doubles, so bin membership can't
+    * flip at an edge. Map-side: binning is a projection; the aggregate
+    * is a plain 2-phase hash agg on ~50 bin keys — at 100 TB the
+    * shuffle carries one row per (partition, bin). Only non-empty bins
+    * are emitted (profiling semantics); zero-filling a bin range is
+    * ts_gapfill's generated-dimension trick if a consumer needs it.
+    */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val width = 10000.0
+    Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") / width).cast("long").as("bin"),
+        col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        outDec(sum(dec2(col("o_totalprice"))), 38, 2).as("sum_price"))
+      .select((col("bin") * width).as("bin_lo"),
+        ((col("bin") + 1) * width).as("bin_hi"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("bin_lo"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing" -> aggPricing _,
+    "agg_histogram" -> aggHistogram _,
     "agg_salted" -> aggSalted _,
     "agg_mode" -> aggMode _,
     "agg_unpivot" -> aggUnpivot _,
@@ -282,6 +308,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(bin * 10000.0 AS DOUBLE) AS bin_lo,
+        |  CAST((bin + 1) * 10000.0 AS DOUBLE) AS bin_hi,
+        |  n_orders, sum_price
+        |FROM (
+        |  SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bin,
+        |    COUNT(*) AS n_orders,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY bin)
+        |ORDER BY bin_lo""".stripMargin,
     "agg_unpivot" ->
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events

@@ -8,9 +8,9 @@ import graft.sources.Tables
 
 /** Composite flagship queries — the classic TPC-H shapes adapted to
   * the corpus's columns (the corpus is a reduced TPC-H: no partsupp
-  * table and no comment/phone/shipmode/receiptdate columns, so Q2/Q4/
-  * Q9/Q11/Q16/Q20 have no faithful analogue and Q12/Q13/Q17/Q21/Q22
-  * are re-keyed onto the columns that exist, keeping each query's
+  * table and no comment/phone/shipmode/receiptdate columns, so Q2/
+  * Q9/Q11/Q16/Q20 have no faithful analogue and Q4/Q12/Q13/Q17/Q21/
+  * Q22 are re-keyed onto the columns that exist, keeping each query's
   * distinctive PLAN SHAPE). Individually every operator here is
   * already gated (joins C1-C9, aggs D1-D8, sort F1); these entries gate
   * the COMPOSITIONS an analytics user actually runs: multi-way
@@ -452,6 +452,38 @@ object Tpch {
       .limit(100)
   }
 
+  /** `tpch_q4` — order-priority checking: orders placed in one quarter
+    * with at least one LATE lineitem, counted per priority class. The
+    * corpus has no l_commitdate/l_receiptdate, so "late" is re-keyed
+    * as shipped >60 days after the order date — which preserves Q4's
+    * distinctive shape: a LEFT SEMI join whose condition carries a
+    * CORRELATED non-equi predicate beside the key (`l_shipdate >
+    * o_orderdate + 60 days`), i.e. a correlated EXISTS that cannot be
+    * decorrelated to a plain key semi-join. Scale shape: the quarter
+    * filter on orders is pushed to the scan (one quarter of one year
+    * ≈ 1/26 of the fact table); the semi join shuffles both sides on
+    * orderkey, lineitem carrying only (key, shipdate); semi-join
+    * output is at most one row per order, and the final aggregate is
+    * 5 groups. Timestamp+interval arithmetic is exact in both engines
+    * — no rounding can flip "late" at a boundary.
+    */
+  def tpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-07-01").cast("timestamp")
+    val hi = lit("1997-10-01").cast("timestamp")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** `tpch_q22` — global sales opportunity: per-nation count and total
     * balance of above-average-balance customers in a nation group with
     * no orders since the cutoff. Two shapes this adds: a scalar
@@ -485,6 +517,7 @@ object Tpch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3" -> tpchQ3 _,
+    "tpch_q4" -> tpchQ4 _,
     "tpch_q5" -> tpchQ5 _,
     "tpch_q6" -> tpchQ6 _,
     "tpch_q7" -> tpchQ7 _,
@@ -502,6 +535,16 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,

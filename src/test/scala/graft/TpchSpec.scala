@@ -39,6 +39,12 @@ class TpchSpec extends SparkTestBase {
       s"the big-orders filter must be a semi join:\n$plan")
   }
 
+  test("q4's correlated EXISTS plans as one semi join, not an aggregate+join") {
+    val plan = planOf(Tpch.tpchQ4(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"the late-lineitem EXISTS must be a semi join:\n$plan")
+  }
+
   test("selective predicates reach the parquet scans as PushedFilters") {
     // insurance that a refactor never un-pushes the flagship filters: a
     // scan that reads every row and filters above the exchange turns the
@@ -65,7 +71,10 @@ class TpchSpec extends SparkTestBase {
       // q17: the part-type filter prunes the dimension before broadcast
       "tpch_q17" -> Seq("p_type"),
       // q22: the nation-group restriction reaches the customer scan
-      "tpch_q22" -> Seq("c_nationkey"))
+      "tpch_q22" -> Seq("c_nationkey"),
+      // q4: the quarter window is the entire orders read; the
+      // correlated shipdate predicate rides the semi join instead
+      "tpch_q4" -> Seq("o_orderdate"))
     for ((name, cols) <- expect) {
       val plan = planOf(Tpch.queries(name)(spark, sf))
       val pushed = "PushedFilters: \\[([^\\]]*)".r

@@ -340,6 +340,81 @@ object GraftOps {
     }
   }
 
+  /** Deterministic train/val/test split assignment: adds `splitCol`
+    * naming the band of the md5 hash space the row's key falls in.
+    * `bands` lists (name, fraction) in order; fractions must sum to
+    * ≤ 1.0 (any remainder falls to `rest`). Content-addressed like
+    * `deterministicSample`, which buys the two properties a training
+    * split actually needs: (1) a document keeps its split across
+    * re-runs, repartitions, and engines — no train/test leakage from
+    * nondeterminism; (2) bands are NESTED — growing train from 0.8 to
+    * 0.9 keeps every old train row in train, so an enlarged corpus
+    * never migrates examples from train INTO test (the leakage
+    * direction that silently inflates eval). Pure map-side projection:
+    * no shuffle, no state, safe at any scale.
+    */
+  def splitAssign(df: DataFrame, keyCol: String, splitCol: String,
+      bands: Seq[(String, Double)], rest: String = "test"): DataFrame = {
+    require(bands.nonEmpty && bands.map(_._2).sum <= 1.0 + 1e-9,
+      s"band fractions must sum to <=1: $bands")
+    val h = substring(md5(col(keyCol).cast("string")), 1, 4)
+    val cuts = bands.scanLeft(0.0)(_ + _._2).tail
+    val assigned = bands.zip(cuts).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), cut)) =>
+        // cut==1.0 would format as the 5-char "10000" (see
+        // deterministicSample) — a full-width band keeps everything.
+        if (cut >= 1.0) acc.when(lit(true), lit(name))
+        else acc.when(h < lit(f"${math.floor(cut * 65536).toInt}%04x"), lit(name))
+    }.otherwise(lit(rest))
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Mixture (re-)balancing: the largest deterministic subsample whose
+    * stratum proportions EXACTLY match `weights` — the domain/language
+    * mixing step of training-data curation. With n_l rows in stratum l
+    * and target weight w_l, the binding stratum is argmin n_l/w_l (it
+    * is kept whole); every other stratum downsamples to rate
+    * w_l·T/n_l where T = min_l n_l/w_l is the achievable total. No
+    * stratum ever upsamples.
+    *
+    * Scale shape: one tiny aggregate (one row per stratum) broadcast
+    * back onto the corpus, then a map-side content-addressed filter —
+    * the same md5-prefix rule as `deterministicSample`, with the
+    * threshold a COLUMN (per-row hex compare) instead of a literal.
+    * The corpus is scanned once; nothing shuffles on data keys.
+    * Strata absent from `weights` are dropped (weight 0). Temp columns
+    * `__stratum`/`__rate` are reserved during the join.
+    *
+    * The binding stratum's rate computes as w·(n/w)/n, which in IEEE
+    * arithmetic can land one ulp BELOW 1.0 — without slack it would
+    * drop the hash prefix 'ffff' from the one stratum meant to be kept
+    * whole. The ≥ 1−1e-9 compare absorbs that; a GENUINE rate inside
+    * (1−1e-9, 1) needs a stratum above ~1e9 rows, where the error is
+    * one row of noise in the opposite, harmless direction.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ > 0.0), s"weights must be positive: $weights")
+    // T = min n_l/w_l over strata present in the data; rate_l = w_l*T/n_l.
+    val withW = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+    val nPerStratum = withW
+      .groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weights.foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (s, v)) => acc.when(col("__stratum") === s, lit(v))
+      })
+      .withColumn("__cap", col("__n").cast("double") / col("__w"))
+    val t = nPerStratum.agg(min(col("__cap")).as("__t"))
+    val rated = nPerStratum.crossJoin(broadcast(t))
+      .select(col("__stratum"),
+        (col("__w") * col("__t") / col("__n").cast("double")).as("__rate"))
+    withW.join(broadcast(rated), col(strataCol) === col("__stratum"))
+      .filter(col("__rate") >= lit(1.0 - 1e-9) ||
+        substring(md5(col(keyCol).cast("string")), 1, 4) <
+          lpad(lower(hex(floor(col("__rate") * 65536.0).cast("long"))), 4, "0"))
+      .drop("__stratum", "__rate")
+  }
+
   /** Connected components over an undirected edge list — the CLUSTER
     * step of near-dedup: pair generation (LSH/minhash) yields edges,
     * but "keep one doc per duplicate GROUP" needs the transitive

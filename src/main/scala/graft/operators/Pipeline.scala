@@ -137,6 +137,37 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** `pipeline_split` — deterministic train/val/test assignment
+    * (GraftOps.splitAssign): 80/10/10 by md5 band of doc_id, counted
+    * per (split, lang). Content-addressed, so a document keeps its
+    * split across re-runs, engines, and corpus growth — and the bands
+    * nest, so widening train never migrates a train doc into test.
+    * Pure map-side projection before the count: no shuffle, no join.
+    */
+  def pipelineSplit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.splitAssign(Tables.documents(spark, sfDir),
+        "doc_id", "split", Seq("train" -> 0.8, "val" -> 0.1), rest = "test")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  /** `pipeline_mixture` — mixture rebalancing (GraftOps.mixtureSample):
+    * the largest deterministic subsample with EQUAL language
+    * proportions (w=0.2 each). The binding (smallest-capacity) language
+    * is kept whole — its keep-rate is exactly 1.0, exercising the
+    * full-band boundary — and the dominant language (en ≈ 44% of the
+    * corpus) downsamples hardest. One stratum-count aggregate broadcast
+    * back, then a map-side md5-prefix filter whose threshold is a
+    * per-row COLUMN; the corpus never shuffles on data keys.
+    */
+  def pipelineMixture(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.mixtureSample(Tables.documents(spark, sfDir),
+        "doc_id", "lang",
+        Map("en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.2, "zh" -> 0.2))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   /** `pack_sequences` — sequence packing: assign documents (in stable
     * doc_id order, per lang) to fixed-budget training bins by exclusive
     * prefix-sum of token counts DIV 4096 — the context-window packing
@@ -161,6 +192,8 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate _,
+    "pipeline_split" -> pipelineSplit _,
+    "pipeline_mixture" -> pipelineMixture _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequences _,
     "dedup_exact" -> dedupExact _,
@@ -185,6 +218,29 @@ object Pipeline {
         |FROM b
         |GROUP BY lang, bin
         |ORDER BY lang, bin""".stripMargin,
+    "pipeline_split" ->
+      """SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents) t
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+    "pipeline_mixture" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT MIN(CAST(n AS DOUBLE) / CAST(0.2 AS DOUBLE)) AS t FROM n),
+        |r AS (SELECT lang,
+        |        CAST(0.2 AS DOUBLE) * t.t / CAST(n AS DOUBLE) AS rate
+        |      FROM n, t)
+        |SELECT d.lang, COUNT(*) AS n_docs
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE rate >= 1.0 - 1.0e-9
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      printf('%04x', CAST(FLOOR(rate * 65536.0) AS BIGINT))
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_docs
         |FROM documents

@@ -229,6 +229,61 @@ class ApiSpec extends SparkTestBase {
     assert(cKeys === plain)
   }
 
+  test("splitAssign: partition-invariant, nested bands, remainder to rest") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, s"doc$i")).toDF("k", "body")
+    val s = GraftOps.splitAssign(df, "k", "split",
+      Seq("train" -> 0.8, "val" -> 0.1))
+    val byName = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train") > 1400 && byName("train") < 1800,
+      s"~80% train, got $byName")
+    // Partition-invariance: the assignment is a pure key function.
+    val s2 = GraftOps.splitAssign(df.repartition(17), "k", "split",
+      Seq("train" -> 0.8, "val" -> 0.1))
+    assert(s.orderBy("k").collect().toSeq === s2.orderBy("k").collect().toSeq)
+    // Nesting: widening train 0.5→0.8 keeps every old train key in train
+    // (the no-migration-into-test guarantee).
+    val narrow = GraftOps.splitAssign(df, "k", "split", Seq("train" -> 0.5))
+      .filter(col("split") === "train").select("k").collect().map(_.getLong(0)).toSet
+    val wideTrain = s.filter(col("split") === "train")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(narrow.subsetOf(wideTrain), "bands must nest under growth")
+    // A full-width band routes every row (the 'cut==1.0' hex boundary).
+    val full = GraftOps.splitAssign(df, "k", "split", Seq("all" -> 1.0))
+    assert(full.filter(col("split") === "all").count() === 2000)
+  }
+
+  test("mixtureSample: binding stratum kept whole, no upsampling, deterministic") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 600 'a', 300 'b', 100 'c'; equal thirds target → c binds (rate 1.0),
+    // a keeps ~100/600, b keeps ~100/300.
+    val df = ((1 to 600).map(i => (i.toLong, "a")) ++
+      (601 to 900).map(i => (i.toLong, "b")) ++
+      (901 to 1000).map(i => (i.toLong, "c")))
+      .toDF("k", "grp")
+    val w = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)
+    val out = GraftOps.mixtureSample(df, "k", "grp", w)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("c") === 100, s"binding stratum must be kept whole: $counts")
+    assert(counts("a") <= 600 && counts("b") <= 300, "no stratum upsamples")
+    // Each non-binding stratum lands near its target (hash-binomial noise).
+    assert(math.abs(counts("a") - 100) < 40 && math.abs(counts("b") - 100) < 40,
+      s"both should keep ~100: $counts")
+    // Deterministic and partition-invariant: a pure key function given
+    // the same stratum counts.
+    val again = GraftOps.mixtureSample(df.repartition(13), "k", "grp", w)
+      .orderBy("k").collect().toSeq
+    assert(again === out.orderBy("k").collect().toSeq)
+    // Strata without a weight are dropped entirely.
+    val partial = GraftOps.mixtureSample(df, "k", "grp", Map("a" -> 0.5, "c" -> 0.5))
+    assert(partial.filter(col("grp") === "b").count() === 0)
+  }
+
   test("repetitionSignals: top-bigram run equals the true max bigram frequency") {
     val spark2 = spark
     import spark2.implicits._

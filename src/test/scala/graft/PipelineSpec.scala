@@ -199,6 +199,34 @@ class PipelineSpec extends SparkTestBase {
       s"no Exchange may sit between the scan and the quality gate:\n$plan")
   }
 
+  test("pipeline_split: assignment is join-free map-side projection, counts conserve the corpus") {
+    val df = Pipeline.pipelineSplit(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      s"split assignment must be a projection, not a join:\n$plan")
+    // every doc lands in exactly one split
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("pipeline_mixture: rates ride a broadcast join, corpus never sort-merge-shuffles") {
+    val df = Pipeline.pipelineMixture(spark, sf)
+    df.collect()
+    val plan = planOf(df).linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-stratum rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the rate join:\n$plan")
+    // the binding (smallest-capacity) language is kept whole
+    val n = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = n.minBy(_._2)
+    val kept = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept(binding._1) === binding._2,
+      s"binding stratum $binding must survive whole: $kept")
+  }
+
   test("multimodal_join cardinality equals the embedding side (doc_id ⊇ vec_id)") {
     val joined = Pipeline.multimodalJoin(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
     assert(joined === Tables.embeddings(spark, sf).count())

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -42,6 +43,42 @@ class BucketingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the fact's partition scan at runtime") {
+    // The other half of the layout story beside bucketing: a fact table
+    // partitioned on a join-correlated column must NOT read every
+    // partition when the query joins it to a filtered dimension — at
+    // 100 TB the difference is scanning one year instead of seven. The
+    // dim filter isn't a literal on the fact side, so static pushdown
+    // can't see it; DPP turns the dim's build side into a runtime
+    // partition filter.
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    spark.sql("DROP TABLE IF EXISTS orders_part")
+    try {
+      Tables.orders(spark, sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite")
+        .option("path", s"$dir/orders_part").saveAsTable("orders_part")
+      val dim = spark.range(1995, 2002).toDF("d_year")
+        .withColumn("flag", col("d_year") % 7)
+      val q = spark.table("orders_part")
+        .join(dim.filter(col("flag") === 0), col("o_year") === col("d_year"))
+        .groupBy(col("o_year")).agg(count(lit(1)).as("n"))
+      val plan = planOf(q)
+      assert(plan.contains("dynamicpruning"),
+        s"the dim filter must prune fact partitions at runtime:\n$plan")
+      // and the pruned result is value-identical to the unpartitioned join
+      val expected = Tables.orders(spark, sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .join(dim.filter(col("flag") === 0), col("o_year") === col("d_year"))
+        .groupBy(col("o_year")).agg(count(lit(1)).as("n"))
+      assert(q.orderBy("o_year").collect().toSeq ===
+        expected.orderBy("o_year").collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_part")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
 }

@@ -404,4 +404,34 @@ class StreamingSpec extends SparkTestBase {
       sunk.contains(("2024-01-01 12:00:00", 1L)),
       s"on-time rows must be aggregated, sink=$sunk")
   }
+
+  test("curation ops compose into a stream unchanged: splitAssign + quality gate on streaming docs") {
+    // The library's map-side curation surface (split assignment,
+    // quality filtering, token counting) is stateless Catalyst — the
+    // SAME GraftOps calls must run on a readStream source with no
+    // rewrite, which is how a 100 TB ingest pipeline curates documents
+    // on arrival instead of in a nightly batch. Replay the corpus as a
+    // stream and check the per-(split, lang) survivor counts equal the
+    // batch run of the identical plan fragment.
+    val inDir = Files.createTempDirectory("graft_stream_docs")
+    Files.copy(Path.of(s"$sf/documents.parquet"),
+      inDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = Tables.documents(spark, sf)
+    def curate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.api.GraftOps.splitAssign(df, "doc_id", "split",
+          Seq("train" -> 0.8, "val" -> 0.1))
+        .filter(size(graft.api.GraftOps.tokens(col("text"))) >= 50)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    val streamed = curate(
+      spark.readStream.schema(batchDocs.schema).parquet(inDir.toString))
+    val q = streamed.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+    val got = spark.table("curate_stream")
+    val expected = curate(batchDocs)
+    assert(got.count() === expected.count())
+    assert(got.except(expected).count() === 0)
+    assert(expected.except(got).count() === 0)
+  }
 }

@@ -551,6 +551,30 @@ object GraftOps {
     df.filter(cond)
   }
 
+  /** Keep the top `fraction` of rows per stratum by a score column —
+    * the quality-retention step of curation ("keep the best quarter of
+    * each language"). Rank-based, not threshold-based: PERCENT_RANK is
+    * pure integer arithmetic ((r−1)/(n−1)) over the sort order, so the
+    * cut is engine-exact and tie rows share a fate (every row of a
+    * tied score is in or out together — no arbitrary winner).
+    *
+    * Scale: the window partitions by stratum, so state is bounded by
+    * the largest stratum, never the corpus. When a stratum itself is
+    * 100 TB-large, the sort dominates — switch to the two-pass
+    * approximate form (per-stratum `approx_percentile` threshold
+    * broadcast back, then a map-side filter, same shape as
+    * `mixtureSample`) and accept sketch error at the boundary.
+    */
+  def topFractionByScore(df: DataFrame, strataCol: String, scoreCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction $fraction")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__pr", percent_rank().over(
+        Window.partitionBy(col(strataCol)).orderBy(col(scoreCol).desc)))
+      .filter(col("__pr") <= lit(fraction))
+      .drop("__pr")
+  }
+
   /** Symmetric int8 scalar quantization of a float-vector column: each
     * vector stores as (array<tinyint>, one float scale) — a 4× storage
     * cut for a 100 TB embedding corpus, applied at ingest. Pure

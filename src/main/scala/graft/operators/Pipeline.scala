@@ -168,6 +168,21 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** `pipeline_quality_cut` — top-quartile quality retention per
+    * language (GraftOps.topFractionByScore on n_chars): per-lang doc
+    * counts and the min surviving score. Rank-based PERCENT_RANK cut —
+    * engine-exact integer arithmetic, tied scores share a fate. The
+    * window is per-lang (state bounded by the largest stratum); the
+    * approx-threshold two-pass form is the documented scale path for
+    * strata that outgrow a sort.
+    */
+  def pipelineQualityCut(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.topFractionByScore(Tables.documents(spark, sfDir),
+        "lang", "n_chars", 0.25)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"))
+      .orderBy(col("lang"))
+
   /** `pack_sequences` — sequence packing: assign documents (in stable
     * doc_id order, per lang) to fixed-budget training bins by exclusive
     * prefix-sum of token counts DIV 4096 — the context-window packing
@@ -194,6 +209,7 @@ object Pipeline {
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_split" -> pipelineSplit _,
     "pipeline_mixture" -> pipelineMixture _,
+    "pipeline_quality_cut" -> pipelineQualityCut _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequences _,
     "dedup_exact" -> dedupExact _,
@@ -228,6 +244,15 @@ object Pipeline {
         |  FROM documents) t
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
+    "pipeline_quality_cut" ->
+      """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS pr
+        |  FROM documents) t
+        |WHERE pr <= 0.25
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "pipeline_mixture" ->
       """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
         |t AS (SELECT MIN(CAST(n AS DOUBLE) / CAST(0.2 AS DOUBLE)) AS t FROM n),

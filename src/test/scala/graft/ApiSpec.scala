@@ -284,6 +284,30 @@ class ApiSpec extends SparkTestBase {
     assert(partial.filter(col("grp") === "b").count() === 0)
   }
 
+  test("topFractionByScore: ~fraction kept per stratum, ties share a fate, whole-stratum at 1.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // stratum 'a': distinct scores 1..100; stratum 'b': 10 distinct high
+    // scores, then a 50-row tie block whose first rank sits INSIDE the
+    // cut (pr = 10/99 ≈ 0.10) but whose size overflows the 25% budget
+    val df = ((1 to 100).map(i => (i.toLong, "a", i)) ++
+      (101 to 200).map { i =>
+        val s = if (i <= 110) i - 10 else if (i <= 160) 90 else i - 160
+        (i.toLong, "b", s)
+      }).toDF("k", "grp", "score")
+    val kept = GraftOps.topFractionByScore(df, "grp", "score", 0.25)
+    val a = kept.filter(col("grp") === "a").collect()
+    // distinct scores: percent_rank (r-1)/(n-1) <= 0.25 ⇒ r <= 25
+    assert(a.length === 25 && a.map(_.getInt(2)).min === 76,
+      s"top quarter of 'a' must be the top-25 scores, got ${a.length}")
+    // the tie block at score=90 overflows the 25% budget but its shared
+    // percent_rank is inside the cut: ALL 50 tied rows survive together
+    val b90 = kept.filter(col("grp") === "b" && col("score") === 90).count()
+    assert(b90 === 50, s"tied rows must be in or out together, got $b90")
+    assert(kept.filter(col("grp") === "b").count() === 60)
+    assert(GraftOps.topFractionByScore(df, "grp", "score", 1.0).count() === 200)
+  }
+
   test("repetitionSignals: top-bigram run equals the true max bigram frequency") {
     val spark2 = spark
     import spark2.implicits._

@@ -75,7 +75,7 @@ object Fuzz {
   }
 
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -160,6 +160,31 @@ object Fuzz {
          |                  WHERE l_orderkey = o_orderkey
          |                    AND l_returnflag = '${pick(r, Seq("A", "N", "R"))}')
          |ORDER BY o_orderkey LIMIT ${20 + r.nextInt(80)}""".stripMargin
+    case 13 => // md5 hash-band CASE split (pipeline_split's shape) — the
+      // hex-prefix compare must agree byte-for-byte between engines
+      val c1 = 2048 + r.nextInt(40000)
+      val c2 = c1 + 1024 + r.nextInt(65535 - c1 - 1024)
+      val key = pick(r, Seq("o_orderkey", "o_custkey"))
+      s"""SELECT band, o_orderstatus, COUNT(*) AS n
+         |FROM (
+         |  SELECT o_orderstatus,
+         |    CASE WHEN substr(md5(CAST($key AS STRING)), 1, 4) < '${f"$c1%04x"}' THEN 'lo'
+         |         WHEN substr(md5(CAST($key AS STRING)), 1, 4) < '${f"$c2%04x"}' THEN 'mid'
+         |         ELSE 'hi' END AS band
+         |  FROM orders WHERE ${predicate(r)}) t
+         |GROUP BY band, o_orderstatus
+         |ORDER BY band, o_orderstatus""".stripMargin
+    case 14 => // percent_rank cut (pipeline_quality_cut's shape) — the
+      // rank arithmetic and tie handling must agree between engines
+      val frac = Seq("0.1", "0.25", "0.5")(r.nextInt(3))
+      val g = pick(r, Seq("lang", "source"))
+      s"""SELECT $g, COUNT(*) AS n, MIN(n_chars) AS min_chars
+         |FROM (
+         |  SELECT $g, n_chars,
+         |    PERCENT_RANK() OVER (PARTITION BY $g ORDER BY n_chars DESC) AS pr
+         |  FROM documents WHERE ${docPredicate(r)}) t
+         |WHERE pr <= $frac
+         |GROUP BY $g ORDER BY $g""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** ETL maintenance operators: the jobs a reporting pipeline runs AROUND
+  * its queries — dimension versioning (SCD Type 2), periodic MERGE of a
+  * change batch into a snapshot, and load-time data-quality audits
+  * (per-column profile, referential-integrity orphan counts). The
+  * reference's category is ETL/pipeline (BASELINE.json: "batch
+  * transformations and loads"); these are the load-side transformations
+  * of that lifecycle, expressed Spark-first.
+  *
+  * Scale design notes per operator are on each method; the common theme
+  * is ONE pass over the fact stream and no self-joins: history build and
+  * merge both come out of windows / conditional aggregates over a single
+  * scan, and the profiler aggregates (column, value) pairs two-phase so
+  * no Expand duplication of the input ever crosses the shuffle.
+  */
+object Etl {
+
+  /** Event stream with the versioned attribute derived: a coarse `tier`
+    * per event (value<50 low, <200 mid, else high) — the shape of a CDC
+    * feed carrying an attribute that changes occasionally. Window order
+    * is (ts_utc, event_id): µs-truncated time with the unique event id
+    * breaking ties, identical on the DuckDB side.
+    */
+  private def tiered(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_utc"),
+        when(col("value") < 50, "low")
+          .when(col("value") < 200, "mid")
+          .otherwise("high").as("tier"))
+
+  /** `etl_scd2` — build a Type-2 slowly-changing dimension from a change
+    * stream: collapse consecutive same-value observations into versions,
+    * then assign each version its validity interval
+    * [valid_from, valid_to) with `valid_to IS NULL` marking the current
+    * row. The standard warehouse dimension-history table, built from raw
+    * CDC in one job.
+    *
+    * Spark-first shape: run-collapse is `lag` (keep rows where the tier
+    * differs from the previous event's), validity is `lead` over the
+    * SURVIVING rows — both windows share partitioning (user_id) AND
+    * ordering (ts_utc, event_id), and the filter between them preserves
+    * both, so Catalyst plans ONE exchange + ONE sort for the pair
+    * (pinned in EtlSpec). No self-join, no per-user collect: at 100 TB
+    * this is a single shuffle of the fact stream, and versions-per-user
+    * is bounded by events-per-user (window state is O(1) per row).
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    tiered(spark, sfDir)
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      .withColumn("valid_to", lead(col("ts_utc"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("tier"),
+        col("ts_utc").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  /** MERGE cutoff: rows before it are the standing snapshot, rows at or
+    * after it are the incoming batch (events span 2024-01-01..30).
+    */
+  private val MergeCutoff = "2024-01-22"
+
+  /** `etl_merge` — the periodic MERGE/upsert: fold a change batch into
+    * the standing per-key snapshot and classify every key as
+    * insert / update / unchanged (the row-level action log a MERGE INTO
+    * emits). Keys absent from the batch keep their prior state.
+    *
+    * Spark-first shape: NOT a join of two scans — both sides are
+    * conditional latest-row aggregates (`max` of a (ts, id, value)
+    * struct, null outside the side's time slice) over ONE scan of the
+    * stream, so the whole merge is a single map-side-combined shuffle
+    * on user_id. The struct max is the argmax idiom: lexicographic
+    * struct comparison makes "latest by (ts, event_id)" an ordinary
+    * max, which partial-aggregates map-side — where a join-based merge
+    * shuffles both full inputs. Pinned one-scan/one-shuffle in EtlSpec.
+    */
+  def merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit(MergeCutoff).cast("timestamp")
+    def latest(side: Column): Column =
+      max(when(side, struct(col("ts_utc").as("t"), col("event_id").as("e"),
+        col("tier").as("v"))))
+    tiered(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(latest(col("ts_utc") < cut).as("o"),
+        latest(col("ts_utc") >= cut).as("n"))
+      .select(col("user_id"),
+        col("o.v").as("prior_tier"), col("n.v").as("batch_tier"))
+      .withColumn("merged_tier",
+        coalesce(col("batch_tier"), col("prior_tier")))
+      .withColumn("action",
+        when(col("prior_tier").isNull, "insert")
+          .when(col("batch_tier").isNull
+            || col("batch_tier") === col("prior_tier"), "unchanged")
+          .otherwise("update"))
+      .orderBy(col("user_id"))
+  }
+
+  /** `dq_profile` — per-column data-quality profile of a table in one
+    * job: row count, null count, exact distinct count for every column.
+    * The pre-load validation an ETL runs before publishing a snapshot.
+    *
+    * Spark-first shape: the naive form (one `countDistinct` per column
+    * in a single agg) plans as Expand — every input row duplicated once
+    * PER COLUMN through the shuffle, the same 100 TB hazard tpch_q21
+    * eliminates. Instead the row is unpivoted map-side into (column,
+    * value-as-string) pairs — stack() is a generator, no shuffle — and
+    * aggregated two-level: (column, value) partial-reduces BEFORE the
+    * exchange (shuffle carries one row per distinct value per partition,
+    * not per input row), then per-column counts over the distinct pairs.
+    * All casts to string are injective (int64/double/timestamp), so the
+    * distinct counts equal the typed ones. No-Expand pinned in EtlSpec.
+    */
+  def dqProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(expr(
+        """stack(6,
+          |  'o_orderkey',      CAST(o_orderkey AS STRING),
+          |  'o_custkey',       CAST(o_custkey AS STRING),
+          |  'o_orderstatus',   o_orderstatus,
+          |  'o_totalprice',    CAST(o_totalprice AS STRING),
+          |  'o_orderdate',     CAST(o_orderdate AS STRING),
+          |  'o_orderpriority', o_orderpriority) AS (col_name, value)"""
+          .stripMargin))
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("c")).as("n_rows"),
+        coalesce(sum(when(col("value").isNull, col("c"))), lit(0L))
+          .as("n_null"),
+        count(when(col("value").isNotNull, lit(1))).as("n_distinct"))
+      .orderBy(col("col_name"))
+
+  /** `dq_orphans` — referential-integrity audit: for each foreign-key
+    * relationship, the number of fact rows whose key has no match in the
+    * dimension (plus the fact cardinality for rate context). The
+    * consistency check an ETL runs on every load; a non-zero count
+    * gates publication.
+    *
+    * Spark-first shape: per relationship, a LEFT ANTI join of the
+    * key-projected fact against the key-projected dimension, collapsed
+    * to a count — anti joins need only the keys, so the scan is pruned
+    * to one column a side, and AQE broadcasts any dimension that fits
+    * (at 100 TB customer may not; the anti join then shuffles KEYS, not
+    * rows). The three audits are independent jobs unioned — each scan
+    * reads exactly one column.
+    */
+  def dqOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(rel: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk))
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("rel"), col("n_orphans"),
+          lit(null).cast("long").as("n_fact"))
+        .unionAll(fact.agg(count(lit(1)).as("c"))
+          .select(lit(rel).as("rel"), lit(null).cast("long").as("n_orphans"),
+            col("c").as("n_fact")))
+        .groupBy(col("rel"))
+        .agg(max(col("n_orphans")).as("n_orphans"),
+          max(col("n_fact")).as("n_fact"))
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    audit("lineitem_part", lineitem, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey")
+      .unionAll(audit("lineitem_supplier", lineitem, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"))
+      .unionAll(audit("orders_customer", orders, "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"))
+      .orderBy(col("rel"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2" -> scd2 _,
+    "etl_merge" -> merge _,
+    "dq_profile" -> dqProfile _,
+    "dq_orphans" -> dqOrphans _
+  )
+
+  private val TierCase =
+    "CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' " +
+      "ELSE 'high' END"
+
+  val oracle: Map[String, String] = Map(
+    "etl_scd2" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+         |         $TierCase AS tier
+         |  FROM events),
+         |r AS (
+         |  SELECT *, LAG(tier) OVER
+         |    (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_tier
+         |  FROM e),
+         |v AS (
+         |  SELECT user_id, event_id, tier, tsu AS valid_from,
+         |         LEAD(tsu) OVER
+         |           (PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
+         |  FROM r WHERE prev_tier IS NULL OR prev_tier <> tier)
+         |SELECT user_id, event_id, tier, valid_from, valid_to,
+         |       valid_to IS NULL AS is_current
+         |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "etl_merge" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+         |         $TierCase AS tier
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id,
+         |    (max(CASE WHEN tsu < TIMESTAMP '$MergeCutoff'
+         |         THEN {'t': tsu, 'e': event_id, 'v': tier} END)).v
+         |      AS prior_tier,
+         |    (max(CASE WHEN tsu >= TIMESTAMP '$MergeCutoff'
+         |         THEN {'t': tsu, 'e': event_id, 'v': tier} END)).v
+         |      AS batch_tier
+         |  FROM e GROUP BY user_id)
+         |SELECT user_id, prior_tier, batch_tier,
+         |       COALESCE(batch_tier, prior_tier) AS merged_tier,
+         |       CASE WHEN prior_tier IS NULL THEN 'insert'
+         |            WHEN batch_tier IS NULL OR batch_tier = prior_tier
+         |              THEN 'unchanged'
+         |            ELSE 'update' END AS action
+         |FROM s ORDER BY user_id""".stripMargin,
+    "dq_profile" ->
+      """SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |       COUNT(*) - COUNT(o_orderkey) AS n_null,
+        |       COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |       COUNT(DISTINCT o_custkey) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |       COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |       COUNT(DISTINCT o_totalprice) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |       COUNT(DISTINCT o_orderdate) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*),
+        |       COUNT(*) - COUNT(o_orderpriority),
+        |       COUNT(DISTINCT o_orderpriority) FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "dq_orphans" ->
+      """SELECT 'lineitem_part' AS rel,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |    AS n_orphans,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_fact
+        |UNION ALL
+        |SELECT 'lineitem_supplier',
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+        |  (SELECT COUNT(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'orders_customer',
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT COUNT(*) FROM orders)
+        |ORDER BY rel""".stripMargin
+  )
+}

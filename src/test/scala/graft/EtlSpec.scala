@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Etl
+
+/** Plan + semantics pins for the ETL maintenance operators. The
+  * scaladoc on each operator documents a specific 100 TB-safe plan
+  * shape (one shuffle, no Expand, key-pruned anti joins); these tests
+  * fail if a refactor silently loses that shape.
+  */
+class EtlSpec extends SparkTestBase {
+
+  /** (hash shuffles, range shuffles) in the FINAL adaptive plan, as in
+    * PlanBudgetSpec — broadcast exchanges excluded by pattern.
+    */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    def c(p: String) =
+      plan.linesIterator.count(l => l.contains(p) && !l.contains("Reused"))
+    (c("Exchange hashpartitioning"), c("Exchange rangepartitioning"))
+  }
+
+  test("etl_scd2: the lag/lead window pair shares ONE exchange and ONE sort") {
+    // Both windows partition by user_id and order by (ts_utc, event_id),
+    // and the run-collapse filter between them preserves both — Catalyst
+    // must plan a single hash exchange and a single sort for the pair.
+    val df = Etl.scd2(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val (hash, range) = shuffles(df)
+    assert(hash === 1, s"window pair must share one data shuffle, got $hash")
+    assert(range <= 1, "only the presentation orderBy may range-shuffle")
+    val sorts = plan.linesIterator
+      .count(l => l.trim.startsWith("+- Sort ") || l.trim.startsWith("Sort "))
+    // one window sort + at most the presentation sort
+    assert(sorts <= 2, s"expected the window pair to share one sort, got:\n$plan")
+  }
+
+  test("etl_scd2: versions are collapsed runs — no consecutive equal tiers") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    val bad = Etl.scd2(spark, sf)
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .filter(col("prev") === col("tier")).count()
+    assert(bad === 0L, "adjacent versions with the same tier survived collapse")
+  }
+
+  test("etl_scd2: validity intervals chain — valid_to equals the next valid_from") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    val broken = Etl.scd2(spark, sf)
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(
+        (col("next_from").isNotNull && (col("valid_to").isNull ||
+          col("valid_to") =!= col("next_from"))) ||
+        (col("next_from").isNull &&
+          (col("valid_to").isNotNull || !col("is_current"))))
+      .count()
+    assert(broken === 0L, "SCD2 validity chain has gaps or a non-current tail")
+  }
+
+  test("etl_merge: ONE scan of events, ONE data shuffle (argmax aggregate)") {
+    val df = Etl.merge(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 1, s"merge must read the stream once, got $scans scans")
+    val (hash, range) = shuffles(df)
+    assert(hash === 1, s"conditional-argmax merge is one shuffle, got $hash")
+    assert(range <= 1)
+  }
+
+  test("etl_merge: actions are consistent with the side aggregates") {
+    import org.apache.spark.sql.functions._
+    val bad = Etl.merge(spark, sf).filter(
+      (col("action") === "insert" && col("prior_tier").isNotNull) ||
+      (col("action") === "update" && (col("prior_tier").isNull ||
+        col("batch_tier").isNull || col("batch_tier") === col("prior_tier"))) ||
+      col("merged_tier").isNull).count()
+    assert(bad === 0L)
+  }
+
+  test("dq_profile: no Expand — the unpivot is a generator, not countDistinct fan-out") {
+    val df = Etl.dqProfile(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Expand"),
+      s"per-column distinct counts must not plan an Expand:\n$plan")
+  }
+
+  test("dq_orphans: anti joins broadcast the dimension and scan only key columns") {
+    val df = Etl.dqOrphans(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val anti = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(anti === 3, s"three FK audits must be broadcast anti joins, got $anti")
+    // fact scans are pruned to the single FK column per audit
+    assert(plan.contains("ReadSchema: struct<l_partkey:bigint>"), plan)
+    assert(plan.contains("ReadSchema: struct<l_suppkey:bigint>"), plan)
+    assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"), plan)
+  }
+}

@@ -900,4 +900,78 @@ object GraftOps {
       i => array_min(slice(grams, i, lit(w))))
     array_sort(array_distinct(minima))
   }
+
+  /** Deterministic WEIGHTED priority sample: keep the `k` rows with the
+    * smallest priority `u / w` per stratum, where `u` is the first 32
+    * bits of the key's md5 (a content-addressed uniform) and `w` the
+    * row's weight column — higher weight ⇒ smaller expected priority ⇒
+    * higher inclusion odds, the weighted twin of `deterministicSample`.
+    * The priority is one integer-by-double IEEE division — exactly
+    * reproducible across runs, partitionings, and engines (no
+    * transcendentals, whose last-ulp variance could flip near-ties).
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit, so each
+    * input partition forwards only its local top-k per stratum — the
+    * shuffle moves O(partitions × strata × k), never the corpus. With
+    * few strata the post-shuffle side is k-bounded per stratum, so the
+    * classic few-huge-groups window skew does not apply.
+    */
+  def weightedPrioritySample(df: DataFrame, keyCol: String,
+      weightCol: String, strataCols: Seq[String], k: Int,
+      uCol: String = "sample_u"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__prio"), col(keyCol))
+    df.withColumn(uCol, u)
+      .withColumn("__prio", col(uCol).cast("double") / col(weightCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__prio", "__rn")
+  }
+
+  /** Redaction: apply `patterns` (regex → replacement) left to right to
+    * `text`. The PII-scrub shape of a curation pipeline (mask numbers,
+    * emails, addresses before training). Pure map-side codegen'd
+    * regexp_replace chain — pushes through any downstream plan, no
+    * shuffle, no UDF; at 100 TB the cost is the regex engine alone.
+    */
+  def redact(text: Column, patterns: Seq[(String, String)]): Column =
+    patterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Fuzzy near-dup candidate pairs by BLOCKING + edit distance: rows
+    * sharing `blockKey` are paired (id ascending, so each unordered
+    * pair appears once) and rescored with full Levenshtein; `isDupCol`
+    * flags pairs whose distance relative to the longer side is ≤
+    * `maxRel`. The classic record-linkage shape: the block equi-join
+    * bounds comparisons to within-block pairs (vs the quadratic
+    * all-pairs), and the O(len²) distance runs only on candidates.
+    *
+    * Scale notes: block-key cardinality controls the join fan-out —
+    * callers pick a key whose block sizes are bounded (first tokens,
+    * minhash band, simhash prefix); a hot block salts like any skewed
+    * equi-join. For long texts swap the rescorer for the
+    * threshold-bounded `levenshtein(l, r, t)` (early-abandons the DP
+    * once the band exceeds t — returns -1 ⇒ not a dup) — the gated
+    * query keeps the unbounded form so the distance VALUE is
+    * oracle-checkable.
+    */
+  def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, maxRel: Double,
+      isDupCol: String = "is_dup"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"),
+      blockKey.as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"),
+      blockKey.as("__blk"))
+    a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn(isDupCol,
+        col("lev").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))) <= maxRel)
+      .drop("__blk")
+  }
 }

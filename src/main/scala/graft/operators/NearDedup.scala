@@ -347,7 +347,36 @@ object NearDedup {
       .orderBy(col("lang"))
   }
 
+  /** `dedup_fuzzy` — record-linkage near-dedup: blocking + EDIT
+    * DISTANCE (GraftOps.fuzzyDupPairs). Documents sharing their first
+    * two tokens become candidate pairs via an equi-join on the block
+    * key; each pair is rescored with full Levenshtein and flagged a dup
+    * when the distance relative to the longer side is ≤ 0.4. The
+    * classic fuzzy-matching shape for short records (titles, names,
+    * boilerplate) where shingle Jaccard is too coarse — and the edit
+    * distance is an exact integer, so unlike minhash/simhash this
+    * near-dup family is fully ORACLE-GATED, pair by pair.
+    *
+    * Scale: comparisons are bounded by block size (never all-pairs);
+    * the block key is a caller choice — here first-2-tokens, at 100 TB
+    * a minhash band or simhash prefix; hot blocks salt like any skewed
+    * equi-join. The threshold-bounded levenshtein(l,r,t) early-abandon
+    * variant is the long-text rescorer (documented in GraftOps); the
+    * gated query keeps the unbounded form so the VALUE is checked.
+    */
+  def dedupFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.api.GraftOps.fuzzyDupPairs(
+        docs, "doc_id", "text",
+        concat_ws(" ", split(col("text"), " ")(0), split(col("text"), " ")(1)),
+        maxRel = 0.4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("lev"), col("is_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy" -> dedupFuzzy _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_md5" -> dedupSimhashMd5 _,
@@ -360,6 +389,17 @@ object NearDedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_fuzzy" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, n_chars,
+        |    split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |  CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |    / greatest(length(a.text), length(b.text)) <= 0.4 AS is_dup
+        |FROM b a JOIN b b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_embed_verify" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

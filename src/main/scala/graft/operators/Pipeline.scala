@@ -137,6 +137,30 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** `sample_weighted` — deterministic WEIGHTED sampling
+    * (GraftOps.weightedPrioritySample): the 5 documents per language
+    * with the smallest content-addressed priority u/n_chars, so longer
+    * documents are proportionally likelier picks — the quality- or
+    * length-weighted draw a mixture pipeline uses where the uniform
+    * `sample_stratified` is not enough. The priority is one IEEE
+    * division of exact integers (no ln/pow whose last-ulp engine
+    * variance could flip a near-tie), which is what makes the SELECTED
+    * SET oracle-gateable, not just its size. Output carries u itself
+    * (exact bigint) rather than the derived double.
+    *
+    * Scale: rank-filter compiles to WindowGroupLimit — each partition
+    * forwards its local top-5 per lang, the shuffle moves
+    * O(partitions × langs × 5), never the corpus.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.weightedPrioritySample(
+        Tables.documents(spark, sfDir).select(
+          col("lang"), col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", Seq("lang"), k = 5)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("sample_u").as("u"))
+      .orderBy(col("lang"), col("doc_id"))
+
   /** `pipeline_split` — deterministic train/val/test assignment
     * (GraftOps.splitAssign): 80/10/10 by md5 band of doc_id, counted
     * per (split, lang). Content-addressed, so a document keeps its
@@ -211,6 +235,7 @@ object Pipeline {
     "pipeline_mixture" -> pipelineMixture _,
     "pipeline_quality_cut" -> pipelineQualityCut _,
     "sample_stratified" -> sampleStratified _,
+    "sample_weighted" -> sampleWeighted _,
     "pack_sequences" -> packSequences _,
     "dedup_exact" -> dedupExact _,
     "udtf_explode" -> udtfExplode _,
@@ -220,7 +245,25 @@ object Pipeline {
     "udaf_weighted" -> udafWeighted _
   )
 
+  /** DuckDB lacks conv(): the 8-hex md5 prefix parses to an integer by
+    * per-digit strpos arithmetic, the idiom dedup_simhash_md5 uses.
+    */
+  private val md5Hex8ToInt: String = (1 to 8).map { i =>
+    s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+  }.mkString("(", " + ", ")")
+
   val oracle: Map[String, String] = Map(
+    "sample_weighted" ->
+      s"""WITH pr AS (
+         |  SELECT lang, doc_id, n_chars, $md5Hex8ToInt AS u,
+         |    CAST($md5Hex8ToInt AS DOUBLE) / n_chars AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+         |  FROM pr)
+         |SELECT lang, doc_id, n_chars, CAST(u AS BIGINT) AS u
+         |FROM r WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens

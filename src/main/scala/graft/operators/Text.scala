@@ -193,7 +193,40 @@ object Text {
         Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** `text_redact` — PII-style masking audit over the event payloads:
+    * every digit run in `props` is replaced with a `<NUM>` token
+    * (`GraftOps.redact`), then the masked corpus is summarized per
+    * event type — row count, digits masked, number of DISTINCT masked
+    * shapes, and the min/max shape strings (value-gating the exact
+    * replacement output, not just its statistics). The scrub a
+    * training pipeline runs before text ever reaches a tokenizer.
+    *
+    * Scale shape: the regex chain is map-side codegen; the distinct-
+    * shape count aggregates two-level ((type, shape) partial-reduces
+    * before the exchange, then per-type counts) so no Expand and no
+    * per-row shuffle — same discipline as dq_profile. At 100 TB the
+    * shuffle carries one row per distinct shape per partition.
+    */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val red = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      graft.api.GraftOps.redact(col("props"),
+        Seq("[0-9]+" -> "<NUM>")).as("redacted"),
+      (length(col("props")) -
+        length(regexp_replace(col("props"), "[0-9]", ""))).cast("long")
+        .as("nd"))
+    red.groupBy(col("event_type"), col("redacted"))
+      .agg(count(lit(1)).as("c"), sum(col("nd")).as("d"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"), sum(col("d")).as("n_digits"),
+        count(lit(1)).as("n_shapes"),
+        min(col("redacted")).as("shape_min"),
+        max(col("redacted")).as("shape_max"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> textRedact _,
     "text_decontaminate" -> textDecontaminate _,
     "text_logprob" -> textLogprob _,
     "text_quality" -> textQuality _,
@@ -206,6 +239,20 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_redact" ->
+      """WITH red AS (
+        |  SELECT event_type,
+        |    regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |    CAST(length(props)
+        |      - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS nd
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, redacted, COUNT(*) AS c, SUM(nd) AS d
+        |  FROM red GROUP BY 1, 2)
+        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(SUM(d) AS BIGINT) AS n_digits, COUNT(*) AS n_shapes,
+        |  MIN(redacted) AS shape_min, MAX(redacted) AS shape_max
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, lang,

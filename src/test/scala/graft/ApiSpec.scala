@@ -493,6 +493,74 @@ class ApiSpec extends SparkTestBase {
     assert(top === topQ, "top-1 must survive int8 quantization on this corpus")
   }
 
+  test("weightedPrioritySample: k per stratum, scale-invariant, WindowGroupLimit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 1.0 + (i % 7)))
+    val df = rows.toDF("id", "grp", "wt")
+    val picked = GraftOps.weightedPrioritySample(df, "id", "wt", Seq("grp"), 10)
+    assert(planOf(picked).contains("WindowGroupLimit"),
+      "rank filter must compile to per-partition WindowGroupLimit")
+    val sel = picked.collect()
+    assert(sel.length === 20, "10 per stratum across 2 strata")
+    assert(sel.groupBy(_.getString(1)).forall(_._2.length === 10))
+    // ranking by u/w is invariant under uniform weight scaling
+    val scaled = GraftOps.weightedPrioritySample(
+      df.withColumn("wt", col("wt") * 1000.0), "id", "wt", Seq("grp"), 10)
+    assert(scaled.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      sel.map(_.getLong(0)).sorted.toSeq)
+    // selection is a pure function of content, not partitioning
+    val repart = GraftOps.weightedPrioritySample(
+      df.repartition(13), "id", "wt", Seq("grp"), 10)
+    assert(repart.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      sel.map(_.getLong(0)).sorted.toSeq)
+    // a stratum smaller than k is kept whole
+    val tiny = GraftOps.weightedPrioritySample(
+      df.filter(col("id") < 6), "id", "wt", Seq("grp"), 10)
+    assert(tiny.count() === 6)
+  }
+
+  test("redact: patterns apply left to right; replacement text is not rescanned") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq("call 555-0100 or mail a@b.de x9").toDF("t")
+    val out = df.select(GraftOps.redact(col("t"), Seq(
+      "[a-z0-9.]+@[a-z0-9.]+" -> "<EMAIL>",
+      "[0-9]+" -> "<NUM>")).as("r")).head.getString(0)
+    // email first — its digits must be consumed by <EMAIL>, not <NUM>
+    assert(out === "call <NUM>-<NUM> or mail <EMAIL> x<NUM>", out)
+  }
+
+  test("fuzzyDupPairs: unordered pairs once, exact dup at distance 0, equi-join plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delto"),   // 1 edit from doc 1
+      (3L, "alpha beta gamma delta"),   // exact dup of doc 1
+      (4L, "zz yy totally different"),
+      (5L, "alpha beta xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")
+    ).toDF("doc_id", "text")
+    val blk = concat_ws(" ", split(col("text"), " ")(0), split(col("text"), " ")(1))
+    val pairs = GraftOps.fuzzyDupPairs(df, "doc_id", "text", blk, maxRel = 0.4)
+    val plan = planOf(pairs)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"blocking must stay an equi-join:\n$plan")
+    val got = pairs.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("lev"), r.getAs[Boolean]("is_dup"))).sortBy(p => (p._1, p._2))
+    // block "alpha beta" pairs {1,2,3,5}; doc 4 is alone in its block
+    assert(got.map(p => (p._1, p._2)).toSeq ===
+      Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (3L, 5L)))
+    val byPair = got.map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    assert(byPair((1L, 3L)) === ((0L, true)), "exact dup: distance 0")
+    assert(byPair((1L, 2L)) === ((1L, true)), "single edit within threshold")
+    assert(!byPair((1L, 5L))._2 && !byPair((3L, 5L))._2,
+      "long divergent text exceeds the relative threshold")
+  }
+
   test("cosineTopK and annTopK on a user embedding DataFrame") {
     val spark2 = spark
     import spark2.implicits._

@@ -45,6 +45,17 @@ class TextSpec extends SparkTestBase {
       s"unbounded per-group collect crept back into the sharing scan:\n$plan")
   }
 
+  test("text_redact: two-level distinct-shape agg plans without Expand; digits all masked") {
+    val df = Text.textRedact(spark, sf)
+    df.collect()
+    assert(!planOf(df).contains("Expand"),
+      "distinct-shape count must aggregate two-level, not via Expand")
+    // every digit is consumed by a mask: no masked shape may contain one
+    val leaky = df.filter(col("shape_min").rlike("[0-9]") ||
+      col("shape_max").rlike("[0-9]")).count()
+    assert(leaky === 0L, "redacted output still contains digits")
+  }
+
   test("text_decontaminate accounting: counts bounded, probe docs excluded") {
     val d = Text.textDecontaminate(spark, sf)
     assert(d.filter(col("n_contaminated") > col("n_docs")).count() === 0)

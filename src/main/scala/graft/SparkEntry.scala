@@ -18,7 +18,7 @@ object SparkEntry {
       Windows.queries ++ Scalars.queries ++ Pipeline.queries ++
       Temporal.queries ++ Text.queries ++ NearDedup.queries ++
       Ann.queries ++ Ivf.queries ++ Pq.queries ++ Multimodal.queries ++
-      Tpch.queries ++ Etl.queries
+      Tpch.queries ++ Etl.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       Windows.oracle ++ Scalars.oracle ++ Pipeline.oracle ++
       Temporal.oracle ++ Text.oracle ++ NearDedup.oracle ++
       Ann.oracle ++ Ivf.oracle ++ Pq.oracle ++ Multimodal.oracle ++
-      Tpch.oracle ++ Etl.oracle
+      Tpch.oracle ++ Etl.oracle ++ Analytics.oracle
 }

@@ -901,6 +901,55 @@ object GraftOps {
     array_sort(array_distinct(minima))
   }
 
+  /** PageRank over an undirected edge set: `iters` rounds of the
+    * damped power iteration r(v) = (1-d)/N + d·Σ r(u)/deg(u) over the
+    * symmetrized edges, started uniform. The document-authority score
+    * a curation pipeline uses to weight quality by graph centrality
+    * (link graphs, near-dup graphs, citation graphs). Simplified
+    * dangling handling: sink nodes keep the teleport term only (their
+    * mass is not redistributed) — ranks are comparable, not a strict
+    * probability distribution.
+    *
+    * Scale shape: per round ONE equi-join of edges against |V| rank
+    * rows (both shuffle on vertex id, AQE reuses the partitioning) and
+    * one map-side-combined sum — state per round is |V| rows, never
+    * edge-materialized; `localCheckpoint` truncates lineage so plan
+    * size stays constant across rounds, the same discipline as
+    * `connectedComponents`. The single driver scalar is N (one count
+    * at start). Hot vertices skew the contribution groupBy like any
+    * aggregate key — AQE's skew handling applies; degree is bounded by
+    * the edge-generation policy (banded candidates here).
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
+      srcCol: String, dstCol: String, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && damping > 0.0 && damping < 1.0)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val nN = n.count()
+    val teleport = (1.0 - damping) / nN
+    var ranks = n.withColumn("r", lit(1.0 / nN))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.join(deg, ranks("id") === deg("src"))
+          .select(col("id"), (col("r") / col("deg")).as("w")),
+          sym("src") === col("id"))
+        .groupBy(sym("dst").as("id")).agg(sum(col("w")).as("x"))
+      ranks = n.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + lit(damping) * coalesce(col("x"), lit(0.0)))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Deterministic WEIGHTED priority sample: keep the `k` rows with the
     * smallest priority `u / w` per stratum, where `u` is the first 32
     * bits of the key's md5 (a content-addressed uniform) and `w` the

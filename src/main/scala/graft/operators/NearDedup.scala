@@ -347,6 +347,25 @@ object NearDedup {
       .orderBy(col("lang"))
   }
 
+  /** `graph_pagerank` — document-authority scoring: 5 damped PageRank
+    * rounds (GraftOps.pageRank) over the SAME deterministic banded
+    * near-dup edge set dedup_cluster clusters, uniform start. The
+    * centrality weighting a curation pipeline layers over a document
+    * graph (here the similarity graph; in production a link or
+    * citation graph). Oracle-gated: the oracle unrolls the five
+    * iterations as chained CTEs — every arithmetic step is plain
+    * double +/×/÷ in both engines, so ranks match to the rounded
+    * 6th decimal (neighbor sums have ≤4 terms; addition-order
+    * variance is ~1e-17, five orders below the rounding grain).
+    */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.api.GraftOps.pageRank(bandedEdges(docs), docs,
+        "doc_id", "src", "dst")
+      .select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `dedup_fuzzy` — record-linkage near-dedup: blocking + EDIT
     * DISTANCE (GraftOps.fuzzyDupPairs). Documents sharing their first
     * two tokens become candidate pairs via an equi-join on the block
@@ -375,7 +394,43 @@ object NearDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Unrolled 5-iteration PageRank oracle: recursive CTEs cannot hold
+    * the per-round aggregate, so the rounds chain as r1..r5. Decimal
+    * literals are CAST to DOUBLE — DuckDB would otherwise run the
+    * whole recurrence in DECIMAL and diverge from Spark's doubles.
+    */
+  private def pageRankOracle: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id, CAST(0.15 AS DOUBLE) / (SELECT c FROM nn)
+         |      + CAST(0.85 AS DOUBLE) * coalesce(s.x, 0) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT sym.dst AS id, sum(r${k - 1}.r / deg.deg) AS x
+         |    FROM sym JOIN r${k - 1} ON sym.src = r${k - 1}.id
+         |             JOIN deg ON sym.src = deg.src
+         |    GROUP BY sym.dst) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+       |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)
+       |  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.01),
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+       |n AS (SELECT doc_id AS id FROM documents),
+       |nn AS (SELECT count(*) AS c FROM n),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS r FROM n),
+       |$rounds
+       |SELECT id AS doc_id, ROUND(r, 6) AS rank FROM r5 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> graphPagerank _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
@@ -389,6 +444,7 @@ object NearDedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle,
     "dedup_fuzzy" ->
       """WITH b AS (
         |  SELECT doc_id, text, n_chars,

@@ -493,6 +493,29 @@ class ApiSpec extends SparkTestBase {
     assert(top === topQ, "top-1 must survive int8 quantization on this corpus")
   }
 
+  test("pageRank: symmetric pair is a fixed point; hubs outrank leaves; sinks keep teleport") {
+    val spark2 = spark
+    import spark2.implicits._
+    // graph: 1—2 (symmetric pair), star 10—{11,12,13}, isolated 20
+    val edges = Seq((1L, 2L), (10L, 11L), (10L, 12L), (10L, 13L)).toDF("s", "d")
+    val nodes = Seq(1L, 2L, 10L, 11L, 12L, 13L, 20L).toDF("nid")
+    val r = GraftOps.pageRank(edges, nodes, "nid", "s", "d", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val n = 7.0
+    // the uniform distribution restricted to a symmetric pair is NOT a
+    // global fixed point here (other components differ), but the pair
+    // exchanges its mass symmetrically: ranks stay equal
+    assert(math.abs(r(1L) - r(2L)) < 1e-15)
+    assert(r(10L) > r(11L), "the hub collects three contributions per round")
+    assert(math.abs(r(11L) - r(12L)) < 1e-15 && math.abs(r(12L) - r(13L)) < 1e-15)
+    // an isolated node receives exactly the teleport term (same
+    // expression shape as the implementation: (1-d)/N, not a 0.15
+    // literal — they differ in the last ulp)
+    assert(r(20L) === (1.0 - 0.85) / n)
+    // total mass is bounded by 1 (dangling mass not redistributed)
+    assert(r.values.sum <= 1.0 + 1e-12 && r.values.sum > 0.15)
+  }
+
   test("weightedPrioritySample: k per stratum, scale-invariant, WindowGroupLimit") {
     val spark2 = spark
     import spark2.implicits._

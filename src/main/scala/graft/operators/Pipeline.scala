@@ -137,6 +137,32 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** `agg_centroid` — per-label embedding centroids (the class
+    * prototype vectors a training pipeline derives for few-shot
+    * selection, clustering seeds, or drift monitoring): posexplode the
+    * vector, average per (label, dimension). 1-based dim to match the
+    * oracle's SQL array indexing.
+    *
+    * Scale shape: the explode is map-side (×64 rows, but projected to
+    * three narrow columns before the shuffle) and the average
+    * partial-aggregates per partition — the exchange carries
+    * (label × dim × partitions) partial sums, never the exploded
+    * corpus. The alternative shape (aggregate() HOF over collected
+    * arrays) would buffer whole vectors per group; this one never
+    * holds more than a scalar per key. avg over doubles matches the
+    * oracle at ROUND 6: addition-order variance is ~1e-14 abs, seven
+    * orders below the rounding grain.
+    */
+  def aggCentroid(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).as("dim"))
+      .agg(round(avg(col("v")), 6).as("centroid"), count(lit(1)).as("n"))
+      .select(col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"), col("centroid"), col("n"))
+      .orderBy(col("label"), col("dim"))
+
   /** `sample_weighted` — deterministic WEIGHTED sampling
     * (GraftOps.weightedPrioritySample): the 5 documents per language
     * with the smallest content-addressed priority u/n_chars, so longer
@@ -236,6 +262,7 @@ object Pipeline {
     "pipeline_quality_cut" -> pipelineQualityCut _,
     "sample_stratified" -> sampleStratified _,
     "sample_weighted" -> sampleWeighted _,
+    "agg_centroid" -> aggCentroid _,
     "pack_sequences" -> packSequences _,
     "dedup_exact" -> dedupExact _,
     "udtf_explode" -> udtfExplode _,
@@ -253,6 +280,13 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "agg_centroid" ->
+      """WITH e AS (
+        |  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  ROUND(avg(v), 6) AS centroid, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_weighted" ->
       s"""WITH pr AS (
          |  SELECT lang, doc_id, n_chars, $md5Hex8ToInt AS u,

@@ -901,6 +901,40 @@ object GraftOps {
     array_sort(array_distinct(minima))
   }
 
+  /** Morton (Z-order) code: interleave the low `bits` bits of two
+    * non-negative integer columns — a's bit i lands at position 2i,
+    * b's at 2i+1. Sorting by this code clusters rows that are close in
+    * BOTH dimensions, so parquet row-group min/max stats stay narrow
+    * on each column and a range predicate on EITHER prunes — the
+    * multi-column layout trick a single-column sort can't give
+    * (a secondary sort key's stats go full-range within every primary
+    * run). Pure integer shift/and/or expression tree: codegen'd,
+    * map-side, no shuffle of its own.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` Z-ordered on two columns: range-partition + sort by
+    * the morton code so each output file covers a compact rectangle of
+    * the (a, b) key space. `filesTarget` bounds output file count via
+    * repartitionByRange on the code (a range exchange — the one
+    * shuffle this costs; at 100 TB that is the point: one layout pass
+    * buys pruning on every later scan of either column).
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      bits: Int = 16, filesTarget: Int = 8): Unit =
+    df.withColumn("__z", mortonCode(a, b, bits))
+      .repartitionByRange(filesTarget, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** PageRank over an undirected edge set: `iters` rounds of the
     * damped power iteration r(v) = (1-d)/N + d·Σ r(u)/deg(u) over the
     * symmetrized edges, started uniform. The document-authority score

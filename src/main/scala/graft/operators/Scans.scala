@@ -79,14 +79,50 @@ object Scans {
       .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(50)
 
+  /** `layout_zorder` — the Z-order layout code, value-gated: the
+    * Morton interleave (GraftOps.mortonCode) of (o_custkey mod 2^16,
+    * days-since-epoch-of-1992 mod 2^16) for the 100 smallest codes.
+    * Sorting a table by this code is the multi-column clustering pass
+    * (writeZOrdered) that keeps parquet min/max stats narrow on BOTH
+    * columns; the gated query pins the bit arithmetic itself against
+    * an engine that has no z-order built-in — every term is a plain
+    * shift/and/or both engines evaluate identically. TakeOrdered
+    * shape: per-partition top-100, no global sort.
+    */
+  def layoutZorder(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        graft.api.GraftOps.mortonCode(
+          col("o_custkey") % 65536L,
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long") % 65536L).as("zcode"))
+      .orderBy(col("zcode"), col("o_orderkey"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> layoutZorder _,
     "scan_project" -> scanProject _,
     "filter_pred" -> filterPred _,
     "filter_like_null" -> filterLikeNull _,
     "sort_limit" -> sortLimit _
   )
 
+  /** Morton interleave as plain SQL bit arithmetic (32 OR'd terms). */
+  private def zcodeSql: String = {
+    val a = "(o_custkey % 65536)"
+    val b = "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536)"
+    (0 until 16).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})",
+        s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " | ", ")")
+  }
+
   val oracle: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""SELECT o_orderkey, CAST($zcodeSql AS BIGINT) AS zcode
+         |FROM orders
+         |ORDER BY zcode, o_orderkey
+         |LIMIT 100""".stripMargin,
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.operators.Temporal
 import graft.sources.Tables
-import graft.streaming.{EventsStream, SessionStream}
+import graft.streaming.{EventsStream, ScdStream, SessionStream}
 
 /** Structured Streaming pipeline (I4): replay equality with batch, and
   * watermark late-data dropping across micro-batches.
@@ -433,5 +433,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() === expected.count())
     assert(got.except(expected).count() === 0)
     assert(expected.except(got).count() === 0)
+  }
+
+  test("streaming SCD2 change feed equals the batch version rows (finalized prefix)") {
+    val inDir = Files.createTempDirectory("graft_stream_scd")
+    Files.copy(Path.of(s"$sf/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = ScdStream.versions(spark, inDir.toString, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scd_replay")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+    val streamed = spark.table("scd_replay").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3))).toSet
+
+    // batch truth: the version rows of Etl.scd2 (valid_to is derived
+    // from the NEXT change, so the change set alone determines it)
+    val batch = graft.operators.Etl.scd2(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3))).toSet
+
+    // final watermark = max event time - 10 min (ms-truncated); only
+    // versions strictly below it are finalizable
+    val maxMs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts_utc")))).collect()(0).getLong(0) / 1000L
+    val wmMs = maxMs - 10L * 60 * 1000
+
+    assert(streamed.nonEmpty, "no change rows emitted")
+    // 1. everything emitted is a true batch version row
+    val phantom = streamed -- batch
+    assert(phantom.isEmpty, s"streamed rows not in batch scd2: ${phantom.take(3)}")
+    // 2. every batch version finalizable under the final watermark was
+    //    emitted (strict ms margin: the stream finalizes ts < wm in µs)
+    val due = batch.filter(_._4.getTime < wmMs - 1)
+    val missing = due -- streamed
+    assert(missing.isEmpty,
+      s"${missing.size} finalizable versions not emitted: ${missing.take(3)}")
+    // 3. the complement is precisely the not-yet-finalizable tail
+    assert((streamed -- due).forall(_._4.getTime >= wmMs - 1))
   }
 }

@@ -75,7 +75,7 @@ object Fuzz {
   }
 
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -185,6 +185,31 @@ object Fuzz {
          |  FROM documents WHERE ${docPredicate(r)}) t
          |WHERE pr <= $frac
          |GROUP BY $g ORDER BY $g""".stripMargin
+    case 15 => // bit arithmetic (layout_zorder's territory): shifts,
+      // masks, OR — both engines must agree bit-for-bit. `^` is
+      // deliberately absent (DuckDB reads it as POWER, not XOR).
+      val (sa, sb) = (r.nextInt(8), r.nextInt(8))
+      val (ma, mb) = (1 + r.nextInt(255), 1 + r.nextInt(255))
+      s"""SELECT o_orderstatus,
+         |  CAST(SUM(((o_orderkey >> $sa) & $ma) | ((o_custkey >> $sb) & $mb)) AS BIGINT) AS bitsum,
+         |  CAST(SUM((o_orderkey & $ma) * 256 + (o_custkey & $mb)) AS BIGINT) AS mixsum,
+         |  COUNT(*) AS n
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    case 16 => // conditional-first-timestamp cascade (funnel_stages's
+      // shape): per-key MIN per condition, then ordered-boolean counts —
+      // null-propagation through the comparison must match engines
+      val status = pick(r, Seq("F", "O", "P"))
+      val prio = pick(r, Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"))
+      s"""SELECT COUNT(*) AS n_keys,
+         |  CAST(SUM(CASE WHEN t_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |  CAST(SUM(CASE WHEN t_b > t_a THEN 1 ELSE 0 END) AS BIGINT) AS s2
+         |FROM (
+         |  SELECT o_custkey,
+         |    MIN(CASE WHEN o_orderstatus = '$status' THEN o_orderdate END) AS t_a,
+         |    MIN(CASE WHEN o_orderpriority = '$prio' THEN o_orderdate END) AS t_b
+         |  FROM orders WHERE ${predicate(r)}
+         |  GROUP BY o_custkey) t""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

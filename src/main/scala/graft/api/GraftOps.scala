@@ -901,6 +901,35 @@ object GraftOps {
     array_sort(array_distinct(minima))
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * size-targeted files — the OPTIMIZE pass a 100 TB ingest needs
+    * once streaming/microbatch writers have fragmented a table into
+    * thousands of small files (each file costs a task, a footer read,
+    * and an open per scan; compaction restores full-size row groups
+    * and min/max usefulness). File count = ceil(bytes / targetBytes)
+    * from the ACTUAL on-disk size, via coalesce — a shuffle-free
+    * narrow repartition (we are only gluing files, not re-clustering;
+    * for re-clustering compose with writeZOrdered). Writes to
+    * `outPath`: rewriting a table in place atop a live reader is a
+    * transaction-log concern, out of scope for a layout pass.
+    * Returns the file count actually written — coalesce may produce
+    * fewer than the size-derived target when the scan already
+    * bin-packed the fragments into fewer read partitions (each then
+    * at least target-sized, which is the goal).
+    */
+  def compactFiles(df: DataFrame, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(inPath), conf)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath))
+      .getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    df.coalesce(files).write.mode("overwrite").parquet(outPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` bits of two
     * non-negative integer columns — a's bit i lands at position 2i,
     * b's at 2i+1. Sorting by this code clusters rows that are close in

@@ -24,6 +24,40 @@ class ZorderSpec extends SparkTestBase {
     assert(rows === Seq(0L, 1L, 2L, 15L, 27L))
   }
 
+  test("compactFiles: fragmented table glued to the size-targeted count, content intact") {
+    val frag = s"/tmp/graft_frag_${java.util.UUID.randomUUID}"
+    val comp = s"/tmp/graft_comp_${java.util.UUID.randomUUID}"
+    try {
+      // simulate a micro-batch-fragmented table: 64 tiny files
+      Tables.orders(spark, sf).repartition(64).write.parquet(frag)
+      val inFiles = new java.io.File(frag).listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(inFiles === 64)
+      val bytes = new java.io.File(frag).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val target = bytes / 4
+      val n = GraftOps.compactFiles(
+        spark.read.parquet(frag), frag, comp, targetBytes = target)
+      val outFiles = new java.io.File(comp).listFiles
+        .count(_.getName.endsWith(".parquet"))
+      // the scan may bin-pack the 64 fragments into fewer read
+      // partitions than the size target — each output file is then at
+      // least target-sized, which is the point of the pass
+      assert(outFiles === n && n >= 2 && n <= 6,
+        s"expected a handful of size-targeted files, got $n declared / $outFiles written")
+      // compaction is a pure layout change
+      val a = Tables.orders(spark, sf)
+      val b = spark.read.parquet(comp)
+      assert(b.count() === a.count())
+      assert(b.except(a).count() === 0 && a.except(b).count() === 0)
+    } finally {
+      for (p <- Seq(frag, comp)) {
+        val dir = new java.io.File(p)
+        if (dir.exists) { dir.listFiles.foreach(_.delete()); dir.delete() }
+      }
+    }
+  }
+
   test("writeZOrdered: per-file ranges narrow on BOTH columns; linear sort does not") {
     val dims = Tables.orders(spark, sf).select(
       col("o_orderkey"),

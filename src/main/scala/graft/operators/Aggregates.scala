@@ -131,6 +131,38 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_winsorize` — per-group percentile clipping (winsorization),
+    * the outlier-robust feature-scaling pass: per-lang p05/p95 cuts
+    * from EXACT interpolated percentiles, values clipped into [p05,
+    * p95], then per-lang raw-vs-winsorized means and clip counts.
+    *
+    * Scale shape: the classic two-pass stats-then-apply — pass 1
+    * aggregates the cuts per group (column-pruned to (lang, n_chars));
+    * pass 2 joins them back, and the cut table is GROUP-cardinality,
+    * so that join is a broadcast at any corpus size. Clipping itself
+    * is a row-local greatest/least. Means gated at ROUND 6 (sum-order
+    * variance ~1e-13, six orders under the grain); clip counts exact.
+    */
+  def aggWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars").cast("double").as("v"))
+    val pcts = "percentile(v, array(0.05D, 0.95D))"
+    val cuts = docs.groupBy(col("lang")).agg(
+      element_at(expr(pcts), 1).as("p05"),
+      element_at(expr(pcts), 2).as("p95"))
+    docs.join(broadcast(cuts), Seq("lang"))
+      .select(col("lang"), col("v"),
+        greatest(col("p05"), least(col("p95"), col("v"))).as("w"),
+        (col("v") < col("p05")).as("lo"), (col("v") > col("p95")).as("hi"))
+      .groupBy(col("lang"))
+      .agg(round(avg(col("v")), 6).as("mean_raw"),
+        round(avg(col("w")), 6).as("mean_winsor"),
+        sum(col("lo").cast("long")).as("n_clip_lo"),
+        sum(col("hi").cast("long")).as("n_clip_hi"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** `agg_approx_quantile` — approximate percentiles via Spark's
     * KLL-style quantile sketch (`percentile_approx`, accuracy 10000):
     * the scale path next to agg_quantile's exact sort-based percentile,
@@ -302,6 +334,7 @@ object Aggregates {
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
     "agg_quantile" -> aggQuantile _,
+    "agg_winsorize" -> aggWinsorize _,
     "agg_stats" -> aggStats _,
     "agg_stringagg" -> aggStringagg _,
     "agg_pivot" -> aggPivot _
@@ -339,6 +372,18 @@ object Aggregates {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "agg_winsorize" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |c AS (SELECT lang, quantile_cont(v, 0.05) AS p05,
+        |             quantile_cont(v, 0.95) AS p95
+        |      FROM d GROUP BY lang)
+        |SELECT d.lang, ROUND(avg(v), 6) AS mean_raw,
+        |  ROUND(avg(greatest(p05, least(p95, v))), 6) AS mean_winsor,
+        |  CAST(SUM(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  COUNT(*) AS n_docs
+        |FROM d JOIN c USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "agg_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFns, WeightedMean}
 import graft.sources.Tables
@@ -163,6 +164,40 @@ object Pipeline {
         col("dim").cast("long").as("dim"), col("centroid"), col("n"))
       .orderBy(col("label"), col("dim"))
 
+  /** `pipeline_e2e` — the WHOLE training-data preparation flow as ONE
+    * declarative plan, end-to-end oracle-gated: quality gate (≥50
+    * tokens) → exact dedup keep-min (GraftOps.dedupExactKeep) →
+    * deterministic 80/10/10 split (GraftOps.splitAssign) → per
+    * (split, lang) packing stats (docs, tokens, number of 4096-token
+    * bins under the pack_sequences prefix-sum binning). The "a user
+    * could switch" query: every stage is the library call a real
+    * pipeline would make, and Catalyst fuses them into one job.
+    *
+    * Scale shape inherited from the pieces: the quality filter is
+    * map-side ahead of every shuffle; dedup is one md5-partitioned
+    * window; the split is a pure projection; the pack window rides a
+    * (split, lang)-bounded partition. Nothing in the composition adds
+    * a shuffle beyond the stages' own.
+    */
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= 50)
+    val d = graft.api.GraftOps.dedupExactKeep(q, "text", "doc_id")
+    val s = graft.api.GraftOps.splitAssign(d, "doc_id", "split",
+      Seq("train" -> 0.8, "val" -> 0.1), rest = "test")
+    val w = Window.partitionBy(col("split"), col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s.withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) * lit(1.0)
+          / 4096).cast("long"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin")) + 1).as("n_bins"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** `sample_weighted` — deterministic WEIGHTED sampling
     * (GraftOps.weightedPrioritySample): the 5 documents per language
     * with the smallest content-addressed priority u/n_chars, so longer
@@ -260,6 +295,7 @@ object Pipeline {
     "pipeline_split" -> pipelineSplit _,
     "pipeline_mixture" -> pipelineMixture _,
     "pipeline_quality_cut" -> pipelineQualityCut _,
+    "pipeline_e2e" -> pipelineE2e _,
     "sample_stratified" -> sampleStratified _,
     "sample_weighted" -> sampleWeighted _,
     "agg_centroid" -> aggCentroid _,
@@ -353,6 +389,31 @@ object Pipeline {
         |  ELSE TRUE END
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 50),
+        |d AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM d WHERE rn = 1),
+        |b AS (
+        |  SELECT split, lang, n_tokens,
+        |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY split, lang
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) * 1.0 / 4096) AS BIGINT) AS bin
+        |  FROM s)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(bin) + 1 AS BIGINT) AS n_bins
+        |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "pipeline_curate" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text FROM documents

@@ -516,6 +516,21 @@ class ApiSpec extends SparkTestBase {
     assert(r.values.sum <= 1.0 + 1e-12 && r.values.sum > 0.15)
   }
 
+  test("pageRank: plan size is constant in the iteration count (lineage truncated)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (0L until 40L).map(i => (i, (i + 1) % 40)).toDF("s", "d")
+    val nodes = (0L until 40L).toDF("nid")
+    def planLines(iters: Int): Int =
+      planOf(GraftOps.pageRank(edges, nodes, "nid", "s", "d", iters = iters))
+        .linesIterator.size
+    val (p2, p6) = (planLines(2), planLines(6))
+    // without the per-round localCheckpoint the plan doubles per
+    // iteration; with it the final plan is one join+agg regardless
+    assert(p6 <= p2 + 5,
+      s"plan grew with iterations ($p2 lines at 2 iters, $p6 at 6) — lineage not truncated")
+  }
+
   test("weightedPrioritySample: k per stratum, scale-invariant, WindowGroupLimit") {
     val spark2 = spark
     import spark2.implicits._

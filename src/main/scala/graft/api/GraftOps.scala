@@ -964,6 +964,41 @@ object GraftOps {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Bigram language-model scoring: per-document average conditional
+    * log-probability avg ln(c(w1 w2) / c_prefix(w1)) under the
+    * corpus's own bigram MLE — the sharper perplexity proxy a quality
+    * filter uses where the unigram score (`unigramLogprob`) can't
+    * tell fluent text from a bag of frequent words. Prefix counts
+    * come from the bigram table itself (sum of counts sharing w1), so
+    * probabilities are a proper conditional distribution over
+    * observed continuations.
+    *
+    * Scale shape mirrors unigramLogprob: the bigram explode is the
+    * map-side Generate, the frequency and prefix tables are
+    * vocab²-bounded two-phase aggregates (checkpointed once), and
+    * scoring rejoins them — AQE broadcasts them while they fit, and
+    * both joins shuffle on the SAME derived key stream otherwise.
+    */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bi = df.select(col(idCol),
+      explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .as("bigram"))
+    val freq = bi.groupBy(col("bigram")).agg(count(lit(1)).as("bf"))
+      .localCheckpoint()
+    val pref = freq
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("bf")).as("pf"))
+    bi.join(freq, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(pref, "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("bf").cast("double") / col("pf"))), 6)
+          .as("avg_logprob"))
+  }
+
   /** PageRank over an undirected edge set: `iters` rounds of the
     * damped power iteration r(v) = (1-d)/N + d·Σ r(u)/deg(u) over the
     * symmetrized edges, started uniform. The document-authority score

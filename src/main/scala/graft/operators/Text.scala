@@ -193,6 +193,16 @@ object Text {
         Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** `text_bigram_lm` — per-doc bigram conditional log-probability
+    * (GraftOps.bigramLogprob): the perplexity-proxy quality score
+    * under the corpus's own bigram MLE. See the library scaladoc for
+    * the two-phase vocab²-bounded shape.
+    */
+  def textBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.bigramLogprob(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** `text_redact` — PII-style masking audit over the event payloads:
     * every digit run in `props` is replaced with a `<NUM>` token
     * (`GraftOps.redact`), then the masked corpus is summarized per
@@ -227,6 +237,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_redact" -> textRedact _,
+    "text_bigram_lm" -> textBigramLm _,
     "text_decontaminate" -> textDecontaminate _,
     "text_logprob" -> textLogprob _,
     "text_quality" -> textQuality _,
@@ -239,6 +250,24 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ex AS (
+        |  SELECT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1]
+        |      for i in range(1, len(toks))]) AS bigram
+        |  FROM t),
+        |freq AS (SELECT bigram, COUNT(*) AS bf FROM ex GROUP BY bigram),
+        |pref AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, SUM(bf) AS pf
+        |  FROM freq GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(ln(CAST(bf AS DOUBLE) / pf)), 6) AS avg_logprob
+        |FROM ex
+        |JOIN freq USING (bigram)
+        |JOIN pref ON split_part(ex.bigram, ' ', 1) = pref.w1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """WITH red AS (
         |  SELECT event_type,

@@ -45,6 +45,17 @@ class TextSpec extends SparkTestBase {
       s"unbounded per-group collect crept back into the sharing scan:\n$plan")
   }
 
+  test("text_bigram_lm: every doc scored, scores non-positive, bigram count = tokens - 1") {
+    val scored = Text.textBigramLm(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("exp_bi"))
+    assert(scored.count() === docs.count(), "every document must be scored")
+    val bad = scored.join(docs, "doc_id")
+      .filter(col("n_bigrams") =!= col("exp_bi") || col("avg_logprob") > 0.0)
+      .count()
+    assert(bad === 0L, "bigram accounting or probability sign broken")
+  }
+
   test("text_redact: two-level distinct-shape agg plans without Expand; digits all masked") {
     val df = Text.textRedact(spark, sf)
     df.collect()

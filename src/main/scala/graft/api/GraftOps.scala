@@ -1048,6 +1048,56 @@ object GraftOps {
     ranks
   }
 
+  /** Per-vertex triangle counts over an undirected edge set — the
+    * local clustering signal (tightly-knit boilerplate families,
+    * template clusters, citation cliques) that pairwise similarity
+    * and connected components both miss: a component says "these
+    * touch", a triangle count says "these are MUTUALLY similar".
+    *
+    * Algorithm: degree-ordered orientation. Each undirected edge is
+    * directed from its lower (degree, id) endpoint to the higher, a
+    * total order, so the oriented graph is acyclic and every triangle
+    * appears as exactly ONE path pattern u→v, v→w plus the closing
+    * edge u→w. Counting is two equi-joins: oriented ⋈ oriented on the
+    * middle vertex (wedge generation), then ⋈ oriented on the (u, w)
+    * closing pair. The triangle SET is orientation-invariant — any
+    * total order yields the same triangles — which is what keeps this
+    * SQL-oracle-able while the engine uses the scale-optimal order.
+    *
+    * Scale shape: degree-ordering is THE bound — max out-degree is
+    * O(√m), so wedge count is O(m^1.5) total (Schank/Wagner; the
+    * MapReduce triangle-count standard) versus O(Σ deg²) under id
+    * order, where one celebrity vertex quadratizes the join. All three
+    * joins are shuffle equi-joins on vertex keys; nothing driver-side.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = e0
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("u"), col("e1.t").as("v"), col("e2.t").as("w"))
+    val tris = wedges.join(oriented.as("e3"),
+      col("u") === col("e3.s") && col("w") === col("e3.t"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Deterministic WEIGHTED priority sample: keep the `k` rows with the
     * smallest priority `u / w` per stratum, where `u` is the first 32
     * bits of the key's md5 (a content-addressed uniform) and `w` the

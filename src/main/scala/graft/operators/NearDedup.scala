@@ -180,6 +180,36 @@ object NearDedup {
       .orderBy(col("doc_a"))
   }
 
+  /** `dedup_containment` — ASYMMETRIC shingle containment over the same
+    * deterministic pair set: c(A→B) = |A∩B| / |A|. The doc-inside-doc
+    * detector — when a short document is wholly quoted inside a long
+    * one, symmetric Jaccard is diluted by the long side's size
+    * (|∩|/|∪| → small) while containment of the short side stays ≈ 1.
+    * Exactly the case a near-dedup pass must catch to avoid training
+    * twice on embedded boilerplate/quotations. Both directions are
+    * emitted; the division is one IEEE op on exact integer operands,
+    * so the value gates bit-for-bit (rounded 6 only for display
+    * parity with dedup_ngram). In production the pairs come from the
+    * LSH candidate stage, exactly like the Jaccard verify.
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
+          " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.grams"), col("b.grams"))).as("inter"),
+        size(col("a.grams")).as("sz_a"), size(col("b.grams")).as("sz_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("sz_a"), 6).as("contain_ab"),
+        round(col("inter").cast("double") / col("sz_b"), 6).as("contain_ba"))
+      .orderBy(col("doc_a"))
+  }
+
   /** `dedup_embed` — embedding-cosine near-dup scan: top-20 most similar
     * LSH-co-located vector pairs. Bucketing keeps the candidate set
     * O(n·bucketSize) instead of all-pairs, and the join key scales with
@@ -366,6 +396,46 @@ object NearDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** `graph_triangles` — per-document triangle participation over the
+    * RARE-SHINGLE block graph: docs are joined when they share a
+    * 3-gram shingle whose document frequency is in [3, 5] (too common
+    * ⇒ no signal, singleton ⇒ no pair), and each document's triangle
+    * count measures how many MUTUALLY-connected triples it sits in.
+    * Components say "these touch"; triangles say "these agree
+    * pairwise" — the local-density signal that separates a chain of
+    * borderline matches from a genuine template family sharing rare
+    * phrases. (The banded Jaccard edge set dedup_cluster uses is too
+    * sparse to close triangles — a path-shaped graph by construction.)
+    *
+    * Scale: the df upper bound caps block size, so pair fan-out per
+    * shingle is ≤ C(5,2) — the same boundedness argument as every
+    * blocking join here; degree-ordered orientation inside
+    * GraftOps.triangleCounts then bounds wedge generation at O(m^1.5).
+    * The triangle SET is orientation-invariant, so the oracle counts
+    * the same triangles with the simple id-ordered three-way join.
+    */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
+          " i -> concat_ws(' ', slice(toks, i, 3))))")).as("gr"))
+    val rare = grams.groupBy(col("gr"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(3, 5))
+      .select(col("gr"))
+    val blk = grams.join(rare, Seq("gr"))
+    val edges = blk.as("a")
+      .join(blk.as("b"),
+        col("a.gr") === col("b.gr") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    graft.api.GraftOps.triangleCounts(edges, "src", "dst")
+      .select(col("id").as("doc_id"), col("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `dedup_fuzzy` — record-linkage near-dedup: blocking + EDIT
     * DISTANCE (GraftOps.fuzzyDupPairs). Documents sharing their first
     * two tokens become candidate pairs via an equi-join on the block
@@ -431,11 +501,13 @@ object NearDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
+    "graph_triangles" -> graphTriangles _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_md5" -> dedupSimhashMd5 _,
     "dedup_ngram" -> dedupNgram _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_embed" -> dedupEmbed _,
     "dedup_embed_verify" -> dedupEmbedVerify _,
     "dedup_cluster" -> dedupCluster _,
@@ -445,6 +517,27 @@ object NearDedup {
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle,
+    "graph_triangles" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(grams) AS gr FROM sh),
+        |rare AS (SELECT gr FROM (SELECT gr, count(*) AS df FROM g GROUP BY gr)
+        |         WHERE df BETWEEN 3 AND 5),
+        |blk AS (SELECT g.gr, g.doc_id FROM g JOIN rare USING (gr)),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM blk a JOIN blk b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+        |       JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |verts AS (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+        |          UNION ALL SELECT z AS id FROM tri)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM verts GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_fuzzy" ->
       """WITH b AS (
         |  SELECT doc_id, text, n_chars,
@@ -472,6 +565,19 @@ object NearDedup {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(a.grams), 6) AS contain_ab,
+        |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(b.grams), 6) AS contain_ba
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "dedup_cluster" ->

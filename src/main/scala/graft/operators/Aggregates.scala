@@ -182,6 +182,36 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_sketch_reagg` — the RE-AGGREGATABLE sketch pattern: daily
+    * DataSketches-HLL sketches of the event stream's user ids (the
+    * materialized per-partition rollup a 100 TB warehouse STORES),
+    * then the global distinct estimate by UNIONING the sketches — no
+    * second scan of the raw stream. This is the step beyond
+    * agg_approx: approx_count_distinct answers ONE query, while a
+    * stored sketch column answers every future rollup (week / month /
+    * all-time / any group subset) at sketch cost — the reason sketch
+    * columns exist in warehouse schemas. HLL union is register-wise
+    * max, so union-of-daily-sketches is EXACTLY the sketch of the
+    * whole stream (order/partitioning-invariant — pinned in
+    * PipelineSpec, with the accuracy bound vs exact). Output rows are
+    * the per-day estimates plus the rolled-up TOTAL row computed from
+    * the daily sketches alone. No oracle (DataSketches registers are
+    * engine-specific); estimates are deterministic integers.
+    */
+  def aggSketchReagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"),
+        count(lit(1)).as("n_events"))
+    val perDay = daily.select(col("day").cast("string").as("scope"),
+      hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
+    val total = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        sum(col("n_events")).as("n_events"))
+      .select(lit("total").as("scope"), col("est_users"), col("n_events"))
+    perDay.unionAll(total).orderBy(col("scope"))
+  }
+
   /** `agg_approx_freq` — Count-Min-Sketch frequency estimation: the
     * third sketch in the family (HLL distinct counts, KLL quantiles,
     * CMS per-key frequencies). One pass builds a constant-size sketch
@@ -331,6 +361,7 @@ object Aggregates {
     "agg_having" -> aggHaving _,
     "agg_groupingsets" -> aggGroupingSets _,
     "agg_approx" -> aggApprox _,
+    "agg_sketch_reagg" -> aggSketchReagg _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
     "agg_quantile" -> aggQuantile _,

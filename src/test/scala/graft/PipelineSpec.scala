@@ -77,6 +77,30 @@ class PipelineSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("agg_sketch_reagg: union-of-daily-sketches equals the direct whole-stream sketch") {
+    // HLL union is register-wise max, so re-aggregating stored daily
+    // sketches must give EXACTLY the estimate a direct pass over the
+    // full stream gives — the property that makes sketch columns safe
+    // to roll up at any later time without the raw data.
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"))
+      .collect()(0).getLong(0)
+    val rolled = Aggregates.aggSketchReagg(spark, sf)
+      .filter(col("scope") === "total")
+      .collect()(0).getLong(1)
+    assert(rolled === direct)
+  }
+
+  test("agg_sketch_reagg: total estimate within 5% of exact distinct users") {
+    val exact = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val est = Aggregates.aggSketchReagg(spark, sf)
+      .filter(col("scope") === "total")
+      .collect()(0).getLong(1)
+    assert(math.abs(est - exact).toDouble <= exact * 0.05,
+      s"est $est vs exact $exact")
+  }
+
   test("percentile_approx within 1 quantity unit of the exact percentile per group") {
     // l_quantity is dense integers 1..50, and at accuracy 10000 the
     // sketch's rank error is <= n/10000 rows — far under one value step;

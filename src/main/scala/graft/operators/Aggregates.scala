@@ -182,6 +182,42 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_decay` — exponential RECENCY-DECAY aggregation per user: the
+    * feature-store staple score Σ w·x / Σ w with w = exp(-age/τ),
+    * τ = 30 days, age measured from the stream's max timestamp. Recent
+    * activity dominates, stale activity fades smoothly — the standard
+    * alternative to hard sliding-window cutoffs for engagement /
+    * propensity features.
+    *
+    * Determinism discipline: ages are EXACT integer microsecond
+    * differences (unix_micros ↔ DuckDB epoch_us) divided once by the
+    * exactly-representable constant τ_µs, so the only transcendental
+    * is exp itself (≤1 ulp engine variance, five orders under the
+    * ROUND-6 gate — the text_logprob precedent). The "now" scalar is a
+    * one-row aggregate broadcast-cross-joined (tpch_q22's pattern),
+    * never a whole-table window. One scan, one shuffle, map-side
+    * partial sums; at 100 TB this is exactly an agg_pricing-shaped
+    * plan plus one scalar probe.
+    */
+  def aggDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    val tauUs = 30.0 * 86400.0 * 1e6 // 30 days in µs, exactly representable
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts_utc")).as("ts_us"),
+        col("value"))
+    val now = ev.agg(max(col("ts_us")).as("now_us"))
+    ev.crossJoin(broadcast(now))
+      .select(col("user_id"), col("value"),
+        exp(-((col("now_us") - col("ts_us")).cast("double") / lit(tauUs)))
+          .as("w"))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("w") * col("value")), 6).as("decayed_value"),
+        round(sum(col("w")), 6).as("decayed_weight"),
+        round(sum(col("w") * col("value")) / sum(col("w")), 6)
+          .as("recency_score"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** `agg_sketch_reagg` — the RE-AGGREGATABLE sketch pattern: daily
     * DataSketches-HLL sketches of the event stream's user ids (the
     * materialized per-partition rollup a 100 TB warehouse STORES),
@@ -362,6 +398,7 @@ object Aggregates {
     "agg_groupingsets" -> aggGroupingSets _,
     "agg_approx" -> aggApprox _,
     "agg_sketch_reagg" -> aggSketchReagg _,
+    "agg_decay" -> aggDecay _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
     "agg_quantile" -> aggQuantile _,
@@ -397,6 +434,21 @@ object Aggregates {
         |  GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1
         |ORDER BY o_orderstatus""".stripMargin,
+    "agg_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |mx AS (SELECT max(ts_us) AS now_us FROM e),
+        |w AS (
+        |  SELECT user_id, value,
+        |    exp(-(CAST(now_us - ts_us AS DOUBLE) / 2592000000000.0)) AS w
+        |  FROM e CROSS JOIN mx)
+        |SELECT user_id,
+        |  ROUND(SUM(w * value), 6) AS decayed_value,
+        |  ROUND(SUM(w), 6) AS decayed_weight,
+        |  ROUND(SUM(w * value) / SUM(w), 6) AS recency_score,
+        |  COUNT(*) AS n_events
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_salted" ->
       """SELECT event_type,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value

@@ -167,8 +167,58 @@ object Joins {
       .orderBy(col("r_name"), col("event_type"))
   }
 
+  /** Bucketed-table names already written by this JVM, per corpus dir.
+    * Names embed a per-process random tag so concurrent processes
+    * sharing one warehouse dir can never collide (the signature-table
+    * discipline from NearDedup, applied to the catalog namespace).
+    */
+  private val bucketedFor = scala.collection.mutable.Map.empty[String, (String, String)]
+  private lazy val bktTag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
+    synchronized {
+      bucketedFor.getOrElseUpdate(sfDir, {
+        val sfTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val ord = s"graft_orders_bkt_${sfTag}_$bktTag"
+        val cus = s"graft_customer_bkt_${sfTag}_$bktTag"
+        Tables.orders(spark, sfDir).write
+          .bucketBy(16, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable(ord)
+        Tables.customer(spark, sfDir).write
+          .bucketBy(16, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable(cus)
+        (ord, cus)
+      })
+    }
+
+  /** `join_bucketed` — the co-located join: both sides pre-bucketed on
+    * the join key at WRITE time, so the per-query plan is a
+    * SortMergeJoin with NO exchange on either input — the shuffle was
+    * paid once when the tables were laid down, and every subsequent
+    * join of the pair rides it free. THE lever for the repeated
+    * large-large joins of a 100 TB warehouse (fact⋈fact on a shared
+    * key), complementing broadcast (small dims) and AQE (ad-hoc
+    * shapes). Tables are materialized once per (JVM, corpus) like the
+    * minhash signature table — an ingest cost, not a query cost; the
+    * merge hint keeps the join SMJ at toy scale where the dimension
+    * side would otherwise broadcast and dodge the exchange question.
+    * Zero-exchange plan pinned in BucketingSpec; results gated against
+    * the plain unbucketed join SQL.
+    */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ord, cus) = bucketedTables(spark, sfDir)
+    spark.table(cus).hint("merge")
+      .join(spark.table(ord), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        outDec(sum(dec2(col("o_totalprice"))), 38, 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_broadcast" -> joinBroadcast _,
+    "join_bucketed" -> joinBucketed _,
     "join_smj" -> joinSmj _,
     "join_left" -> joinLeft _,
     "join_full" -> joinFull _,
@@ -181,6 +231,12 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "subq_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

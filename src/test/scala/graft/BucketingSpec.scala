@@ -46,6 +46,13 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("join_bucketed's gated plan joins with zero exchange below the SortMergeJoin") {
+    val plan = planOf(graft.operators.Joins.joinBucketed(spark, sf))
+    val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed gated join must not shuffle either input:\n$plan")
+  }
+
   test("dynamic partition pruning: a dim filter prunes the fact's partition scan at runtime") {
     // The other half of the layout story beside bucketing: a fact table
     // partitioned on a join-correlated column must NOT read every

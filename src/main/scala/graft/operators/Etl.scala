@@ -177,9 +177,50 @@ object Etl {
       .orderBy(col("rel"))
   }
 
+  /** `etl_snapshot_diff` — CDC changelog GENERATION: diff the entity
+    * state at two points in time into INSERT / UPDATE / DELETE rows,
+    * the feed a downstream MERGE (etl_merge) consumes. Entity =
+    * (user_id, event_type); state = activity count over the trailing
+    * 8-day window at each cutoff — presence-based state, so all three
+    * op classes genuinely occur (an entity quiet in the newer window
+    * is a DELETE).
+    *
+    * Spark-first shape: NOT the textbook FULL OUTER join of two
+    * materialized snapshots. Both snapshots derive from one stream,
+    * so both window states come out of ONE scan as when-gated
+    * conditional counts in a single groupBy — the diff classification
+    * is then row-local. One scan + one shuffle versus two scans + two
+    * shuffles + a full-outer join; the oracle IS the textbook
+    * formulation, proving the rewrite. When the two snapshots are
+    * independent stored tables, the same shape applies: unionAll with
+    * a side tag, then the identical conditional aggregate — diff via
+    * union+aggregate, never full-outer join.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val w1 = (col("ts_utc") >= lit("2024-01-08").cast("timestamp")) &&
+      (col("ts_utc") < lit("2024-01-16").cast("timestamp"))
+    val w2 = (col("ts_utc") >= lit("2024-01-20").cast("timestamp")) &&
+      (col("ts_utc") < lit("2024-01-28").cast("timestamp"))
+    Tables.events(spark, sfDir)
+      .filter(w1 || w2)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(when(w1, 1L).otherwise(0L)).as("n1"),
+        sum(when(w2, 1L).otherwise(0L)).as("n2"))
+      .filter(col("n1") > 0 || col("n2") > 0)
+      .select(col("user_id"), col("event_type"),
+        when(col("n1") === 0, "I")
+          .when(col("n2") === 0, "D")
+          .otherwise("U").as("op"),
+        when(col("n1") > 0, col("n1")).as("n_old"),
+        when(col("n2") > 0, col("n2")).as("n_new"))
+      .filter(col("op") =!= "U" || col("n_old") =!= col("n_new"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_scd2" -> scd2 _,
     "etl_merge" -> merge _,
+    "etl_snapshot_diff" -> snapshotDiff _,
     "dq_profile" -> dqProfile _,
     "dq_orphans" -> dqOrphans _
   )
@@ -189,6 +230,24 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |s1 AS (SELECT user_id, event_type, count(*) AS n FROM e
+        |       WHERE tsu >= TIMESTAMP '2024-01-08' AND tsu < TIMESTAMP '2024-01-16'
+        |       GROUP BY 1, 2),
+        |s2 AS (SELECT user_id, event_type, count(*) AS n FROM e
+        |       WHERE tsu >= TIMESTAMP '2024-01-20' AND tsu < TIMESTAMP '2024-01-28'
+        |       GROUP BY 1, 2)
+        |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |  COALESCE(s1.event_type, s2.event_type) AS event_type,
+        |  CASE WHEN s1.user_id IS NULL THEN 'I'
+        |       WHEN s2.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  s1.n AS n_old, s2.n AS n_new
+        |FROM s1 FULL OUTER JOIN s2
+        |  ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+        |WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.n != s2.n
+        |ORDER BY user_id, event_type""".stripMargin,
     "etl_scd2" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,

@@ -91,6 +91,32 @@ class EtlSpec extends SparkTestBase {
       s"per-column distinct counts must not plan an Expand:\n$plan")
   }
 
+  test("etl_snapshot_diff: op classes are internally consistent and all occur") {
+    val rows = Etl.snapshotDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (op, oldN, newN) = (r.getString(2), r.get(3), r.get(4))
+      op match {
+        case "I" => assert(oldN == null && newN != null, r.toString)
+        case "D" => assert(oldN != null && newN == null, r.toString)
+        case "U" => assert(oldN != null && newN != null && oldN != newN,
+          s"U row must change: $r")
+        case x => fail(s"unknown op $x")
+      }
+    }
+    // presence-based trailing-window state makes all three classes real
+    val ops = rows.map(_.getString(2)).toSet
+    assert(ops === Set("I", "U", "D"), s"expected all op classes, got $ops")
+  }
+
+  test("etl_snapshot_diff plans as ONE aggregate over one scan — no full-outer join") {
+    val plan = planOf(Etl.snapshotDiff(spark, sf))
+    assert(!plan.contains("FullOuter"),
+      s"diff must be the fused conditional aggregate, not a snapshot join:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single events scan, got $scans:\n$plan")
+  }
+
   test("dq_orphans: anti joins broadcast the dimension and scan only key columns") {
     val df = Etl.dqOrphans(spark, sf)
     df.collect()

@@ -123,7 +123,40 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `win_pattern` — sequential PATTERN detection (MATCH_RECOGNIZE-lite):
+    * per-user runs of 3 CONSECUTIVE 'error' events completing within 24
+    * hours — the alerting / incident-detection shape, and the row-
+    * sequence primitive funnel_stages' first-touch semantics cannot
+    * express (consecutive means adjacent in the user's event sequence,
+    * no other type interleaved).
+    *
+    * Spark-first: a lag CASCADE — all four lagged columns share ONE
+    * (partition, order), so Catalyst plans a single Window node over
+    * one exchange + one sort (pinned in WindowsSpec; the etl_scd2
+    * discipline). The time guard compares exact integer microseconds.
+    * A self-join formulation would shuffle the stream once per pattern
+    * position; this shape is one shuffle regardless of pattern length.
+    */
+  def winPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_utc"))
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .withColumn("start_ts", lag(col("ts_utc"), 2).over(w))
+      .withColumn("start_event_id", lag(col("event_id"), 2).over(w))
+      .filter(col("event_type") === "error" && col("t1") === "error" &&
+        col("t2") === "error" &&
+        unix_micros(col("ts_utc")) - unix_micros(col("start_ts")) <= 86400000000L)
+      .select(col("user_id"), col("start_event_id"),
+        col("event_id").as("end_event_id"),
+        col("start_ts"), col("ts_utc").as("end_ts"))
+      .orderBy(col("user_id"), col("end_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_pattern" -> winPattern _,
     "win_rank" -> winRank _,
     "win_lag" -> winLag _,
     "win_frame" -> winFrame _,
@@ -133,6 +166,22 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lag(event_type, 1) OVER w AS t1,
+        |    lag(event_type, 2) OVER w AS t2,
+        |    lag(tsu, 2) OVER w AS start_ts,
+        |    lag(event_id, 2) OVER w AS start_event_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT user_id, start_event_id, event_id AS end_event_id,
+        |  start_ts, tsu AS end_ts
+        |FROM l
+        |WHERE event_type = 'error' AND t1 = 'error' AND t2 = 'error'
+        |  AND epoch_us(tsu) - epoch_us(start_ts) <= 86400000000
+        |ORDER BY user_id, end_event_id""".stripMargin,
     "win_dist" ->
       """SELECT o_orderkey, o_orderpriority,
         |  percent_rank() OVER w AS pr,

@@ -36,6 +36,35 @@ class WindowsSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("win_pattern's lag cascade plans ONE Window node over one exchange+sort") {
+    // all four lags share (user_id, ORDER BY ts_utc, event_id); a
+    // refactor that splits the ordering would double the sort or the
+    // shuffle — the single-Window discipline from etl_scd2.
+    val plan = planOf(Windows.winPattern(spark, sf))
+    val windows = plan.linesIterator.count(_.contains("Window [lag"))
+    assert(windows === 1, s"expected one Window node, got $windows:\n$plan")
+    val hashEx = plan.split("== Initial Plan ==").head.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx <= 1, s"lag cascade must shuffle once:\n$plan")
+  }
+
+  test("win_pattern matches are genuinely consecutive error triples") {
+    // re-derive positions independently: the matched (start, end) pair
+    // must be exactly 2 apart in the user's full event sequence
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_utc", "event_id")
+    val pos = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_utc"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("event_id"), col("pos"))
+    val m = Windows.winPattern(spark, sf)
+      .join(pos.withColumnRenamed("event_id", "start_event_id")
+        .withColumnRenamed("pos", "p0"), Seq("start_event_id"))
+      .join(pos.withColumnRenamed("event_id", "end_event_id")
+        .withColumnRenamed("pos", "p2"), Seq("end_event_id"))
+    assert(m.filter(col("p2") - col("p0") =!= 2).count() === 0)
+  }
+
   test("win_frame moving count is min(position, 3)") {
     val bad = Windows.winFrame(spark, sf)
       .withColumn("pos", row_number().over(

@@ -385,9 +385,43 @@ object Aggregates {
       .orderBy(col("bin_lo"))
   }
 
+  /** `agg_equidepth` — EQUI-DEPTH histogram (the profiling twin of
+    * agg_histogram's fixed width): decile value cuts, then per-bucket
+    * row count and exact [lo, hi] range. Equal-depth edges are what
+    * optimizer statistics, quantile feature binning, and range
+    * partitioners actually want — fixed-width bins collapse under
+    * skew.
+    *
+    * Spark-first shape: NOT a global ntile (a no-partition window is
+    * a single task holding the full sort — the classic scale trap).
+    * Pass 1 aggregates the 9 interpolated decile cuts; pass 2
+    * broadcast-joins the one-row cut array and bins every row
+    * MAP-SIDE via a higher-order filter (bucket = 1 + #cuts below),
+    * then a 10-key hash agg. Cut interpolation is the same linear
+    * rule in both engines over exact decimal-as-double inputs (the
+    * agg_quantile precedent), and bucket membership is a plain
+    * comparison — gates exactly, no rounding. At 100 TB swap pass 1
+    * for the KLL sketch (agg_approx_quantile); pass 2 is unchanged.
+    */
+  def aggEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val priced = Tables.orders(spark, sfDir)
+      .select(outDec(col("o_totalprice"), 18, 2).as("price"))
+    val fracs = (1 to 9).map(i => s"0.${i}D").mkString(", ")
+    val cuts = priced.agg(expr(s"percentile(price, array($fracs))").as("cuts"))
+    priced.crossJoin(broadcast(cuts))
+      .select(col("price"),
+        (lit(1) + size(filter(col("cuts"), c => col("price") > c)))
+          .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("price")).as("lo"), max(col("price")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing" -> aggPricing _,
     "agg_histogram" -> aggHistogram _,
+    "agg_equidepth" -> aggEquidepth _,
     "agg_salted" -> aggSalted _,
     "agg_mode" -> aggMode _,
     "agg_unpivot" -> aggUnpivot _,
@@ -434,6 +468,16 @@ object Aggregates {
         |  GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1
         |ORDER BY o_orderstatus""".stripMargin,
+    "agg_equidepth" ->
+      """WITH p AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM orders),
+        |c AS (SELECT quantile_cont(price,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM p)
+        |SELECT CAST(1 + len(list_filter(cuts, x -> price > x)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders, MIN(price) AS lo, MAX(price) AS hi
+        |FROM p CROSS JOIN c
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_decay" ->
       """WITH e AS (
         |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

@@ -63,8 +63,22 @@ object EventsStream {
     * arrived; equality with the batch formulation pinned in
     * StreamingSpec.
     */
+  /** LEFT OUTER variant of [[purchaseAttribution]]: purchases with NO
+    * signup in the window emit null-padded — the "unattributed
+    * purchase" feed. Outer results cannot emit eagerly: a left row is
+    * held in state until the watermark passes its purchase time (only
+    * then can no future signup with s_ts <= p_ts arrive), so
+    * null-padded rows surface one watermark advance later than inner
+    * matches — the bounded-state/bounded-delay trade stream-stream
+    * outer joins make. Equality with the batch left join on the
+    * watermark-closed prefix is pinned in StreamingSpec.
+    */
+  def purchaseAttributionLeft(spark: SparkSession, inputDir: String,
+      watermark: String = "10 minutes"): DataFrame =
+    purchaseAttribution(spark, inputDir, watermark, "leftOuter")
+
   def purchaseAttribution(spark: SparkSession, inputDir: String,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tpe: String, prefix: String): DataFrame =
       spark.readStream
@@ -79,7 +93,8 @@ object EventsStream {
     side("purchase", "p").join(side("signup", "s"),
       col("p_user") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+      joinType)
       .select(col("p_id").as("purchase_id"), col("p_user").as("user_id"),
         col("p_ts").as("purchase_ts"), col("s_ts").as("signup_ts"))
   }

@@ -172,6 +172,51 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: inner matches exact, closed unmatched null-padded") {
+    val inDir = Files.createTempDirectory("graft_stream_ssjl")
+    Files.copy(Path.of(s"$sf/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.purchaseAttributionLeft(spark, inDir.toString)
+      .writeStream.format("memory").queryName("ssjl_replay")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+    val streamed = spark.table("ssjl_replay")
+
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_utc").as("purchase_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts_utc").as("signup_ts"))
+    val joinCond = col("user_id") === col("s_user") &&
+      col("signup_ts") <= col("purchase_ts") &&
+      col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 7 DAYS")
+
+    // matched rows are identical to the inner join (emitted eagerly)
+    val batchInner = p.join(s, joinCond)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("signup_ts"))
+    val streamedInner = streamed.filter(col("signup_ts").isNotNull)
+    assert(streamedInner.count() === batchInner.count())
+    assert(streamedInner.except(batchInner).count() === 0)
+    assert(batchInner.except(streamedInner).count() === 0)
+
+    // null-padded rows: exactly the unmatched purchases whose join
+    // window the final watermark has CLOSED (wm > p_ts ⇒ no future
+    // signup can satisfy s_ts <= p_ts); later unmatched purchases are
+    // still in state when the replay ends, so they must NOT appear.
+    val wm = ev.agg(max(col("ts_utc"))).collect()(0).getTimestamp(0).toInstant
+      .minusSeconds(600)
+    val expectedNulls = p.join(s, joinCond, "left_anti")
+      .filter(col("purchase_ts") < lit(java.sql.Timestamp.from(wm)))
+      .select(col("purchase_id"))
+    val streamedNulls = streamed.filter(col("signup_ts").isNull)
+      .filter(col("purchase_ts") < lit(java.sql.Timestamp.from(wm)))
+      .select(col("purchase_id"))
+    assert(expectedNulls.count() > 0, "test needs unattributed purchases")
+    assert(streamedNulls.except(expectedNulls).count() === 0)
+    assert(expectedNulls.except(streamedNulls).count() === 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-synced events with bounded state") {
     val spark2 = spark
     import spark2.implicits._

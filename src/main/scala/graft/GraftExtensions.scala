@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, LshBucket, SimHash64}
+import graft.expressions.{CosineSimilarity, HilbertCode, LshBucket, SimHash64}
 
 /** Library extension entry point: installs graft's native expressions
   * into any session built with
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       (args: Seq[Expression]) => LshBucket.build(args)))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_code"),
+      new ExpressionInfo(classOf[HilbertCode].getName, "hilbert_code"),
+      (args: Seq[Expression]) => HilbertCode.build(args)))
   }
 }

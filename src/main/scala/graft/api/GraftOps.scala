@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.expressions.{BloomFns, CosineSimilarity, LshBucket, SimHash64}
+import graft.expressions.{BloomFns, CosineSimilarity, HilbertCode, LshBucket, SimHash64}
 
 /** The library-facing API: every LLM-pipeline operator as a
   * DataFrame→DataFrame (or Column) function over ARBITRARY input — the
@@ -22,6 +22,7 @@ object GraftOps {
     CosineSimilarity.register(spark)
     SimHash64.register(spark)
     LshBucket.register(spark)
+    HilbertCode.register(spark)
   }
 
   // ---- text shaping ----------------------------------------------------
@@ -963,6 +964,33 @@ object GraftOps {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Hilbert-curve index of two non-negative integer columns (low
+    * `bits` bits each) — the stronger 2-D layout code beside
+    * [[mortonCode]]: consecutive indices are always ADJACENT cells, so
+    * sorted runs never jump across the key space at quadrant seams and
+    * per-file bounding boxes stay compact everywhere, not only at
+    * power-of-two block boundaries. Native codegen expression
+    * (`hilbert_code` in SQL text); the sequential per-level rotation
+    * is why this is an Expression and not a Column fold — see
+    * graft.expressions.HilbertCode.
+    */
+  def hilbertCode(a: Column, b: Column, bits: Int = 16): Column =
+    call_function("hilbert_code", a.cast("long"), b.cast("long"), lit(bits))
+
+  /** Write `df` Hilbert-ordered on two columns — [[writeZOrdered]]'s
+    * shape (one range exchange + in-partition sort, the once-paid
+    * layout pass) with the curve swapped for the seam-free one.
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      bits: Int = 16, filesTarget: Int = 8): Unit = {
+    ensureRegistered(df)
+    df.withColumn("__h", hilbertCode(a, b, bits))
+      .repartitionByRange(filesTarget, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Bigram language-model scoring: per-document average conditional
     * log-probability avg ln(c(w1 w2) / c_prefix(w1)) under the

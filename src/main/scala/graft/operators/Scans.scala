@@ -99,8 +99,32 @@ object Scans {
       .orderBy(col("zcode"), col("o_orderkey"))
       .limit(100)
 
+  /** `layout_hilbert` — the Hilbert layout code, value-gated like
+    * layout_zorder: the curve index (native codegen expression
+    * `hilbert_code`, GraftOps.hilbertCode) of the same
+    * (custkey, order-day) grid, smallest 100 codes. Hilbert beats
+    * Morton exactly where files get cut mid-run: consecutive indices
+    * are ALWAYS adjacent cells (pinned in ZorderSpec, where Morton
+    * provably is not), so a range-partitioned file never spans a
+    * quadrant seam. The oracle replays the per-level rotate/reflect
+    * recurrence as a RECURSIVE CTE over the 16 bit levels — pure
+    * integer shift/mask/xor both engines evaluate identically.
+    */
+  def layoutHilbert(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.HilbertCode.register(spark)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        graft.api.GraftOps.hilbertCode(
+          col("o_custkey") % 65536L,
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long") % 65536L).as("hcode"))
+      .orderBy(col("hcode"), col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder _,
+    "layout_hilbert" -> layoutHilbert _,
     "scan_project" -> scanProject _,
     "filter_pred" -> filterPred _,
     "filter_like_null" -> filterLikeNull _,
@@ -118,6 +142,27 @@ object Scans {
   }
 
   val oracle: Map[String, String] = Map(
+    "layout_hilbert" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_custkey % 65536 AS BIGINT) AS x,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+        |  FROM orders),
+        |h AS (
+        |  SELECT o_orderkey, 15 AS i, x, y, CAST(0 AS BIGINT) AS d FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, i - 1,
+        |    CASE WHEN ((y >> i) & 1) = 0
+        |         THEN (CASE WHEN ((x >> i) & 1) = 1 THEN 65535 - y ELSE y END)
+        |         ELSE x END,
+        |    CASE WHEN ((y >> i) & 1) = 0
+        |         THEN (CASE WHEN ((x >> i) & 1) = 1 THEN 65535 - x ELSE x END)
+        |         ELSE y END,
+        |    d + (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i)
+        |      * xor(3 * ((x >> i) & 1), (y >> i) & 1)
+        |  FROM h WHERE i >= 0)
+        |SELECT o_orderkey, d AS hcode FROM h WHERE i = -1
+        |ORDER BY hcode, o_orderkey LIMIT 100""".stripMargin,
     "layout_zorder" ->
       s"""SELECT o_orderkey, CAST($zcodeSql AS BIGINT) AS zcode
          |FROM orders

@@ -58,6 +58,78 @@ class ZorderSpec extends SparkTestBase {
     }
   }
 
+  test("hilbert code is a permutation and consecutive codes are ALWAYS adjacent; morton is not") {
+    import graft.expressions.HilbertCurve
+    val bits = 4
+    val n = 1 << bits
+    // invert the curve by brute force over the full 16x16 grid
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield HilbertCurve.compute(x, y, bits) -> (x, y)
+    val byCode = cells.toMap
+    assert(byCode.size === n * n, "hilbert must be a bijection on the grid")
+    assert(cells.map(_._1).min === 0L && cells.map(_._1).max === (n * n - 1).toLong)
+    // the defining Hilbert property: every step moves to a neighbouring cell
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x0, y0) = byCode(d); val (x1, y1) = byCode(d + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) === 1,
+        s"codes $d -> ${d + 1} jump from ($x0,$y0) to ($x1,$y1)")
+    }
+    // ... which morton does NOT satisfy (quadrant seams teleport) —
+    // the reason hilbert_code exists beside mortonCode
+    def morton(x: Int, y: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val mByCode = (for (x <- 0 until n; y <- 0 until n)
+      yield morton(x, y) -> (x, y)).toMap
+    val mJumps = (0L until (n * n - 1).toLong).count { d =>
+      val (x0, y0) = mByCode(d); val (x1, y1) = mByCode(d + 1)
+      math.abs(x0 - x1) + math.abs(y0 - y1) > 1
+    }
+    assert(mJumps > 0, "sanity: morton has seam jumps hilbert removes")
+  }
+
+  test("hilbert_code codegen expression agrees with the static loop on corpus keys") {
+    graft.expressions.HilbertCode.register(spark)
+    import graft.expressions.HilbertCurve
+    val rows = Tables.orders(spark, sf)
+      .select((col("o_custkey") % 65536L).as("x"),
+        (datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long") % 65536L).as("y"),
+        GraftOps.hilbertCode(col("o_custkey") % 65536L,
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long") % 65536L).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === HilbertCurve.compute(r.getLong(0), r.getLong(1), 16))
+    }
+  }
+
+  test("writeHilbertOrdered: per-file ranges narrow on BOTH columns") {
+    val dims = Tables.orders(spark, sf).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 256L).as("ca"),
+      (datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long") % 256L).as("da"))
+    def perFileSpan(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .collect().map(_.getLong(1).toDouble)
+      spans.sum / spans.length
+    }
+    val hPath = s"/tmp/graft_hilbert_${java.util.UUID.randomUUID}"
+    try {
+      GraftOps.writeHilbertOrdered(dims, hPath, col("ca"), col("da"),
+        bits = 8, filesTarget = 8)
+      val (hCa, hDa) = (perFileSpan(hPath, "ca"), perFileSpan(hPath, "da"))
+      assert(hCa < 256.0 * 0.7, s"hilbert per-file custkey-span $hCa full-range")
+      assert(hDa < 256.0 * 0.7, s"hilbert per-file day-span $hDa full-range")
+    } finally {
+      val dir = new java.io.File(hPath)
+      if (dir.exists) { dir.listFiles.foreach(_.delete()); dir.delete() }
+    }
+  }
+
   test("writeZOrdered: per-file ranges narrow on BOTH columns; linear sort does not") {
     val dims = Tables.orders(spark, sf).select(
       col("o_orderkey"),

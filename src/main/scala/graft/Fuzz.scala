@@ -75,7 +75,7 @@ object Fuzz {
   }
 
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -210,6 +210,37 @@ object Fuzz {
          |    MIN(CASE WHEN o_orderpriority = '$prio' THEN o_orderdate END) AS t_b
          |  FROM orders WHERE ${predicate(r)}
          |  GROUP BY o_custkey) t""".stripMargin
+    case 17 => // two-window conditional diff classify (etl_snapshot_diff's
+      // shape): both states from one scan, row-local I/U/D classification
+      val y1 = 1992 + r.nextInt(3)
+      val y2 = y1 + 2 + r.nextInt(2)
+      s"""SELECT o_custkey,
+         |  CASE WHEN n1 = 0 THEN 'I' WHEN n2 = 0 THEN 'D' ELSE 'U' END AS op,
+         |  n1, n2
+         |FROM (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CASE WHEN o_orderdate >= DATE '$y1-01-01'
+         |                   AND o_orderdate < DATE '${y1 + 1}-01-01'
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN o_orderdate >= DATE '$y2-01-01'
+         |                   AND o_orderdate < DATE '${y2 + 1}-01-01'
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM orders GROUP BY o_custkey) t
+         |WHERE (n1 > 0 OR n2 > 0) AND (n1 = 0 OR n2 = 0 OR n1 <> n2)
+         |ORDER BY o_custkey""".stripMargin
+    case 18 => // lag cascade consecutive-run filter (win_pattern's shape):
+      // two LAGs sharing one (partition, order); null lag semantics at
+      // partition starts must match engines
+      val st = pick(r, Seq("F", "O", "P"))
+      s"""SELECT o_custkey, o_orderkey, prev_key FROM (
+         |  SELECT o_custkey, o_orderkey, o_orderstatus,
+         |    LAG(o_orderstatus, 1) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS prev_status,
+         |    LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS prev_key
+         |  FROM orders WHERE ${predicate(r)}) t
+         |WHERE o_orderstatus = '$st' AND prev_status = '$st'
+         |ORDER BY o_custkey, o_orderkey""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

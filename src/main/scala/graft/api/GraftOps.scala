@@ -965,6 +965,49 @@ object GraftOps {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** BM25 relevance of each document against a FIXED query term set —
+    * the lexical half of a hybrid retrieval stack (BM25 candidates ∪
+    * ANN candidates → rerank), and the classic quality-weighted
+    * keyword filter for corpus curation. Lucene's +1 idf variant:
+    * score = Σ_t ln((N−df+0.5)/(df+0.5)+1) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·len/avglen)).
+    *
+    * Shape: per-doc tf per term via higher-order filters (map-side,
+    * no explode of the token stream for a handful of query terms);
+    * ONE one-row global stats aggregate (N, Σlen, df per term)
+    * broadcast-cross-joined back; scoring row-local. Determinism: the
+    * constants enter as engine-folded literal arithmetic and ln is
+    * the only transcendental (ROUND-6 gate, the text_logprob
+    * precedent).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(
+      col(idCol) +:
+        size(split(col(textCol), " ")).cast("double").as("__len") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(split(col(textCol), " "), x => x === lit(t)))
+            .cast("double").as(s"__tf$i")
+        }: _*)
+    val aggs =
+      count(lit(1)).cast("double").as("__n") +:
+        sum(col("__len")).as("__sumlen") +:
+        terms.indices.map(i =>
+          sum((col(s"__tf$i") > 0).cast("long")).cast("double").as(s"__df$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val dfT = col(s"__df$i")
+      log((col("__n") - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0)) *
+        (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__len") / (col("__sumlen") / col("__n"))))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+  }
+
   /** Hilbert-curve index of two non-negative integer columns (low
     * `bits` bits each) — the stronger 2-D layout code beside
     * [[mortonCode]]: consecutive indices are always ADJACENT cells, so

@@ -217,12 +217,49 @@ object Etl {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** `dq_anomaly` — per-group z-score OUTLIER audit: events whose value
+    * sits more than 3 sample standard deviations from their type's
+    * mean, the load-time screen for corrupted feeds / unit mix-ups
+    * (cents vs dollars) before bad rows poison downstream aggregates.
+    *
+    * Determinism discipline: the group moments (n, Σx, Σx²) aggregate
+    * in DECIMAL — exact and associative at any parallelism — and are
+    * only then cast to double; from there every step (÷, −, ×, sqrt)
+    * is a correctly-rounded IEEE operation, so z-scores are
+    * BIT-IDENTICAL across engines and cluster sizes with no rounding
+    * gate needed on the comparison (sqrt is exactly rounded by IEEE
+    * 754 — this query needs no transcendental at all). Two-pass
+    * stats-then-scan shape: the moment table is group-cardinality,
+    * broadcast back; flagging is row-local map-side.
+    */
+  def dqAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec.dec2
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), dec2(col("value")).as("vd"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"),
+        sum(col("vd") * col("vd")).as("sq"))
+      .select(col("event_type"), col("n"),
+        col("s").cast("double").as("s_d"), col("sq").cast("double").as("sq_d"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        ((col("vd").cast("double") - col("s_d") / col("n")) /
+          sqrt((col("sq_d") - col("s_d") * col("s_d") / col("n")) /
+            (col("n") - 1))).as("z"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        sum((abs(col("z")) > 3.0).cast("long")).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_scd2" -> scd2 _,
     "etl_merge" -> merge _,
     "etl_snapshot_diff" -> snapshotDiff _,
     "dq_profile" -> dqProfile _,
-    "dq_orphans" -> dqOrphans _
+    "dq_orphans" -> dqOrphans _,
+    "dq_anomaly" -> dqAnomaly _
   )
 
   private val TierCase =
@@ -230,6 +267,23 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "dq_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS vd FROM events),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(vd) AS DOUBLE) AS s_d,
+        |    CAST(SUM(vd * vd) AS DOUBLE) AS sq_d
+        |  FROM e GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_type, n,
+        |    (CAST(vd AS DOUBLE) - s_d / n) /
+        |      sqrt((sq_d - s_d * s_d / n) / (n - 1)) AS z
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_type, MAX(n) AS n_events,
+        |  CAST(SUM(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(MAX(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),

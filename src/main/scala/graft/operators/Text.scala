@@ -246,10 +246,49 @@ object Text {
     "text_tokens_regex" -> textTokensRegex _,
     "text_winnow" -> textWinnow _,
     "text_repetition" -> textRepetition _,
-    "text_tfidf" -> textTfidf _
+    "text_tfidf" -> textTfidf _,
+    "text_bm25" -> textBm25 _
   )
 
+  /** `text_bm25` — BM25 relevance of every document against a fixed
+    * 3-term query (GraftOps.bm25): the lexical retrieval score a
+    * hybrid search stack unions with the ANN candidates before
+    * reranking, and a keyword-weighted curation filter. One map-side
+    * tf pass (higher-order filters, no token explode), one one-row
+    * stats aggregate broadcast back, row-local scoring; ln is the
+    * only transcendental (ROUND-6 gate).
+    */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.bm25(Tables.documents(spark, sfDir),
+        "doc_id", "text", Seq("data", "merge", "vector"))
+      .orderBy(col("doc_id"))
+
   val oracle: Map[String, String] = Map(
+    "text_bm25" -> {
+      val terms = Seq("data", "merge", "vector")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * (1.2 + 1.0)) / " +
+          s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * l / (sumlen / n)))")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS l,
+         |    $tfCols
+         |  FROM documents),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(l) AS sumlen,
+         |    $dfCols
+         |  FROM base)
+         |SELECT doc_id, ROUND($score, 6) AS bm25
+         |FROM base CROSS JOIN st
+         |ORDER BY doc_id""".stripMargin
+    },
     "text_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -290,7 +290,52 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("lang"), col("bin"))
 
+  /** `knn_hybrid` — HYBRID retrieval: the lexical candidates (BM25
+    * top-100, GraftOps.bm25) and the dense candidates (exact-cosine
+    * top-100 against the vec-0 probe) fused by RECIPROCAL RANK FUSION
+    * — score = Σ 1/(60 + rank) over the lists a doc appears in, the
+    * industry-standard no-tuning fusion (Cormack et al.'s k=60). This
+    * is the retrieval stack a RAG/search service actually runs: two
+    * cheap recalls with different blind spots, one rank-space merge —
+    * and because RRF is pure integer-rank arithmetic it is fully
+    * ORACLE-GATED, unlike score-space fusions that need normalization.
+    *
+    * Scale shape: each side is a distributed top-k
+    * (TakeOrderedAndProject) BEFORE any ranking window, so the
+    * row_number windows only ever see the k-bounded candidate sets —
+    * never a global window over the corpus; the fuse join is
+    * k-vs-k. At 100 TB the dense side swaps to the LSH/IVF path
+    * (knn_ann/knn_ivf) unchanged downstream of the rank columns.
+    */
+  def knnHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.CosineSimilarity.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val bmTop = graft.api.GraftOps.bm25(Tables.documents(spark, sfDir),
+        "doc_id", "text", Seq("data", "merge", "vector"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val csTop = emb.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(expr("cosine_sim(embedding, pv)"), 6).as("cos"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("cos").desc, col("doc_id")).limit(100)
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_dense"))
+    bmTop.join(csTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_hybrid" -> knnHybrid _,
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_split" -> pipelineSplit _,
     "pipeline_mixture" -> pipelineMixture _,
@@ -316,6 +361,52 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "knn_hybrid" -> {
+      val terms = Seq("data", "merge", "vector")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * (1.2 + 1.0)) / " +
+          s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * l / (sumlen / n)))")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS l,
+         |    $tfCols
+         |  FROM documents),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(l) AS sumlen,
+         |    $dfCols
+         |  FROM base),
+         |bm AS (
+         |  SELECT doc_id, ROUND($score, 6) AS bm25
+         |  FROM base CROSS JOIN st WHERE doc_id <> 0
+         |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |bmr AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM bm),
+         |cs AS (
+         |  SELECT vec_id AS doc_id,
+         |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+         |       WHERE vec_id = 0)), 6) AS cos
+         |  FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY cos DESC, doc_id LIMIT 100),
+         |csr AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_dense FROM cs)
+         |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |  CAST(b.r_lex AS BIGINT) AS r_lex,
+         |  CAST(c.r_dense AS BIGINT) AS r_dense,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.r_lex), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + c.r_dense), CAST(0 AS DOUBLE)) AS rrf
+         |FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
     "agg_centroid" ->
       """WITH e AS (
         |  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v

@@ -855,6 +855,55 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Sliding token-window chunking — the context-length shaper of a
+    * training pipeline: documents longer than a model's window are cut
+    * into overlapping chunks (packBins is the complement: it PACKS the
+    * short side; this SPLITS the long side). One output row per
+    * (doc, chunk): chunk index, start-token offset, chunk token count,
+    * and the md5 of the chunk text (the join key for downstream
+    * chunk-level dedup/embedding tables).
+    *
+    * Chunks start every `stride` tokens (overlap = window − stride),
+    * so an n-token document yields ⌊(n−1)/stride⌋ + 1 chunks: every
+    * token is covered, the final chunk keeps the (possibly short)
+    * tail, and an empty chunk is never emitted because the last start
+    * is < n by construction.
+    *
+    * Scale shape: entirely map-side — the token array is projected
+    * ONCE by name before the explode (inlining the split inside the
+    * per-chunk lambda re-evaluates the regex per chunk — the
+    * bigramLogprob O(n²) lesson), the chunk slice likewise projects
+    * once before fan-out into (count, md5). One Generate, zero
+    * shuffles, output ~n/stride rows per doc; at 100 TB the cost is
+    * the corpus scan plus proportional output writes.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    // Collision-free temp names (the sharedFingerprintIds rule: a
+    // caller column literally named __toks must not break analysis).
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!taken(_)).get
+    val tk = fresh("__toks")
+    val ix = fresh("__i")
+    val ck = fresh("__chunk")
+    df.select(col(idCol), tokens(col(textCol)).as(tk))
+      .select(col(idCol), col(tk),
+        explode(sequence(lit(0),
+          floor((size(col(tk)) - 1).cast("double") / stride).cast("int")))
+          .as(ix))
+      .select(col(idCol), col(ix),
+        slice(col(tk), col(ix) * stride + 1, lit(window)).as(ck))
+      .select(col(idCol),
+        col(ix).cast("long").as("chunk_idx"),
+        (col(ix) * stride).cast("long").as("start_tok"),
+        size(col(ck)).cast("long").as("chunk_tokens"),
+        md5(array_join(col(ck), " ")).as("chunk_md5"))
+  }
+
   /** Ids of rows sharing at least one fingerprint with another row —
     * the sharing scan over any (id, array<fingerprint>) DataFrame (the
     * winnow near-dup signal; also works over minhash band or simhash

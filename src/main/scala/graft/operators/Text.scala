@@ -235,7 +235,23 @@ object Text {
       .orderBy(col("event_type"))
   }
 
+  /** `text_chunk` — sliding context-window chunking of the corpus
+    * (GraftOps.chunkWindows, window 64 / stride 48): one row per
+    * chunk with its offset, token count, and content md5. The
+    * context-length shaper every LLM pipeline runs between curation
+    * and packing — long documents become overlapping model-window
+    * pieces (pack_sequences then bins the short side). Entirely
+    * map-side: one token-array projection, one Generate, zero
+    * shuffles (pinned in TextSpec).
+    */
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.chunkWindows(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        "doc_id", "text", window = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> textChunk _,
     "text_redact" -> textRedact _,
     "text_bigram_lm" -> textBigramLm _,
     "text_decontaminate" -> textDecontaminate _,

@@ -23,13 +23,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Environment-drift preflight: log every table's resolved schema once,
+    // so a corpus regeneration shows up as one loud diagnostic line
+    // instead of N queries silently vanishing from CORRECTNESS.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try System.err.println(s"[verify:schema] $t: " +
+        spark.read.parquet(s"$sfDir/$t.parquet").schema.simpleString)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify:schema] $t: UNREADABLE ${e.getMessage}")
+      }
+    // Failed queries must be first-class data, not silently-absent
+    // CORRECTNESS entries: collect name → error and write _errors.json.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +63,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -441,11 +441,34 @@ object GraftOps {
     * bound by rewriting the EDGE set; labels + jumps need strictly
     * less state per round: |V| label rows vs the full edge list.)
     */
+  /** Release the executor-storage blocks behind a `localCheckpoint()`ed
+    * DataFrame once it is SUPERSEDED. Iterative ops checkpoint per round
+    * to keep lineage/plan size constant, but each checkpoint pins an RDD
+    * in the block manager for the session's life — over a long session
+    * (141-query bench, 25-round CC) that accumulates into eviction
+    * pressure that degrades unrelated queries. No-op on a DataFrame that
+    * is not itself a checkpoint handle (root not a LogicalRDD), so it is
+    * always safe to call; never call it on a df still reachable from a
+    * plan a caller will execute (the lineage is truncated — the data
+    * cannot be recomputed).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // Pre-partition the (large, loop-invariant) edge set by the per-round
+    // join key ONCE: localCheckpoint preserves the hash partitioning, so
+    // every round's sym⋈labels exchange moves only the |V|-row labels
+    // side — at 100 TB the edge set never re-shuffles after round 0.
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
@@ -473,12 +496,18 @@ object GraftOps {
       val next = relaxed.join(jump, col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"))
         .localCheckpoint()
+      // `next` is materialized (eager checkpoint): the round's scratch
+      // state and the previous labels are dead — release their blocks so
+      // a 25-round run pins ONE labels RDD, not 50 superseded ones.
+      releaseCheckpoint(relaxed)
+      releaseCheckpoint(labels)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       i += 1
     }
+    releaseCheckpoint(sym) // consumed only inside the loop
     labels
   }
 
@@ -863,11 +892,16 @@ object GraftOps {
     * and the md5 of the chunk text (the join key for downstream
     * chunk-level dedup/embedding tables).
     *
-    * Chunks start every `stride` tokens (overlap = window − stride),
-    * so an n-token document yields ⌊(n−1)/stride⌋ + 1 chunks: every
-    * token is covered, the final chunk keeps the (possibly short)
-    * tail, and an empty chunk is never emitted because the last start
-    * is < n by construction.
+    * Chunks start every `stride` tokens (overlap = window − stride);
+    * an n-token document yields max(0, ⌈(n−window)/stride⌉) + 1
+    * chunks: every token is covered, the final chunk keeps the
+    * (possibly short) tail, and a chunk whose tokens are ALREADY fully
+    * inside the previous chunk is never emitted — the last start is
+    * the smallest stride multiple whose window reaches n, so no
+    * redundant duplicate content leaks into chunk_md5-keyed downstream
+    * dedup/embedding tables. Zero-token inputs are filtered before the
+    * fan-out, so the no-empty-chunk invariant holds structurally, not
+    * by tokenizer coincidence.
     *
     * Scale shape: entirely map-side — the token array is projected
     * ONCE by name before the explode (inlining the split inside the
@@ -891,9 +925,11 @@ object GraftOps {
     val ix = fresh("__i")
     val ck = fresh("__chunk")
     df.select(col(idCol), tokens(col(textCol)).as(tk))
+      .filter(size(col(tk)) > 0)
       .select(col(idCol), col(tk),
         explode(sequence(lit(0),
-          floor((size(col(tk)) - 1).cast("double") / stride).cast("int")))
+          greatest(ceil((size(col(tk)) - window).cast("double") / stride)
+            .cast("int"), lit(0))))
           .as(ix))
       .select(col(idCol), col(ix),
         slice(col(tk), col(ix) * stride + 1, lit(window)).as(ck))
@@ -1149,7 +1185,12 @@ object GraftOps {
     require(iters >= 1 && damping > 0.0 && damping < 1.0)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // Partitioned by the per-round join key once (see
+    // connectedComponents): the contribution join and the degree
+    // aggregate below both reuse this layout — only the |V|-row rank
+    // table moves per round, the edge set stays put.
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
@@ -1164,12 +1205,19 @@ object GraftOps {
           .select(col("id"), (col("r") / col("deg")).as("w")),
           sym("src") === col("id"))
         .groupBy(sym("dst").as("id")).agg(sum(col("w")).as("x"))
+      val prev = ranks
       ranks = n.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("x"), lit(0.0)))
             .as("r"))
         .localCheckpoint()
+      // previous round's ranks are dead once this round materialized
+      // (no-op on round 1, whose `prev` is not a checkpoint handle)
+      releaseCheckpoint(prev)
     }
+    // scratch inputs consumed only inside the loop; the returned ranks
+    // checkpoint stays live for the caller
+    releaseCheckpoint(sym); releaseCheckpoint(deg); releaseCheckpoint(n)
     ranks
   }
 
@@ -1221,6 +1269,10 @@ object GraftOps {
           .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
       .localCheckpoint()
+    // e0 fed deg/withDeg, both now folded into the materialized
+    // `oriented`; only `oriented` (referenced thrice by the returned
+    // plan) must stay pinned
+    releaseCheckpoint(e0)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
       .select(col("e1.s").as("u"), col("e1.t").as("v"), col("e2.t").as("w"))

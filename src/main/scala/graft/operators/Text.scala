@@ -240,9 +240,11 @@ object Text {
     * chunk with its offset, token count, and content md5. The
     * context-length shaper every LLM pipeline runs between curation
     * and packing — long documents become overlapping model-window
-    * pieces (pack_sequences then bins the short side). Entirely
-    * map-side: one token-array projection, one Generate, zero
-    * shuffles (pinned in TextSpec).
+    * pieces (pack_sequences then bins the short side). The chunking
+    * itself is map-side — one token-array projection, one Generate,
+    * no aggregation (pinned in TextSpec); the final orderBy is a
+    * presentation sort for the gate (one range exchange, dropped when
+    * a pipeline consumes chunks unordered).
     */
   def textChunk(spark: SparkSession, sfDir: String): DataFrame =
     graft.api.GraftOps.chunkWindows(
@@ -280,6 +282,21 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+        |idx AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT), 0) + 1)) AS i
+        |  FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 48 AS BIGINT) AS start_tok,
+        |  CAST(len(tk[i*48+1 : least(i*48+64, n)]) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(tk[i*48+1 : least(i*48+64, n)], ' ')) AS chunk_md5
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_bm25" -> {
       val terms = Seq("data", "merge", "vector")
       val tfCols = terms.zipWithIndex.map { case (t, i) =>

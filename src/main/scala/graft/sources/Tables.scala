@@ -1,18 +1,29 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Schema-pinned table loaders for the driver corpus
+/** Schema-ADAPTIVE table loaders for the driver corpus
   * (`/root/testdata/sf*`; see FIXTURES.md).
   *
   * All tables are single parquet files named `<table>.parquet` under the
   * scale-factor dir. Every loader returns the raw columns; only `events`
-  * needs repair (nanosecond timestamps, FIXTURES.md "THE ns-timestamp
-  * trap"): Spark 4.x refuses INT64(TIMESTAMP(NANOS)) parquet unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, after which `ts` arrives
-  * as LongType nanos and we derive `ts_utc` (microsecond truncation —
-  * verified identical to DuckDB's native ns→µs read).
+  * needs a derived event-time column. The corpus has shipped `ts` in TWO
+  * physical forms across regenerations (FIXTURES.md "the ts schema
+  * dispatch"):
+  *   - INT64(TIMESTAMP(NANOS)) — pre-2026-08-13. Spark 4.x refuses it
+  *     unless `spark.sql.legacy.parquet.nanosAsLong=true`, after which
+  *     `ts` arrives as LongType nanos and `ts_utc` is the µs truncation
+  *     (verified identical to DuckDB's ns→µs read).
+  *   - plain `timestamp[us]` (isAdjustedToUTC=false) — since the
+  *     2026-08-13 regeneration. Spark reads it as TIMESTAMP_NTZ; with the
+  *     session TZ pinned to UTC the NTZ→TZ cast preserves the exact same
+  *     microsecond instants DuckDB reads natively, so oracles need no
+  *     change.
+  * A production loader must dispatch on the RESOLVED schema, not pin one
+  * era's physical type — hence [[tsUtc]] branches on `ts`'s DataType and
+  * fails loudly on anything unrecognized.
   *
   * Scale notes: these are plain `spark.read.parquet` scans — at cluster
   * scale the same call reads a directory of many files with partition
@@ -32,17 +43,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** `ts_utc: TimestampType` (µs, UTC) derivation for the given resolved
+    * type of the raw `ts` column. All downstream operators consume ONLY
+    * `ts_utc`, so this one dispatch point absorbs corpus schema drift.
+    */
+  def tsUtc(dt: DataType): Column = dt match {
+    // INT64 nanos (nanosAsLong): integer DIV, not `/` — long/int division
+    // via double rounds µs beyond 2^52 ns and diverges from DuckDB's
+    // exact truncation by ±1 µs.
+    case LongType => timestamp_micros(expr("ts DIV 1000"))
+    // timestamp[us] without UTC adjustment → Spark TIMESTAMP_NTZ; the
+    // session TZ is UTC in every entry point, so the cast re-tags the
+    // same wall-clock micros as an instant (bit-identical to DuckDB).
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType => col("ts")
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other — expected INT64 ns " +
+        "(LongType via nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP; " +
+        "the corpus schema drifted again: extend Tables.tsUtc")
+  }
+
   /** `events` with `ts_utc: TimestampType` (µs, UTC) derived from the raw
-    * nanosecond INT64 `ts`. Keeps the raw `ts` long column too.
+    * `ts` whatever its physical era (see [[tsUtc]]). Keeps raw `ts` too.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // Normally set once at session init (Verify/Bench builders); repeated
-    // here idempotently so ad-hoc sessions (tests, spark-shell) work too.
+    // Needed only by the INT64-nanos era but harmless otherwise; set
+    // idempotently so ad-hoc sessions (tests, spark-shell) work on either
+    // corpus without special session setup.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Integer DIV, not `/`: long/int division in Spark goes through double,
-    // which rounds the µs value for timestamps beyond 2^52 ns and diverges
-    // from DuckDB's exact ns→µs truncation by ±1 µs.
-    table(spark, sfDir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.withColumn("ts_utc", tsUtc(raw.schema("ts").dataType))
   }
 }

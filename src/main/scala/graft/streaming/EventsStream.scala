@@ -19,16 +19,21 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw events parquet schema as seen with nanosAsLong (ts = ns since
-    * epoch as INT64) — streaming sources require an explicit schema.
+  /** Events schema RESOLVED from the files already in `inputDir`
+    * (streaming sources require an explicit schema; a one-off batch read
+    * of the directory at stream-definition time makes the source
+    * schema-adaptive — the corpus has shipped `ts` both as INT64 nanos
+    * and as timestamp[us], see Tables.tsUtc). Later files appended to a
+    * running stream share the resolved schema by construction.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def resolvedSchema(spark: SparkSession, inputDir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(inputDir).schema
+  }
+
+  /** `ts_utc` column for the schema resolved from `inputDir`. */
+  private[streaming] def tsUtcFor(schema: StructType) =
+    graft.sources.Tables.tsUtc(schema("ts").dataType)
 
   /** Streaming exact-dedup of re-synced events: the same payload
     * arriving again (offline-sync retries — the ETL reference's
@@ -41,12 +46,12 @@ object EventsStream {
     */
   def dedupedEvents(spark: SparkSession, inputDir: String,
       watermark: String = "10 minutes"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = resolvedSchema(spark, inputDir)
     spark.readStream
-      .schema(eventsSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_utc", tsUtcFor(schema))
       .withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("ts_utc"), col("user_id"),
@@ -79,12 +84,12 @@ object EventsStream {
 
   def purchaseAttribution(spark: SparkSession, inputDir: String,
       watermark: String = "10 minutes", joinType: String = "inner"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = resolvedSchema(spark, inputDir)
     def side(tpe: String, prefix: String): DataFrame =
       spark.readStream
-        .schema(eventsSchema)
+        .schema(schema)
         .parquet(inputDir)
-        .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("ts_utc", tsUtcFor(schema))
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
@@ -148,12 +153,12 @@ object EventsStream {
     */
   def tumblingCounts(spark: SparkSession, inputDir: String,
       watermark: Option[String] = Some("10 minutes")): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = resolvedSchema(spark, inputDir)
     val src = spark.readStream
-      .schema(eventsSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_utc", tsUtcFor(schema))
     val marked = watermark.fold(src)(w => src.withWatermark("ts_utc", w))
     marked
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))

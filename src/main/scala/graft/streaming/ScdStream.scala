@@ -79,12 +79,12 @@ object ScdStream {
   def versions(spark: SparkSession, inputDir: String,
       watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = EventsStream.resolvedSchema(spark, inputDir)
     spark.readStream
-      .schema(EventsStream.eventsSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_utc", EventsStream.tsUtcFor(schema))
       .withWatermark("ts_utc", watermark)
       .select(col("user_id"), col("ts_utc"),
         unix_micros(col("ts_utc")).as("ts_us"), col("event_id"), col("value"))

@@ -50,12 +50,12 @@ object UserTotalsStream {
     */
   def totals(spark: SparkSession, inputDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = EventsStream.resolvedSchema(spark, inputDir)
     // transformWithState needs the column-family-capable store
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.readStream
-      .schema(EventsStream.eventsSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
       .select(col("user_id"), col("value"))

@@ -176,13 +176,19 @@ class SourcesSpec extends SparkTestBase {
     assert(Tables.events(spark, sf).count() === 1000L)
   }
 
-  test("events loader exposes both raw ns longs and µs timestamps") {
+  test("events loader derives ts_utc from whichever raw ts era is on disk") {
     val ev = Tables.events(spark, sf)
-    assert(ev.schema("ts").dataType.typeName === "long")
     assert(ev.schema("ts_utc").dataType.typeName === "timestamp")
-    // conversion is pure truncation: ts_utc microseconds == ts DIV 1000
-    val bad = ev.filter(
-      unix_micros(col("ts_utc")) =!= expr("ts DIV 1000"))
-    assert(bad.count() === 0)
+    ev.schema("ts").dataType.typeName match {
+      case "long" =>
+        // ns era: conversion is pure truncation, ts_utc µs == ts DIV 1000
+        assert(ev.filter(
+          unix_micros(col("ts_utc")) =!= expr("ts DIV 1000")).count() === 0)
+      case "timestamp_ntz" | "timestamp" =>
+        // µs era (session TZ = UTC): same micros, just instant-tagged
+        assert(ev.filter(unix_micros(col("ts_utc")) =!=
+          unix_micros(col("ts").cast("timestamp"))).count() === 0)
+      case other => fail(s"unexpected raw ts type $other")
+    }
   }
 }

@@ -122,11 +122,13 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
-  test("ns-timestamp conversion matches the verified golden value") {
-    val row = Tables.events(spark, sf)
-      .filter(col("event_id") === 0)
-      .select(col("ts"), col("ts_utc")).collect()(0)
-    assert(row.getLong(0) === 1704067798778549829L)
-    assert(row.getTimestamp(1).toString === "2024-01-01 00:09:58.778549")
+  test("ts_utc derivation matches the verified golden instant in either ts era") {
+    val ev = Tables.events(spark, sf).filter(col("event_id") === 0)
+    // the golden INSTANT is era-independent (same corpus data, two
+    // physical encodings — INT64 ns pre-2026-08-13, timestamp[us] after)
+    val row = ev.select(col("ts_utc")).collect()(0)
+    assert(row.getTimestamp(0).toString === "2024-01-01 00:09:58.778549")
+    if (ev.schema("ts").dataType.typeName == "long")
+      assert(ev.select(col("ts")).collect()(0).getLong(0) === 1704067798778549829L)
   }
 }

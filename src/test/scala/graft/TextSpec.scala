@@ -45,6 +45,44 @@ class TextSpec extends SparkTestBase {
       s"unbounded per-group collect crept back into the sharing scan:\n$plan")
   }
 
+  test("text_chunk: chunk count formula, full coverage, no fully-redundant tail") {
+    val chunks = Text.textChunk(spark, sf).collect()
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet === nTok.keySet, "every document must be chunked")
+    byDoc.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      // count = max(0, ceil((n - 64)/48)) + 1 — short docs are exactly
+      // one chunk, never a redundant tail fully inside chunk 0
+      val expect = math.max(0, math.ceil((n - 64).toDouble / 48).toInt) + 1
+      assert(cs.length === expect, s"doc $doc: $n tokens, ${cs.length} chunks")
+      val sorted = cs.sortBy(_.getLong(1))
+      // indices dense from 0, starts at stride multiples
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i && r.getLong(2) === 48L * i)
+      }
+      // coverage conservation: last chunk reaches exactly token n
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) === n,
+        s"doc $doc: coverage ends at ${last.getLong(2) + last.getLong(3)} of $n")
+      // every non-final chunk is a full window
+      sorted.init.foreach(r => assert(r.getLong(3) === 64L))
+    }
+  }
+
+  test("text_chunk plan: one Generate, no exchange before the presentation sort") {
+    val plan = planOf(Text.textChunk(spark, sf))
+    assert(plan.split("Generate").length - 1 === 1,
+      s"chunking must fan out through exactly one Generate:\n$plan")
+    // the ONLY exchange is the final orderBy's range partitioning — the
+    // chunking itself (tokenize → explode → slice → hash) is map-side
+    val exchanges = plan.split("Exchange").length - 1
+    assert(exchanges <= 1, s"map-side chunking gained a shuffle:\n$plan")
+    assert(!plan.contains("collect_set") && !plan.contains("collect_list"))
+  }
+
   test("text_bigram_lm: every doc scored, scores non-positive, bigram count = tokens - 1") {
     val scored = Text.textBigramLm(spark, sf)
     val docs = Tables.documents(spark, sf)

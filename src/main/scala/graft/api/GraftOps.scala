@@ -459,6 +459,26 @@ object GraftOps {
       case _ => ()
     }
 
+  /** localCheckpoint that PRESERVES the DataFrame's hash partitioning.
+    *
+    * `Dataset.localCheckpoint` captures `executedPlan.outputPartitioning`
+    * into the resulting LogicalRDD — but under AQE (default-on) the
+    * executed plan's root is AdaptiveSparkPlanExec, which never overrides
+    * `outputPartitioning`, so the capture degrades to UnknownPartitioning
+    * and every later join re-shuffles the checkpointed side (verified in
+    * ApiSpec). Materializing the checkpoint with AQE off for just this
+    * one action keeps the real HashPartitioning; iterative ops use it on
+    * their loop-invariant edge sets so per-round joins move only the
+    * small labels/ranks side. AQE stays on for everything else.
+    */
+  private[graft] def checkpointPartitioned(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val prev = session.conf.get("spark.sql.adaptive.enabled", "true")
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint()
+    finally session.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -467,9 +487,9 @@ object GraftOps {
     // join key ONCE: localCheckpoint preserves the hash partitioning, so
     // every round's sym⋈labels exchange moves only the |V|-row labels
     // side — at 100 TB the edge set never re-shuffles after round 0.
-    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
+    val sym = checkpointPartitioned(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     // Convergence probe: labels only ever DECREASE under hash-min, so
@@ -1189,9 +1209,9 @@ object GraftOps {
     // connectedComponents): the contribution join and the degree
     // aggregate below both reuse this layout — only the |V|-row rank
     // table moves per round, the edge set stays put.
-    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint()
+    val sym = checkpointPartitioned(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = nodes.select(col(idCol).cast("long").as("id")).distinct()

@@ -516,6 +516,31 @@ class ApiSpec extends SparkTestBase {
     assert(r.values.sum <= 1.0 + 1e-12 && r.values.sum > 0.15)
   }
 
+  test("pre-partitioned localCheckpoint reuses its layout: round join shuffles only the labels side") {
+    // The mechanism behind connectedComponents/pageRank's 100 TB shape:
+    // the loop-invariant edge set is repartition(joinKey)-ed once before
+    // its checkpoint; LogicalRDD preserves the hash partitioning, so
+    // EnsureRequirements must NOT re-exchange the edge side — each round
+    // moves only the small labels table.
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (0L until 200L).map(i => (i, (i * 7) % 200)).toDF("src", "dst")
+    // plain .localCheckpoint() would NOT work here: under AQE the
+    // captured outputPartitioning is UnknownPartitioning (the AQE root
+    // never overrides it) — checkpointPartitioned materializes with AQE
+    // off for this one action to keep the real HashPartitioning
+    val sym = GraftOps.checkpointPartitioned(edges.repartition(col("dst")))
+    val labels = (0L until 200L).map(i => (i, i)).toDF("id", "comp")
+    val joined = sym.join(labels.hint("merge"), sym("dst") === labels("id"))
+    // merge hint forces a shuffle join (no broadcast shortcut): exactly
+    // ONE Exchange may appear, and it must hang over the labels scan
+    val plan = planOf(joined)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"edge side must reuse its checkpointed partitioning (1 exchange for labels), got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("pageRank: plan size is constant in the iteration count (lineage truncated)") {
     val spark2 = spark
     import spark2.implicits._

@@ -16,7 +16,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet is INT64(TIMESTAMP(NANOS)); set once at init so
+      // Needed only if the corpus ships the INT64-ns events.ts era (see
+      // Tables.tsUtc); harmless on the timestamp[us] era. Set at init so
       // session state is identical regardless of query order.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -1189,11 +1189,14 @@ object GraftOps {
     * mass is not redistributed) — ranks are comparable, not a strict
     * probability distribution.
     *
-    * Scale shape: per round ONE equi-join of edges against |V| rank
-    * rows (both shuffle on vertex id, AQE reuses the partitioning) and
-    * one map-side-combined sum — state per round is |V| rows, never
-    * edge-materialized; `localCheckpoint` truncates lineage so plan
-    * size stays constant across rounds, the same discipline as
+    * Scale shape: the out-degree is loop-INVARIANT, so `1/deg(u)` is
+    * folded into the edge set ONCE before the loop (one weighted edge
+    * table, hash-partitioned on src and checkpointed with its layout
+    * preserved — see checkpointPartitioned). Each round is then exactly
+    * ONE equi-join (weighted edges ⋈ |V| rank rows — only the rank side
+    * shuffles) and one map-side-combined sum; state per round is |V|
+    * rows, never edge-materialized; `localCheckpoint` truncates lineage
+    * so plan size stays constant across rounds, the same discipline as
     * `connectedComponents`. The single driver scalar is N (one count
     * at start). Hot vertices skew the contribution groupBy like any
     * aggregate key — AQE's skew handling applies; degree is bounded by
@@ -1205,15 +1208,15 @@ object GraftOps {
     require(iters >= 1 && damping > 0.0 && damping < 1.0)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // Partitioned by the per-round join key once (see
-    // connectedComponents): the contribution join and the degree
-    // aggregate below both reuse this layout — only the |V|-row rank
-    // table moves per round, the edge set stays put.
+    val symRaw = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = symRaw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Weighted edges (src, dst, w = 1/deg(src)): built once, partitioned
+    // by the per-round join key, layout preserved through the checkpoint
+    // — the loop never touches raw edges or deg again.
     val sym = checkpointPartitioned(
-      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      symRaw.join(deg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
         .repartition(col("src")))
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
     val n = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
     val nN = n.count()
@@ -1221,10 +1224,9 @@ object GraftOps {
     var ranks = n.withColumn("r", lit(1.0 / nN))
     for (_ <- 1 to iters) {
       val contrib = sym
-        .join(ranks.join(deg, ranks("id") === deg("src"))
-          .select(col("id"), (col("r") / col("deg")).as("w")),
-          sym("src") === col("id"))
-        .groupBy(sym("dst").as("id")).agg(sum(col("w")).as("x"))
+        .join(ranks, sym("src") === ranks("id"))
+        .groupBy(sym("dst").as("id"))
+        .agg(sum(col("w") * col("r")).as("x"))
       val prev = ranks
       ranks = n.join(contrib, Seq("id"), "left")
         .select(col("id"),
@@ -1237,7 +1239,7 @@ object GraftOps {
     }
     // scratch inputs consumed only inside the loop; the returned ranks
     // checkpoint stays live for the caller
-    releaseCheckpoint(sym); releaseCheckpoint(deg); releaseCheckpoint(n)
+    releaseCheckpoint(sym); releaseCheckpoint(n)
     ranks
   }
 

@@ -67,6 +67,14 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # Surface Verify-side failures first: a query that threw never wrote a
+    # parquet dir, and without this its absence masquerades as "not run".
+    try:
+        errors = json.load(open(f"{out_dir}/_errors.json"))
+        for name, msg in sorted(errors.items()):
+            print(f"ERROR {name}: query threw in Verify: {msg}")
+    except FileNotFoundError:
+        pass
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):

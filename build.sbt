@@ -35,5 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (machine has 128 GiB): a 280-execution bench session at
+  // 8g hit multi-second full-GC pauses that landed on whichever query
+  // was running (observed: subq_exists warm 5.2 s vs cold 1.1 s in one
+  // run, 0.5 s in the next) — headroom keeps per-query times comparable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -36,11 +36,16 @@ object Bench {
     // Warm up session machinery (first-job scheduler + codegen init costs
     // ~5 s and belongs to the JVM, not to whichever query runs first).
     spark.range(1000).selectExpr("sum(id)").collect()
-    // Each query runs twice; the reported headline is the SECOND (warm)
-    // run, so one-off JIT/codegen-compile/shuffle-service noise cannot
-    // flip a 2x verdict. A failed query records the time it burned
-    // before throwing (so the totals stay meaningful) and its name
-    // under "failed" — a -1 or an omission would silently DEDUCT.
+    // Each query runs three times; the headline "warm" is the MIN of the
+    // two post-cold runs. One run is not enough: this environment shows
+    // one multi-second stall per bench session landing on a random
+    // query's second run (observed: subq_exists 5.2 s warm vs 1.1 s
+    // cold, next session 0.5 s; then tpch_q18 9.6 s warm vs 2.0 s cold)
+    // — min-of-two keeps a single stall out of the 2x verdict while JIT/
+    // codegen one-offs still stay in the cold number. A failed query
+    // records the time it burned before throwing (so the totals stay
+    // meaningful) and its name under "failed" — a -1 or an omission
+    // would silently DEDUCT.
     // Sorted-name run order: Map iteration order shuffles whenever the
     // query set changes, which confounded cross-round per-query deltas
     // with run-order/GC noise (the r4/r6 sub-second "slow cluster").
@@ -57,7 +62,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      val warm = once()
+      val warm = math.min(once(), once())
       name -> (cold, warm)
     }
     val warmTotal = results.map(_._2._2).sum

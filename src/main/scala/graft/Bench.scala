@@ -36,16 +36,19 @@ object Bench {
     // Warm up session machinery (first-job scheduler + codegen init costs
     // ~5 s and belongs to the JVM, not to whichever query runs first).
     spark.range(1000).selectExpr("sum(id)").collect()
-    // Each query runs three times; the headline "warm" is the MIN of the
-    // two post-cold runs. One run is not enough: this environment shows
+    // Each query runs cold then warm; a warm run that looks STALLED
+    // (> 1 s AND > 2x its own cold) is re-run once and the minimum is
+    // reported. One warm sample is not enough: this environment shows
     // one multi-second stall per bench session landing on a random
     // query's second run (observed: subq_exists 5.2 s warm vs 1.1 s
     // cold, next session 0.5 s; then tpch_q18 9.6 s warm vs 2.0 s cold)
-    // — min-of-two keeps a single stall out of the 2x verdict while JIT/
-    // codegen one-offs still stay in the cold number. A failed query
-    // records the time it burned before throwing (so the totals stay
-    // meaningful) and its name under "failed" — a -1 or an omission
-    // would silently DEDUCT.
+    // — the conditional retry keeps a single stall out of the 2x verdict
+    // while adding only the spiked queries' time to the session (an
+    // unconditional third run would cost ~40% more wall under driver
+    // contention). JIT/codegen one-offs still stay in the cold number.
+    // A failed query records the time it burned before throwing (so the
+    // totals stay meaningful) and its name under "failed" — a -1 or an
+    // omission would silently DEDUCT.
     // Sorted-name run order: Map iteration order shuffles whenever the
     // query set changes, which confounded cross-round per-query deltas
     // with run-order/GC noise (the r4/r6 sub-second "slow cluster").
@@ -62,7 +65,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      val warm = math.min(once(), once())
+      val warm1 = once()
+      val warm =
+        if (warm1 > 1.0 && warm1 > 2 * cold) math.min(warm1, once()) else warm1
       name -> (cold, warm)
     }
     val warmTotal = results.map(_._2._2).sum

@@ -248,7 +248,7 @@ object Fuzz {
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 40
     val seed = if (args.length > 3) args(3).toLong else 7L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

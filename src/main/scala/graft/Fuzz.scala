@@ -74,8 +74,33 @@ object Fuzz {
     if (ps.isEmpty) "doc_id IS NOT NULL" else ps.mkString(" AND ")
   }
 
+  /** Random predicate over events columns (the ts-dispatch territory:
+    * `CAST(ts AS TIMESTAMP)` is the shared-dialect event time on BOTH
+    * corpus eras — DuckDB reads ns or µs natively, Spark goes through
+    * the Tables.tsUtc-equivalent cast).
+    */
+  private def eventPredicate(r: Random): String = {
+    val preds = Seq.newBuilder[String]
+    if (r.nextBoolean())
+      preds += new Random(r.nextLong())
+        .shuffle(Seq("click", "error", "purchase", "signup", "view"))
+        .take(1 + r.nextInt(3)).sorted.map(t => s"'$t'")
+        .mkString("event_type IN (", ", ", ")")
+    if (r.nextBoolean()) {
+      val d = 2 + r.nextInt(25)
+      preds += s"CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-${f"$d%02d"} 00:00:00'"
+    }
+    if (r.nextBoolean()) preds += s"user_id % ${2 + r.nextInt(7)} = ${r.nextInt(2)}"
+    if (r.nextBoolean()) {
+      val lo = r.nextInt(500)
+      preds += s"value BETWEEN $lo AND ${lo + 100 + r.nextInt(400)}"
+    }
+    val ps = preds.result()
+    if (ps.isEmpty) "event_id IS NOT NULL" else ps.mkString(" AND ")
+  }
+
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -241,6 +266,30 @@ object Fuzz {
          |  FROM orders WHERE ${predicate(r)}) t
          |WHERE o_orderstatus = '$st' AND prev_status = '$st'
          |ORDER BY o_custkey, o_orderkey""".stripMargin
+    case 19 => // events time-bucket aggregate (stream_tumble's batch
+      // shape on the ts-dispatch path): date_trunc granularity + typed
+      // bucket boundaries must agree between engines on BOTH ts eras
+      // outer CAST: DuckDB's date_trunc('day', ...) returns DATE while
+      // Spark returns TIMESTAMP — the cast pins both to µs TIMESTAMP
+      val gran = pick(r, Seq("hour", "day"))
+      s"""SELECT CAST(date_trunc('$gran', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+         |  event_type, COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events WHERE ${eventPredicate(r)}
+         |GROUP BY bucket, event_type
+         |ORDER BY bucket, event_type""".stripMargin
+    case 20 => // per-user first-k event scan (win_topk_group's shape on
+      // events): ROW_NUMBER over (ts, event_id) — µs timestamp ordering
+      // and tie-breaks must agree between engines
+      val k = 1 + r.nextInt(4)
+      s"""SELECT user_id, event_id, event_type, rn FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         |  FROM events WHERE ${eventPredicate(r)}) t
+         |WHERE rn <= $k
+         |ORDER BY user_id, rn""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
@@ -257,7 +306,7 @@ object Fuzz {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("orders", "lineitem", "documents", "customer").foreach(t =>
+    Seq("orders", "lineitem", "documents", "customer", "events").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t))
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)

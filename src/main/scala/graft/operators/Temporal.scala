@@ -97,6 +97,43 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** `join_asof_nearest` — the NEAREST-direction as-of (pandas
+    * merge_asof direction='nearest'): each purchase matched to the
+    * signup minimizing |Δt|, ties to the earlier side — the standard
+    * alignment for sensor fusion / log correlation where "closest
+    * reading" beats "latest reading". Composed from the two
+    * directional windows in ONE pass: both frames share the same
+    * (partition, order), so the plan keeps joinAsof's one-shuffle
+    * sort-merge shape — one Exchange + one Sort feeding two frame
+    * evaluations, never an inequality self-join. µs-exact distance
+    * compare via unix_micros (the oracle compares INTERVALs — same
+    * total order on exact µs values).
+    */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Seq(col("ts_utc"), col("event_id"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_utc"))
+      .withColumn("prev_signup",
+        max(when(col("event_type") === "signup", col("ts_utc"))).over(wb))
+      .withColumn("next_signup",
+        min(when(col("event_type") === "signup", col("ts_utc"))).over(wf))
+      .filter(col("event_type") === "purchase" &&
+        (col("prev_signup").isNotNull || col("next_signup").isNotNull))
+      .withColumn("signup_ts",
+        when(col("prev_signup").isNull, col("next_signup"))
+          .when(col("next_signup").isNull, col("prev_signup"))
+          .when(unix_micros(col("ts_utc")) - unix_micros(col("prev_signup")) <=
+                unix_micros(col("next_signup")) - unix_micros(col("ts_utc")),
+            col("prev_signup"))
+          .otherwise(col("next_signup")))
+      .select(col("event_id"), col("user_id"), col("signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** The (user, day) activity aggregate with each row's PREDECESSOR day
     * attached (lag over the user's day-ordered window) — the shared
     * spine of the gap-filling family. Each observed row then OWNS the
@@ -170,6 +207,7 @@ object Temporal {
     "stream_session" -> streamSession _,
     "join_asof" -> joinAsof _,
     "join_asof_fwd" -> joinAsofFwd _,
+    "join_asof_nearest" -> joinAsofNearest _,
     "ts_gapfill" -> tsGapfill _,
     "ts_locf" -> tsLocf _
   )
@@ -224,6 +262,24 @@ object Temporal {
         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_ts
         |  FROM events) t
         |WHERE event_type = 'purchase' AND next_signup_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN prev_signup IS NULL THEN next_signup
+        |       WHEN next_signup IS NULL THEN prev_signup
+        |       WHEN tsu - prev_signup <= next_signup - tsu THEN prev_signup
+        |       ELSE next_signup END AS signup_ts
+        |FROM (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+        |    MAX(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_signup,
+        |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup
+        |  FROM events) t
+        |WHERE event_type = 'purchase'
+        |  AND (prev_signup IS NOT NULL OR next_signup IS NOT NULL)
         |ORDER BY event_id""".stripMargin,
     "ts_gapfill" ->
       """WITH daily AS (

@@ -89,6 +89,47 @@ class TemporalSpec extends SparkTestBase {
     assert(asof.count() > 0)
   }
 
+  test("as-of nearest: picks the closer of the two directional matches, ties to earlier") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    val back = keyed(Temporal.joinAsof(spark, sf))
+    val fwd = keyed(Temporal.joinAsofFwd(spark, sf))
+    val near = keyed(Temporal.joinAsofNearest(spark, sf))
+    // nearest covers exactly the union of the directional matches
+    assert(near.keySet === back.keySet ++ fwd.keySet)
+    near.foreach { case (id, got) =>
+      (back.get(id), fwd.get(id)) match {
+        case (Some(p), Some(n)) =>
+          assert(got == p || got == n, s"purchase $id: $got not in {$p, $n}")
+        case (Some(p), None) => assert(got == p)
+        case (None, Some(n)) => assert(got == n)
+        case (None, None) => fail(s"purchase $id matched nothing")
+      }
+    }
+    // distance-minimality + tie rule, checked against raw event times
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_utc")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    near.foreach { case (id, got) =>
+      for (p <- back.get(id); n <- fwd.get(id)) {
+        val t = purchases(id)
+        val (dp, dn) = (t - p.getTime, n.getTime - t)
+        val expect = if (dp <= dn) p else n
+        assert(got == expect,
+          s"purchase $id: dist back=$dp fwd=$dn, got $got expect $expect")
+      }
+    }
+  }
+
+  test("as-of nearest keeps the one-shuffle window shape (no self-join)") {
+    val plan = planOf(Temporal.joinAsofNearest(spark, sf))
+    assert(!plan.contains("Join"), s"nearest as-of must not plan a join:\n$plan")
+    // one hash exchange for the window partition + the presentation sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"window pair must share one partition exchange:\n$plan")
+  }
+
   test("ts_gapfill: contiguous per-user calendar, gaps zero-filled, totals preserved") {
     val gf = Temporal.tsGapfill(spark, sf).collect()
     val byUser = gf.groupBy(_.getLong(0))

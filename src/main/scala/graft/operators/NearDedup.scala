@@ -414,8 +414,13 @@ object NearDedup {
     * The triangle SET is orientation-invariant, so the oracle counts
     * the same triangles with the simple id-ordered three-way join.
     */
-  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  /** The RARE-SHINGLE block graph shared by graph_triangles and
+    * graph_reach: docs joined when they share a 3-gram shingle with
+    * document frequency in [3, 5] (too common ⇒ no signal, singleton ⇒
+    * no pair) — block fan-out bounded at C(5,2) pairs per shingle.
+    * Returns canonical (src < dst) distinct edges.
+    */
+  private def rareShingleEdges(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -426,14 +431,54 @@ object NearDedup {
       .filter(col("df").between(3, 5))
       .select(col("gr"))
     val blk = grams.join(rare, Seq("gr"))
-    val edges = blk.as("a")
+    blk.as("a")
       .join(blk.as("b"),
         col("a.gr") === col("b.gr") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
+  }
+
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = rareShingleEdges(Tables.documents(spark, sfDir))
     graft.api.GraftOps.triangleCounts(edges, "src", "dst")
       .select(col("id").as("doc_id"), col("n_tri"))
       .orderBy(col("doc_id"))
+  }
+
+  /** `graph_reach` — bounded-hop transitive closure from a seed set
+    * over the rare-shingle graph, written as a RECURSIVE CTE (Spark 4
+    * ships `WITH RECURSIVE`; DuckDB evaluates the identical recursion) —
+    * the "expand a contamination/lineage frontier N hops" primitive.
+    * Emits per reachable doc: the shortest hop distance and the exact
+    * ≤3-hop walk count (both integers — walk counting pins UNION ALL
+    * recursion semantics far harder than reachability alone).
+    *
+    * Scale shape: each recursion step is one equi-join of the frontier
+    * against the edge view — the same per-round join+agg shape as
+    * connectedComponents, driven by the engine's UnionLoop operator
+    * instead of a driver loop; the hop bound caps the iteration count,
+    * and the frontier (paths, not vertices) is the state. For unbounded
+    * closure at 100 TB use connectedComponents (hash-min converges in
+    * O(log n) rounds); the recursive form is the right tool for small
+    * fixed depths where path multiplicity matters.
+    */
+  def graphReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = rareShingleEdges(Tables.documents(spark, sfDir))
+    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .createOrReplaceTempView("graft_reach_edges")
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .createOrReplaceTempView("graft_reach_docs")
+    spark.sql(
+      """WITH RECURSIVE r(id, hops) AS (
+        |  SELECT doc_id, 0 FROM graft_reach_docs WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM r JOIN graft_reach_edges e ON e.src = r.id
+        |  WHERE r.hops < 3
+        |)
+        |SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin)
   }
 
   /** `dedup_fuzzy` — record-linkage near-dedup: blocking + EDIT
@@ -502,6 +547,7 @@ object NearDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
     "graph_triangles" -> graphTriangles _,
+    "graph_reach" -> graphReach _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
@@ -517,6 +563,30 @@ object NearDedup {
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle,
+    "graph_reach" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(grams) AS gr FROM sh),
+        |rare AS (SELECT gr FROM (SELECT gr, count(*) AS df FROM g GROUP BY gr)
+        |         WHERE df BETWEEN 3 AND 5),
+        |blk AS (SELECT g.gr, g.doc_id FROM g JOIN rare USING (gr)),
+        |half AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM blk a JOIN blk b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+        |r(id, hops) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM r JOIN edges e ON e.src = r.id
+        |  WHERE r.hops < 3
+        |)
+        |SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     "graph_triangles" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -111,6 +111,24 @@ class NearDedupSpec extends SparkTestBase {
         s"$lang: false-positive count ${cand - dups} out of bound")
   }
 
+  test("graph_reach: seeds at hops 0, bound respected, shortest-path consistency") {
+    val rows = NearDedup.graphReach(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exactness is oracle-gated; these pin the recursion invariants
+    rows.foreach { case (doc, (hops, paths)) =>
+      assert(hops >= 0 && hops <= 3, s"doc $doc: hops $hops out of bound")
+      assert(paths >= 1, s"doc $doc: zero walks")
+    }
+    // every seed present with hops 0 and exactly one zero-hop walk each
+    (0L until 5L).foreach { s =>
+      assert(rows.contains(s) && rows(s)._1 === 0L, s"seed $s must be hops 0")
+    }
+    // non-seeds cannot be at hops 0
+    rows.foreach { case (doc, (hops, _)) =>
+      if (doc >= 5L) assert(hops >= 1L, s"non-seed $doc at hops 0")
+    }
+  }
+
   test("simhash collides at least as often as exact duplication") {
     // sig is a pure function of text ⇒ distinct sigs <= distinct texts
     val sim = NearDedup.dedupSimhash(spark, sf)

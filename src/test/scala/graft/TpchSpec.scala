@@ -14,7 +14,8 @@ class TpchSpec extends SparkTestBase {
     // standard scalar-subquery plan shape, a nested loop over exactly one
     // build row, not a pair enumeration. Everything else must be pure
     // equi-join.
-    val scalarBroadcast = Set("tpch_q22")
+    // q11's global-total threshold rides the same one-row shape.
+    val scalarBroadcast = Set("tpch_q22", "tpch_q11")
     for ((name, fn) <- Tpch.queries) {
       val df = fn(spark, sf)
       val n = df.count()
@@ -74,7 +75,15 @@ class TpchSpec extends SparkTestBase {
       "tpch_q22" -> Seq("c_nationkey"),
       // q4: the quarter window is the entire orders read; the
       // correlated shipdate predicate rides the semi join instead
-      "tpch_q4" -> Seq("o_orderdate"))
+      "tpch_q4" -> Seq("o_orderdate"),
+      // q2: type+size prune part, region prunes the supplier side
+      "tpch_q2" -> Seq("p_type", "p_size", "r_name"),
+      // q9: the name prefix prunes part before broadcast
+      "tpch_q9" -> Seq("p_name"),
+      // q16: brand/type/size prune part; the NOT-IN side is tiny
+      "tpch_q16" -> Seq("p_brand", "p_type", "p_size"),
+      // q20: the 1997 window gates the fact scan, name prefix the dim
+      "tpch_q20" -> Seq("l_shipdate", "p_name"))
     for ((name, cols) <- expect) {
       val plan = planOf(Tpch.queries(name)(spark, sf))
       val pushed = "PushedFilters: \\[([^\\]]*)".r

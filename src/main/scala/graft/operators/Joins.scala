@@ -216,7 +216,45 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** `join_salted` — skew-safe shuffle join: the fact side gets a
+    * partition-local salt in [0, 16), the (too-big-to-broadcast at
+    * scale) build side is replicated once per salt value, and the join
+    * runs on (key, salt) — a hot key's rows spread over 16 reducers
+    * instead of one. The salt never reaches the output, so the result
+    * is EXACTLY the plain equi-join (oracle is the unsalted SQL).
+    * Complements AQE's OptimizeSkewedJoin (which splits oversized
+    * partitions post-shuffle but cannot split ONE giant key's hash
+    * bucket feeding a stateful build) — explicit salting is the tool
+    * when a single key exceeds an executor. Salt comes from
+    * `monotonically_increasing_id` (partition-local counter), not
+    * rand(): a retried task re-derives the same salts, keeping the
+    * shuffle deterministic under failure. The merge hint pins the
+    * shuffle join at toy scale where the replicated dimension would
+    * otherwise broadcast and dodge the skew question entirely.
+    */
+  def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = 16
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("salt",
+        pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val dim = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"))
+      .withColumn("salt",
+        explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    fact.join(dim.hint("merge"),
+        fact("l_suppkey") === dim("s_suppkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        outDec(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))), 38, 4)
+          .as("revenue"))
+      .orderBy(col("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> joinSalted _,
     "join_broadcast" -> joinBroadcast _,
     "join_bucketed" -> joinBucketed _,
     "join_smj" -> joinSmj _,
@@ -231,6 +269,12 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT s_name, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
     "join_bucketed" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price

@@ -201,6 +201,51 @@ object Temporal {
           .otherwise(col("prev_value")).as("filled_value"))
       .orderBy(col("user_id"), col("day_ts"))
 
+  /** `ts_resample` — OHLC downsampling: per (user, 6-hour bucket) the
+    * opening value (earliest event), high, low, closing value (latest
+    * event), event count and decimal volume — the standard resample →
+    * bar-chart/feature-extraction shape for any metric stream.
+    *
+    * Determinism: "first/last in bucket" must not depend on scan
+    * order, so open/close ride TWO row_number windows over the same
+    * (user, bucket) partition ordered by (ts, event_id) asc/desc —
+    * Spark evaluates both in one WindowExec pair over ONE shuffle
+    * (identical partition keys), and the tie-break key makes the
+    * chosen row unique in both engines. The bucket is an explicit
+    * epoch-anchored µs formula (`unix_micros div 6h`), not an
+    * engine-specific time_bucket whose anchor could differ. High/low/
+    * count/volume are order-independent aggregates.
+    *
+    * Scale shape: one shuffle on user_id (window), then a map-side-
+    * combined aggregate on (user, bucket) — buckets nest inside the
+    * window partitioning, so AQE coalesces without a second exchange;
+    * state is bounded by bars, not events.
+    */
+  def tsResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketUs = 21600000000L // 6 hours in microseconds
+    val bucket = timestamp_micros(
+      floor(unix_micros(col("ts_utc")) / lit(bucketUs)).cast("long") *
+        lit(bucketUs))
+    val wAsc = Window.partitionBy(col("user_id"), col("bucket_ts"))
+      .orderBy(col("ts_utc").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("user_id"), col("bucket_ts"))
+      .orderBy(col("ts_utc").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_utc"), col("value"),
+        bucket.as("bucket_ts"))
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("user_id"), col("bucket_ts"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        outDec(sum(dec2(col("value"))), 18, 2).as("volume"))
+      .orderBy(col("user_id"), col("bucket_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumble" -> streamTumble _,
     "stream_slide" -> streamSlide _,
@@ -209,7 +254,8 @@ object Temporal {
     "join_asof_fwd" -> joinAsofFwd _,
     "join_asof_nearest" -> joinAsofNearest _,
     "ts_gapfill" -> tsGapfill _,
-    "ts_locf" -> tsLocf _
+    "ts_locf" -> tsLocf _,
+    "ts_resample" -> tsResample _
   )
 
   val oracle: Map[String, String] = Map(
@@ -309,6 +355,26 @@ object Temporal {
         |    PARTITION BY c.user_id ORDER BY c.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
-        |ORDER BY c.user_id, day_ts""".stripMargin
+        |ORDER BY c.user_id, day_ts""".stripMargin,
+    "ts_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, value,
+        |    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600000000) AS bucket_ts,
+        |    CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket_ts ORDER BY tsu, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket_ts ORDER BY tsu DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT user_id, bucket_ts,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS volume
+        |FROM r
+        |GROUP BY user_id, bucket_ts
+        |ORDER BY user_id, bucket_ts""".stripMargin
   )
 }

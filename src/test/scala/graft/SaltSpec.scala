@@ -23,6 +23,25 @@ class SaltSpec extends SparkTestBase {
     }
   }
 
+  test("join_salted equals the plain join and never broadcasts the replicated dim") {
+    val salted = graft.operators.Joins.joinSalted(spark, sf).collect()
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("s_name")).collect()
+    assert(salted.length === plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) === p.getString(0))
+      assert(s.getLong(1) === p.getLong(1), s"count mismatch for ${s.getString(0)}")
+    }
+    val plan = planOf(graft.operators.Joins.joinSalted(spark, sf))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the replicated dim must shuffle on (key, salt), not broadcast:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join:\n$plan")
+  }
+
   test("salted plan has two aggregation exchanges (spread + merge)") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))

@@ -163,6 +163,38 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("ts_resample: bars partition events, open/close are the ts-ordered endpoints") {
+    val bars = Temporal.tsResample(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_utc"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val bucketUs = 21600000000L
+    val grouped = ev.groupBy { case (u, _, ts, _) =>
+      (u, Math.floorDiv(ts.getTime * 1000 + (ts.getNanos / 1000) % 1000,
+        bucketUs) * bucketUs)
+    }
+    assert(bars.length === grouped.size, "one bar per non-empty (user, bucket)")
+    assert(bars.map(_.getLong(6)).sum === ev.length, "bars conserve event count")
+    for (b <- bars) {
+      val key = (b.getLong(0),
+        b.getTimestamp(1).getTime * 1000 + (b.getTimestamp(1).getNanos / 1000) % 1000)
+      val rows = grouped(key).sortBy { case (_, id, ts, _) => (ts.getTime, ts.getNanos, id) }
+      assert(b.getDouble(2) === rows.head._4, s"open of $key")
+      assert(b.getDouble(5) === rows.last._4, s"close of $key")
+      assert(b.getDouble(3) === rows.map(_._4).max, s"high of $key")
+      assert(b.getDouble(4) === rows.map(_._4).min, s"low of $key")
+    }
+  }
+
+  test("ts_resample shuffles once: both windows and the bar aggregate share one exchange") {
+    val plan = planOf(Temporal.tsResample(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one hash exchange for the (user, bucket) windows; the groupBy on
+    // the same keys must reuse it (plus rangepartitioning for the sort)
+    assert(exchanges === 1, s"expected a single hash exchange in:\n$plan")
+  }
+
   test("ts_utc derivation matches the verified golden instant in either ts era") {
     val ev = Tables.events(spark, sf).filter(col("event_id") === 0)
     // the golden INSTANT is era-independent (same corpus data, two

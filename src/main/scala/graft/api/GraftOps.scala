@@ -33,14 +33,30 @@ object GraftOps {
   /** Distinct k-gram shingles over a token array (the near-dedup unit:
     * shingling cubes the effective vocabulary so LSH buckets only
     * collide for genuinely similar documents).
+    *
+    * Built as a zip-with-shifted chain, NOT as
+    * `transform(sequence, i => concat_ws(slice(tokens, i, k)))`: HOFs
+    * are interpreted, and an expression referenced inside a lambda
+    * re-evaluates per ELEMENT — when callers pass `split(text)`
+    * directly, the slice form re-splits the document once per shingle
+    * position (O(n²) total; the same pathology measured at 66 s vs
+    * 0.5 s in winnowFingerprints). In the chain every tokens
+    * reference is in ARGUMENT position — k O(n) passes per row. The
+    * null-padded tail zip_with produces is folded with
+    * concat_ws-compatible semantics (skip missing), so short
+    * documents (n < k) still emit their single whole-text shingle.
     */
   def shingles(tokens: Column, k: Int = 3): Column =
     array_distinct(expr_transform(tokens, k))
 
-  private def expr_transform(tokens: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(tokens) - lit(k - 1), lit(1))),
-      i => concat_ws(" ", slice(tokens, i, lit(k))))
+  private def expr_transform(tokens: Column, k: Int): Column = {
+    val n = size(tokens)
+    var grams = tokens
+    for (off <- 1 until k)
+      grams = zip_with(grams, slice(tokens, lit(off + 1), n),
+        (a, b) => when(b.isNull, a).otherwise(concat(a, lit(" "), b)))
+    slice(grams, lit(1), greatest(n - lit(k - 1), lit(1)))
+  }
 
   // ---- dedup family ----------------------------------------------------
 
@@ -639,8 +655,14 @@ object GraftOps {
     val scale = greatest(
       aggregate(vec, lit(0.0f), (a, x) => greatest(a, abs(x))),
       lit(java.lang.Float.MIN_NORMAL)) / lit(127.0f)
+    // The scale rides in as a zip_with ARGUMENT (array_repeat) so the
+    // max|x| reduction runs once per vector — referencing `scale`
+    // inside a transform lambda would re-reduce the whole vector per
+    // element (O(d²); the interpreted-HOF pathology, see
+    // winnowFingerprints).
     struct(
-      transform(vec, x => round(x / scale).cast("tinyint")).as("codes"),
+      zip_with(vec, array_repeat(scale, size(vec)),
+        (x, s) => round(x / s).cast("tinyint")).as("codes"),
       scale.cast("float").as("scale"))
   }
 
@@ -804,10 +826,17 @@ object GraftOps {
     * map-side work, no explode, no shuffle.
     */
   def repetitionSignals(textCol: String): Column = {
+    // Bigrams come from ONE zip-with-shifted pass (both split
+    // references in argument position — evaluated once per row), not
+    // from `transform(sequence, i -> slice(split(..), i, 2))`, whose
+    // lambda would re-split the document per bigram position (the
+    // interpreted-HOF O(n²) pathology; see shingles/winnowFingerprints).
     val maxRun =
       s"""aggregate(
-         |  array_sort(transform(sequence(1, greatest(size(split($textCol, ' ')) - 1, 1)),
-         |    i -> concat_ws(' ', slice(split($textCol, ' '), i, 2)))),
+         |  array_sort(zip_with(
+         |    slice(split($textCol, ' '), 1, greatest(size(split($textCol, ' ')) - 1, 1)),
+         |    slice(split($textCol, ' '), 2, size(split($textCol, ' '))),
+         |    (a, b) -> IF(b IS NULL, a, concat(a, ' ', b)))),
          |  named_struct('prev', '', 'run', 0, 'best', 0),
          |  (s, g) -> named_struct(
          |    'prev', g,
@@ -996,14 +1025,40 @@ object GraftOps {
     * fingerprint, while keeping ~2/(w+1) of the hashes. Pure Catalyst
     * higher-order functions over substrings + xxhash64 — map-side only,
     * no UDF, no explode.
+    *
+    * The window minima come from a shift-and-min DOUBLING cascade
+    * (`zip_with(arr, slice(arr, 1+step, n), least)` — the sparse-table
+    * min trick), NOT from
+    * `transform(sequence, i => array_min(slice(grams, i, w)))`:
+    * higher-order functions are interpreted (no codegen), and a
+    * subexpression referenced inside a lambda is RE-EVALUATED on every
+    * lambda invocation — the slice-per-position form recomputes the
+    * entire O(n)-hash grams array once per window position, turning
+    * the scan O(n²)-hashes per document (measured 66 s vs 0.5 s over
+    * 500 toy docs; at corpus scale that is the difference between a
+    * map-side pass and an unusable operator). In the cascade every
+    * array reference sits in ARGUMENT position (evaluated once per
+    * row, never per element), each level doubles the covered window,
+    * and all lengths derive from `length(text)` directly so no level
+    * is referenced more than twice — ⌈log₂ w⌉ O(n) passes total.
+    * zip_with pads the shifted (shorter) side with nulls and `least`
+    * ignores them, which exactly yields the shorter trailing windows
+    * that the final slice drops.
     */
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val n = greatest(length(text) - lit(k - 1), lit(1)) // == size(grams)
     val grams = transform(
-      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      sequence(lit(1), n),
       i => xxhash64(text.substr(i, lit(k))))
-    val minima = transform(
-      sequence(lit(1), greatest(size(grams) - lit(w - 1), lit(1))),
-      i => array_min(slice(grams, i, lit(w))))
+    var arr = grams
+    var covered = 1
+    while (covered < w) {
+      val step = math.min(covered, w - covered)
+      arr = zip_with(arr, slice(arr, lit(step + 1), n),
+        (a, b) => least(a, b))
+      covered += step
+    }
+    val minima = slice(arr, lit(1), greatest(n - lit(w - 1), lit(1)))
     array_sort(array_distinct(minima))
   }
 

@@ -91,6 +91,58 @@ class ApiSpec extends SparkTestBase {
     assert((fps("diff") intersect fps("sup1")).isEmpty)
   }
 
+  test("shingles/winnow/repetition match driver-side reference implementations") {
+    // Pins the zip-with-shifted chains (the interpreted-HOF O(n²) fix)
+    // element-for-element against trivial Scala references on random
+    // strings, including empty/one-token/shorter-than-window edges.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("a", "bb", "ccc", "d", "spark")
+    val texts = (0 until 200).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (200L -> "") :+ (201L -> "x")
+    val df = texts.toDF("id", "body")
+
+    val gotSh = df.select(col("id"),
+        GraftOps.shingles(GraftOps.tokens(col("body")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, body) <- texts) {
+      val toks = body.split(" ", -1).toSeq
+      val ref = (0 until math.max(toks.size - 2, 1))
+        .map(i => toks.slice(i, i + 3).mkString(" ")).distinct
+      assert(gotSh(id) === ref, s"shingles of '$body'")
+    }
+
+    val k = 5; val w = 4
+    val gramsDf = df.select(col("id"),
+      transform(
+        sequence(lit(1), greatest(length(col("body")) - lit(k - 1), lit(1))),
+        i => xxhash64(col("body").substr(i, lit(k)))).as("g"),
+      GraftOps.winnowFingerprints(col("body"), k, w).as("fp"))
+    for (r <- gramsDf.collect()) {
+      val g = r.getSeq[Long](1)
+      val ref = (if (g.size < w) Seq(g.min)
+                 else g.sliding(w).map(_.min).toSeq).distinct.sorted
+      assert(r.getSeq[Long](2) === ref, s"winnow of id ${r.getLong(0)}")
+    }
+
+    val rep = df.select(col("id"), GraftOps.repetitionSignals("body").as("s"))
+      .select(col("id"), col("s.n_tokens"), col("s.n_distinct"),
+        col("s.top_bigram_n")).collect()
+    for (r <- rep) {
+      val toks = texts.find(_._1 == r.getLong(0)).get._2.split(" ", -1).toSeq
+      assert(r.getLong(1) === toks.size.toLong)
+      assert(r.getLong(2) === toks.distinct.size.toLong)
+      val bigrams = if (toks.size < 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(r.getLong(3) ===
+        bigrams.groupBy(identity).values.map(_.size).max.toLong,
+        s"top bigram of '${texts.find(_._1 == r.getLong(0)).get._2}'")
+    }
+  }
+
   test("sharedFingerprintIds: exactly the docs sharing a fingerprint, bounded-state plan") {
     val spark2 = spark
     import spark2.implicits._

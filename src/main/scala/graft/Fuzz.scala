@@ -100,7 +100,8 @@ object Fuzz {
   }
 
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20)) match {
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+      19, 20, 21, 22)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -290,6 +291,43 @@ object Fuzz {
          |  FROM events WHERE ${eventPredicate(r)}) t
          |WHERE rn <= $k
          |ORDER BY user_id, rn""".stripMargin
+    case 21 => // dual-ordering window endpoints (ts_resample's OHLC
+      // shape): first/last per bucket via asc+desc ROW_NUMBER with
+      // (ts, event_id) tie-breaks — scan-order-independent endpoint
+      // picks must agree between engines on the µs event time
+      val gran = pick(r, Seq("hour", "day"))
+      val bucket =
+        s"CAST(date_trunc('$gran', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)"
+      s"""SELECT user_id, bucket,
+         |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+         |  MAX(value) AS high_v, MIN(value) AS low_v,
+         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+         |  COUNT(*) AS n
+         |FROM (
+         |  SELECT user_id, $bucket AS bucket, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, $bucket
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, $bucket
+         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+         |  FROM events WHERE ${eventPredicate(r)}) t
+         |GROUP BY user_id, bucket
+         |ORDER BY user_id, bucket""".stripMargin
+    case 22 => // NOT-IN exclusion beside COUNT(DISTINCT) (tpch_q16's
+      // shape): anti-join subquery + distinct aggregate over
+      // multi-attribute groups; the exclusion set may be EMPTY at some
+      // thresholds, which both engines must treat as "exclude nothing"
+      val thresh = pick(r, Seq("0.0", "500.0", "1000.0"))
+      val brand = s"Brand#${1 + r.nextInt(25)}"
+      val sizes = (1 to 3).map(_ => 1 + r.nextInt(50)).distinct.mkString(", ")
+      s"""SELECT p_brand, p_size,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size IN ($sizes) AND p_brand <> '$brand'
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < $thresh)
+         |GROUP BY p_brand, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
@@ -306,7 +344,8 @@ object Fuzz {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("orders", "lineitem", "documents", "customer", "events").foreach(t =>
+    Seq("orders", "lineitem", "documents", "customer", "events", "part",
+        "supplier").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t))
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)

@@ -681,7 +681,10 @@ object Tpch {
     * DECIMAL(18,2) sums — multiplication, not division, so no
     * rounding flip. Scale shape: one fact shuffle (the pair
     * aggregate), a window over pairs (≈|parts|·suppliers-per-part),
-    * broadcast dims everywhere else.
+    * broadcast dims everywhere else — including the qualified-id set
+    * into the semi join, since it is bounded by the supplier
+    * DIMENSION's cardinality at any data scale (three data shuffles
+    * total, pinned in PlanBudgetSpec).
     */
   def tpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
     val lo = lit("1997-01-01").cast("timestamp")
@@ -706,7 +709,8 @@ object Tpch {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
-      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
       .orderBy(col("s_name"))
   }

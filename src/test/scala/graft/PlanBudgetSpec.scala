@@ -140,6 +140,63 @@ class PlanBudgetSpec extends SparkTestBase {
     }
   }
 
+  test("tpch_q2: TWO data shuffles (pair aggregate + per-part min window)") {
+    // the offer aggregate on (part, supplier), then the correlated-min
+    // window re-keyed on part; part/supplier/nation/region all
+    // broadcast — a decorrelated min-join formulation would re-scan
+    // and re-shuffle the offer relation instead
+    val (hash, range) = shuffles(Tpch.queries("tpch_q2")(spark, sf))
+    assert(hash === 2, s"got $hash")
+    assert(range <= 1)
+  }
+
+  test("tpch_q9: at most TWO data shuffles (fact-fact join + group-by)") {
+    // part/supplier/nation broadcast by hint; lineitem⋈orders is the
+    // only fact-fact edge (broadcast at toy scale, SMJ at 100 TB), and
+    // the (nation, year) aggregate is 175 groups
+    val (hash, _) = shuffles(Tpch.queries("tpch_q9")(spark, sf))
+    assert(hash <= 2, s"got $hash")
+  }
+
+  test("tpch_q11: ONE data shuffle with the totals pass REUSING the part-value exchange") {
+    // the per-part aggregate shuffles once; the global-total subtree is
+    // the identical aggregate, so its exchange must come back as
+    // ReusedExchange (a second hash exchange would mean the 100 TB fact
+    // scan runs twice); the threshold itself rides a one-row broadcast
+    val df = Tpch.queries("tpch_q11")(spark, sf)
+    val (hash, _) = shuffles(df)
+    assert(hash <= 2, s"got $hash")
+    assert(planOf(df).split("== Initial Plan ==").head.contains("ReusedExchange"),
+      "the totals pass must reuse the part-value exchange, not recompute it")
+  }
+
+  test("tpch_q16: at most TWO data shuffles (two-level distinct agg), NO Expand") {
+    // partial aggregate on (group, suppkey) map-side, merge, then the
+    // final per-group distinct count; part and the bad-supplier NOT-IN
+    // set broadcast
+    val df = Tpch.queries("tpch_q16")(spark, sf)
+    val (hash, _) = shuffles(df)
+    assert(hash <= 2, s"got $hash")
+    assert(!planOf(df).contains("Expand"),
+      "single countDistinct must plan two-level, not Expand")
+  }
+
+  test("tpch_q20: at most THREE data shuffles (pair agg + share window + distinct)") {
+    // the 1997 pair aggregate, the per-part total window over the
+    // already-aggregated pairs, the qualified-supplier distinct; the
+    // region dim and the semi-join probe side broadcast
+    val (hash, _) = shuffles(Tpch.queries("tpch_q20")(spark, sf))
+    assert(hash <= 3, s"got $hash")
+  }
+
+  test("join_salted: THREE data shuffles (both salted join sides + the final group-by)") {
+    // the whole point is moving the join to a (key, salt) shuffle the
+    // hot key cannot serialize onto one reducer; the replicated dim
+    // must NOT broadcast (pinned in SaltSpec) and nothing else may move
+    val (hash, _) = shuffles(Joins.queries("join_salted")(spark, sf))
+    assert(hash === 3, s"got $hash")
+  }
+
   test("tpch_q19: ONE data shuffle (the per-brand group-by)") {
     // both residual-filtered scans meet in a broadcast join; the only
     // data movement the algorithm needs is the final group-by on brand

@@ -231,20 +231,16 @@ object Joins {
     * shuffle deterministic under failure. The merge hint pins the
     * shuffle join at toy scale where the replicated dimension would
     * otherwise broadcast and dodge the skew question entirely.
+    * Thin binding of `GraftOps.saltedJoin` (mechanics additionally
+    * pinned on arbitrary data in SkewSpec).
     */
   def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
-    val buckets = 16
     val fact = Tables.lineitem(spark, sfDir)
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-      .withColumn("salt",
-        pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val dim = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), col("s_name"))
-      .withColumn("salt",
-        explode(sequence(lit(0L), lit(buckets.toLong - 1))))
-    fact.join(dim.hint("merge"),
-        fact("l_suppkey") === dim("s_suppkey") &&
-          fact("salt") === dim("salt"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      .hint("merge")
+    graft.api.GraftOps.saltedJoin(fact, dim, Seq("l_suppkey"), buckets = 16)
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("n_items"),
         outDec(sum(dec2(col("l_extendedprice")) *

@@ -1059,7 +1059,10 @@ object GraftOps {
       covered += step
     }
     val minima = slice(arr, lit(1), greatest(n - lit(w - 1), lit(1)))
-    array_sort(array_distinct(minima))
+    // null text → null fingerprints (not a hash of nothing): without
+    // the guard every null document would emit the same seed hash and
+    // appear to near-dup-share with every other null document
+    when(text.isNotNull, array_sort(array_distinct(minima)))
   }
 
   /** Small-file compaction: rewrite a parquet directory into

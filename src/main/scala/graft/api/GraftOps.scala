@@ -45,15 +45,20 @@ object GraftOps {
     * null-padded tail zip_with produces is folded with
     * concat_ws-compatible semantics (skip missing), so short
     * documents (n < k) still emit their single whole-text shingle.
+    * NULL ELEMENTS inside the array are dropped before shingling
+    * (they would otherwise be indistinguishable from the tail padding
+    * and null-poison their windows); `tokens()`-produced arrays never
+    * contain them, so corpus semantics are unchanged.
     */
   def shingles(tokens: Column, k: Int = 3): Column =
     array_distinct(expr_transform(tokens, k))
 
   private def expr_transform(tokens: Column, k: Int): Column = {
-    val n = size(tokens)
-    var grams = tokens
+    val t = filter(tokens, x => x.isNotNull)
+    val n = size(t)
+    var grams = t
     for (off <- 1 until k)
-      grams = zip_with(grams, slice(tokens, lit(off + 1), n),
+      grams = zip_with(grams, slice(t, lit(off + 1), n),
         (a, b) => when(b.isNull, a).otherwise(concat(a, lit(" "), b)))
     slice(grams, lit(1), greatest(n - lit(k - 1), lit(1)))
   }
@@ -1038,9 +1043,15 @@ object GraftOps {
     * 500 toy docs; at corpus scale that is the difference between a
     * map-side pass and an unusable operator). In the cascade every
     * array reference sits in ARGUMENT position (evaluated once per
-    * row, never per element), each level doubles the covered window,
-    * and all lengths derive from `length(text)` directly so no level
-    * is referenced more than twice — ⌈log₂ w⌉ O(n) passes total.
+    * row, never per element) and each level doubles the covered
+    * window. Each level references the previous one twice and
+    * interpreted trees share no common subexpressions, so the gram
+    * pass re-evaluates ~w× per row — O(n·w) total hash work. That
+    * matches the naive form's arithmetic for w ≈ n but removes its
+    * per-POSITION O(n) recompute (O(n²) for the small w this is used
+    * with: w=4 costs 4 passes, measured 66 s → 0.5 s). For large w,
+    * materialize the grams as a projected column and slide over the
+    * attribute instead.
     * zip_with pads the shifted (shorter) side with nulls and `least`
     * ignores them, which exactly yields the shorter trailing windows
     * that the final slice drops.

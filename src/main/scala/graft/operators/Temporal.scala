@@ -223,9 +223,13 @@ object Temporal {
     */
   def tsResample(spark: SparkSession, sfDir: String): DataFrame = {
     val bucketUs = 21600000000L // 6 hours in microseconds
+    // exact integer floor-to-bucket (x - pmod(x, b) ≡ (x // b) * b for
+    // any sign) — a double-division floor only matches the oracle's
+    // integer `//` while half-ulp(quotient) < 1/bucketUs, a margin that
+    // silently erodes for finer buckets or far-future timestamps
     val bucket = timestamp_micros(
-      floor(unix_micros(col("ts_utc")) / lit(bucketUs)).cast("long") *
-        lit(bucketUs))
+      unix_micros(col("ts_utc")) -
+        pmod(unix_micros(col("ts_utc")), lit(bucketUs)))
     val wAsc = Window.partitionBy(col("user_id"), col("bucket_ts"))
       .orderBy(col("ts_utc").asc, col("event_id").asc)
     val wDesc = Window.partitionBy(col("user_id"), col("bucket_ts"))

@@ -53,4 +53,21 @@ class TextEdgeSpec extends SparkTestBase {
     assert(rows(3L).getSeq[String](2) === Seq("x"))
     assert(rows(3L).getSeq[Long](3).length === 1)
   }
+
+  test("shingles drop interior null tokens instead of null-poisoning windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", null, "c", "d")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("a", "b", "c", "d"))
+    ).toDF("id", "toks")
+    val got = df.select(col("id"), GraftOps.shingles(col("toks"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // nulls are dropped, then windows form over the remaining tokens —
+    // never a null shingle in the output
+    assert(got(1L) === Seq("a c d"))
+    assert(got(2L) === Seq[String]())
+    assert(got(3L) === Seq("a b c", "b c d"))
+  }
 }

@@ -101,7 +101,7 @@ object Fuzz {
 
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-      19, 20, 21, 22)) match {
+      19, 20, 21, 22, 23, 24, 25, 26)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -328,6 +328,46 @@ object Fuzz {
          |    SELECT s_suppkey FROM supplier WHERE s_acctbal < $thresh)
          |GROUP BY p_brand, p_size
          |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+    case 23 => // ROLLUP with GROUPING() disambiguation (agg_rollup's
+      // shape): subtotal rows carry NULL group keys — GROUPING() and
+      // the null-ordered sort must agree between engines
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+         |  COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+    case 24 => // set operations between filtered projections: bag vs
+      // set semantics of INTERSECT/EXCEPT (both DISTINCT by default in
+      // both engines)
+      val op = pick(r, Seq("INTERSECT", "EXCEPT", "UNION"))
+      val hi = 1 + r.nextInt(9)
+      s"""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         |$op
+         |SELECT o_custkey FROM orders WHERE o_orderpriority = '$hi-${
+           pick(r, Seq("URGENT", "HIGH", "MEDIUM", "LOW", "NOT SPECIFIED"))}'
+         |ORDER BY o_custkey""".stripMargin
+    case 25 => // date arithmetic: interval shifts, date_part extraction,
+      // and a day-difference bucket — calendar math must agree to the µs
+      val days = 1 + r.nextInt(90)
+      s"""SELECT CAST(date_part('year', o_orderdate + INTERVAL '$days' DAY) AS BIGINT) AS y,
+         |  CAST(date_part('month', o_orderdate + INTERVAL '$days' DAY) AS BIGINT) AS m,
+         |  COUNT(*) AS n
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY y, m ORDER BY y, m""".stripMargin
+    case 26 => // string-function chain on documents: upper/substr/
+      // replace/length compose identically, incl. multi-space and
+      // short-string edges
+      val n = 3 + r.nextInt(8)
+      s"""SELECT doc_id,
+         |  UPPER(SUBSTR(text, 1, $n)) AS head,
+         |  LENGTH(REPLACE(text, ' ', '')) AS squeezed_len,
+         |  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+         |FROM documents
+         |WHERE LENGTH(text) >= $n AND lang IN ('en', 'fr', 'de')
+         |ORDER BY doc_id""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

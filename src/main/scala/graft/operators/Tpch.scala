@@ -517,6 +517,36 @@ object Tpch {
       .orderBy(col("cntrycode"))
   }
 
+  /** `tpch_q1` — the pricing summary report in FULL canonical form:
+    * the shipdate cutoff plus all eight aggregate columns (the
+    * `agg_pricing` flagship is the same shape without the filter and
+    * averages). The averages are exact-decimal sums divided by the
+    * group count in DOUBLE — one IEEE division over identical
+    * operands in both engines — because decimal AVG widens
+    * differently in Spark and DuckDB (§2.0 rule 2). One shuffle:
+    * map-side partial aggregation into 4-ish groups; the cutoff is
+    * the entire fact read at scale and reaches the scan as a pushed
+    * filter.
+    */
+  def tpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("2001-09-02").cast("timestamp")
+    val cnt = count(lit(1))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= cutoff)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        outDec(sum(dec2(col("l_quantity"))), 18, 2).as("sum_qty"),
+        outDec(sum(dec2(col("l_extendedprice"))), 18, 2).as("sum_base_price"),
+        outDec(revenue, 38, 4).as("sum_disc_price"),
+        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+          * (one + dec2(col("l_tax")))), 38, 6).as("sum_charge"),
+        (outDec(sum(dec2(col("l_quantity"))), 18, 2) / cnt).as("avg_qty"),
+        (outDec(sum(dec2(col("l_extendedprice"))), 18, 2) / cnt).as("avg_price"),
+        (outDec(sum(dec2(col("l_discount"))), 18, 2) / cnt).as("avg_disc"),
+        cnt.as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** `tpch_q2` — minimum-cost supplier: for each STANDARD small-size
     * part, the EUROPE supplier(s) offering the lowest observed unit
     * price. The corpus has no partsupp, so the part↔supplier offer
@@ -716,6 +746,7 @@ object Tpch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> tpchQ1 _,
     "tpch_q2" -> tpchQ2 _,
     "tpch_q3" -> tpchQ3 _,
     "tpch_q4" -> tpchQ4 _,
@@ -953,6 +984,20 @@ object Tpch {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_q2" ->
       """WITH euro AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name

@@ -140,6 +140,12 @@ class PlanBudgetSpec extends SparkTestBase {
     }
   }
 
+  test("tpch_q1: ONE data shuffle (partial -> final aggregate)") {
+    val (hash, range) = shuffles(Tpch.queries("tpch_q1")(spark, sf))
+    assert(hash === 1, s"got $hash")
+    assert(range <= 1)
+  }
+
   test("tpch_q2: TWO data shuffles (pair aggregate + per-part min window)") {
     // the offer aggregate on (part, supplier), then the correlated-min
     // window re-keyed on part; part/supplier/nation/region all

@@ -76,6 +76,8 @@ class TpchSpec extends SparkTestBase {
       // q4: the quarter window is the entire orders read; the
       // correlated shipdate predicate rides the semi join instead
       "tpch_q4" -> Seq("o_orderdate"),
+      // q1: the shipdate cutoff is the entire fact read at scale
+      "tpch_q1" -> Seq("l_shipdate"),
       // q2: type+size prune part, region prunes the supplier side
       "tpch_q2" -> Seq("p_type", "p_size", "r_name"),
       // q9: the name prefix prunes part before broadcast

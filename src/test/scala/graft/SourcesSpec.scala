@@ -165,6 +165,40 @@ class SourcesSpec extends SparkTestBase {
     assert(merged.filter(col("g") === 2).select("b").collect()(0).getLong(0) === 9L)
   }
 
+  test("binaryFile source ingests raw blobs with metadata for the multimodal path") {
+    // the real 100 TB multimodal ingest: files land on object storage,
+    // spark.read.format("binaryFile") turns them into (path, length,
+    // content) rows that the decode/feature-extract operators consume —
+    // this pins the schema contract and a metadata-join over it
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_blobs")
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4),
+      "b.bin" -> Array[Byte](9, 8), "c.bin" -> Array.fill[Byte](1024)(7))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("length"), col("content"))
+    val rows = blobs.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    assert(rows.keySet === payloads.keySet)
+    payloads.foreach { case (name, bytes) =>
+      assert(rows(name)._1 === bytes.length.toLong, s"$name length")
+      assert(rows(name)._2.toSeq === bytes.toSeq, s"$name content")
+    }
+    // metadata join: the typed side-table pattern multimodal_join uses
+    val meta = Seq(("a.bin", "image"), ("b.bin", "audio"), ("c.bin", "video"))
+      .toDF("file", "kind")
+    val joined = blobs.join(broadcast(meta), Seq("file"))
+      .select(col("file"), col("kind"), length(col("content")).as("n"))
+      .orderBy(col("file")).collect()
+    assert(joined.length === 3)
+    assert(joined.map(_.getString(1)).toSeq === Seq("image", "audio", "video"))
+  }
+
   test("all ten table loaders read and report expected sf0.001 row counts") {
     val expected = Map(
       "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,

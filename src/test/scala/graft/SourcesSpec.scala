@@ -199,6 +199,30 @@ class SourcesSpec extends SparkTestBase {
     assert(joined.map(_.getString(1)).toSeq === Seq("image", "audio", "video"))
   }
 
+  test("xml sink + source round-trips the region table (Spark 4 built-in XML)") {
+    val dir = tmpDir("graft_xml") + "/region"
+    val r = Tables.region(spark, sf)
+    r.write.format("xml").option("rowTag", "region").save(dir)
+    val back = spark.read.format("xml").option("rowTag", "region").load(dir)
+      .select(col("r_regionkey").cast("int"), col("r_name"))
+      .orderBy(col("r_regionkey")).collect()
+    val orig = r.orderBy(col("r_regionkey")).collect()
+    assert(back.length === orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.getInt(0) === o.getInt(0) && b.getString(1) === o.getString(1))
+    }
+  }
+
+  test("text source ingests line-delimited corpora (one row per line)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_text")
+    Files.write(java.nio.file.Paths.get(dir, "corpus.txt"),
+      "first line\nsecond line\n\nfourth".getBytes("UTF-8"))
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.toSeq === Seq("first line", "second line", "", "fourth"))
+  }
+
   test("all ten table loaders read and report expected sf0.001 row counts") {
     val expected = Map(
       "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,

@@ -675,6 +675,37 @@ object GraftOps {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => (c.cast("float") * q.getField("scale")).cast("float"))
 
+  /** Johnson–Lindenstrauss-style signed random projection of a
+    * float-vector column to `outDims` dimensions: out[j] = Σᵢ v[i]·s(i,j)
+    * with a dense ±1 sign matrix — the standard cheap dimensionality
+    * reduction in front of clustering / LSH / near-dup scans (JL: a
+    * ±1 matrix preserves pairwise distances within (1±ε) at
+    * k = O(ln n / ε²) output dims). The matrix is never materialized:
+    * s(i,j) derives row-locally from a fixed integer polynomial
+    * ((37i + 101j + 13ij) mod 4 < 2 → +1 else −1 — the ij cross term
+    * breaks row/column degeneracy), so the operator is a pure map-side
+    * projection with zero state to ship; a production variant swaps in
+    * any per-(i,j) hash without changing the plan shape.
+    *
+    * HOF discipline: the element product rides a zip_with whose inputs
+    * are all ARGUMENT-position (the vector attribute, an index
+    * sequence), and the fold consumes that zipped array as an argument
+    * too — per output dim the work is one O(d) pass, O(k·d) per row
+    * total, with no interpreted-lambda re-evaluation blowup. Output is
+    * ROUND-6ed double per dimension (fold order is left-to-right in
+    * both engines — same discipline as the cosine oracles).
+    */
+  def signedProjection(vec: Column, outDims: Int): Column = {
+    require(outDims > 0, s"outDims $outDims")
+    transform(sequence(lit(0), lit(outDims - 1)), j =>
+      round(aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0), size(vec) - 1),
+          (x, i) => x * when(
+            (i * 37 + j * 101 + i * j * 13) % 4 < 2, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x), 6))
+  }
+
   // ---- product quantization (PQ) ---------------------------------------
   //
   // The heavier compression tier above int8: split each d-dim vector
@@ -867,6 +898,57 @@ object GraftOps {
       .select(col("token"), col("tf"), col("df"),
         round(col("tf").cast("double") *
           log(lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+  }
+
+  /** Per-document keyword extraction over any (id, text) DataFrame:
+    * the top-k tokens of each document by PER-DOC TF-IDF (document
+    * term frequency × corpus ln(N/df)) — the cheap extractive
+    * keyword/tag primitive (faceting, weak labels, BM25 query
+    * seeding).
+    *
+    * Like [[unigramLogprob]], NOT a pure plan constructor: the
+    * document-frequency vocabulary is materialized (`localCheckpoint`,
+    * one corpus tokenize + distinct + agg job — all two-phase, so
+    * stopword-grade hot tokens partial-aggregate map-side instead of
+    * piling onto one partition as a per-token window count would).
+    * The scoring pass then tokenizes once more into the (doc, token)
+    * tf aggregate and joins the vocabulary — two corpus tokenizes
+    * total, one Generate in the scoring plan (pinned in TextSpec),
+    * and ZERO corpus-scale state pinned in storage (only the
+    * vocab-sized df table). The df join is deliberately unhinted —
+    * a web-corpus vocabulary outgrows broadcast; AQE broadcasts it
+    * exactly when it actually is small. The top-k cut is a row_number
+    * window whose partition key (the id) is a PREFIX of the tf
+    * aggregate's grouping key, so the rank shuffle nests inside the
+    * tf partitioning.
+    *
+    * Determinism: scores are ROUND-6ed BEFORE ranking and ties break
+    * on the token itself, so the chosen top-k is unique cross-engine
+    * (ranking on the raw double would let a last-ulp difference pick
+    * a different keyword).
+    */
+  def docKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k $k")
+    val n = df.count()
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val dfreq = toks.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dfreq, "token")
+      .select(col(idCol), col("token"),
+        round(col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("token"), col("score"))
   }
 
   /** Per-document unigram LM score over any (id, text) DataFrame:

@@ -248,6 +248,44 @@ object Aggregates {
     perDay.unionAll(total).orderBy(col("scope"))
   }
 
+  /** `agg_hll_intersect` — sketch SET ALGEBRA: estimated audience
+    * overlap |A ∩ B| between every pair of event types' user sets via
+    * inclusion–exclusion over HLL sketches (est A + est B − est A∪B).
+    * HLLs union losslessly but cannot intersect directly, so this is
+    * the standard derived estimate (the error grows as the overlap
+    * shrinks relative to the union — acceptable for audience-overlap /
+    * cross-feature-reach questions, pinned ±15% in PipelineSpec
+    * against the exact intersection at corpus overlap ratios).
+    *
+    * Scale shape: ONE scan builds a constant-size sketch per event
+    * type (2-phase aggregate, 5 rows out); the pairwise grid is a
+    * broadcast self-join of that 5-row sketch table — the raw stream
+    * is never rescanned or shuffled per pair. At 100 TB the sketch
+    * table is what a warehouse stores per day/segment; every overlap
+    * question after that is sketch-only arithmetic.
+    */
+  def aggHllIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    // Materialized: the grid self-join references the sketch table
+    // twice under different aliases, and the renamed projections defeat
+    // exchange reuse — an unmaterialized plan would scan the raw stream
+    // once PER SIDE (pinned against in PipelineSpec). The checkpoint is
+    // five sketch rows; at warehouse scale it's the stored rollup.
+    val sk = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      .localCheckpoint()
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est_intersect"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** `agg_approx_freq` — Count-Min-Sketch frequency estimation: the
     * third sketch in the family (HLL distinct counts, KLL quantiles,
     * CMS per-key frequencies). One pass builds a constant-size sketch
@@ -265,6 +303,37 @@ object Aggregates {
       Tables.orders(spark, sfDir), col("o_custkey"))
     graft.api.GraftOps.cmsEstimates(spark, cms, 1L to 5L,
       keyName = "o_custkey", estName = "est_orders")
+  }
+
+  /** `agg_regression` — per-group ordinary least squares: slope,
+    * intercept and R² of event value against time (days since the
+    * corpus epoch 2024-01-01), per event type — the one-pass trend
+    * fit behind drift monitors and KPI dashboards ("is purchase value
+    * rising?").
+    *
+    * Spark-first: `regr_slope`/`regr_intercept`/`regr_r2` are native
+    * Catalyst aggregates — one scan, one 2-phase aggregate (five
+    * groups out), all moments merged associatively map-side; no
+    * collect, no per-group fit loop. The regressor is re-anchored to
+    * the corpus start so the intercept is the fitted value at t=0 of
+    * the data (an epoch-1970 anchor would extrapolate ~20k days out
+    * and amplify last-ulp slope noise ~2e4× into the intercept —
+    * determinism, not taste). Moment-merge order differs across
+    * engines/partitionings, so outputs are ROUND-6ed (diff ~1e-12
+    * relative, six orders below the grain).
+    */
+  def aggRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val epochUs = 1704067200000000L // 2024-01-01T00:00Z in µs
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        ((unix_micros(col("ts_utc")) - epochUs).cast("double") /
+          lit(86400000000.0)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(round(regr_slope(col("value"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("x")), 6).as("intercept"),
+        round(regr_r2(col("value"), col("x")), 6).as("r2"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
   }
 
   /** `agg_stats` — statistical aggregates: sample stddev and Pearson
@@ -432,12 +501,14 @@ object Aggregates {
     "agg_groupingsets" -> aggGroupingSets _,
     "agg_approx" -> aggApprox _,
     "agg_sketch_reagg" -> aggSketchReagg _,
+    "agg_hll_intersect" -> aggHllIntersect _,
     "agg_decay" -> aggDecay _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
     "agg_quantile" -> aggQuantile _,
     "agg_winsorize" -> aggWinsorize _,
     "agg_stats" -> aggStats _,
+    "agg_regression" -> aggRegression _,
     "agg_stringagg" -> aggStringagg _,
     "agg_pivot" -> aggPivot _
   )
@@ -519,6 +590,18 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_regression" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000 AS DOUBLE)
+        |      / 86400000000.0 AS x
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND(regr_slope(value, x), 6) AS slope,
+        |  ROUND(regr_intercept(value, x), 6) AS intercept,
+        |  ROUND(regr_r2(value, x), 6) AS r2,
+        |  COUNT(*) AS n_events
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,

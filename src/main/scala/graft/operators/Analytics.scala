@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -81,9 +82,74 @@ object Analytics {
       .orderBy(col("cohort_year"), col("year_offset"))
   }
 
+  /** `analytics_skyline` — the 2-D Pareto frontier (skyline) of parts:
+    * all (retail price, size) trade-off points not dominated by any
+    * part that is at-most-equal in both dimensions and strictly better
+    * in one — the classic "cheapest-for-its-size" multi-objective
+    * query (product search, config tuning, model-size/quality
+    * frontiers).
+    *
+    * Spark-first shape with an explicit scale reduction BEFORE the
+    * frontier: (1) a per-price `min(size)` aggregate — for a min/min
+    * skyline only the smallest size at each distinct price can be on
+    * the frontier, so the candidate set collapses from row count to
+    * distinct-price count with ONE map-side-combined shuffle; (2) the
+    * frontier itself is a running-min sweep over the price-ordered
+    * candidates (a row survives iff no strictly-cheaper candidate is
+    * as small), a single window pass instead of the naive O(n²)
+    * dominance self-join. The sweep's unpartitioned window runs over
+    * the already-collapsed aggregate (bounded by the price domain,
+    * not the fact table); on a truly unbounded domain the same sweep
+    * nests (per-partition local skyline → union → final sweep) because
+    * skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)).
+    */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val best = Tables.part(spark, sfDir)
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(min(col("p_size")).as("size"))
+    val sweep = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    best
+      .withColumn("best_before", min(col("size")).over(sweep))
+      .filter(col("best_before").isNull ||
+        col("size") < col("best_before"))
+      .select(col("price"), col("size"))
+      .orderBy(col("price"))
+  }
+
+  /** `analytics_markov` — the first-order Markov transition matrix of
+    * the event stream: for every (from, to) event-type pair, how often
+    * a user's next event follows it and the row-normalized transition
+    * probability — the behavioural fingerprint session-analysis and
+    * synthetic-journey generators start from.
+    *
+    * Spark-first shape: successor pairing is `lag` over ONE
+    * (user_id)-partitioned, (ts, event_id)-ordered window — one
+    * shuffle of (user, type, ts) triples, no self-join on consecutive
+    * rows; the pair counts are a map-side-combined 25-cell aggregate,
+    * and row normalization is a second window over that tiny matrix
+    * (5 partitions), never over the stream.
+    */
+  def markov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    val norm = Window.partitionBy(col("from_type"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_utc"), col("event_id"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("prob", round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(norm).cast("double"), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_stages" -> funnelStages _,
-    "cohort_retention" -> cohortRetention _
+    "cohort_retention" -> cohortRetention _,
+    "analytics_skyline" -> skyline _,
+    "analytics_markov" -> markov _
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +179,31 @@ object Analytics {
         |  FROM orders o JOIN fy USING (o_custkey))
         |SELECT CAST(cy AS BIGINT) AS cohort_year,
         |  CAST(off AS BIGINT) AS year_offset, count(*) AS n_active
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "analytics_skyline" ->
+      """WITH m AS (
+        |  SELECT p_retailprice AS price, MIN(p_size) AS size
+        |  FROM part GROUP BY 1),
+        |s AS (
+        |  SELECT price, size,
+        |    MIN(size) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_before
+        |  FROM m)
+        |SELECT price, size FROM s
+        |WHERE best_before IS NULL OR size < best_before
+        |ORDER BY price""".stripMargin,
+    "analytics_markov" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS n_trans
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  ROUND(CAST(n_trans AS DOUBLE) /
+        |    CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin
   )
 }

@@ -103,6 +103,46 @@ object Etl {
       .orderBy(col("user_id"))
   }
 
+  /** `etl_incr_rollup` — incremental materialized-rollup maintenance:
+    * a stored daily (day, event_type) rollup built from the data before
+    * a mid-day cutoff (the "already published" aggregate) is brought up
+    * to date by merging the partial aggregates of the late-arriving
+    * batch AT the aggregate level — never rescanning history. The
+    * inclusion–exclusion twin of agg_sketch_reagg for EXACT algebraic
+    * measures: count and decimal sum re-aggregate by addition, so
+    * `merged = base ⊎ delta` groupwise; non-algebraic reads (avg)
+    * derive at query time from the merged sums.
+    *
+    * The cutoff falls mid-day (12:00), so the boundary day genuinely
+    * holds one partial row from EACH side that must combine — the case
+    * an append-only union would get wrong silently.
+    *
+    * Scale shape: both partials are 2-phase aggregates over disjoint
+    * scan ranges (at a warehouse, base is the STORED table — here it
+    * derives from the same corpus so the oracle can recompute from
+    * scratch); the merge groupBy runs over rollup-sized input
+    * (days × types), not events. Correctness contract pinned by the
+    * oracle: incremental maintenance ≡ full recompute, to the row.
+    */
+  def incrRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val cut = lit("2024-01-25 12:00:00").cast("timestamp")
+    def partial(side: Column): DataFrame =
+      Tables.events(spark, sfDir)
+        .filter(side)
+        .groupBy(to_date(col("ts_utc")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).as("sum_value"))
+    partial(col("ts_utc") < cut)
+      .unionByName(partial(col("ts_utc") >= cut))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        outDec(sum(col("sum_value")), 18, 2).as("total_value"))
+      .select(col("day").cast("timestamp").as("day_ts"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("day_ts"), col("event_type"))
+  }
+
   /** `dq_profile` — per-column data-quality profile of a table in one
     * job: row count, null count, exact distinct count for every column.
     * The pre-load validation an ETL runs before publishing a snapshot.
@@ -257,6 +297,7 @@ object Etl {
     "etl_scd2" -> scd2 _,
     "etl_merge" -> merge _,
     "etl_snapshot_diff" -> snapshotDiff _,
+    "etl_incr_rollup" -> incrRollup _,
     "dq_profile" -> dqProfile _,
     "dq_orphans" -> dqOrphans _,
     "dq_anomaly" -> dqAnomaly _
@@ -267,6 +308,13 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "etl_incr_rollup" ->
+      // the maintenance CONTRACT: incremental merge ≡ full recompute
+      """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day_ts,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dq_anomaly" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS vd FROM events),

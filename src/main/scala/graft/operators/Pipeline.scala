@@ -93,6 +93,20 @@ object Pipeline {
       .limit(10)
   }
 
+  /** `embed_rproject` — signed random projection (GraftOps
+    * .signedProjection) of the embedding table 64 → 16 dims: the JL
+    * dimensionality-reduction pass a 100 TB pipeline runs before
+    * clustering or coarse ANN to cut vector bytes 4× with bounded
+    * distance distortion. Pure map-side (the ±1 matrix is a
+    * row-local integer formula, no broadcast, no shuffle); ROUND-6
+    * doubles per output dim.
+    */
+  def embedRproject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.api.GraftOps.signedProjection(col("embedding"), 16).as("proj"))
+      .orderBy(col("vec_id"))
+
   /** J2 `udaf_weighted` — typed Aggregator registered through `udaf()`:
     * quantity-weighted mean extended price per return flag. Decimal
     * buffer keeps partial aggregation associative (see WeightedMean).
@@ -350,7 +364,8 @@ object Pipeline {
     "text_stats" -> textStats _,
     "multimodal_join" -> multimodalJoin _,
     "udf_cosine_topk" -> udfCosineTopk _,
-    "udaf_weighted" -> udafWeighted _
+    "udaf_weighted" -> udafWeighted _,
+    "embed_rproject" -> embedRproject _
   )
 
   /** DuckDB lacks conv(): the 8-hex md5 prefix parses to an integer by
@@ -546,6 +561,16 @@ object Pipeline {
         |JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label
         |ORDER BY lang, label""".stripMargin,
+    "embed_rproject" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT vec_id,
+        |  [ROUND(list_sum(
+        |     [emb[i + 1] * (CASE WHEN (i * 37 + j * 101 + i * j * 13) % 4 < 2
+        |                    THEN 1.0 ELSE -1.0 END)
+        |      FOR i IN range(0, 64)]), 6)
+        |   FOR j IN range(0, 16)] AS proj
+        |FROM e ORDER BY vec_id""".stripMargin,
     "udf_cosine_topk" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0)

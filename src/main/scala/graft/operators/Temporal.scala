@@ -156,7 +156,7 @@ object Temporal {
       .withColumn("prev_day", lag(col("day"), 1).over(w))
       .withColumn("prev_value", lag(col("total_value"), 1).over(w))
       .select(col("user_id"), col("day"), col("n_events"),
-        col("total_value"), col("prev_value"),
+        col("total_value"), col("prev_day"), col("prev_value"),
         explode(sequence(
           coalesce(date_add(col("prev_day"), 1), col("day")),
           col("day"))).as("cal_day"))
@@ -199,6 +199,37 @@ object Temporal {
       .select(col("user_id"), col("cal_day").cast("timestamp").as("day_ts"),
         when(col("cal_day") === col("day"), col("total_value"))
           .otherwise(col("prev_value")).as("filled_value"))
+      .orderBy(col("user_id"), col("day_ts"))
+
+  /** `ts_interp` — LINEAR interpolation over the densified calendar:
+    * gap days take the straight line between the surrounding
+    * observations — the standard fill for continuously-varying
+    * metrics (rates, temperatures, learned-metric series) where LOCF's
+    * step function understates the trend. The gap-run formulation
+    * again makes the fill LOCAL: every generated gap day lies strictly
+    * inside (prev_day, day), so both interpolation endpoints
+    * (prev_value @ prev_day, total_value @ day) ride the SAME lagged
+    * row — no second window over the densified output, no join. Same
+    * one-scan / two-aggregate-sized-shuffle / zero-join shape as
+    * ts_gapfill; observed days pass their exact value through.
+    *
+    * Determinism: the blend is computed in double with an identical
+    * operation order in both engines — (cur − prev) · (Δ₁/Δ₂) with the
+    * fraction parenthesized first — and ROUND-6 gated; the inputs are
+    * exact decimal(38,2) sums, so the only float steps are the two
+    * multiplies/divides themselves.
+    */
+  def tsInterp(spark: SparkSession, sfDir: String): DataFrame =
+    dailyWithGapRuns(spark, sfDir)
+      .select(col("user_id"), col("cal_day").cast("timestamp").as("day_ts"),
+        round(
+          when(col("cal_day") === col("day"), col("total_value").cast("double"))
+            .otherwise(col("prev_value").cast("double") +
+              (col("total_value").cast("double") -
+                col("prev_value").cast("double")) *
+              (datediff(col("cal_day"), col("prev_day")).cast("double") /
+                datediff(col("day"), col("prev_day")).cast("double"))), 6)
+          .as("value_interp"))
       .orderBy(col("user_id"), col("day_ts"))
 
   /** `ts_resample` — OHLC downsampling: per (user, 6-hour bucket) the
@@ -259,6 +290,7 @@ object Temporal {
     "join_asof_nearest" -> joinAsofNearest _,
     "ts_gapfill" -> tsGapfill _,
     "ts_locf" -> tsLocf _,
+    "ts_interp" -> tsInterp _,
     "ts_resample" -> tsResample _
   )
 
@@ -360,6 +392,26 @@ object Temporal {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
         |ORDER BY c.user_id, day_ts""".stripMargin,
+    "ts_interp" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, day, total_value,
+        |    LAG(day) OVER w AS prev_day, LAG(total_value) OVER w AS prev_value
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |g AS (
+        |  SELECT user_id, day, total_value, prev_day, prev_value,
+        |    UNNEST(generate_series(COALESCE(prev_day + 1, day), day, INTERVAL 1 DAY))::DATE AS cal_day
+        |  FROM l)
+        |SELECT user_id, CAST(cal_day AS TIMESTAMP) AS day_ts,
+        |  ROUND(CASE WHEN cal_day = day THEN CAST(total_value AS DOUBLE)
+        |    ELSE CAST(prev_value AS DOUBLE) +
+        |      (CAST(total_value AS DOUBLE) - CAST(prev_value AS DOUBLE)) *
+        |      (CAST(date_diff('day', prev_day, cal_day) AS DOUBLE) /
+        |       CAST(date_diff('day', prev_day, day) AS DOUBLE)) END, 6) AS value_interp
+        |FROM g ORDER BY user_id, day_ts""".stripMargin,
     "ts_resample" ->
       """WITH b AS (
         |  SELECT user_id, event_id, value,

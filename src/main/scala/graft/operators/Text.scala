@@ -252,7 +252,22 @@ object Text {
         "doc_id", "text", window = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** `text_keywords` — per-document top-3 keywords by per-doc TF-IDF
+    * (GraftOps.docKeywords): the extractive tagging primitive for
+    * faceting and weak labelling. The corpus document-frequency
+    * vocabulary builds once (materialized, vocab-sized); the scoring
+    * pass is one tokenize → tf aggregate → vocab join → per-doc
+    * row_number cut, with ROUND-6 scores and token tie-breaks
+    * (cross-engine-unique selection).
+    */
+  def textKeywords(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.docKeywords(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords" -> textKeywords _,
     "text_chunk" -> textChunk _,
     "text_redact" -> textRedact _,
     "text_bigram_lm" -> textBigramLm _,
@@ -282,6 +297,27 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_keywords" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM ex GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.token,
+        |    ROUND(CAST(t.tf AS DOUBLE) *
+        |      ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS score
+        |  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS rank
+        |  FROM s)
+        |SELECT doc_id, rank, token, score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -41,4 +41,63 @@ class AnalyticsSpec extends SparkTestBase {
     // no activity can precede the cohort year, and none beyond the span
     assert(rows.forall(r => r._2 >= 0L && r._3 > 0L))
   }
+
+  test("analytics_skyline: frontier = exact non-dominated set; strict staircase") {
+    val sky = Analytics.skyline(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    assert(sky.nonEmpty)
+    // soundness: no frontier point dominates another frontier point
+    for (a <- sky; b <- sky if a != b)
+      assert(!(a._1 <= b._1 && a._2 <= b._2 && (a._1 < b._1 || a._2 < b._2)),
+        s"$a dominates $b inside the frontier")
+    // completeness: every candidate is dominated by (or IS) a frontier point
+    val all = graft.sources.Tables.part(spark, sf)
+      .select(col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    for (p <- all)
+      assert(sky.exists(s => s._1 <= p._1 && s._2 <= p._2),
+        s"candidate $p escapes the frontier")
+    // the min-min frontier is a strictly decreasing staircase
+    val sorted = sky.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(x, y) => assert(x._1 < y._1 && x._2 > y._2,
+        s"staircase violated: $x then $y")
+      case _ => ()
+    }
+  }
+
+  test("analytics_skyline sweep runs over the collapsed per-price aggregate, one scan") {
+    val plan = planOf(Analytics.skyline(spark, sf)).split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("part"))
+    assert(scans === 1, s"dominance self-joins would re-scan; got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"skyline must never be the O(n²) dominance join:\n$plan")
+  }
+
+  test("analytics_markov: rows normalize to 1; transition count conservation") {
+    val rows = Analytics.markov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val pSum = rs.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-4,
+        s"row $from sums to $pSum, not 1 (round-6 grain)")
+    }
+    // each user with n events contributes exactly n-1 transitions
+    val ev = graft.sources.Tables.events(spark, sf)
+    val n = ev.count()
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum === n - users,
+      s"transition conservation: ${rows.map(_._3).sum} != $n - $users")
+  }
+
+  test("analytics_markov pairs via ONE lag window, not a consecutive-row self-join") {
+    val plan = planOf(Analytics.markov(spark, sf)).split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 1, s"successor pairing must not re-scan; got $scans")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"lag formulation has no join at all:\n$plan")
+  }
 }

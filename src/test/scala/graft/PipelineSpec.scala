@@ -101,6 +101,68 @@ class PipelineSpec extends SparkTestBase {
       s"est $est vs exact $exact")
   }
 
+  test("agg_hll_intersect: full pair grid; inclusion-exclusion tracks the exact overlap") {
+    val est = Aggregates.aggHllIntersect(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sets = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    assert(est.size === sets.size * (sets.size - 1) / 2,
+      "one row per unordered event-type pair")
+    for (((a, b), (ea, eb, ei)) <- est) {
+      assert(a < b, "grid is the upper triangle")
+      val exact = (sets(a) & sets(b)).size
+      assert(math.abs(ei - exact).toDouble <= math.max(3.0, 0.15 * exact),
+        s"($a,$b): est $ei vs exact $exact")
+      assert(ei <= math.min(ea, eb) + math.max(3L, (0.15 * exact).toLong),
+        s"($a,$b): intersection can't exceed either side beyond sketch noise")
+    }
+  }
+
+  test("agg_hll_intersect: the pair grid joins only materialized sketch rows, zero stream rescans") {
+    val plan = planOf(Aggregates.aggHllIntersect(spark, sf))
+      .split("== Initial Plan ==").head
+    // the one stream scan happened building the checkpointed sketch
+    // table; the grid plan must reference ONLY that materialization
+    // (an unmaterialized self-join re-scans once per side — the
+    // aliased projections defeat exchange reuse)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 0, s"grid must not touch the raw stream; got $scans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"grid joins the checkpointed sketch rows:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 5-row grid must broadcast:\n$plan")
+  }
+
+  test("embed_rproject: every output dim recomputes exactly from the sign polynomial") {
+    val proj = Pipeline.embedRproject(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(proj.keySet === embs.keySet)
+    for ((id, v) <- embs; j <- 0 until 16) {
+      var s = 0.0 // same left-to-right fold order as the Spark aggregate
+      for (i <- v.indices) {
+        val sign = if ((i * 37 + j * 101 + i * j * 13) % 4 < 2) 1.0 else -1.0
+        s += v(i).toDouble * sign
+      }
+      val expect = BigDecimal(s)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(proj(id)(j) - expect) < 1e-9,
+        s"vec $id dim $j: ${proj(id)(j)} != $expect")
+    }
+  }
+
+  test("embed_rproject is map-side only: no exchange before the presentation sort") {
+    val plan = planOf(Pipeline.embedRproject(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a signed projection never shuffles:\n$plan")
+  }
+
   test("percentile_approx within 1 quantity unit of the exact percentile per group") {
     // l_quantity is dense integers 1..50, and at accuracy 10000 the
     // sketch's rank error is <= n/10000 rows — far under one value step;

@@ -163,6 +163,48 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("ts_interp: observed days exact, gap days on the chord between their endpoints") {
+    val gf = Temporal.tsGapfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ip = Temporal.tsInterp(spark, sf).collect()
+    assert(ip.length === gf.size, "interp densifies the same calendar as gapfill")
+    assert(ip.forall(!_.isNullAt(2)), "spans start at an observation: interp is total")
+    // replay the per-user chord: between observations (n > 0 in gapfill)
+    // the fill is prev + (next - prev) * elapsed/gap, at the round-6 grain
+    val byUser = ip.groupBy(_.getLong(0))
+    for ((u, rows) <- byUser) {
+      val seq = rows.sortBy(_.getTimestamp(1).getTime)
+      var prevDay = 0L; var prevVal = 0.0
+      var started = false
+      // index of the next observed day at-or-after each position
+      val obs = seq.map(r => gf((u, r.getTimestamp(1)))._1 > 0L)
+      val days = seq.map(_.getTimestamp(1).getTime / 86400000L)
+      val vals = seq.map(r => gf((u, r.getTimestamp(1)))._2)
+      for (i <- seq.indices) {
+        val got = seq(i).getDouble(2)
+        if (obs(i)) {
+          assert(math.abs(got - vals(i)) < 2e-6, s"user $u observed day $i: $got != ${vals(i)}")
+          prevDay = days(i); prevVal = vals(i); started = true
+        } else {
+          assert(started, "first day per user is always observed")
+          val j = (i + 1 until seq.length).find(obs(_)).get
+          val expect = prevVal +
+            (vals(j) - prevVal) * ((days(i) - prevDay).toDouble / (days(j) - prevDay).toDouble)
+          assert(math.abs(got - expect) < 2e-6,
+            s"user $u gap day $i: $got != chord $expect")
+        }
+      }
+    }
+  }
+
+  test("ts_interp keeps the gap-run shape: one events scan, no join") {
+    val plan = planOf(Temporal.tsInterp(spark, sf)).split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 1, s"spans+join formulations re-scan; got $scans")
+    assert(!plan.contains("Join"), s"gap-run interpolation needs no join:\n$plan")
+  }
+
   test("ts_resample: bars partition events, open/close are the ts-ordered endpoints") {
     val bars = Temporal.tsResample(spark, sf).collect()
     val ev = Tables.events(spark, sf)

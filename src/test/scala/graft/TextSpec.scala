@@ -83,6 +83,42 @@ class TextSpec extends SparkTestBase {
     assert(!plan.contains("collect_set") && !plan.contains("collect_list"))
   }
 
+  test("text_keywords: k rows per doc, rank-ordered scores, tf·idf recomputes") {
+    val kw = graft.operators.Text.textKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toDouble
+    val dfreq = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val byDoc = kw.groupBy(_._1)
+    assert(byDoc.keySet === docs.keySet, "every document gets keywords")
+    for ((d, rows) <- byDoc) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3 &&
+        sorted.length === math.min(3, docs(d).distinct.length))
+      // scores non-increasing in rank, and each recomputes from scratch
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true })
+      for ((_, _, tok, score) <- sorted) {
+        val tf = docs(d).count(_ == tok).toDouble
+        val expect = tf * math.log(n / dfreq(tok))
+        assert(math.abs(score - expect) < 2e-6, s"doc $d '$tok': $score != $expect")
+      }
+    }
+  }
+
+  test("text_keywords scoring plan: ONE Generate (vocab is prebuilt), no corpus re-tokenize") {
+    val plan = planOf(graft.operators.Text.textKeywords(spark, sf))
+      .split("== Initial Plan ==").head
+    val gens = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(gens === 1, s"scoring pass must tokenize exactly once:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"df table must be the materialized checkpoint, not a live re-aggregate:\n$plan")
+  }
+
   test("text_bigram_lm: every doc scored, scores non-positive, bigram count = tokens - 1") {
     val scored = Text.textBigramLm(spark, sf)
     val docs = Tables.documents(spark, sf)

@@ -83,6 +83,25 @@ class EtlSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("etl_incr_rollup: merged partials equal the full recompute, boundary day merges both sides") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Dec._
+    val incr = Etl.incrRollup(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val full = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), outDec(sum(dec2(col("value"))), 18, 2).as("t"))
+      .collect()
+      .map(r => (java.sql.Timestamp.valueOf(r.getDate(0).toString + " 00:00:00"),
+        r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(incr === full, "incremental maintenance must equal full recompute")
+    // the mid-day cutoff day must exist — the case where both partial
+    // sides contribute rows that the merge aggregate has to combine
+    val cutDay = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    assert(incr.keys.exists(_._1 == cutDay), "boundary day missing from fixture")
+  }
+
   test("dq_profile: no Expand — the unpivot is a generator, not countDistinct fan-out") {
     val df = Etl.dqProfile(spark, sf)
     df.collect()

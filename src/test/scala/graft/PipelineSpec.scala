@@ -163,6 +163,45 @@ class PipelineSpec extends SparkTestBase {
       s"a signed projection never shuffles:\n$plan")
   }
 
+  test("agg_regression: slope/intercept/r2 recompute from closed-form moments") {
+    val got = Aggregates.aggRegression(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val epochUs = 1704067200000000L
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"),
+        ((unix_micros(col("ts_utc")) - epochUs).cast("double") /
+          lit(86400000000.0)).as("x"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(got.keySet === raw.keySet)
+    for ((t, rows) <- raw) {
+      val xs = rows.map(_._2); val ys = rows.map(_._3); val n = xs.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val syy = ys.map(y => (y - my) * (y - my)).sum
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val slope = sxy / sxx
+      val (gs, gi, gr, gn) = got(t)
+      assert(gn === n.toLong)
+      assert(math.abs(gs - slope) < 1e-5, s"$t slope $gs vs $slope")
+      assert(math.abs(gi - (my - slope * mx)) < 1e-4, s"$t intercept")
+      assert(math.abs(gr - sxy * sxy / (sxx * syy)) < 1e-5, s"$t r2")
+    }
+  }
+
+  test("agg_regression plans as one scan + one 2-phase aggregate, no Expand") {
+    val plan = planOf(Aggregates.aggRegression(spark, sf))
+      .split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 1, s"per-moment passes would re-scan; got $scans")
+    assert(!plan.contains("Expand"), s"moments merge in ONE aggregate:\n$plan")
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hash === 1, s"one shuffle of 5 groups' moments, got $hash")
+  }
+
   test("percentile_approx within 1 quantity unit of the exact percentile per group") {
     // l_quantity is dense integers 1..50, and at accuracy 10000 the
     // sketch's rank error is <= n/10000 rows — far under one value step;

@@ -101,7 +101,7 @@ object Fuzz {
 
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-      19, 20, 21, 22, 23, 24, 25, 26)) match {
+      19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -368,6 +368,53 @@ object Fuzz {
          |FROM documents
          |WHERE LENGTH(text) >= $n AND lang IN ('en', 'fr', 'de')
          |ORDER BY doc_id""".stripMargin
+    case 27 => // lag-pair transition matrix (analytics_markov's shape):
+      // LAG feeding a grouped count, row-normalized by a window over
+      // the AGGREGATE — null-lag drop and ROUND-6 probability division
+      // must agree between engines
+      s"""SELECT from_type, to_type, n_trans,
+         |  ROUND(CAST(n_trans AS DOUBLE) /
+         |    CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+         |FROM (
+         |  SELECT from_type, event_type AS to_type, COUNT(*) AS n_trans
+         |  FROM (
+         |    SELECT event_type,
+         |      LAG(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+         |    FROM events WHERE ${eventPredicate(r)}) t
+         |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type) c
+         |ORDER BY from_type, to_type""".stripMargin
+    case 28 => // running-extreme sweep over an aggregate (the skyline
+      // frontier's shape): MIN OVER a strictly-preceding ROWS frame on
+      // a price-ordered per-price aggregate; NULL first-row frame and
+      // strict-inequality survival must agree
+      val (dim, key) = pick(r, Seq(("p_size", "p_retailprice"),
+        ("p_retailprice", "p_size")))
+      s"""SELECT k, v FROM (
+         |  SELECT k, v, MIN(v) OVER (ORDER BY k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+         |  FROM (SELECT $key AS k, MIN($dim) AS v FROM part
+         |        WHERE p_size BETWEEN ${1 + r.nextInt(10)} AND ${20 + r.nextInt(30)}
+         |        GROUP BY $key) m) s
+         |WHERE best IS NULL OR v < best
+         |ORDER BY k""".stripMargin
+    case 29 => // regression moment aggregates (agg_regression's shape):
+      // regr_slope/intercept/r2 share the same definition in both
+      // engines; merge-order noise must stay under the ROUND-6 grain
+      val (y, x, tbl, grp, pred) = pick(r, Seq(
+        ("value", "CAST(user_id AS DOUBLE)", "events", "event_type",
+          eventPredicate(r)),
+        ("l_extendedprice", "CAST(l_quantity AS DOUBLE)", "lineitem",
+          "l_returnflag", "l_linenumber >= 1"),
+        ("o_totalprice", "CAST(date_part('year', o_orderdate) AS DOUBLE)",
+          "orders", "o_orderstatus", predicate(r))))
+      s"""SELECT $grp,
+         |  ROUND(regr_slope($y, $x), 6) AS slope,
+         |  ROUND(regr_intercept($y, $x), 6) AS intercept,
+         |  ROUND(regr_r2($y, $x), 6) AS r2,
+         |  COUNT(*) AS n
+         |FROM $tbl WHERE $pred
+         |GROUP BY $grp ORDER BY $grp""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

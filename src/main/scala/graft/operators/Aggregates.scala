@@ -305,6 +305,67 @@ object Aggregates {
       keyName = "o_custkey", estName = "est_orders")
   }
 
+  /** `agg_entropy` — Shannon entropy of the source mix per language
+    * over documents: how concentrated is each language's provenance?
+    * The diversity/skew diagnostic a curation pipeline tracks per
+    * slice (a lang whose entropy collapses is being fed by one
+    * scraper).
+    *
+    * Algebraic form: H = ln n − (Σ c·ln c)/n over the per-(lang,
+    * source) counts c — both Σc and Σc·ln c are plain sums of the
+    * count table, so the operator is TWO nested 2-phase aggregates
+    * ((lang, source) then lang) with no window, no self-join, and no
+    * per-group probability materialization; the naive -Σ p ln p form
+    * needs the total BEFORE scoring each row (a window or join back).
+    * ln is the only transcendental → ROUND-6 gate.
+    */
+  def aggEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"), 6).as("entropy"))
+      .orderBy(col("lang"))
+
+  /** `agg_gini` — Gini concentration coefficient of event value per
+    * event type: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-
+    * sorted values — the inequality measure for spend/traffic
+    * concentration ("do 1% of purchases carry 50% of value?").
+    *
+    * Spark-first: the sorted index is ONE row_number window on
+    * (event_type ORDER BY value, event_id) and the moments are a
+    * same-key aggregate that nests inside the window's partitioning —
+    * one shuffle total (pinned). Σx and Σi·x accumulate in DECIMAL
+    * (exact, associative — i·x keeps 2 decimals since i is integral),
+    * so the only float steps are the two final divisions: identical
+    * op order in both engines, ROUND-6 gate. Value ties are harmless:
+    * permuting equal x across adjacent ranks leaves Σi·x unchanged,
+    * so the event_id tie-break is for engine determinism, not
+    * semantics.
+    */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("sx"),
+        sum(col("i") * dec2(col("value"))).as("six"))
+      .select(col("event_type"), col("n"),
+        round(lit(2.0) * col("six").cast("double") /
+            (col("n").cast("double") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+      .orderBy(col("event_type"))
+  }
+
   /** `agg_regression` — per-group ordinary least squares: slope,
     * intercept and R² of event value against time (days since the
     * corpus epoch 2024-01-01), per event type — the one-pass trend
@@ -509,6 +570,8 @@ object Aggregates {
     "agg_winsorize" -> aggWinsorize _,
     "agg_stats" -> aggStats _,
     "agg_regression" -> aggRegression _,
+    "agg_entropy" -> aggEntropy _,
+    "agg_gini" -> aggGini _,
     "agg_stringagg" -> aggStringagg _,
     "agg_pivot" -> aggPivot _
   )
@@ -590,6 +653,26 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, SUM(c) AS n_docs, COUNT(*) AS n_sources,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+        |      CAST(SUM(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS i
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(2.0 * CAST(SUM(i * v) AS DOUBLE) /
+        |      (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) -
+        |    CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_regression" ->
       """WITH t AS (
         |  SELECT event_type, value,

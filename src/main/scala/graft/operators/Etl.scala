@@ -143,6 +143,37 @@ object Etl {
       .orderBy(col("day_ts"), col("event_type"))
   }
 
+  /** `dq_benford` — Benford's-law first-digit audit of order totals:
+    * observed leading-digit frequencies against the log10(1 + 1/d)
+    * expectation, with the per-digit deviation — the classic
+    * fabricated-/synthetic-data screen a load audit runs on any
+    * organically-grown monetary column.
+    *
+    * Spark-first: the leading digit is pure string arithmetic on the
+    * integral part (prices are ≥ 1 here, so no significand hunt), the
+    * tally is a 9-row 2-phase aggregate, and the observed fraction
+    * normalizes by a window over THAT aggregate — nothing but the one
+    * scan touches the fact table. Expected frequencies are
+    * transcendental → ROUND-6 gate with identical formula text in
+    * both engines.
+    */
+  def dqBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val total = Window.partitionBy()
+    Tables.orders(spark, sfDir)
+      // floor, not a straight cast: DuckDB's double→BIGINT cast ROUNDS
+      // while Spark's truncates — 999.8 would lead with 1 vs 9
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("bigint").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(total).cast("double"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("expected"))
+      .orderBy(col("digit"))
+  }
+
   /** `dq_profile` — per-column data-quality profile of a table in one
     * job: row count, null count, exact distinct count for every column.
     * The pre-load validation an ETL runs before publishing a snapshot.
@@ -298,6 +329,7 @@ object Etl {
     "etl_merge" -> merge _,
     "etl_snapshot_diff" -> snapshotDiff _,
     "etl_incr_rollup" -> incrRollup _,
+    "dq_benford" -> dqBenford _,
     "dq_profile" -> dqProfile _,
     "dq_orphans" -> dqOrphans _,
     "dq_anomaly" -> dqAnomaly _
@@ -315,6 +347,17 @@ object Etl {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER () AS DOUBLE), 6) AS observed,
+        |  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
+        |FROM c ORDER BY digit""".stripMargin,
     "dq_anomaly" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS vd FROM events),

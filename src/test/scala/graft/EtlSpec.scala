@@ -102,6 +102,22 @@ class EtlSpec extends SparkTestBase {
     assert(incr.keys.exists(_._1 == cutDay), "boundary day missing from fixture")
   }
 
+  test("dq_benford: digits partition the table, fractions and expectations each sum to 1") {
+    val rows = Etl.dqBenford(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet), "leading digits are 1..9")
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "every order contributes one digit")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "observed fractions sum to 1")
+    // Benford expectation is a fixed distribution: Σ log10(1+1/d) over
+    // the digits PRESENT; with all 9 present it sums to exactly 1
+    val expSum = rows.map(_._4).sum
+    val want = rows.map(_._1).map(d => math.log10(1.0 + 1.0 / d)).sum
+    assert(math.abs(expSum - want) < 1e-4)
+    for ((d, _, _, e) <- rows)
+      assert(math.abs(e - math.log10(1.0 + 1.0 / d)) < 1e-6)
+  }
+
   test("dq_profile: no Expand — the unpivot is a generator, not countDistinct fan-out") {
     val df = Etl.dqProfile(spark, sf)
     df.collect()

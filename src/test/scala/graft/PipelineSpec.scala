@@ -163,6 +163,48 @@ class PipelineSpec extends SparkTestBase {
       s"a signed projection never shuffles:\n$plan")
   }
 
+  test("agg_entropy: bounded by ln(n_sources), recomputes from raw counts") {
+    val got = Aggregates.aggEntropy(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet === counts.keySet)
+    for ((lang, rows) <- counts) {
+      val cs = rows.map(_._3.toDouble); val n = cs.sum
+      val h = math.log(n) - cs.map(c => c * math.log(c)).sum / n
+      val (nd, ns, gh) = got(lang)
+      assert(nd === n.toLong && ns === cs.length.toLong)
+      assert(gh >= -1e-9 && gh <= math.log(ns.toDouble) + 1e-9,
+        s"$lang entropy $gh outside [0, ln($ns)]")
+      assert(math.abs(gh - h) < 2e-6, s"$lang: $gh vs $h")
+    }
+  }
+
+  test("agg_gini: in [0,1), recomputes from the sorted closed form; one shuffle") {
+    val df = Aggregates.aggGini(spark, sf)
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP))).groupBy(_._1)
+    for ((t, rows) <- vals) {
+      val xs = rows.map(_._2).sorted
+      val n = xs.length
+      val six = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      val g = 2.0 * six.toDouble / (n.toDouble * xs.sum.toDouble) - (n + 1.0) / n
+      val (gn, gg) = got(t)
+      assert(gn === n.toLong)
+      assert(gg >= 0.0 && gg < 1.0, s"$t gini $gg out of range")
+      assert(math.abs(gg - g) < 2e-6, s"$t: $gg vs $g")
+    }
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hash === 1, s"moment aggregate must nest inside the rank window's shuffle, got $hash")
+  }
+
   test("agg_regression: slope/intercept/r2 recompute from closed-form moments") {
     val got = Aggregates.aggRegression(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -10,6 +10,45 @@ import graft.sources.Tables
   */
 class BucketingSpec extends SparkTestBase {
 
+  test("runtime bloom-filter semi-join reduction: the dim filter reaches the fact side as a bloom probe") {
+    // The third runtime-pruning lever beside DPP and AQE: for a
+    // NON-partition join key, Spark builds a bloom filter from the
+    // filtered dim side and injects a might_contain probe into the fact
+    // side BEFORE the shuffle — at 100 TB that's shuffling only the
+    // ~selectivity fraction of the fact table instead of all of it.
+    // The size thresholds exist for real clusters (building a bloom
+    // costs a dim-side pass); zeroing them here makes the toy corpus
+    // eligible so the PLAN SHAPE is pinned.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def query() = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(Tables.orders(spark, sf)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val q = query()
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom probe on the fact side:\n$opt")
+      val withBloom = q.orderBy("l_returnflag").collect().toSeq
+      // the probe is a pure pre-filter: result identical without it
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(query().orderBy("l_returnflag").collect().toSeq === withBloom,
+        "bloom reduction must not change the join result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

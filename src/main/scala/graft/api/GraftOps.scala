@@ -918,9 +918,13 @@ object GraftOps {
     * vocab-sized df table). The df join is deliberately unhinted —
     * a web-corpus vocabulary outgrows broadcast; AQE broadcasts it
     * exactly when it actually is small. The top-k cut is a row_number
-    * window whose partition key (the id) is a PREFIX of the tf
-    * aggregate's grouping key, so the rank shuffle nests inside the
-    * tf partitioning.
+    * window; its doc_id re-shuffle is real ((doc, token) hash
+    * partitioning does not satisfy a doc_id-only requirement) but
+    * Spark 4 inserts a PARTIAL WindowGroupLimit below that exchange,
+    * so each map partition ships at most k candidate rows per doc —
+    * the shuffle carries O(docs·k), not the full tf table (verified
+    * in the formatted plan: WindowGroupLimit above AND below the
+    * doc_id exchange).
     *
     * Determinism: scores are ROUND-6ed BEFORE ranking and ties break
     * on the token itself, so the chosen top-k is unique cross-engine

@@ -90,6 +90,45 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** `join_interval` — interval OVERLAP join: each order's 30-day
+    * fulfilment window [orderdate, orderdate+30d) against a campaign
+    * calendar of date intervals, `a.start < b.end AND b.start < a.end`
+    * — the canonical temporal-overlap shape (sessions × promotions,
+    * downtime × SLA windows) that join_range's point-in-band form
+    * cannot express.
+    *
+    * Scale shape: the campaign side is a literal broadcast (a calendar
+    * is always dimension-sized), so the fact side streams map-side
+    * through a BroadcastNestedLoopJoin — no shuffle of orders. When
+    * BOTH interval sets are large, the production rewrite buckets
+    * intervals by coarse time grain (epoch-month) and equi-joins on
+    * the bucket with the overlap predicate as a residual — the same
+    * banding idea the near-dedup LSH join uses; at this corpus the
+    * dimension side is 4 rows and broadcast is strictly better.
+    */
+  def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val campaigns = Seq(
+      ("launch_95", "1995-01-01", "1995-07-01"),
+      ("summer_97", "1997-06-01", "1997-09-01"),
+      ("holiday_98", "1998-11-15", "1999-01-15"),
+      ("clearance_00", "2000-03-01", "2000-04-01"))
+      .toDF("campaign", "c_start", "c_end")
+      .select(col("campaign"), col("c_start").cast("date").as("c_start"),
+        col("c_end").cast("date").as("c_end"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("o_end"))
+    o.join(broadcast(campaigns),
+        col("o_start") < col("c_end") && col("c_start") < col("o_end"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_orders"),
+        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+      .orderBy(col("campaign"))
+  }
+
   /** C6 `join_anti` — customers with zero urgent orders (the exact
     * complement of C5: |semi| + |anti| = |customer|, pinned in tests).
     */
@@ -259,6 +298,7 @@ object Joins {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_range" -> joinRange _,
+    "join_interval" -> joinInterval _,
     "join_cross" -> joinCross _,
     "subq_exists" -> subqExists _,
     "subq_scalar" -> subqScalar _
@@ -341,6 +381,21 @@ object Joins {
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+    "join_interval" ->
+      """SELECT campaign, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |        CAST(o_orderdate AS DATE) AS o_start,
+        |        CAST(o_orderdate AS DATE) + 30 AS o_end
+        |      FROM orders) o
+        |JOIN (VALUES ('launch_95', DATE '1995-01-01', DATE '1995-07-01'),
+        |             ('summer_97', DATE '1997-06-01', DATE '1997-09-01'),
+        |             ('holiday_98', DATE '1998-11-15', DATE '1999-01-15'),
+        |             ('clearance_00', DATE '2000-03-01', DATE '2000-04-01'))
+        |  c(campaign, c_start, c_end)
+        |  ON o_start < c_end AND c_start < o_end
+        |GROUP BY campaign
+        |ORDER BY campaign""".stripMargin,
     "join_cross" ->
       """SELECT r_name, event_type
         |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)

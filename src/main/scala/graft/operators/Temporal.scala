@@ -232,6 +232,37 @@ object Temporal {
           .as("value_interp"))
       .orderBy(col("user_id"), col("day_ts"))
 
+  /** `ts_islands` — gaps-and-islands streak analysis: per user, the
+    * number of maximal runs of CONSECUTIVE active days, the longest
+    * such streak, and total active days — the engagement-streak /
+    * uptime-run shape (also how a pipeline finds contiguous coverage
+    * spans in a training-data calendar).
+    *
+    * Spark-first: the classic island key `day − row_number` (constant
+    * exactly within a consecutive run) turns streak detection into
+    * plain grouping — no self-join, no iterative merging. Plan: one
+    * distinct-days aggregate, ONE user_id window, then both the
+    * (user, island) count and the per-user rollup ride the SAME
+    * user_id partitioning (HashPartitioning(user) satisfies any
+    * clustering keyed on a superset), so the whole cascade costs two
+    * data shuffles regardless of streak length — state never exceeds
+    * the distinct-day table.
+    */
+  def tsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts_utc")).as("day"))
+      .distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
   /** `ts_resample` — OHLC downsampling: per (user, 6-hour bucket) the
     * opening value (earliest event), high, low, closing value (latest
     * event), event count and decimal volume — the standard resample →
@@ -291,6 +322,7 @@ object Temporal {
     "ts_gapfill" -> tsGapfill _,
     "ts_locf" -> tsLocf _,
     "ts_interp" -> tsInterp _,
+    "ts_islands" -> tsIslands _,
     "ts_resample" -> tsResample _
   )
 
@@ -412,6 +444,20 @@ object Temporal {
         |      (CAST(date_diff('day', prev_day, cal_day) AS DOUBLE) /
         |       CAST(date_diff('day', prev_day, day) AS DOUBLE)) END, 6) AS value_interp
         |FROM g ORDER BY user_id, day_ts""".stripMargin,
+    "ts_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS grp
+        |  FROM d),
+        |i AS (
+        |  SELECT user_id, grp, COUNT(*) AS len
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
+        |  SUM(len) AS active_days
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_resample" ->
       """WITH b AS (
         |  SELECT user_id, event_id, value,

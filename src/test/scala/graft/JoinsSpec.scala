@@ -48,6 +48,32 @@ class JoinsSpec extends SparkTestBase {
     assert(banded === inRange)
   }
 
+  test("join_interval: overlap recomputes brute-force; fact side never shuffles") {
+    import org.apache.spark.sql.functions._
+    val got = Joins.joinInterval(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val campaigns = Seq(
+      ("launch_95", "1995-01-01", "1995-07-01"),
+      ("summer_97", "1997-06-01", "1997-09-01"),
+      ("holiday_98", "1998-11-15", "1999-01-15"),
+      ("clearance_00", "2000-03-01", "2000-04-01"))
+      .map { case (n, s, e) => (n, java.time.LocalDate.parse(s), java.time.LocalDate.parse(e)) }
+    val orders = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("d")).collect()
+      .map(_.getDate(0).toLocalDate)
+    for ((name, cs, ce) <- campaigns) {
+      // half-open overlap: [d, d+30) ∩ [cs, ce) non-empty
+      val expect = orders.count(d => d.isBefore(ce) && cs.isBefore(d.plusDays(30)))
+      assert(got.getOrElse(name, 0L) === expect.toLong, s"campaign $name")
+    }
+    val plan = planOf(Joins.joinInterval(spark, sf)).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the calendar side must broadcast (no orders shuffle):\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("o_orderkey")),
+      s"fact side must stream map-side:\n$plan")
+  }
+
   test("correlated EXISTS decorrelates to a semi join (same rows as the DataFrame form)") {
     val plan = planOf(Joins.subqExists(spark, sf))
     assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")

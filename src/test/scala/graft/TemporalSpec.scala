@@ -205,6 +205,42 @@ class TemporalSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"gap-run interpolation needs no join:\n$plan")
   }
 
+  test("ts_islands: streaks recompute from raw day sets; counts conserve") {
+    val got = Temporal.tsIslands(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts_utc")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+    assert(got.keySet === days.keySet)
+    for ((u, rows) <- days) {
+      val ds = rows.map(_._2).sortBy(_.toEpochDay)
+      // brute-force islands: split where the day gap exceeds 1
+      val gaps = ds.zip(ds.drop(1)).count { case (a, b) => b.toEpochDay - a.toEpochDay > 1 }
+      val nStreaks = gaps + 1
+      val lens = {
+        val bounds = 0 +: ds.zip(ds.drop(1)).zipWithIndex
+          .collect { case ((a, b), i) if b.toEpochDay - a.toEpochDay > 1 => i + 1 } :+ ds.length
+        bounds.zip(bounds.drop(1)).map { case (s, e) => (e - s).toLong }
+      }
+      val (gn, gl, ga) = got(u)
+      assert(gn === nStreaks.toLong, s"user $u streak count")
+      assert(gl === lens.max, s"user $u longest streak")
+      assert(ga === ds.length.toLong, s"user $u active days")
+    }
+  }
+
+  test("ts_islands: island grouping and rollup ride the window's user partitioning — two hash shuffles") {
+    val df = Temporal.tsIslands(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    // one for the distinct-days aggregate, one for the user window; the
+    // (user, island) count and per-user rollup must NOT add exchanges
+    assert(hash === 2, s"expected 2 hash exchanges, got $hash:\n$plan")
+  }
+
   test("ts_resample: bars partition events, open/close are the ts-ordered endpoints") {
     val bars = Temporal.tsResample(spark, sf).collect()
     val ev = Tables.events(spark, sf)

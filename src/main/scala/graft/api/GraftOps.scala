@@ -955,6 +955,84 @@ object GraftOps {
         col("token"), col("score"))
   }
 
+  /** Byte-pair-encoding TOKENIZER TRAINING over any text column: learn
+    * `merges` BPE merge rules from the corpus — the vocabulary-build
+    * step every LLM data pipeline runs before token counting, packing
+    * and budget accounting can be exact. Classic word-frequency
+    * formulation (Sennrich et al.): train on the DISTINCT-word ×
+    * frequency table, not the raw stream, so each round's pair count
+    * is a vocab-sized aggregate no matter how large the corpus.
+    *
+    * Per round: (1) adjacent symbol pairs explode from each word's
+    * current symbol array (zip-with-shifted-slice — the symbol array
+    * stays in ARGUMENT position, no interpreted-HOF blowup) weighted
+    * by word frequency; (2) the argmax pair is ONE driver-side
+    * 1-row collect (deterministic: count desc, then lexicographic —
+    * the same per-round convergence-scalar pattern pageRank uses);
+    * (3) occurrences merge left-to-right non-overlapping via a fold
+    * whose state is (emitted-prefix, pending-symbol) — "aaa" under
+    * (a,a) correctly yields [aa, a]. The rewritten vocabulary is
+    * localCheckpoint'd and the superseded round released, so state
+    * never exceeds one vocab table regardless of merge count.
+    *
+    * Returns the learned rules (round, left, right, pair_count) —
+    * rounds stop early if every word collapses to one symbol. An
+    * ACTION (runs `merges` jobs); train once per corpus snapshot,
+    * like the minhash signature table.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, s"merges $merges")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var words = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), chars.as("sym"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (m <- 1 to merges if !exhausted) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((m, l, r, cnt))
+        val (lq, rq) = (esc(l), esc(r))
+        val merged = expr(
+          s"""aggregate(sym,
+             |  named_struct('acc', CAST(array() AS array<string>),
+             |               'prev', CAST(NULL AS string)),
+             |  (s, x) -> IF(s.prev = '$lq' AND x = '$rq',
+             |    named_struct('acc', array_append(s.acc, '$lq$rq'),
+             |                 'prev', CAST(NULL AS string)),
+             |    named_struct('acc', IF(s.prev IS NULL, s.acc,
+             |                           array_append(s.acc, s.prev)),
+             |                 'prev', x)),
+             |  s -> IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev)))"""
+            .stripMargin)
+        val prev = words
+        words = words.select(col("freq"), merged.as("sym")).localCheckpoint()
+        releaseCheckpoint(prev)
+      }
+    }
+    releaseCheckpoint(words)
+    val sp = df.sparkSession
+    import sp.implicits._
+    rules.toSeq.toDF("round", "left", "right", "pair_count")
+  }
+
   /** Per-document unigram LM score over any (id, text) DataFrame:
     * avg over tokens of ln(tf/N) against the corpus's own unigram
     * frequencies — the cheap LM-score quality filter (gibberish and

@@ -107,6 +107,23 @@ object Pipeline {
         graft.api.GraftOps.signedProjection(col("embedding"), 16).as("proj"))
       .orderBy(col("vec_id"))
 
+  /** `pipeline_bpe_train` — BPE tokenizer training (GraftOps.bpeTrain)
+    * over the document corpus: the first 8 learned merge rules. Each
+    * round is a vocab-sized pair aggregate + a 1-row argmax collect
+    * (the pageRank convergence-scalar pattern); training state is one
+    * checkpointed vocabulary table. No oracle (iterative argmax is not
+    * reasonably SQL-expressible); the merge sequence is pinned against
+    * the classic hand-computed low/lower/newest/widest fixture in
+    * PipelineSpec, with deterministic count-then-lexicographic
+    * tie-breaks.
+    */
+  def pipelineBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.bpeTrain(
+        Tables.documents(spark, sfDir).select(col("text")), "text", 8)
+      .select(col("round").cast("long").as("round"), col("left"),
+        col("right"), col("pair_count"))
+      .orderBy(col("round"))
+
   /** J2 `udaf_weighted` — typed Aggregator registered through `udaf()`:
     * quantity-weighted mean extended price per return flag. Decimal
     * buffer keeps partial aggregation associative (see WeightedMean).
@@ -365,7 +382,8 @@ object Pipeline {
     "multimodal_join" -> multimodalJoin _,
     "udf_cosine_topk" -> udfCosineTopk _,
     "udaf_weighted" -> udafWeighted _,
-    "embed_rproject" -> embedRproject _
+    "embed_rproject" -> embedRproject _,
+    "pipeline_bpe_train" -> pipelineBpeTrain _
   )
 
   /** DuckDB lacks conv(): the 8-hex md5 prefix parses to an integer by

@@ -163,6 +163,55 @@ class PipelineSpec extends SparkTestBase {
       s"a signed projection never shuffles:\n$plan")
   }
 
+  test("bpeTrain learns the classic hand-computed merge sequence (ties break lexicographically)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Sennrich's canonical example: low×5 lower×2 newest×6 widest×3.
+    // Hand-derived pair counts: es=9, st=9 (tie → es), then est=9,
+    // then lo=7, ow=7 (tie → lo), then low=7.
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val rules = graft.api.GraftOps.bpeTrain(corpus, "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.toSeq === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("bpeTrain merges left-to-right non-overlapping and stops when words collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "aaa": round 1 merges (a,a) cnt 2 (two adjacent pairs), rewriting
+    // to [aa, a] — NOT [aa, aa]; round 2 merges (aa, a); then no pairs
+    // remain so requesting 10 merges stops at 2
+    val rules = graft.api.GraftOps.bpeTrain(Seq("aaa").toDF("text"), "text", 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("pipeline_bpe_train: 8 corpus rules, all pairs genuinely adjacent-frequent") {
+    val rules = Pipeline.pipelineBpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.map(_._1).toSeq === (1L to 8L), "8 rounds in order")
+    assert(rules.forall(_._4 > 0), "every learned pair occurs")
+    // round 1's count must equal the true most-frequent adjacent char
+    // pair over the distinct-word × freq table, recomputed brute-force
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val pairCounts = new scala.collection.mutable.HashMap[(String, String), Long]
+    for ((w, f) <- words; i <- 0 until w.length - 1)
+      pairCounts((w.substring(i, i + 1), w.substring(i + 1, i + 2))) =
+        pairCounts.getOrElse((w.substring(i, i + 1), w.substring(i + 1, i + 2)), 0L) + f
+    val best = pairCounts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+    assert((rules(0)._2, rules(0)._3) === best._1 && rules(0)._4 === best._2,
+      s"round 1 ${rules(0)} must be the argmax pair $best")
+  }
+
   test("agg_entropy: bounded by ln(n_sources), recomputes from raw counts") {
     val got = Aggregates.aggEntropy(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

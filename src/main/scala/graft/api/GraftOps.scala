@@ -1033,6 +1033,51 @@ object GraftOps {
     rules.toSeq.toDF("round", "left", "right", "pair_count")
   }
 
+  /** Apply learned BPE merge rules to a text column: per row, the
+    * total BPE token count and per-word average — the EXACT
+    * token-budget accounting a pipeline needs once a tokenizer is
+    * trained (whitespace counts under-estimate; char counts
+    * over-estimate; this is the real number packing and pricing run
+    * on). Merges never cross word boundaries (same contract as
+    * [[bpeTrain]]).
+    *
+    * Pure map-side: the rule list is tiny and driver-resident, so the
+    * encoder composes ONE nested expression — per word, the rule
+    * sequence applies in training order as a chain of the same
+    * (emitted, pending) folds the trainer uses, each O(word length).
+    * Rules ride into the plan as literals: nothing is broadcast,
+    * nothing shuffles, and the expression pipelines inside the scan
+    * stage like any other projection.
+    */
+  def bpeEncode(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    // char split of one word, then the rule chain folded over it
+    var sym = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    for ((l, r) <- rules) {
+      val (lq, rq) = (esc(l), esc(r))
+      sym =
+        s"""aggregate($sym,
+           |  named_struct('acc', CAST(array() AS array<string>),
+           |               'prev', CAST(NULL AS string)),
+           |  (s, x) -> IF(s.prev = '$lq' AND x = '$rq',
+           |    named_struct('acc', array_append(s.acc, '$lq$rq'),
+           |                 'prev', CAST(NULL AS string)),
+           |    named_struct('acc', IF(s.prev IS NULL, s.acc,
+           |                           array_append(s.acc, s.prev)),
+           |                 'prev', x)),
+           |  s -> IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev)))"""
+          .stripMargin
+    }
+    df.withColumn("__wt", expr(
+        s"transform(filter(split(${textCol}, ' '), w -> length(w) > 0), " +
+          s"w -> size($sym))"))
+      .withColumn("n_words", size(col("__wt")).cast("long"))
+      .withColumn("n_bpe_tokens", expr(
+        "aggregate(__wt, 0L, (a, x) -> a + CAST(x AS BIGINT))"))
+      .drop("__wt")
+  }
+
   /** Per-document unigram LM score over any (id, text) DataFrame:
     * avg over tokens of ln(tf/N) against the corpus's own unigram
     * frequencies — the cheap LM-score quality filter (gibberish and

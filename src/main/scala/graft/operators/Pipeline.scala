@@ -124,6 +124,28 @@ object Pipeline {
         col("right"), col("pair_count"))
       .orderBy(col("round"))
 
+  /** `pipeline_bpe_encode` — exact BPE token-budget accounting: train
+    * 8 merges on the corpus (GraftOps.bpeTrain — an action, amortized
+    * like the minhash signature build), then encode every document
+    * with the learned rules (GraftOps.bpeEncode — pure map-side, rules
+    * ride as literals) and report per-doc word and BPE token counts.
+    * The real number a packing/pricing pipeline budgets on, vs the
+    * whitespace under-count. No oracle (depends on the trained rule
+    * sequence); encoder semantics pinned in PipelineSpec against
+    * hand-encoded words, and token-count bounds pinned corpus-wide.
+    */
+  def pipelineBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val rules = graft.api.GraftOps.bpeTrain(
+        docs.select(col("text")), "text", 8)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.api.GraftOps.bpeEncode(
+        docs.select(col("doc_id"), col("text")), "text", rules)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** J2 `udaf_weighted` — typed Aggregator registered through `udaf()`:
     * quantity-weighted mean extended price per return flag. Decimal
     * buffer keeps partial aggregation associative (see WeightedMean).
@@ -383,7 +405,8 @@ object Pipeline {
     "udf_cosine_topk" -> udfCosineTopk _,
     "udaf_weighted" -> udafWeighted _,
     "embed_rproject" -> embedRproject _,
-    "pipeline_bpe_train" -> pipelineBpeTrain _
+    "pipeline_bpe_train" -> pipelineBpeTrain _,
+    "pipeline_bpe_encode" -> pipelineBpeEncode _
   )
 
   /** DuckDB lacks conv(): the 8-hex md5 prefix parses to an integer by

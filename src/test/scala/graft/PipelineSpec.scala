@@ -191,6 +191,33 @@ class PipelineSpec extends SparkTestBase {
     assert(rules.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpeEncode applies the rule sequence in order: hand-encoded words match") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rules = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val got = graft.api.GraftOps.bpeEncode(
+        Seq((1L, "newest widest low lower")).toDF("id", "text"), "text", rules)
+      .collect()(0)
+    // newest→[n,e,w,est]=4, widest→[w,i,d,est]=4, low→[low]=1,
+    // lower→[low,e,r]=3 ⇒ 12 tokens over 4 words
+    assert(got.getAs[Long]("n_words") === 4L)
+    assert(got.getAs[Long]("n_bpe_tokens") === 12L)
+  }
+
+  test("pipeline_bpe_encode: words <= bpe tokens <= chars, every doc covered") {
+    val enc = Pipeline.pipelineBpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc.map(_._1).toSet === docs.keySet)
+    for ((id, words, toks) <- enc) {
+      val chars = docs(id).count(_ != ' ')
+      assert(words <= toks && toks <= chars,
+        s"doc $id: $words words <= $toks tokens <= $chars chars must hold")
+    }
+  }
+
   test("pipeline_bpe_train: 8 corpus rules, all pairs genuinely adjacent-frequent") {
     val rules = Pipeline.pipelineBpeTrain(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -101,7 +101,7 @@ object Fuzz {
 
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-      19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29)) match {
+      19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -415,6 +415,36 @@ object Fuzz {
          |  COUNT(*) AS n
          |FROM $tbl WHERE $pred
          |GROUP BY $grp ORDER BY $grp""".stripMargin
+    case 30 => // gaps-and-islands key (ts_islands' shape): DATE minus
+      // ROW_NUMBER as the island constant — date-integer arithmetic and
+      // distinct-day windows must agree between engines
+      s"""SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest,
+         |  SUM(len) AS active_days
+         |FROM (
+         |  SELECT user_id, grp, COUNT(*) AS len FROM (
+         |    SELECT user_id, day,
+         |      day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+         |        AS INTEGER) AS grp
+         |    FROM (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+         |          FROM events WHERE ${eventPredicate(r)}) d) g
+         |  GROUP BY user_id, grp) i
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
+    case 31 => // interval-overlap join against a literal calendar
+      // (join_interval's shape): half-open a.start < b.end AND
+      // b.start < a.end with date+int arithmetic on the fact side
+      val span = 10 + r.nextInt(40)
+      val y1 = 1995 + r.nextInt(3); val y2 = y1 + 1 + r.nextInt(2)
+      s"""SELECT campaign, COUNT(*) AS n_orders,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         |FROM (SELECT o_totalprice,
+         |        CAST(o_orderdate AS DATE) AS o_start,
+         |        CAST(o_orderdate AS DATE) + $span AS o_end
+         |      FROM orders WHERE ${predicate(r)}) o
+         |JOIN (VALUES ('c1', DATE '$y1-03-01', DATE '$y1-09-01'),
+         |             ('c2', DATE '$y2-01-15', DATE '$y2-06-15'))
+         |  c(campaign, c_start, c_end)
+         |  ON o_start < c_end AND c_start < o_end
+         |GROUP BY campaign ORDER BY campaign""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

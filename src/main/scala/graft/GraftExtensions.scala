@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, HilbertCode, LshBucket, SimHash64}
+import graft.expressions.{CosineSimilarity, HilbertCode, LshBucket, SignedProject, SimHash64}
 
 /** Library extension entry point: installs graft's native expressions
   * into any session built with
@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hilbert_code"),
       new ExpressionInfo(classOf[HilbertCode].getName, "hilbert_code"),
       (args: Seq[Expression]) => HilbertCode.build(args)))
+    ext.injectFunction((
+      FunctionIdentifier("signed_project"),
+      new ExpressionInfo(classOf[SignedProject].getName, "signed_project"),
+      (args: Seq[Expression]) => SignedProject.build(args)))
   }
 }

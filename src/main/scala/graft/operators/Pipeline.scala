@@ -93,19 +93,25 @@ object Pipeline {
       .limit(10)
   }
 
-  /** `embed_rproject` — signed random projection (GraftOps
-    * .signedProjection) of the embedding table 64 → 16 dims: the JL
-    * dimensionality-reduction pass a 100 TB pipeline runs before
-    * clustering or coarse ANN to cut vector bytes 4× with bounded
-    * distance distortion. Pure map-side (the ±1 matrix is a
-    * row-local integer formula, no broadcast, no shuffle); ROUND-6
-    * doubles per output dim.
+  /** `embed_rproject` — signed random projection of the embedding
+    * table 64 → 16 dims: the JL dimensionality-reduction pass a
+    * 100 TB pipeline runs before clustering or coarse ANN to cut
+    * vector bytes 4× with bounded distance distortion. Pure map-side
+    * (the ±1 matrix is a row-local integer formula, no broadcast, no
+    * shuffle); ROUND-6 doubles per output dim.
+    *
+    * Gated on the NATIVE codegen expression (expressions
+    * .SignedProject — a fused k×d loop inside whole-stage codegen);
+    * the declarative HOF twin (GraftOps.signedProjection) is pinned
+    * bit-identical in CosineExprSpec, so the oracle covers both.
     */
-  def embedRproject(spark: SparkSession, sfDir: String): DataFrame =
+  def embedRproject(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.SignedProject.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
-        graft.api.GraftOps.signedProjection(col("embedding"), 16).as("proj"))
+        expr("signed_project(embedding, 16)").as("proj"))
       .orderBy(col("vec_id"))
+  }
 
   /** `pipeline_bpe_train` — BPE tokenizer training (GraftOps.bpeTrain)
     * over the document corpus: the first 8 learned merge rules. Each

@@ -55,6 +55,30 @@ class CosineExprSpec extends SparkTestBase {
     assert(udfR.isNullAt(0), "UDF must share the null-on-mismatch contract")
   }
 
+  test("signed_project expression is bit-identical to the HOF form, codegen and interpreted") {
+    graft.expressions.SignedProject.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    def mismatches() = e.select(
+        graft.api.GraftOps.signedProjection(col("embedding"), 16).as("h"),
+        expr("signed_project(embedding, 16)").as("x"))
+      .filter(not(col("h") === col("x"))).count()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(mismatches() === 0L, "codegen path must match the HOF fold bit-for-bit")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(mismatches() === 0L, "interpreted path must match too")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // null element → NULL whole array (stricter than the HOF twin, like
+    // cosine_sim's degenerate rule)
+    val spark2 = spark
+    import spark2.implicits._
+    val r = Seq(Seq(1.0f, 2.0f)).toDF("v")
+      .select(expr("signed_project(CAST(array(v[0], NULL) AS array<float>), 4)").as("p"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("interpreted (non-codegen) eval matches codegen eval") {
     CosineSimilarity.register(spark)
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")

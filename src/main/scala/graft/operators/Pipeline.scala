@@ -152,6 +152,48 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** `pipeline_dataset_card` — the corpus DATASET CARD: the one-table
+    * summary a data release ships (doc/token/char volume, language and
+    * source diversity, exact-duplication rate) as (metric, value)
+    * rows — what a curation dashboard reads and a training run records
+    * as provenance.
+    *
+    * Two branches over the corpus, BOTH Expand-free: the volume
+    * metrics are one plain aggregate; the three distinct-cardinality
+    * metrics (langs, sources, distinct texts) ride dq_profile's
+    * two-level shape — a `stack` generator unpivots (kind, value)
+    * pairs map-side, the first aggregate collapses distinct pairs
+    * two-phase (shuffle carries distinct values per partition, never
+    * rows), the second counts per kind. A single-aggregate
+    * formulation with three countDistincts would Expand the corpus
+    * ×4 through the shuffle — the exact hazard dq_profile documents.
+    * A card runs once per corpus snapshot, so the second scan is the
+    * right trade against an Expand'd shuffle of the whole corpus.
+    */
+  def pipelineDatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val volumes = d.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).cast("double")
+          .as("total_tokens"),
+        sum(col("n_chars")).cast("double").as("total_chars"))
+      .select(expr(
+        """stack(3,
+          |  'n_docs', n_docs,
+          |  'total_tokens', total_tokens,
+          |  'total_chars', total_chars) AS (metric, value)""".stripMargin))
+    val distincts = d
+      .select(expr(
+        """stack(3,
+          |  'n_langs', lang,
+          |  'n_sources', source,
+          |  'n_distinct_texts', md5(text)) AS (kind, v)""".stripMargin))
+      .groupBy(col("kind"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("kind").as("metric"))
+      .agg(count(lit(1)).cast("double").as("value"))
+    volumes.unionByName(distincts).orderBy(col("metric"))
+  }
+
   /** J2 `udaf_weighted` — typed Aggregator registered through `udaf()`:
     * quantity-weighted mean extended price per return flag. Decimal
     * buffer keeps partial aggregation associative (see WeightedMean).
@@ -412,7 +454,8 @@ object Pipeline {
     "udaf_weighted" -> udafWeighted _,
     "embed_rproject" -> embedRproject _,
     "pipeline_bpe_train" -> pipelineBpeTrain _,
-    "pipeline_bpe_encode" -> pipelineBpeEncode _
+    "pipeline_bpe_encode" -> pipelineBpeEncode _,
+    "pipeline_dataset_card" -> pipelineDatasetCard _
   )
 
   /** DuckDB lacks conv(): the 8-hex md5 prefix parses to an integer by
@@ -608,6 +651,20 @@ object Pipeline {
         |JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label
         |ORDER BY lang, label""".stripMargin,
+    "pipeline_dataset_card" ->
+      """SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'total_tokens', CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT 'total_chars', CAST(SUM(n_chars) AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_distinct_texts', CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) FROM documents) t
+        |ORDER BY metric""".stripMargin,
     "embed_rproject" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -239,6 +239,22 @@ class PipelineSpec extends SparkTestBase {
       s"round 1 ${rules(0)} must be the argmax pair $best")
   }
 
+  test("pipeline_dataset_card: metrics self-consistent; no Expand anywhere in the plan") {
+    val card = Pipeline.pipelineDatasetCard(spark, sf)
+    val m = card.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet === Set("n_docs", "total_tokens", "total_chars",
+      "n_langs", "n_sources", "n_distinct_texts"))
+    assert(m("n_distinct_texts") <= m("n_docs"))
+    assert(m("n_langs") >= 1.0 && m("n_sources") >= 1.0)
+    assert(m("total_tokens") <= m("total_chars"),
+      "space-separated tokens can never outnumber characters")
+    val nDocs = Tables.documents(spark, sf).count().toDouble
+    assert(m("n_docs") === nDocs)
+    val plan = planOf(card).split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"),
+      s"distinct cardinalities must ride the two-level stack shape:\n$plan")
+  }
+
   test("agg_entropy: bounded by ln(n_sources), recomputes from raw counts") {
     val got = Aggregates.aggEntropy(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

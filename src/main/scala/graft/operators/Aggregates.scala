@@ -305,6 +305,31 @@ object Aggregates {
       keyName = "o_custkey", estName = "est_orders")
   }
 
+  /** `agg_filter` — the SQL `FILTER (WHERE ...)` aggregate clause: one
+    * pass computing differently-conditioned aggregates per group, the
+    * way a SQL-first user writes conditional rollups (the declarative
+    * twin of the `sum(when(...))` idiom used across this repo — e.g.
+    * tpch_q12/funnel_stages). Catalyst plans every FILTER'd aggregate
+    * into the SAME 2-phase HashAggregate over one scan — no per-filter
+    * passes, no Expand (pinned in PlanBudgetSpec-style assertion).
+    */
+  def aggFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_f")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS qty_discounted,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_tax < 0.02) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS qty_lowtax
+        |FROM lineitem_f
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** `agg_entropy` — Shannon entropy of the source mix per language
     * over documents: how concentrated is each language's provenance?
     * The diversity/skew diagnostic a curation pipeline tracks per
@@ -572,6 +597,7 @@ object Aggregates {
     "agg_regression" -> aggRegression _,
     "agg_entropy" -> aggEntropy _,
     "agg_gini" -> aggGini _,
+    "agg_filter" -> aggFilter _,
     "agg_stringagg" -> aggStringagg _,
     "agg_pivot" -> aggPivot _
   )
@@ -650,6 +676,19 @@ object Aggregates {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_filter" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS qty_discounted,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_tax < 0.02) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS qty_lowtax
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

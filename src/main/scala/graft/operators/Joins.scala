@@ -178,6 +178,30 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** `join_lateral` — correlated LATERAL subquery: each high-balance
+    * customer paired with their top-2 orders by value, written the way
+    * a SQL-first user writes per-row top-k (`, LATERAL (... ORDER BY
+    * ... LIMIT 2)`). Catalyst decorrelates the LATERAL into a
+    * ranked-window join — the same WindowGroupLimit-prunable shape
+    * win_topk_group builds declaratively (no per-customer subquery
+    * re-execution; pinned in JoinsSpec). Ties are broken by order key
+    * so the selected pair set is cross-engine-unique.
+    */
+  def joinLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_lat")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lat c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders_lat o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_acctbal > 9000
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   /** `subq_scalar` — correlated SCALAR subquery: customers above their
     * own nation's average balance. Catalyst decorrelates into an
     * aggregate + join (no per-row subquery execution — pinned in
@@ -301,6 +325,7 @@ object Joins {
     "join_interval" -> joinInterval _,
     "join_cross" -> joinCross _,
     "subq_exists" -> subqExists _,
+    "join_lateral" -> joinLateral _,
     "subq_scalar" -> subqScalar _
   )
 
@@ -381,6 +406,16 @@ object Joins {
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+    "join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_acctbal > 9000
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "join_interval" ->
       """SELECT campaign, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price

@@ -74,6 +74,29 @@ class JoinsSpec extends SparkTestBase {
       s"fact side must stream map-side:\n$plan")
   }
 
+  test("join_lateral decorrelates to WindowGroupLimit + join — no per-row subquery") {
+    val df = Joins.joinLateral(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"LATERAL ... LIMIT k must become the ranked-window top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"decorrelation must not fall back to a loop join:\n$plan")
+    // semantics: exactly the per-customer top-2 the window form computes
+    import org.apache.spark.sql.functions._
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).filter(col("c_acctbal") > 9000),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 2)
+      .select(col("c_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet === expect.toSet)
+  }
+
   test("correlated EXISTS decorrelates to a semi join (same rows as the DataFrame form)") {
     val plan = planOf(Joins.subqExists(spark, sf))
     assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")

@@ -255,6 +255,17 @@ class PipelineSpec extends SparkTestBase {
       s"distinct cardinalities must ride the two-level stack shape:\n$plan")
   }
 
+  test("agg_filter: all FILTER'd aggregates share ONE 2-phase pass, no Expand") {
+    val df = Aggregates.aggFilter(spark, sf)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), s"FILTER must not Expand:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"one pass for every conditioned aggregate, got $scans")
+    // conditioned counts bound by the unconditioned one
+    for (r <- df.collect())
+      assert(r.getLong(2) <= r.getLong(1), "filtered count <= group count")
+  }
+
   test("agg_entropy: bounded by ln(n_sources), recomputes from raw counts") {
     val got = Aggregates.aggEntropy(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

@@ -145,7 +145,70 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** `analytics_mom` — month-over-month revenue: monthly totals with
+    * the previous month attached and the percent change — the
+    * period-over-period delta every reporting dashboard leads with.
+    *
+    * Spark-first: the monthly rollup is one 2-phase decimal aggregate
+    * (~80 rows for this corpus's seven years); the lag + pct-change
+    * ride ONE window over that aggregate — the global (unpartitioned)
+    * window is over rollup-sized data, bounded by the calendar, never
+    * by the fact table. Revenue is decimal-exact; only the final
+    * ratio is float (identical op order both engines, ROUND-6).
+    */
+  def mom(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("month_ts"))
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp")
+        .as("month_ts"))
+      .agg(graft.functions.Dec.outDec(
+        sum(graft.functions.Dec.dec2(col("o_totalprice"))), 18, 2)
+        .as("revenue"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_pct",
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue")
+          * lit(100.0), 6))
+      .orderBy(col("month_ts"))
+  }
+
+  /** `analytics_ttest` — Welch's two-sample t statistic (and
+    * Welch–Satterthwaite degrees of freedom) between every pair of
+    * event types' value distributions — the significance screen an
+    * experimentation pipeline runs before trusting a mean difference.
+    *
+    * Spark-first: ONE scan builds the 5-row (n, mean, variance)
+    * moment table (2-phase native aggregates — Welford merges, no
+    * per-group collect); the pair grid is a broadcast self-join of
+    * that materialized table and the t/df arithmetic is row-local.
+    * Same shape as agg_hll_intersect: the checkpoint exists because
+    * the aliased self-join defeats exchange reuse and would otherwise
+    * rescan the stream once per side. Moment merge order perturbs the
+    * last ulps → ROUND-6 on t and df (identical formula text in both
+    * engines).
+    */
+  def ttest(spark: SparkSession, sfDir: String): DataFrame = {
+    val mom = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+        var_samp(col("value")).as("v"))
+      .localCheckpoint()
+    val a = mom.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("m").as("ma"), col("v").as("va"))
+    val b = mom.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("m").as("mb"), col("v").as("vb"))
+    val sa = col("va") / col("na"); val sb = col("vb") / col("nb")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) / sqrt(sa + sb), 6).as("t_stat"),
+        round(pow(sa + sb, 2) /
+          (pow(sa, 2) / (col("na") - 1) + pow(sb, 2) / (col("nb") - 1)), 6)
+          .as("df"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_mom" -> mom _,
+    "analytics_ttest" -> ttest _,
     "funnel_stages" -> funnelStages _,
     "cohort_retention" -> cohortRetention _,
     "analytics_skyline" -> skyline _,
@@ -153,6 +216,28 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_mom" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_ts,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month_ts, revenue,
+        |  LAG(revenue) OVER w AS prev_revenue,
+        |  ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w * 100.0, 6) AS mom_pct
+        |FROM m WINDOW w AS (ORDER BY month_ts)
+        |ORDER BY month_ts""".stripMargin,
+    "analytics_ttest" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+        |    var_samp(value) AS v
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS na, b.n AS nb,
+        |  ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+        |  ROUND(pow(a.v / a.n + b.v / b.n, 2) /
+        |    (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df
+        |FROM s a JOIN s b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "funnel_stages" ->
       """WITH s AS (
         |  SELECT user_id,

@@ -42,6 +42,53 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows.forall(r => r._2 >= 0L && r._3 > 0L))
   }
 
+  test("analytics_mom: monthly revenue conserves the total; pct recomputes from pairs") {
+    val rows = Analytics.mom(spark, sf).collect()
+    // lag chain: prev_revenue is exactly the previous row's revenue
+    for (i <- 1 until rows.length)
+      assert(rows(i).getDouble(2) === rows(i - 1).getDouble(1),
+        s"row $i prev_revenue must chain")
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3), "first month has no prior")
+    for (i <- 1 until rows.length) {
+      val (cur, prev) = (rows(i).getDouble(1), rows(i).getDouble(2))
+      val expect = BigDecimal((cur - prev) / prev * 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rows(i).getDouble(3) - expect) < 1e-9, s"row $i pct")
+    }
+    // month rollup conserves the corpus total exactly (decimal sums)
+    val total = BigDecimal(rows.map(r => BigDecimal(r.getDouble(1))).sum.toString)
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .select(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .collect()(0).getDecimal(0)
+    assert(total === BigDecimal(direct), "monthly rollup must conserve revenue")
+  }
+
+  test("analytics_ttest: full pair grid; t recomputes from per-type moments") {
+    val got = Analytics.ttest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2) }
+    assert(got.size === vals.size * (vals.size - 1) / 2)
+    def mo(x: Iterable[Double]) = {
+      val n = x.size; val m = x.sum / n
+      (n, m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+    for (((ta, tb), (na, nb, t, df)) <- got) {
+      val (n1, m1, v1) = mo(vals(ta)); val (n2, m2, v2) = mo(vals(tb))
+      assert(na === n1.toLong && nb === n2.toLong)
+      val se = v1 / n1 + v2 / n2
+      assert(math.abs(t - (m1 - m2) / math.sqrt(se)) < 1e-4, s"($ta,$tb) t")
+      val dfExpect = se * se /
+        (v1 / n1 * (v1 / n1) / (n1 - 1) + v2 / n2 * (v2 / n2) / (n2 - 1))
+      assert(math.abs(df - dfExpect) < 1e-3, s"($ta,$tb) df $df vs $dfExpect")
+      assert(df > 0 && df <= (n1 + n2 - 2).toDouble + 1e-9,
+        "Welch df is positive and bounded by the pooled df")
+    }
+  }
+
   test("analytics_skyline: frontier = exact non-dominated set; strict staircase") {
     val sky = Analytics.skyline(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getInt(1)))

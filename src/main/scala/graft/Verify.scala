@@ -48,6 +48,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
       }
+      // Release the finished query's localCheckpoint blocks (same
+      // hygiene as Bench: nothing is reused across queries, and 176
+      // unreleased checkpoint sets degrade the tail of the session).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -206,7 +206,166 @@ object Analytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** `analytics_basket` — market-basket association over orders: for
+    * every pair of part brands bought together in one order, the
+    * co-occurrence count and the classic association measures
+    * (support, confidence, lift) — the affinity screen behind
+    * recommendations and assortment planning.
+    *
+    * Spark-first shape: NO pair self-join of the fact table. The
+    * distinct (order, brand) item set collapses to one sorted
+    * basket array per order (`collect_set` is BOUNDED here — by the
+    * order's line count ∩ the 25-brand domain, never by corpus
+    * size), and the pair fan-out is a row-local nested `transform`
+    * over that array: ONE Generate, ≤ C(b,2) rows per order. The
+    * equivalent items⋈items self-join shuffles the item set twice
+    * and rescans it per side (the ttest/hll_intersect aliasing
+    * trap); this shape shuffles it once. The basket table (order
+    * cardinality, bounded arrays) is localCheckpoint'd because THREE
+    * consumers read it — pair counts, per-brand totals, the order
+    * count — and unmaterialized each would re-run the scan+distinct+
+    * aggregate chain. Brand totals and the order-count scalar are
+    * dimension-sized broadcasts. All ratios are single IEEE
+    * divisions of exact integer counts (products taken in int64
+    * first), so ROUND-6 is engine-stable.
+    */
+  def basket(spark: SparkSession, sfDir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      // collect_set dedups in-aggregate: ONE shuffle builds the
+      // distinct sorted basket (no separate distinct() pass), and its
+      // state is bounded by the order's line count ∩ brand domain
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("brand"))).as("basket"))
+      .localCheckpoint()
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(basket, (x, i) -> " +
+          "transform(slice(basket, i + 2, size(basket)), " +
+          "y -> struct(x AS brand_a, y AS brand_b))))")).as("p"))
+      .select(col("p.brand_a"), col("p.brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_co"))
+    // baskets hold DISTINCT brands: explode count = per-brand order
+    // count. Checkpointed too — BOTH pair sides broadcast it, and
+    // unmaterialized the explode+aggregate would run once per side.
+    val per = baskets.select(explode(col("basket")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_ord"))
+      .localCheckpoint()
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(per.select(col("brand").as("brand_a"),
+        col("n_ord").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(per.select(col("brand").as("brand_b"),
+        col("n_ord").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_co"), col("n_a"),
+        col("n_b"),
+        round(col("n_co").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
+        round(col("n_co").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_co") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** `analytics_rfm` — RFM customer segmentation: per-customer
+    * recency (days since last order, against the corpus max date),
+    * frequency (order count), monetary (decimal revenue), each
+    * quartile-scored with `ntile(4)` so 4 = best, concatenated into
+    * the classic "444" segment label.
+    *
+    * Spark-first shape: ONE map-side-combined aggregate collapses the
+    * fact table to customer cardinality; the corpus max date is a
+    * one-row broadcast. The three ntile windows are unpartitioned —
+    * deliberately: they run over the ALREADY-AGGREGATED customer
+    * table (orders-of-magnitude smaller than the facts), and exact
+    * global quartiles need a total order. At extreme dimension
+    * cardinality the swap is approx_percentile cut-points joined
+    * back (documented, not needed at reporting-dimension scale).
+    * Every ntile ORDER BY carries the unique custkey tie-break so
+    * bucket assignment is engine-deterministic.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("monetary"))
+    val maxd = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderdate")).as("corpus_max"))
+    val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+    val wf = Window.orderBy(col("frequency"), col("o_custkey"))
+    val wm = Window.orderBy(col("monetary"), col("o_custkey"))
+    cust.crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("corpus_max"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("r_score", ntile(4).over(wr).cast("long"))
+      .withColumn("f_score", ntile(4).over(wf).cast("long"))
+      .withColumn("m_score", ntile(4).over(wm).cast("long"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** `analytics_pareto` — cumulative-contribution (80/20) analysis:
+    * the smallest prefix of parts, by revenue descending, that
+    * covers 80 % of total revenue — the concentration query behind
+    * "which SKUs carry the business" and dataset-curation "which
+    * sources carry the token mass".
+    *
+    * Spark-first shape: the fact table collapses to a per-part
+    * decimal revenue aggregate first (ONE 2-phase shuffle); the
+    * running sum, total, and 80 %-cut all ride windows over that
+    * part-cardinality table. Exactness discipline: revenue is summed
+    * as DECIMAL, then scaled to int64 ten-thousandths, so the
+    * running sum and the 5·cum < 4·total cut are EXACT integer
+    * arithmetic — no float accumulation order, no decimal-overflow
+    * divergence between engines (decimal×int promotion rules
+    * differ; int64 math doesn't). Only the final percentage is one
+    * IEEE division, ROUND-6ed. The unpartitioned running-sum window
+    * is over the aggregate (part-dimension-sized); on an unbounded
+    * key domain the standard two-phase prefix-sum (per-partition
+    * totals + offset join) replaces it.
+    */
+  def pareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    // Exact int64 ten-thousandths-of-a-dollar at the LINE level:
+    // price and discount are 2-decimal quantities, so cents × percent
+    // is exact integer revenue — the running sum never touches float
+    // or near-cap decimal promotion (decimal(38,·)×int diverges
+    // between engines; int64 doesn't).
+    val centsEp = (dec2(col("l_extendedprice")) * 100).cast("long")
+    val centsDisc = (dec2(col("l_discount")) * 100).cast("long")
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(centsEp * (lit(100L) - centsDisc)).as("rev_i"))
+    val ord = Window.orderBy(col("rev_i").desc, col("l_partkey"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    rev
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum_i", sum(col("rev_i")).over(cum))
+      .withColumn("total_i", sum(col("rev_i")).over(all))
+      .filter((col("cum_i") - col("rev_i")) * 5 < col("total_i") * 4)
+      .select(col("l_partkey"), col("rnk"),
+        (col("rev_i").cast("double") / 10000.0).as("revenue"),
+        round(col("cum_i").cast("double") * 100.0 /
+          col("total_i").cast("double"), 6).as("cum_pct"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_basket" -> basket _,
+    "analytics_rfm" -> rfm _,
+    "analytics_pareto" -> pareto _,
     "analytics_mom" -> mom _,
     "analytics_ttest" -> ttest _,
     "funnel_stages" -> funnelStages _,
@@ -216,6 +375,70 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_co
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |per AS (SELECT brand, COUNT(*) AS n_ord FROM items GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items)
+        |SELECT brand_a, brand_b, n_co, pa.n_ord AS n_a, pb.n_ord AS n_b,
+        |  ROUND(CAST(n_co AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+        |  ROUND(CAST(n_co AS DOUBLE) / CAST(pa.n_ord AS DOUBLE), 6) AS confidence,
+        |  ROUND(CAST(n_co * n_orders AS DOUBLE) /
+        |    CAST(pa.n_ord * pb.n_ord AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |  JOIN per pa ON pairs.brand_a = pa.brand
+        |  JOIN per pb ON pairs.brand_b = pb.brand, tot
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    "analytics_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |    COUNT(*) AS frequency,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+        |r AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(last_order AS DATE),
+        |      CAST(corpus_max AS DATE)) AS BIGINT) AS recency_days,
+        |    frequency, monetary
+        |  FROM cust, mx),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        |  FROM r)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    "analytics_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, CAST(SUM(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS rev_i
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT l_partkey, rev_i,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_i DESC, l_partkey) AS BIGINT) AS rnk,
+        |    CAST(SUM(rev_i) OVER (ORDER BY rev_i DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_i,
+        |    CAST(SUM(rev_i) OVER () AS BIGINT) AS total_i
+        |  FROM rev)
+        |SELECT l_partkey, rnk,
+        |  CAST(rev_i AS DOUBLE) / 10000.0 AS revenue,
+        |  ROUND(CAST(cum_i AS DOUBLE) * 100.0 / CAST(total_i AS DOUBLE), 6) AS cum_pct
+        |FROM w
+        |WHERE (cum_i - rev_i) * 5 < total_i * 4
+        |ORDER BY rnk""".stripMargin,
     "analytics_mom" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_ts,

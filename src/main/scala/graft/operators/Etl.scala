@@ -324,7 +324,45 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  /** `etl_dq_quarantine` — rule-engine row validation: every incoming
+    * event is checked against a rule set (range rule on `value`,
+    * domain rule on the JSON `props.k`, referential rule against the
+    * customer dimension) and rows failing ANY rule are quarantined
+    * with a comma-joined list of every rule they broke — the
+    * load-time gate that keeps bad rows out of the warehouse while
+    * preserving them (with reasons) for triage. Complements
+    * dq_profile/dq_orphans (which AUDIT in aggregate): this one
+    * SPLITS the stream row-by-row.
+    *
+    * Spark-first shape: all rules evaluate in ONE map-side pass —
+    * the error list is a row-local `array(when…)` + null-`filter` +
+    * `array_join` (rule order fixed, so the reason string is
+    * deterministic), and the referential rule is a broadcast LEFT
+    * join against the dimension keyset (never a shuffle of the fact
+    * stream; at 100 TB the dimension keyset is the bloom/broadcast
+    * side by construction). Zero shuffles on the quarantined path —
+    * the output sort is the gate's presentation order.
+    */
+  def dqQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val known = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).distinct()
+      .select(col("c_custkey").as("user_id"), lit(true).as("known"))
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .join(broadcast(known), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("value"), col("k"),
+        array_join(filter(array(
+          when(col("value") > 400, lit("value_out_of_range")),
+          when(col("k").isNull || col("k") >= 90,
+            lit("props_k_out_of_range")),
+          when(col("known").isNull, lit("orphan_user"))),
+          x => x.isNotNull), ",").as("errors"))
+      .filter(col("errors") =!= "")
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dq_quarantine" -> dqQuarantine _,
     "etl_scd2" -> scd2 _,
     "etl_merge" -> merge _,
     "etl_snapshot_diff" -> snapshotDiff _,
@@ -340,6 +378,27 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "etl_dq_quarantine" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(props->>'$.k' AS BIGINT) AS k
+        |  FROM events),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.value, e.k,
+        |    c.c_custkey IS NOT NULL AS known
+        |  FROM e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON e.user_id = c.c_custkey),
+        |r AS (
+        |  SELECT event_id, user_id, value, k,
+        |    array_to_string(list_filter([
+        |      CASE WHEN value > 400 THEN 'value_out_of_range' END,
+        |      CASE WHEN k IS NULL OR k >= 90 THEN 'props_k_out_of_range' END,
+        |      CASE WHEN NOT known THEN 'orphan_user' END
+        |    ], x -> x IS NOT NULL), ',') AS errors
+        |  FROM j)
+        |SELECT event_id, user_id, value, k, errors
+        |FROM r WHERE errors <> ''
+        |ORDER BY event_id""".stripMargin,
     "etl_incr_rollup" ->
       // the maintenance CONTRACT: incremental merge ≡ full recompute
       """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day_ts,

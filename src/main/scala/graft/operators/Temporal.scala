@@ -312,7 +312,40 @@ object Temporal {
       .orderBy(col("user_id"), col("bucket_ts"))
   }
 
+  /** `ts_autocorr` — pooled within-user lag-1 autocorrelation of event
+    * values per event type: each user's own event sequence (per type)
+    * yields (value, previous value) pairs, and the Pearson
+    * correlation of those pairs — pooled across users — measures how
+    * strongly consecutive values predict each other. The
+    * "is this metric sticky" screen for monitoring and feature
+    * engineering.
+    *
+    * Spark-first shape: ONE lag window partitioned by
+    * (user_id, event_type) — millions of small partitions, never a
+    * handful of fat per-metric ones, so the shuffle is skew-free by
+    * construction (the per-SERIES formulation would put a whole
+    * metric's history in one task; the per-user pooling keeps window
+    * state O(1) per row and parallelism at user-cardinality). The
+    * correlation itself is a native 2-phase moment aggregate
+    * (Welford merges, map-side combined). Merge order perturbs last
+    * ulps → ROUND-6, the ttest discipline.
+    */
+  def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_utc"),
+        col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("value"), col("prev")), 6).as("acf1"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_autocorr" -> tsAutocorr _,
     "stream_tumble" -> streamTumble _,
     "stream_slide" -> streamSlide _,
     "stream_session" -> streamSession _,
@@ -327,6 +360,16 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_autocorr" ->
+      """WITH l AS (
+        |  SELECT event_type, value,
+        |    LAG(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_pairs,
+        |  ROUND(corr(value, prev), 6) AS acf1
+        |FROM l WHERE prev IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_tumble" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS n_events,

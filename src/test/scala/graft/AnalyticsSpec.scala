@@ -147,4 +147,101 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"lag formulation has no join at all:\n$plan")
   }
+
+  test("analytics_basket: pair counts match a brute-force items self-join; measures recompute") {
+    val rows = Analytics.basket(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus orders share brands; pairs cannot be empty")
+    // brute force: the naive self-join formulation the operator avoids
+    val items = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expectPairs = byOrder.values.flatMap(b =>
+      for (i <- b.indices; j <- i + 1 until b.size) yield (b(i), b(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotPairs = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotPairs === expectPairs, "co-occurrence counts must be exact")
+    // measure identities: support·N = n_co, confidence·n_a = n_co,
+    // lift = confidence / (n_b / N)
+    val nOrders = byOrder.size.toLong
+    val perBrand = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (a, b, nCo, nA, nB) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nA === perBrand(a) && nB === perBrand(b))
+      assert(a < b, "pairs must be canonically ordered, no mirrors")
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === r6(nCo.toDouble / nOrders.toDouble))
+      assert(r.getDouble(6) === r6(nCo.toDouble / nA.toDouble))
+      assert(r.getDouble(7) === r6((nCo * nOrders).toDouble / (nA * nB).toDouble))
+    }
+  }
+
+  test("analytics_basket plan: row-local pair fan-out, no items self-join, no cartesian") {
+    val df = Analytics.basket(spark, sf)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must never go cartesian:\n$plan")
+    // the per-brand explode is inside the checkpointed totals build;
+    // the gated plan carries only the pair fan-out
+    val generates = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates === 1,
+      s"exactly one Generate (the pair fan-out), got $generates:\n$plan")
+    // downstream of the checkpointed basket table there is NO parquet
+    // re-scan: three consumers share one materialization
+    assert(!plan.contains("Scan parquet"),
+      s"all consumers must read the checkpointed baskets, not re-scan:\n$plan")
+  }
+
+  test("analytics_rfm: quartile buckets balanced, scores monotone in their measure") {
+    val rows = Analytics.rfm(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    // ntile(4) bucket sizes differ by at most one
+    for (c <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getLong(c)).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L), s"col $c buckets: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"col $c skewed: $sizes")
+    }
+    // strictly more recent ⇒ r_score never lower (ties may split)
+    val byRec = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
+    for (i <- 1 until n)
+      if (byRec(i).getLong(1) > byRec(i - 1).getLong(1))
+        assert(byRec(i).getLong(4) <= byRec(i - 1).getLong(4),
+          "higher recency_days (staler) must not score higher")
+    val byMon = rows.sortBy(r => (r.getDouble(3), r.getLong(0)))
+    for (i <- 1 until n)
+      if (byMon(i).getDouble(3) > byMon(i - 1).getDouble(3))
+        assert(byMon(i).getLong(6) >= byMon(i - 1).getLong(6),
+          "higher spend must not score lower")
+    // segment is the concatenated scores
+    rows.foreach(r => assert(r.getString(7) ===
+      s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}"))
+    assert(rows.forall(_.getLong(1) >= 0), "recency vs corpus max is nonnegative")
+  }
+
+  test("analytics_pareto: contiguous minimal prefix crossing 80% exactly once") {
+    val rows = Analytics.pareto(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    // ranks are the contiguous prefix 1..K of the revenue-desc order
+    assert(rows.map(_.getLong(1)).toSeq === (1L to n).toSeq)
+    val revs = rows.map(_.getDouble(2))
+    for (i <- 1 until n) assert(revs(i) <= revs(i - 1) + 1e-9,
+      "prefix must be revenue-descending")
+    // every kept row but the last is strictly below the 80% line;
+    // the last kept row is the one that crosses it
+    val cum = rows.map(_.getDouble(3))
+    for (i <- 0 until n - 1) assert(cum(i) < 80.0, s"row $i cum ${cum(i)}")
+    assert(cum(n - 1) >= 80.0 - 1e-6,
+      s"last kept row must cross 80%: ${cum(n - 1)}")
+    // the 80% of PARTS vs revenue concentration reads directly off K
+    val totalParts = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(n < totalParts, "the covering prefix must be a strict subset")
+  }
 }

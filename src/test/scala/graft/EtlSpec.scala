@@ -164,4 +164,52 @@ class EtlSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<l_suppkey:bigint>"), plan)
     assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"), plan)
   }
+
+  test("etl_dq_quarantine: quarantined set is exactly the rule violations, reasons exact") {
+    import org.apache.spark.sql.functions._
+    val got = Etl.dqQuarantine(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // brute-force re-evaluation of the rule set on the driver
+    val custKeys = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect()
+    var clean = 0
+    ev.foreach { r =>
+      val k = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val errs = Seq(
+        if (r.getDouble(2) > 400) Some("value_out_of_range") else None,
+        if (k.forall(_ >= 90)) Some("props_k_out_of_range") else None,
+        if (!custKeys(r.getLong(1))) Some("orphan_user") else None).flatten
+      if (errs.isEmpty) {
+        clean += 1
+        assert(!got.contains(r.getLong(0)),
+          s"event ${r.getLong(0)} is valid; must not be quarantined")
+      } else assert(got.get(r.getLong(0)) === Some(errs.mkString(",")),
+        s"event ${r.getLong(0)}: reason list must match in rule order")
+    }
+    assert(got.size + clean === ev.length, "split is a partition of the stream")
+    assert(got.nonEmpty && clean > 0,
+      "corpus must exercise both sides of the quarantine split")
+  }
+
+  test("etl_dq_quarantine plan: one fact scan, referential rule broadcast, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val plan = planOf(Etl.dqQuarantine(spark, sf))
+      .split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 1, s"all rules evaluate in one pass, got $scans scans")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension keyset must broadcast:\n$plan")
+    // the only tolerable exchange is the dimension keyset's own
+    // distinct — the FACT stream itself must never hash-shuffle
+    val factHash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused") &&
+        !l.contains("c_custkey"))
+    assert(factHash === 0,
+      s"the quarantine path must not shuffle the fact stream:\n$plan")
+  }
 }

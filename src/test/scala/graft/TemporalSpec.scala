@@ -282,4 +282,42 @@ class TemporalSpec extends SparkTestBase {
     if (ev.schema("ts").dataType.typeName == "long")
       assert(ev.select(col("ts")).collect()(0).getLong(0) === 1704067798778549829L)
   }
+
+  test("ts_autocorr: Pearson recomputes from brute-force pairs; pair conservation") {
+    val rows = Temporal.tsAutocorr(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_utc"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val pairs = ev.groupBy(t => (t._1, t._2)).values.flatMap { series =>
+      val s = series.sortBy(t => (t._3.getTime, t._3.getNanos, t._4))
+      s.sliding(2).collect { case Array(a, b) => (b._2, b._5, a._5) }
+    }.toSeq.groupBy(_._1)
+    // every user×type series of n events yields n-1 pairs
+    val nSeries = ev.map(t => (t._1, t._2)).distinct.length
+    assert(rows.map(_.getLong(1)).sum === ev.length - nSeries,
+      "pair conservation across all series")
+    rows.foreach { r =>
+      val ps = pairs(r.getString(0)).map(p => (p._2, p._3))
+      assert(r.getLong(1) === ps.length.toLong)
+      val n = ps.length.toDouble
+      val (mx, my) = (ps.map(_._1).sum / n, ps.map(_._2).sum / n)
+      val cov = ps.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val (vx, vy) = (ps.map(p => math.pow(p._1 - mx, 2)).sum,
+        ps.map(p => math.pow(p._2 - my, 2)).sum)
+      val expect = cov / math.sqrt(vx * vy)
+      assert(math.abs(r.getDouble(2) - expect) < 2e-6,
+        s"${r.getString(0)}: got ${r.getDouble(2)}, brute force $expect")
+    }
+  }
+
+  test("ts_autocorr plan: one scan, lag + corr share no join") {
+    val plan = planOf(Temporal.tsAutocorr(spark, sf))
+      .split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 1, s"one pass over the stream, got $scans scans")
+    assert(!plan.contains("Join"), s"no join in the lag formulation:\n$plan")
+  }
 }

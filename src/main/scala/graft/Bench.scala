@@ -76,8 +76,14 @@ object Bench {
       }
       val cold = once()
       val warm1 = once()
+      // Stall detector: a warm run materially SLOWER than its own cold
+      // is physically backwards (cold carries codegen + footer reads),
+      // so it's an environment stall, not the query. 1.3x (was 2x)
+      // after observing 4.4 s warm vs 2.5 s cold slip through: the
+      // retry only fires on >1 s queries showing the inversion, so the
+      // extra wall cost stays bounded to genuinely-spiked runs.
       val warm =
-        if (warm1 > 1.0 && warm1 > 2 * cold) math.min(warm1, once()) else warm1
+        if (warm1 > 1.0 && warm1 > 1.3 * cold) math.min(warm1, once()) else warm1
       name -> (cold, warm)
     }
     val warmTotal = results.map(_._2._2).sum

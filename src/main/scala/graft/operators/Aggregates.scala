@@ -131,6 +131,39 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_quantile_disc` — DISCRETE (nearest-rank, type-1) percentiles
+    * of quantity per return flag: the smallest value whose cumulative
+    * rank reaches ⌈p·n⌉ — exact ELEMENT selection, complementing
+    * agg_quantile's interpolating form (which can emit values not in
+    * the data; medians of even groups differ between the two, which
+    * is exactly why a percentile surface needs both).
+    *
+    * Spark-first shape: ONE window (partition by group, order by
+    * value) carries row_number and the partition count; the three
+    * percentile picks are conditional aggregates over the ranked
+    * rows — no per-group collect, no second scan. Duplicate values
+    * make the ⌈p·n⌉-ranked VALUE unique even though the ranked row
+    * isn't, so no tie-break is needed for engine-exactness. At
+    * extreme group cardinality the window sort dominates (same cost
+    * class as any exact percentile); the approximate ladder
+    * (agg_approx_quantile) is the documented swap.
+    */
+  def aggQuantileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wc = Window.partitionBy(col("l_returnflag"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(col("n") * p), col("l_quantity")))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy(col("l_returnflag"))
+      .agg(pick(0.25).as("p25_qty"), pick(0.5).as("median_qty"),
+        pick(0.9).as("p90_qty"), max(col("n")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** `agg_winsorize` — per-group percentile clipping (winsorization),
     * the outlier-robust feature-scaling pass: per-lang p05/p95 cuts
     * from EXACT interpolated percentiles, values clipped into [p05,
@@ -592,6 +625,7 @@ object Aggregates {
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
     "agg_quantile" -> aggQuantile _,
+    "agg_quantile_disc" -> aggQuantileDisc _,
     "agg_winsorize" -> aggWinsorize _,
     "agg_stats" -> aggStats _,
     "agg_regression" -> aggRegression _,
@@ -679,6 +713,21 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_quantile_disc" ->
+      // identical nearest-rank formula, NOT quantile_disc: pinning the
+      // construction keeps the oracle engine-dialect-free
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN l_quantity END) AS p25_qty,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN l_quantity END) AS median_qty,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN l_quantity END) AS p90_qty,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_filter" ->
       """SELECT l_returnflag,
         |  COUNT(*) AS n_rows,

@@ -202,6 +202,36 @@ object Joins {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
+  /** `join_anti_nullaware` — SQL `NOT IN (subquery)` with its full
+    * three-valued-logic semantics: nations with no negative-balance
+    * supplier, counted over customers. Unlike `join_anti` (NOT
+    * EXISTS — two-valued), NOT IN must yield UNKNOWN for every probe
+    * row if the list contains a single NULL, so Catalyst cannot plan a
+    * plain anti join when the list column is nullable: it plans the
+    * dedicated null-aware anti join (a broadcast nested-loop variant,
+    * pinned in JoinsSpec) that checks the whole list's null state.
+    *
+    * Scale note: null-awareness is intrinsically broadcast-shaped —
+    * an UNKNOWN match can come from ANY partition of the list side, so
+    * the list must ship whole to every task. That's fine when the
+    * IN-list is dimension-sized (here: supplier nations); for a
+    * fact-sized list, pre-filter the NULLs explicitly (turning the
+    * query into NOT EXISTS two-valued semantics) and Catalyst plans
+    * the ordinary partitioned anti join instead.
+    */
+  def joinAntiNullaware(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_nin")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier_nin")
+    spark.sql(
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  COUNT(*) AS n_uncovered
+        |FROM customer_nin
+        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier_nin
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin)
+  }
+
   /** `subq_scalar` — correlated SCALAR subquery: customers above their
     * own nation's average balance. Catalyst decorrelates into an
     * aggregate + join (no per-row subquery execution — pinned in
@@ -326,10 +356,19 @@ object Joins {
     "join_cross" -> joinCross _,
     "subq_exists" -> subqExists _,
     "join_lateral" -> joinLateral _,
+    "join_anti_nullaware" -> joinAntiNullaware _,
     "subq_scalar" -> subqScalar _
   )
 
   val oracle: Map[String, String] = Map(
+    "join_anti_nullaware" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  COUNT(*) AS n_uncovered
+        |FROM customer
+        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "join_salted" ->
       """SELECT s_name, COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

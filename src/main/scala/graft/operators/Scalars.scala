@@ -138,7 +138,39 @@ object Scalars {
       .orderBy(col("vec_id"))
   }
 
+  /** `fn_url` — URL parsing and canonicalization: a deterministic URL
+    * is synthesized per event (host sharded by user, event type in the
+    * path, a tracking param and the item id in the query string), then
+    * decomposed with Spark's native `parse_url` (HOST / PATH / a named
+    * QUERY key) and rewritten to its canonical form (host + path, all
+    * query/tracking params stripped) — the normalization step every
+    * web-scale dedup and referrer-analytics pipeline runs before
+    * grouping by URL.
+    *
+    * Scale shape: pure map-side codegen expression chain over one
+    * scan, zero shuffles before the presentation sort. The oracle
+    * recomputes the same decomposition with plain regexes — pinning
+    * that parse_url's component semantics match the obvious grammar
+    * on well-formed URLs.
+    */
+  def fnUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = concat(lit("https://shop-"),
+      pmod(col("user_id"), lit(3)).cast("string"),
+      lit(".example.com/"), col("event_type"),
+      lit("/page?utm_source=email&item="), col("event_id").cast("string"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), url.as("url"))
+      .select(col("event_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("url_path"),
+        parse_url(col("url"), lit("QUERY"), lit("item")).as("item"),
+        concat(parse_url(col("url"), lit("HOST")),
+          parse_url(col("url"), lit("PATH"))).as("canon"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url" -> fnUrl _,
     "fn_string" -> fnString _,
     "fn_date" -> fnDate _,
     "fn_math" -> fnMath _,
@@ -150,6 +182,20 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |    'https://shop-' || CAST(user_id % 3 AS VARCHAR) ||
+        |    '.example.com/' || event_type ||
+        |    '/page?utm_source=email&item=' || CAST(event_id AS VARCHAR) AS url
+        |  FROM events)
+        |SELECT event_id, url,
+        |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS url_path,
+        |  regexp_extract(url, 'item=([0-9]+)', 1) AS item,
+        |  regexp_extract(url, 'https://([^/]+)/', 1) ||
+        |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS canon
+        |FROM u ORDER BY event_id""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS name_upper,

@@ -266,7 +266,48 @@ object Text {
         "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** `text_pmi` — pointwise mutual information of adjacent token
+    * pairs: PMI = ln(c(x,y)·N / (c(x)·c(y))) over the whole corpus,
+    * for pairs seen ≥ 5 times — the collocation detector ("new york",
+    * "machine learning") that phrase-mining and tokenizer-merge
+    * pipelines rank candidates with (BPE's merge objective is the
+    * count form of the same statistic).
+    *
+    * Spark-first shape: bigrams come from the zip-with-shifted-slice
+    * idiom (argument-position arrays — the interpreted-HOF O(n²)
+    * lesson), counted in one vocab²-bounded 2-phase aggregate; the
+    * unigram vocabulary is one vocab-sized aggregate joined back
+    * twice (AQE broadcasts it), and the corpus token count N is a
+    * one-row broadcast. All counts are exact int64; the PMI is ONE
+    * IEEE division inside ln, ROUND-6ed with identical operation
+    * order in the oracle.
+    */
+  def textPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val toks = Tables.documents(spark, sfDir).select(tk.as("tk"))
+    val bigrams = toks.select(explode(slice(
+        zip_with(col("tk"), slice(col("tk"), lit(2), size(col("tk"))),
+          (a, b) => concat_ws(" ", a, b)),
+        lit(1), greatest(size(col("tk")) - 1, lit(0)))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"), col("n_pair"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n")).localCheckpoint()
+    val total = uni.agg(sum(col("n")).as("n_tokens"))
+    bigrams
+      .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log((col("n_pair") * col("n_tokens")).cast("double") /
+          (col("n_w1") * col("n_w2")).cast("double")), 6).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi" -> textPmi _,
     "text_keywords" -> textKeywords _,
     "text_chunk" -> textChunk _,
     "text_redact" -> textRedact _,
@@ -297,6 +338,27 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |    for i in range(1, len(tk))]) AS bigram
+        |  FROM t),
+        |pc AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    split_part(bigram, ' ', 2) AS w2, COUNT(*) AS n_pair
+        |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |uc AS (SELECT w, COUNT(*) AS n
+        |  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM uc)
+        |SELECT w1, w2, n_pair, a.n AS n_w1, b.n AS n_w2,
+        |  ROUND(ln(CAST(n_pair * n_tokens AS DOUBLE) /
+        |    CAST(a.n * b.n AS DOUBLE)), 6) AS pmi
+        |FROM pc
+        |  JOIN uc a ON pc.w1 = a.w
+        |  JOIN uc b ON pc.w2 = b.w
+        |  CROSS JOIN tot
+        |ORDER BY w1, w2""".stripMargin,
     "text_keywords" ->
       """WITH ex AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

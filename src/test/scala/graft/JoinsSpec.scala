@@ -126,4 +126,32 @@ class JoinsSpec extends SparkTestBase {
       .filter(col("acctbal") <= col("mean_bal") - 0.011)
     assert(bad.count() === 0)
   }
+
+  test("join_anti_nullaware: NOT IN plans the null-aware anti join; set matches brute force") {
+    val df = Joins.joinAntiNullaware(spark, sf)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the nullable IN-list forces the dedicated null-aware variant —
+    // a plain LeftAnti hash join would be two-valued NOT EXISTS
+    assert(plan.contains("LeftAnti"), s"anti join expected:\n$plan")
+    assert(plan.contains("BuildRight, true") ||
+      plan.contains("NAAJ") || plan.contains("isNullAware"),
+      s"null-aware marker expected on the anti join:\n$plan")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inList = Tables.supplier(spark, sf)
+      .filter("s_acctbal < 0").select("s_nationkey")
+      .collect().map(_.getInt(0).toLong).toSet
+    val expect = Tables.customer(spark, sf).select("c_nationkey")
+      .collect().map(_.getInt(0).toLong)
+      .filter(!inList(_))
+      .groupBy(k => k).view.mapValues(_.length.toLong).toMap
+    assert(got === expect, "uncovered-nation counts must match set difference")
+    // sf0.001 has no negative-balance supplier: the empty-list edge
+    // (every probe row survives) is itself worth pinning; the gated
+    // sf0.01 corpus exercises the nonempty list
+    if (inList.isEmpty)
+      assert(got.values.sum ===
+        Tables.customer(spark, sf).count(),
+        "NOT IN over an empty list keeps every row")
+    assert(got.nonEmpty, "survivors expected on this corpus")
+  }
 }

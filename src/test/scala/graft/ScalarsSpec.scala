@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scalars
+
+/** Semantics + plan pins for the scalar-function surface queries whose
+  * exactness the oracle gates but whose SHAPE claims need pinning.
+  */
+class ScalarsSpec extends SparkTestBase {
+
+  test("fn_url: components recompute from the URL grammar; canon strips the query") {
+    val rows = Scalars.fnUrl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (url, host, path, item, canon) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5))
+      // re-derive every component from the raw string
+      val m = "https://([^/]+)(/[^?]*)\\?(.*)$".r.findFirstMatchIn(url).get
+      assert(host === m.group(1), s"host of $url")
+      assert(path === m.group(2), s"path of $url")
+      assert(item === r.getLong(0).toString, "item param is the event id")
+      assert(canon === host + path, "canonical form = host + path, no query")
+      assert(!canon.contains("?") && !canon.contains("utm_"),
+        "tracking params must not survive canonicalization")
+    }
+    // canonicalization collapses: far fewer canon values than URLs
+    val canons = rows.map(_.getString(5)).distinct
+    assert(canons.length < rows.length / 10,
+      s"${canons.length} canonical URLs for ${rows.length} raw — no collapse?")
+  }
+
+  test("fn_url plan: map-side expression chain, zero shuffles before the sort") {
+    val plan = planOf(Scalars.fnUrl(spark, sf)).split("== Initial Plan ==").head
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hash === 0, s"parse_url is row-local; got $hash hash exchanges:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"one events scan, got $scans")
+  }
+}

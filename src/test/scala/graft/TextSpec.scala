@@ -169,4 +169,27 @@ class TextSpec extends SparkTestBase {
     assert(joined.filter(col("header") =!= lower(hex(substring(col("text"), 1, 4)))).count() === 0)
     assert(d.count() === Tables.documents(spark, sf).count())
   }
+
+  test("text_pmi: counts and PMI recompute from a brute-force token walk") {
+    val rows = Text.textPmi(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has >= 5x repeated bigrams")
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0).split(" ", -1).toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = docs.map(_.size).sum.toLong
+    val pairs = docs.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // exactly the >= 5 pairs, no mirrors invented, counts exact
+    val expect = pairs.filter(_._2 >= 5)
+    assert(rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap === expect)
+    rows.foreach { r =>
+      val (w1, w2, np, n1, n2) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n1 === uni(w1) && n2 === uni(w2), "unigram counts")
+      val pmi = BigDecimal(math.log((np * n).toDouble / (n1 * n2).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - pmi) < 1e-9, s"pmi($w1,$w2)")
+    }
+  }
 }

@@ -131,6 +131,34 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** `agg_argmax` — argmax/argmin as native aggregates: per event
+    * type, WHICH event carried the extreme value (`max_by`/`min_by`),
+    * not just the extreme itself — the "who, not how much" lookup
+    * that otherwise costs a window + filter or a self-join back.
+    *
+    * Determinism discipline: `max_by` picks an ARBITRARY row among
+    * tied maxima (both engines), and a 2-decimal value over 10⁵ rows
+    * ties constantly — so the comparison key is the exact int64
+    * `value_cents·10¹⁰ + event_id`, strictly monotonic in
+    * (value, event_id): the selected row is unique by construction,
+    * in-engine and across engines. One 2-phase aggregate, one
+    * shuffle of 5 groups × constant state.
+    */
+  def aggArgmax(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (dec2(col("value")) * 100).cast("long") *
+      lit(10000000000L) + col("event_id")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        key.as("k"))
+      .groupBy(col("event_type"))
+      .agg(max_by(col("event_id"), col("k")).as("top_event_id"),
+        max(col("value")).as("top_value"),
+        min_by(col("event_id"), col("k")).as("bottom_event_id"),
+        min(col("value")).as("bottom_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** `agg_quantile_disc` — DISCRETE (nearest-rank, type-1) percentiles
     * of quantity per return flag: the smallest value whose cumulative
     * rank reaches ⌈p·n⌉ — exact ELEMENT selection, complementing
@@ -624,6 +652,7 @@ object Aggregates {
     "agg_decay" -> aggDecay _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
+    "agg_argmax" -> aggArgmax _,
     "agg_quantile" -> aggQuantile _,
     "agg_quantile_disc" -> aggQuantileDisc _,
     "agg_winsorize" -> aggWinsorize _,
@@ -713,6 +742,19 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_argmax" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 10000000000 + event_id AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  arg_max(event_id, k) AS top_event_id,
+        |  MAX(value) AS top_value,
+        |  arg_min(event_id, k) AS bottom_event_id,
+        |  MIN(value) AS bottom_value,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_quantile_disc" ->
       // identical nearest-rank formula, NOT quantile_disc: pinning the
       // construction keeps the oracle engine-dialect-free

@@ -49,13 +49,42 @@ object SetOps {
       .orderBy(col("nationkey"))
   }
 
+  /** `set_union_byname` — schema-evolution union: two differently-
+    * shaped projections of the part table (different column ORDER and
+    * different column SETS) unioned BY NAME with missing columns
+    * null-filled — the append every long-lived pipeline needs when a
+    * newer extract adds or drops fields. Positional UNION would
+    * silently misalign (partkey under size); by-name matching is the
+    * contract. Pure zero-shuffle concatenation: the union is a plan
+    * combinator, not an operator that moves data.
+    */
+  def setUnionByname(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val small = p.filter(col("p_size") < 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        lit("small").as("src"))
+    val large = p.filter(col("p_size") >= 15)
+      .select(col("p_size"), col("p_partkey"), col("p_type"),
+        lit("large").as("src"))
+    small.unionByName(large, allowMissingColumns = true)
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
-    "set_except" -> setExcept _
+    "set_except" -> setExcept _,
+    "set_union_byname" -> setUnionByname _
   )
 
   val oracle: Map[String, String] = Map(
+    "set_union_byname" ->
+      """SELECT p_partkey, p_brand, p_retailprice, 'small' AS src
+        |FROM part WHERE p_size < 15
+        |UNION ALL BY NAME
+        |SELECT p_size, p_partkey, p_type, 'large' AS src
+        |FROM part WHERE p_size >= 15
+        |ORDER BY p_partkey""".stripMargin,
     "set_union" ->
       """SELECT nationkey, COUNT(*) AS n_all, COUNT(DISTINCT side) AS n_sides
         |FROM (SELECT c_nationkey AS nationkey, 'c' AS side FROM customer

@@ -155,7 +155,41 @@ object Windows {
       .orderBy(col("user_id"), col("end_event_id"))
   }
 
+  /** `win_ignore_nulls` — the IGNORE NULLS window surface over a
+    * sparse column: per user, `value` is observed only on purchase
+    * events; every event row carries the last observed purchase value
+    * (`last_value … IGNORE NULLS` — LOCF as a pure window clause, the
+    * SQL-surface twin of ts_locf), the first observation so far
+    * (`first_value … IGNORE NULLS`), and the NEXT observation
+    * (`lead(…, 1) IGNORE NULLS` — the forward-fill lookahead a
+    * label-propagation or event-attribution pass needs). Values are
+    * copied, never computed — the gate is exact without rounding.
+    *
+    * Scale shape: all three functions share ONE (user_id)-partitioned
+    * (ts, event_id)-ordered window — one shuffle, one sort, O(1)
+    * running state per row (the ignore-nulls variants track one extra
+    * slot). Pinned in WindowsSpec.
+    */
+  def winIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_utc"),
+        when(col("event_type") === "purchase", col("value"))
+          .as("purchase_value"))
+      .select(col("user_id"), col("event_id"), col("purchase_value"),
+        last(col("purchase_value"), ignoreNulls = true).over(run)
+          .as("carried"),
+        first(col("purchase_value"), ignoreNulls = true).over(run)
+          .as("first_seen"),
+        lead(col("purchase_value"), 1, null, ignoreNulls = true).over(w)
+          .as("next_seen"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ignore_nulls" -> winIgnoreNulls _,
     "win_pattern" -> winPattern _,
     "win_rank" -> winRank _,
     "win_lag" -> winLag _,
@@ -166,6 +200,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        |  FROM events)
+        |SELECT user_id, event_id, purchase_value,
+        |  last_value(purchase_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+        |  first_value(purchase_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen,
+        |  lead(purchase_value, 1 IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_seen
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "win_pattern" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu

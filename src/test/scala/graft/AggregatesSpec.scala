@@ -30,6 +30,34 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("agg_argmax: selected rows are the unique (value, event_id)-max/min per group") {
+    val rows = Aggregates.aggArgmax(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === ev.keySet)
+    rows.foreach { r =>
+      val g = ev(r.getString(0))
+      // lexicographic (value, event_id) extremes — the documented tie-break
+      val top = g.maxBy(t => (t._3, t._2))
+      val bot = g.minBy(t => (t._3, t._2))
+      assert(r.getLong(1) === top._2 && r.getDouble(2) === top._3, "argmax")
+      assert(r.getLong(3) === bot._2 && r.getDouble(4) === bot._3, "argmin")
+      assert(r.getLong(5) === g.size.toLong)
+    }
+  }
+
+  test("agg_argmax plans as ONE 2-phase aggregate — no window, no join-back") {
+    val plan = planOf(Aggregates.aggArgmax(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"max_by must not expand to window/self-join:\n$plan")
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hash === 1, s"one group-by shuffle, got $hash")
+  }
+
   test("agg_quantile_disc: ONE window shuffle, no per-group collect") {
     val plan = planOf(Aggregates.aggQuantileDisc(spark, sf))
       .split("== Initial Plan ==").head

@@ -35,4 +35,24 @@ class SetOpsPropertySpec extends SparkTestBase {
       assert((inter & exc).isEmpty)
     }
   }
+
+  test("set_union_byname: by-name alignment, null-fill, row conservation") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.SetOps.setUnionByname(spark, sf)
+    val p = graft.sources.Tables.part(spark, sf)
+    assert(df.count() === p.count(), "union must conserve the partition")
+    assert(df.columns.sorted.toSeq ===
+      Seq("p_brand", "p_partkey", "p_retailprice", "p_size", "p_type", "src"))
+    // by-name, not positional: partkey survives on BOTH sides intact
+    assert(df.select(sum(col("p_partkey"))).head.getLong(0) ===
+      p.select(sum(col("p_partkey"))).head.getLong(0))
+    // missing columns are null exactly on the side that lacks them
+    assert(df.filter(col("src") === "small")
+      .filter(col("p_size").isNotNull || col("p_type").isNotNull)
+      .count() === 0)
+    assert(df.filter(col("src") === "large")
+      .filter(col("p_brand").isNotNull || col("p_retailprice").isNotNull)
+      .count() === 0)
+    assert(df.filter(col("p_partkey").isNull).count() === 0)
+  }
 }

@@ -73,4 +73,40 @@ class WindowsSpec extends SparkTestBase {
       .filter(col("moving_n") =!= least(col("pos"), lit(3)))
     assert(bad.count() === 0)
   }
+
+  test("win_ignore_nulls: carried/first/next recompute from a per-user walk") {
+    val rows = Windows.winIgnoreNulls(spark, sf).collect()
+    // window order is (ts_utc, event_id); re-derive it from the source
+    val ts = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_utc")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.map(_.sortBy { r =>
+      val t = ts(r.getLong(1)); (t.getTime, t.getNanos, r.getLong(1))
+    }).foreach { rs =>
+      val vals = rs.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      var last: Option[Double] = None
+      var first: Option[Double] = None
+      for ((r, i) <- rs.zipWithIndex) {
+        last = vals(i).orElse(last)
+        first = first.orElse(vals(i))
+        def got(c: Int) = if (r.isNullAt(c)) None else Some(r.getDouble(c))
+        assert(got(3) === last, s"carried at ${r.getLong(1)}")
+        assert(got(4) === first, s"first_seen at ${r.getLong(1)}")
+        val next = vals.drop(i + 1).flatten.headOption
+        assert(got(5) === next, s"next_seen at ${r.getLong(1)}")
+      }
+    }
+    assert(rows.exists(_.isNullAt(2)) && rows.exists(!_.isNullAt(2)),
+      "the sparse column must actually be sparse")
+  }
+
+  test("win_ignore_nulls: all three functions share ONE window shuffle") {
+    val plan = planOf(Windows.winIgnoreNulls(spark, sf))
+      .split("== Initial Plan ==").head
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hash === 1, s"one user_id shuffle expected, got $hash:\n$plan")
+    assert(!plan.contains("Join"), "no self-join in the window formulation")
+  }
 }

@@ -17,7 +17,8 @@ object SparkEntry {
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++ SetOps.queries ++
       Windows.queries ++ Scalars.queries ++ Pipeline.queries ++
       Temporal.queries ++ Text.queries ++ NearDedup.queries ++
-      Ann.queries ++ Ivf.queries ++ Pq.queries ++ Multimodal.queries ++
+      Ann.queries ++ Ivf.queries ++ Pq.queries ++ Pca.queries ++
+      Multimodal.queries ++
       Tpch.queries ++ Etl.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,6 +27,7 @@ object SparkEntry {
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++ SetOps.oracle ++
       Windows.oracle ++ Scalars.oracle ++ Pipeline.oracle ++
       Temporal.oracle ++ Text.oracle ++ NearDedup.oracle ++
-      Ann.oracle ++ Ivf.oracle ++ Pq.oracle ++ Multimodal.oracle ++
+      Ann.oracle ++ Ivf.oracle ++ Pq.oracle ++ Pca.oracle ++
+      Multimodal.oracle ++
       Tpch.oracle ++ Etl.oracle ++ Analytics.oracle
 }

@@ -159,6 +159,25 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** `agg_group_by_all` — the GROUP BY ALL / ORDER BY ALL SQL surface
+    * (every non-aggregate select item becomes a group key; every
+    * select item becomes a sort key): the dialect convenience both
+    * engines ship (Spark 3.4+/DuckDB) and SQL-first users lean on —
+    * gated with IDENTICAL query text in both engines, pinning that
+    * the inferred key set matches the explicit one. Semantically a
+    * plain 2-phase aggregate — one shuffle.
+    */
+  def aggGroupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .createOrReplaceTempView("lineitem_gba")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem_gba
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
   /** `agg_quantile_disc` — DISCRETE (nearest-rank, type-1) percentiles
     * of quantity per return flag: the smallest value whose cumulative
     * rank reaches ⌈p·n⌉ — exact ELEMENT selection, complementing
@@ -653,6 +672,7 @@ object Aggregates {
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
     "agg_argmax" -> aggArgmax _,
+    "agg_group_by_all" -> aggGroupByAll _,
     "agg_quantile" -> aggQuantile _,
     "agg_quantile_disc" -> aggQuantileDisc _,
     "agg_winsorize" -> aggWinsorize _,
@@ -742,6 +762,13 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_group_by_all" ->
+      // deliberately IDENTICAL query text modulo the table name
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
     "agg_argmax" ->
       """WITH e AS (
         |  SELECT event_type, event_id, value,

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Principal component analysis over the embedding corpus — the
+  * dimensionality-reduction complement to the JL signed random
+  * projection (embed_rproject): data-DERIVED axes that maximize
+  * retained variance, the standard pre-step for cheap ANN tiers,
+  * drift dashboards, and whitening before clustering.
+  *
+  * Distributed shape (the classic tall-skinny PCA decomposition):
+  *
+  *   1. ONE pass over the vectors computes the sufficient statistics —
+  *      per-dimension sums and the upper-triangle second-moment matrix
+  *      Σ xᵢxⱼ — as a single 2-phase aggregate: the row fan-out is a
+  *      bounded double-posexplode (d·(d+1)/2 = 2080 cells at d = 64,
+  *      independent of corpus size), partials combine map-side, and
+  *      the shuffle carries ≤ cells × partitions rows. No gram-matrix
+  *      join, no per-row driver traffic.
+  *   2. The d×d covariance eigendecomposes on the DRIVER (breeze
+  *      eigSym — d² doubles is KB-scale at any corpus size; this is
+  *      the kmeans-centroid/convergence-scalar pattern, a deliberate
+  *      driver-side matrix op, not a hidden collect of data).
+  *   3. Projection onto the top-k components is map-side arithmetic:
+  *      the (k × d) loading matrix rides into the plan as literals,
+  *      each output coordinate one zip_with dot product with arrays
+  *      in ARGUMENT position (the interpreted-HOF discipline).
+  *
+  * Determinism: eigenvector SIGN is canonicalized (largest-magnitude
+  * entry forced positive) so the projection is unique; eigenvalues are
+  * sorted descending with the index as tie-break. The model is
+  * memoized per (corpus fingerprint) — it is the per-snapshot artifact
+  * a pipeline trains once and applies everywhere (the IVF/PQ codebook
+  * policy). No SQL oracle exists for an eigenproblem — gated as
+  * no_oracle with PcaSpec pinning orthonormality, descending explained
+  * variance, per-component projected variance ≈ eigenvalue, and
+  * centered-projection mean ≈ 0.
+  */
+object Pca {
+  private val modelMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Array[Double]], Array[Double])]
+
+  /** (means, components (k rows of length d), eigenvalues desc). */
+  private[graft] def pcaModel(spark: SparkSession, sfDir: String,
+      k: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings") + s"_$k"
+    modelMemo.getOrElseUpdate(fp, {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("embedding").cast("array<double>").as("e"))
+      val d = emb.select(size(col("e"))).head.getInt(0)
+      val n = emb.count()
+      require(n > 1 && k <= d, s"n=$n d=$d k=$k")
+      // sufficient statistics in one pass: i <= j upper triangle
+      val ex = emb.select(posexplode(col("e")).as(Seq("i", "xi")),
+        col("e"))
+      val moments = ex
+        .select(col("i"), col("xi"),
+          posexplode(slice(col("e"), col("i") + 1, lit(d)))
+            .as(Seq("jj", "xj")))
+        .groupBy(col("i"), (col("i") + col("jj")).as("j"))
+        .agg(sum(col("xi") * col("xj")).as("sxy"), sum(
+          when(col("jj") === 0, col("xi"))).as("sx"))
+        .collect()
+      val sx = new Array[Double](d)
+      val sxy = Array.ofDim[Double](d, d)
+      moments.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1).toInt)
+        sxy(i)(j) = r.getDouble(2); sxy(j)(i) = r.getDouble(2)
+        if (i == j) sx(i) = r.getDouble(3)
+      }
+      val means = sx.map(_ / n)
+      val cov = breeze.linalg.DenseMatrix.tabulate(d, d) { (i, j) =>
+        (sxy(i)(j) - sx(i) * sx(j) / n) / (n - 1)
+      }
+      val es = breeze.linalg.eigSym(cov)
+      // breeze returns eigenvalues ascending; take top-k descending
+      val order = (0 until d).sortBy(i => (-es.eigenvalues(i), i)).take(k)
+      val comps = order.map { c =>
+        val v = Array.tabulate(d)(r => es.eigenvectors(r, c))
+        // canonical sign: the largest-|entry| coordinate is positive
+        val m = v.indices.maxBy(i => (math.abs(v(i)), i))
+        if (v(m) < 0) v.map(-_) else v
+      }.toArray
+      (means, comps, order.map(es.eigenvalues(_)).toArray)
+    })
+  }
+
+  /** `embed_pca` — every vector's coordinates in the top-8 principal
+    * axes (ROUND-6): the decorrelated low-rank representation.
+    */
+  def embedPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val (means, comps, _) = pcaModel(spark, sfDir, k = 8)
+    val centered = zip_with(col("embedding").cast("array<double>"),
+      typedlit(means.toSeq), (x, m) => x - m)
+    val pcs = comps.zipWithIndex.map { case (v, c) =>
+      round(aggregate(
+        zip_with(centered, typedlit(v.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t), 6).as(s"pc$c")
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: pcs: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca" -> embedPca _
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

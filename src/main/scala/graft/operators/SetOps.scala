@@ -70,14 +70,52 @@ object SetOps {
       .orderBy(col("p_partkey"))
   }
 
+  /** `set_bag_ops` — INTERSECT ALL / EXCEPT ALL (bag semantics): over
+    * the multiset of customer vs supplier nation keys, the common
+    * multiplicity min(mₐ, m_b) and the surplus max(0, mₐ − m_b) per
+    * key — the "how MANY survive" algebra that distinct-semantics
+    * set_intersect/set_except cannot express (G2/G3 gate the distinct
+    * forms; this gates the ALL forms against the same min/max-of-
+    * multiplicity law the oracle recomputes).
+    *
+    * Scale shape: Spark plans both ALL variants as a single
+    * count-and-replicate aggregate pair on the key — one shuffle per
+    * side, no row-by-row matching join.
+    */
+  def setBagOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nationkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").cast("long").as("nationkey"))
+    val inter = cust.intersectAll(supp)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("nationkey"), col("n"))
+    val exc = cust.exceptAll(supp)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("nationkey"), col("n"))
+    inter.unionAll(exc).orderBy(col("op"), col("nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
-    "set_union_byname" -> setUnionByname _
+    "set_union_byname" -> setUnionByname _,
+    "set_bag_ops" -> setBagOps _
   )
 
   val oracle: Map[String, String] = Map(
+    "set_bag_ops" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier),
+        |i AS (SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n
+        |  FROM (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s)
+        |  GROUP BY 2),
+        |e AS (SELECT 'except_all' AS op, nationkey, COUNT(*) AS n
+        |  FROM (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+        |  GROUP BY 2)
+        |SELECT * FROM i UNION ALL SELECT * FROM e
+        |ORDER BY op, nationkey""".stripMargin,
     "set_union_byname" ->
       """SELECT p_partkey, p_brand, p_retailprice, 'small' AS src
         |FROM part WHERE p_size < 15

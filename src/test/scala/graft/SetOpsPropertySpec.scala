@@ -55,4 +55,23 @@ class SetOpsPropertySpec extends SparkTestBase {
       .count() === 0)
     assert(df.filter(col("p_partkey").isNull).count() === 0)
   }
+
+  test("set_bag_ops: multiplicities follow the min/max-surplus bag law") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.SetOps.setBagOps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def mult(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.groupBy(col(c)).count().collect()
+        .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val cm = mult(graft.sources.Tables.customer(spark, sf), "c_nationkey")
+    val sm = mult(graft.sources.Tables.supplier(spark, sf), "s_nationkey")
+    val keys = cm.keySet ++ sm.keySet
+    keys.foreach { k =>
+      val (a, b) = (cm.getOrElse(k, 0L), sm.getOrElse(k, 0L))
+      assert(rows.getOrElse(("intersect_all", k), 0L) === math.min(a, b),
+        s"intersect_all($k)")
+      assert(rows.getOrElse(("except_all", k), 0L) === math.max(0L, a - b),
+        s"except_all($k)")
+    }
+  }
 }

@@ -361,7 +361,61 @@ object Etl {
       .orderBy(col("event_id"))
   }
 
+  /** `dq_outlier_mad` — ROBUST outlier audit: per event type the
+    * median, the median absolute deviation, and the count/extreme of
+    * modified z-scores 0.6745·(x − med)/MAD beyond 3.5 — the
+    * Iglewicz–Hoaglin screen that, unlike dq_anomaly's mean/stddev
+    * z-score, is not itself dragged by the outliers it hunts (50%
+    * breakdown point vs 0).
+    *
+    * Spark-first shape: the two-pass stats-then-apply discipline
+    * twice over — pass 1 exact medians per group, pass 2 the MAD of
+    * the residuals (each a 2-phase percentile aggregate; the
+    * group-stats tables are 5 rows so the join-backs broadcast).
+    * Interpolated midpoints of 2-decimal values are exact in double
+    * (the agg_quantile argument), so only max|z| needs ROUND-6.
+    */
+  def dqOutlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("med"), col("mad"),
+        (lit(0.6745) * (col("value") - col("med")) / col("mad")).as("z"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n_events"),
+        sum((abs(col("z")) > 3.5).cast("long")).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** `dq_freshness` — staleness audit: per event type the last event
+    * time, row count, and the exact µs lag behind the corpus-wide
+    * frontier — the "is this feed still flowing" check every
+    * ingestion dashboard leads with. ONE scan + a one-row frontier
+    * broadcast; lag is integer µs arithmetic (no float time math).
+    */
+  def dqFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(max(col("ts_utc")).as("last_seen"),
+        count(lit(1)).as("n_events"))
+    val frontier = per.agg(max(col("last_seen")).as("frontier"))
+    per.crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("last_seen"), col("n_events"),
+        (unix_micros(col("frontier")) - unix_micros(col("last_seen")))
+          .as("staleness_us"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_outlier_mad" -> dqOutlierMad _,
+    "dq_freshness" -> dqFreshness _,
     "etl_dq_quarantine" -> dqQuarantine _,
     "etl_scd2" -> scd2 _,
     "etl_merge" -> merge _,
@@ -378,6 +432,34 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "dq_outlier_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, m.med,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1, 2),
+        |z AS (
+        |  SELECT e.event_type, d.med, d.mad,
+        |    0.6745 * (e.value - d.med) / d.mad AS z
+        |  FROM events e JOIN d USING (event_type))
+        |SELECT event_type, MAX(med) AS med, MAX(mad) AS mad,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  ROUND(MAX(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT MAX(last_seen) AS frontier FROM per)
+        |SELECT event_type, CAST(last_seen AS TIMESTAMP) AS last_seen,
+        |  n_events,
+        |  CAST(epoch_us(frontier) - epoch_us(last_seen) AS BIGINT)
+        |    AS staleness_us
+        |FROM per, f ORDER BY event_type""".stripMargin,
     "etl_dq_quarantine" ->
       """WITH e AS (
         |  SELECT event_id, user_id, value,

@@ -306,7 +306,43 @@ object Text {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** `text_vocab_growth` — the Heaps'-law vocabulary growth curve:
+    * per document (in doc_id ingest order) the cumulative token count
+    * and cumulative DISTINCT-type count — the corpus statistic that
+    * sizes tokenizer vocabularies and flags dedup failures (a
+    * near-dup-heavy corpus grows types far below the V = K·nᵝ
+    * expectation).
+    *
+    * Spark-first shape: "running distinct count" is NOT a window
+    * distinct (no such aggregate, and a naive prefix-join is O(n²)) —
+    * each type is attributed to its FIRST document (min(doc_id) per
+    * token: one vocab-sized 2-phase aggregate), so the curve is a
+    * plain running SUM of new-type counts over the document spine.
+    * The spine cumsum is an unpartitioned window over doc-cardinality
+    * rows (the analytics_pareto note: two-phase prefix sum on an
+    * unbounded spine).
+    */
+  def textVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val firstDoc = toks.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+    val spine = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(firstDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("vocab_size", sum(col("new_types")).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> textVocabGrowth _,
     "text_pmi" -> textPmi _,
     "text_keywords" -> textKeywords _,
     "text_chunk" -> textChunk _,
@@ -338,6 +374,24 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |fd AS (
+        |  SELECT doc_id, COUNT(*) AS new_types FROM (
+        |    SELECT w, MIN(doc_id) AS doc_id FROM toks GROUP BY w)
+        |  GROUP BY doc_id),
+        |spine AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  COALESCE(fd.new_types, 0) AS new_types,
+        |  SUM(s.n_tokens) OVER (ORDER BY s.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |  SUM(COALESCE(fd.new_types, 0)) OVER (ORDER BY s.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+        |FROM spine s LEFT JOIN fd USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "text_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |bg AS (

@@ -195,6 +195,43 @@ class EtlSpec extends SparkTestBase {
       "corpus must exercise both sides of the quarantine split")
   }
 
+  test("dq_outlier_mad: median and MAD recompute from a driver-side sort") {
+    import org.apache.spark.sql.functions._
+    val rows = Etl.dqOutlierMad(spark, sf).collect()
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val xs = vals(r.getString(0)).map(_._2).toSeq
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      assert(math.abs(r.getDouble(1) - med) < 1e-9, "median")
+      assert(math.abs(r.getDouble(2) - mad) < 1e-9, "MAD")
+      val zs = xs.map(x => math.abs(0.6745 * (x - med) / mad))
+      assert(r.getLong(4) === zs.count(_ > 3.5).toLong, "outlier count")
+      assert(math.abs(r.getDouble(5) - zs.max) < 2e-6, "max |z|")
+      assert(r.getLong(3) === xs.length.toLong)
+    }
+  }
+
+  test("dq_freshness: the frontier feed has zero staleness; lags recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Etl.dqFreshness(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).min === 0L,
+      "the newest feed defines the frontier")
+    def epochUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val frontier = rows.map(r => epochUs(r.getTimestamp(1))).max
+    rows.foreach { r =>
+      assert(r.getLong(3) === frontier - epochUs(r.getTimestamp(1)),
+        s"${r.getString(0)} staleness")
+    }
+  }
+
   test("etl_dq_quarantine plan: one fact scan, referential rule broadcast, no shuffle") {
     import org.apache.spark.sql.functions._
     val plan = planOf(Etl.dqQuarantine(spark, sf))

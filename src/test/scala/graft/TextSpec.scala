@@ -170,6 +170,29 @@ class TextSpec extends SparkTestBase {
     assert(d.count() === Tables.documents(spark, sf).count())
   }
 
+  test("text_vocab_growth: curve ends at the true vocabulary; monotone; conserves") {
+    val rows = Text.textVocabGrowth(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    assert(rows.length === docs.length, "one curve point per document")
+    val last = rows.last
+    assert(last.getLong(3) === docs.map(_._2.size).sum.toLong,
+      "cumulative tokens = corpus tokens")
+    assert(last.getLong(4) === docs.flatMap(_._2).distinct.size.toLong,
+      "final vocab_size = true distinct type count")
+    // vocab is nondecreasing and bounded by tokens at every prefix
+    for (i <- 1 until rows.length) {
+      assert(rows(i).getLong(4) >= rows(i - 1).getLong(4), "monotone vocab")
+      assert(rows(i).getLong(3) === rows(i - 1).getLong(3) + rows(i).getLong(1),
+        "cum_tokens chains")
+      assert(rows(i).getLong(4) <= rows(i).getLong(3), "types <= tokens")
+    }
+    // first-occurrence attribution: doc 0's new_types = its distinct tokens
+    val firstDoc = rows.head
+    val firstTokens = docs.minBy(_._1)._2.distinct.size.toLong
+    assert(firstDoc.getLong(2) === firstTokens, "first doc introduces all its types")
+  }
+
   test("text_pmi: counts and PMI recompute from a brute-force token walk") {
     val rows = Text.textPmi(spark, sf).collect()
     assert(rows.nonEmpty, "corpus has >= 5x repeated bigrams")

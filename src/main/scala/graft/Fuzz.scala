@@ -101,7 +101,7 @@ object Fuzz {
 
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-      19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31)) match {
+      19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -445,6 +445,44 @@ object Fuzz {
          |  c(campaign, c_start, c_end)
          |  ON o_start < c_end AND c_start < o_end
          |GROUP BY campaign ORDER BY campaign""".stripMargin
+    case 32 => // NOT IN (subquery): three-valued-logic anti join
+      // (join_anti_nullaware's shape) — the null-aware path must agree
+      // with DuckDB's NOT IN on every threshold, including an EMPTY list
+      val thresh = pick(r, Seq("-500", "0", "500", "3000"))
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n
+         |FROM customer
+         |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+         |                          WHERE s_acctbal < $thresh)
+         |GROUP BY nk ORDER BY nk""".stripMargin
+    case 33 => // GROUP BY ALL / ORDER BY ALL (agg_group_by_all's
+      // shape): the inferred key set must match the explicit one
+      val gs = new Random(r.nextLong())
+        .shuffle(Seq("o_orderstatus", "o_orderpriority")).take(1 + r.nextInt(2))
+      s"""SELECT ${gs.mkString(", ")}, COUNT(*) AS n,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY ALL
+         |ORDER BY ALL""".stripMargin
+    case 34 => // INTERSECT ALL / EXCEPT ALL bag semantics
+      // (set_bag_ops' min/max-surplus law) under a random filter
+      val op = pick(r, Seq("INTERSECT ALL", "EXCEPT ALL"))
+      val lo = 500 + r.nextInt(5000)
+      s"""SELECT CAST(nk AS BIGINT) AS nk, COUNT(*) AS n FROM (
+         |  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > $lo
+         |  $op
+         |  SELECT s_nationkey FROM supplier) t
+         |GROUP BY nk ORDER BY nk""".stripMargin
+    case 35 => // native argmax (agg_argmax's shape): max_by/min_by —
+      // DuckDB ships the same names; the key carries the unique
+      // orderkey so tied prices select identically in both engines
+      val f = pick(r, Seq("max_by", "min_by"))
+      val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
+      s"""SELECT $g,
+         |  $f(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT) * 10000000 + o_orderkey) AS picked,
+         |  COUNT(*) AS n
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY $g ORDER BY $g""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

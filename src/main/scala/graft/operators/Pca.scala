@@ -104,8 +104,49 @@ object Pca {
       .orderBy(col("vec_id"))
   }
 
+  /** `knn_pca` — the PCA rank-then-rescore ANN tier: rank EVERY vector
+    * by squared euclidean distance in the 16-dim principal subspace
+    * (16 multiplies per candidate vs 64 — the corpus is unit-norm, so
+    * full-space euclidean order IS cosine order, and the rank-16
+    * projection is its variance-optimal approximation; the corpus is
+    * near-isotropic, so the tier needs 16 of 64 dims where clustered
+    * production embeddings get away with fewer), keep the top pool via TakeOrderedAndProject (never a full sort), rescore
+    * only the pool on the original vectors. The same
+    * compress-rank/exact-rescore shape as knn_quant (SQ8) and knn_pq
+    * (ADC) with a DATA-DERIVED compressor — at 100 TB the 16-double
+    * sketch column is what the index stores, 4× smaller than the
+    * vectors, and the rescore fetches originals by id for pool-many
+    * rows only. No oracle (the tier is engine-specific); recall-floor
+    * vs exact and exact-dup-of-probe properties pinned in PcaSpec.
+    */
+  def knnPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val (means, comps, _) = pcaModel(spark, sfDir, k = 16)
+    val centered = zip_with(col("embedding").cast("array<double>"),
+      typedlit(means.toSeq), (x, m) => x - m)
+    val p8 = array(comps.map(v =>
+      aggregate(zip_with(centered, typedlit(v.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t)): _*)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), p8.as("p8"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("p8").as("probe8"), col("embedding").as("pv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("d2", aggregate(
+        zip_with(col("p8"), col("probe8"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(100)
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("pv")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_pca" -> embedPca _
+    "embed_pca" -> embedPca _,
+    "knn_pca" -> knnPca _
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -55,6 +55,44 @@ class PcaSpec extends SparkTestBase {
     assert(eig.sum <= totalVar + 1e-9, "k-dim explained variance bounded by total")
   }
 
+  test("knn_pca: recall vs exact cosine top-10; pool rescore is exact") {
+    val got = Pca.knnPca(spark, sf).collect().map(_.getLong(0))
+    assert(got.length === 10)
+    // exact brute force on the driver
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val p = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (BigDecimal(cos(v, p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, id) }
+      .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2)
+    val recall = got.toSet.intersect(exact.toSet).size / 10.0
+    info(s"knn_pca recall@10 = $recall")
+    assert(recall >= 0.6,
+      s"16-dim PCA rank + 100-pool rescore must recover most of the exact " +
+        s"top-10; got $recall (exact=${exact.toList}, got=${got.toList})")
+    // whatever the pool ranked in, the RETURNED order is exact-rescored:
+    // sims must be nonincreasing
+    val sims = Pca.knnPca(spark, sf).collect().map(_.getDouble(1))
+    assert(sims.sameElements(sims.sortBy(-_)), "rescored order")
+  }
+
+  test("knn_pca plan: broadcast probe, TakeOrderedAndProject pool — no full sort") {
+    val plan = planOf(Pca.knnPca(spark, sf)).split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pool selection must be top-k, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"probe must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("embed_pca plan: map-side projection — no join, no window, one scan") {
     val plan = planOf(Pca.embedPca(spark, sf)).split("== Initial Plan ==").head
     assert(!plan.contains("Join") && !plan.contains("Window"),

@@ -362,7 +362,47 @@ object Analytics {
       .orderBy(col("rnk"))
   }
 
+  /** `analytics_cohort_ltv` — the revenue companion of the retention
+    * triangle: per (first-order-year cohort, year offset) the period
+    * revenue, the cohort's CUMULATIVE revenue through that offset, and
+    * the running revenue per cohort member (LTV) — the curve a
+    * payback-period analysis reads.
+    *
+    * Spark-first shape: cohorting is the same one-aggregate +
+    * co-partitioned join as cohort_retention; the cumulative sum runs
+    * over the ~(years × offsets)-row rollup, partitioned by cohort.
+    * Exactness discipline: period AND cumulative revenue accumulate in
+    * DECIMAL through the window — a double running sum would expose
+    * the two engines' different window-aggregation orders (segment
+    * trees vs streaming); decimal is order-free. Only the final
+    * per-member ratio is one IEEE division, ROUND-6.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("oy"),
+        col("o_totalprice"))
+    val cohort = orders.groupBy(col("o_custkey"))
+      .agg(min(col("oy")).as("cy"))
+    val sz = cohort.groupBy(col("cy")).agg(count(lit(1)).as("n_cust"))
+    val w = Window.partitionBy(col("cy")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.join(cohort, Seq("o_custkey"))
+      .groupBy(col("cy"), (col("oy") - col("cy")).as("off"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .join(broadcast(sz), Seq("cy"))
+      .select(col("cy").cast("long").as("cohort_year"),
+        col("off").cast("long").as("year_offset"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_dec").cast("double").as("cum_revenue"),
+        round(col("cum_dec").cast("double") / col("n_cust").cast("double"),
+          6).as("ltv_per_cust"))
+      .orderBy(col("cohort_year"), col("year_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_cohort_ltv" -> cohortLtv _,
     "analytics_basket" -> basket _,
     "analytics_rfm" -> rfm _,
     "analytics_pareto" -> pareto _,
@@ -375,6 +415,28 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_cohort_ltv" ->
+      """WITH fy AS (
+        |  SELECT o_custkey, MIN(year(o_orderdate)) AS cy
+        |  FROM orders GROUP BY 1),
+        |sz AS (SELECT cy, COUNT(*) AS n_cust FROM fy GROUP BY 1),
+        |rev AS (
+        |  SELECT fy.cy, year(o.o_orderdate) - fy.cy AS off,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders o JOIN fy USING (o_custkey) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cy, off, rev_dec,
+        |    SUM(rev_dec) OVER (PARTITION BY cy ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+        |  FROM rev)
+        |SELECT CAST(c.cy AS BIGINT) AS cohort_year,
+        |  CAST(off AS BIGINT) AS year_offset,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(cum_dec AS DOUBLE) AS cum_revenue,
+        |  ROUND(CAST(cum_dec AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
+        |    AS ltv_per_cust
+        |FROM c JOIN sz ON c.cy = sz.cy
+        |ORDER BY cohort_year, year_offset""".stripMargin,
     "analytics_basket" ->
       """WITH items AS (
         |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand

@@ -584,7 +584,31 @@ object NearDedup {
        |SELECT id AS doc_id, ROUND(r, 6) AS rank FROM r5 ORDER BY doc_id""".stripMargin
   }
 
+  /** `graph_degree_dist` — the degree distribution of the banded
+    * similarity graph: per degree (0 included — isolated docs matter
+    * for dedup-health dashboards) the number of documents. The
+    * one-glance structural summary that says whether the near-dup
+    * graph is a sparse scatter or a template-family hairball, and the
+    * input to the O(√m) orientation bound graph_triangles relies on.
+    *
+    * Spark-first shape: one aggregate over the symmetrized
+    * materialized edge table, LEFT-joined from the doc spine so
+    * degree-0 rows survive (count of the join's non-null side), then
+    * the histogram rollup. Edge-table-cardinality work end to end.
+    */
+  def graphDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = bandedEdgesTable(spark, sfDir)
+    val sym = e.unionAll(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(sym, col("doc_id") === col("src"), "left")
+      .groupBy(col("doc_id")).agg(count(col("src")).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_dist" -> graphDegreeDist _,
     "graph_pagerank" -> graphPagerank _,
     "graph_triangles" -> graphTriangles _,
     "graph_reach" -> graphReach _,
@@ -602,6 +626,25 @@ object NearDedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_degree_dist" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)
+        |  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.01),
+        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        |deg AS (
+        |  SELECT d.doc_id, COUNT(s.src) AS degree
+        |  FROM documents d LEFT JOIN sym s ON s.src = d.doc_id
+        |  GROUP BY 1)
+        |SELECT CAST(degree AS BIGINT) AS degree,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> pageRankOracle,
     "graph_reach" ->
       """WITH RECURSIVE sh AS (

@@ -169,7 +169,34 @@ object Scalars {
       .orderBy(col("event_id"))
   }
 
+  /** `fn_try` — the error-SAFE expression surface: `try_divide` nulls
+    * on a zero denominator instead of raising (or inf-ing) and
+    * `try_cast` nulls on an unparseable string — the ANSI-mode safety
+    * valves a production pipeline uses so one malformed row degrades
+    * to NULL instead of failing the job. The denominator `k − 50`
+    * genuinely crosses zero and the cast input genuinely mixes
+    * numeric and non-numeric strings, so both outcomes of each
+    * function are exercised. Oracle maps try_divide to
+    * `/ NULLIF(…, 0)` and try_cast to DuckDB's TRY_CAST — pinning
+    * the null-not-error contract across engines. Pure map-side.
+    */
+  def fnTry(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))
+      .select(col("event_id"), col("k"),
+        // raw double division, NO round: IEEE a/b is bit-identical in
+        // both engines, while round-6 of a power-of-two denominator
+        // ratio lands on exact binary halves where the engines' double
+        // rounding artifacts differ (measured: -1.0171875 -> .188/.187)
+        expr("try_divide(value, CAST(k - 50 AS DOUBLE))").as("safe_ratio"),
+        expr("try_cast(CASE WHEN k < 50 THEN CAST(k AS STRING) " +
+          "ELSE event_type END AS BIGINT)").as("maybe_num"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try" -> fnTry _,
     "fn_url" -> fnUrl _,
     "fn_string" -> fnString _,
     "fn_date" -> fnDate _,
@@ -182,6 +209,16 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_try" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(props->>'$.k' AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_id, k,
+        |  value / NULLIF(CAST(k - 50 AS DOUBLE), 0) AS safe_ratio,
+        |  TRY_CAST(CASE WHEN k < 50 THEN CAST(k AS VARCHAR)
+        |           ELSE event_type END AS BIGINT) AS maybe_num
+        |FROM e ORDER BY event_id""".stripMargin,
     "fn_url" ->
       """WITH u AS (
         |  SELECT event_id,

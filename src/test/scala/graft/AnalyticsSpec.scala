@@ -148,6 +148,26 @@ class AnalyticsSpec extends SparkTestBase {
       s"lag formulation has no join at all:\n$plan")
   }
 
+  test("analytics_cohort_ltv: cumulative chains; cohort totals conserve corpus revenue") {
+    val rows = Analytics.cohortLtv(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.values.foreach { rs =>
+      val s = rs.sortBy(_.getLong(1))
+      var cum = BigDecimal(0)
+      s.foreach { r =>
+        cum += BigDecimal(r.getDouble(2))
+        assert(BigDecimal(r.getDouble(3)) === cum, "cum_revenue chains")
+      }
+    }
+    // all cohorts' final cum sums to the corpus total revenue exactly
+    val total = byCohort.values
+      .map(rs => BigDecimal(rs.maxBy(_.getLong(1)).getDouble(3))).sum
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head.getDecimal(0)
+    assert(total === BigDecimal(direct), "revenue conservation")
+  }
+
   test("analytics_basket: pair counts match a brute-force items self-join; measures recompute") {
     val rows = Analytics.basket(spark, sf).collect()
     assert(rows.nonEmpty, "corpus orders share brands; pairs cannot be empty")

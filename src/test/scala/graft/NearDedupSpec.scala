@@ -138,4 +138,33 @@ class NearDedupSpec extends SparkTestBase {
     assert(sim.getLong(0) === Tables.documents(spark, sf).count())
     assert(sim.getLong(1) >= exactDups)
   }
+
+  test("graph_degree_dist: docs partition across degrees; handshake lemma holds") {
+    import org.apache.spark.sql.functions._
+    val rows = NearDedup.graphDegreeDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._2).sum === Tables.documents(spark, sf).count(),
+      "every document has exactly one degree")
+    // Σ degree·count = 2·|edges| — brute-force the banded edge rule
+    // (next-two-ids, 3-gram Jaccard >= 0.01) on the driver
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).toSeq.sliding(3)
+          .map(_.mkString(" ")).toSet)
+      .toMap
+    val nEdges = docs.keys.toSeq.flatMap(i => Seq(i + 1, i + 2).map(i -> _))
+      .count { case (a, b) =>
+        docs.contains(b) && {
+          val (ga, gb) = (docs(a), docs(b))
+          val j = BigDecimal(ga.intersect(gb).size.toDouble /
+            ga.union(gb).size.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          j >= BigDecimal("0.01")
+        }
+      }
+    assert(rows.map { case (d, n) => d * n }.sum === 2L * nEdges,
+      s"handshake: sum(deg*n) must equal 2*|edges| = ${2 * nEdges}")
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per degree")
+  }
 }

@@ -30,6 +30,22 @@ class ScalarsSpec extends SparkTestBase {
       s"${canons.length} canonical URLs for ${rows.length} raw — no collapse?")
   }
 
+  test("fn_try: null exactly where the error would be, value elsewhere") {
+    val rows = Scalars.fnTry(spark, sf).collect()
+    rows.foreach { r =>
+      val k = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(r.isNullAt(2) === k.forall(_ == 50L),
+        s"safe_ratio null iff denominator k-50 = 0 (k=$k)")
+      if (k.exists(_ < 50)) assert(r.getLong(3) === k.get,
+        "numeric strings round-trip through try_cast")
+      else assert(r.isNullAt(3), "non-numeric strings cast to null, not error")
+    }
+    assert(rows.exists(_.isNullAt(2)) && rows.exists(!_.isNullAt(2)),
+      "both try_divide outcomes exercised")
+    assert(rows.exists(_.isNullAt(3)) && rows.exists(!_.isNullAt(3)),
+      "both try_cast outcomes exercised")
+  }
+
   test("fn_url plan: map-side expression chain, zero shuffles before the sort") {
     val plan = planOf(Scalars.fnUrl(spark, sf)).split("== Initial Plan ==").head
     val hash = plan.linesIterator.count(l =>

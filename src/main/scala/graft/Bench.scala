@@ -68,10 +68,12 @@ object Bench {
         // own, so a finished run's blocks are garbage — but unreleased
         // they accumulate across the session's ~350 executions and
         // degrade later queries (r7 showed pagerank 36.8 s in-bench vs
-        // 2.9 s isolated). Released OUTSIDE the timed window: eviction
-        // cost belongs to the harness, not the next query.
+        // 2.9 s isolated). Released OUTSIDE the timed window, BLOCKING:
+        // async eviction would run concurrently with the next query's
+        // timed cold run — blocking puts the cost in the harness gap
+        // where it belongs.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         dt
       }
       val cold = once()

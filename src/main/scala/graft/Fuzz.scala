@@ -479,7 +479,7 @@ object Fuzz {
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g,
          |  $f(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-         |    AS BIGINT) * 10000000 + o_orderkey) AS picked,
+         |    AS BIGINT) * 10000000000 + o_orderkey) AS picked,
          |  COUNT(*) AS n
          |FROM orders WHERE ${predicate(r)}
          |GROUP BY $g ORDER BY $g""".stripMargin

@@ -297,8 +297,9 @@ object Analytics {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("monetary"))
-    val maxd = Tables.orders(spark, sfDir)
-      .agg(max(col("o_orderdate")).as("corpus_max"))
+    // corpus max = max of per-customer last orders: derived from the
+    // ALREADY-built customer aggregate, not a second fact-table scan
+    val maxd = cust.agg(max(col("last_order")).as("corpus_max"))
     val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
     val wf = Window.orderBy(col("frequency"), col("o_custkey"))
     val wm = Window.orderBy(col("monetary"), col("o_custkey"))

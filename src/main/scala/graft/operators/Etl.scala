@@ -385,7 +385,11 @@ object Etl {
       .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
     ev.join(broadcast(mad), Seq("event_type"))
       .select(col("event_type"), col("med"), col("mad"),
-        (lit(0.6745) * (col("value") - col("med")) / col("mad")).as("z"))
+        // nullif guard: a >=50%-constant feed has MAD = 0, and the two
+        // engines disagree on Inf/NaN division and max/ordering — null
+        // degrades the group's z-columns consistently instead
+        (lit(0.6745) * (col("value") - col("med")) /
+          nullif(col("mad"), lit(0.0))).as("z"))
       .groupBy(col("event_type"))
       .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
         count(lit(1)).as("n_events"),
@@ -442,7 +446,7 @@ object Etl {
         |  FROM events e JOIN m USING (event_type) GROUP BY 1, 2),
         |z AS (
         |  SELECT e.event_type, d.med, d.mad,
-        |    0.6745 * (e.value - d.med) / d.mad AS z
+        |    0.6745 * (e.value - d.med) / NULLIF(d.mad, 0) AS z
         |  FROM events e JOIN d USING (event_type))
         |SELECT event_type, MAX(med) AS med, MAX(mad) AS mad,
         |  COUNT(*) AS n_events,

@@ -123,17 +123,17 @@ object Pca {
     val (means, comps, _) = pcaModel(spark, sfDir, k = 16)
     val centered = zip_with(col("embedding").cast("array<double>"),
       typedlit(means.toSeq), (x, m) => x - m)
-    val p8 = array(comps.map(v =>
+    val sketch = array(comps.map(v =>
       aggregate(zip_with(centered, typedlit(v.toSeq), (x, w) => x * w),
         lit(0.0), (acc, t) => acc + t)): _*)
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), p8.as("p8"))
+      .select(col("vec_id"), col("embedding"), sketch.as("sketch"))
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("p8").as("probe8"), col("embedding").as("pv"))
+      .select(col("sketch").as("probe_sketch"), col("embedding").as("pv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .withColumn("d2", aggregate(
-        zip_with(col("p8"), col("probe8"), (a, b) => (a - b) * (a - b)),
+        zip_with(col("sketch"), col("probe_sketch"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, t) => acc + t))
       .orderBy(col("d2"), col("vec_id"))
       .limit(100)

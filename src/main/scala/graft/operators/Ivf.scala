@@ -204,8 +204,44 @@ object Ivf {
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame =
     knnIvfProbing(spark, sfDir, nprobe = 2)
 
+  /** `embed_kmeans` — k-means clustering of the embedding corpus as a
+    * first-class result (not just the IVF router): per cell the member
+    * count and the mean squared distance to the centroid — the cluster
+    * profile a corpus-curation dashboard reads (topic balance, outlier
+    * cells) and the within-cluster-SS the elbow criterion plots.
+    *
+    * Reuses the IVF coarse quantizer verbatim (same memoized model per
+    * corpus fingerprint — clustering is a per-snapshot batch artifact,
+    * never a per-query cost). Distances are one map-side zip_with per
+    * row against the k-row broadcast center table; the profile is a
+    * k-row 2-phase aggregate. No oracle (k-means is engine-specific);
+    * IvfSpec pins membership conservation and the variance
+    * decomposition (within-cluster SS ≤ total SS about the global
+    * mean — the inequality k-means exists to tighten).
+    */
+  def embedKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val (m, assigned, _) = quantized(spark, sfDir)
+    val s2 = spark
+    import s2.implicits._
+    val centers = m.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "center")
+    assigned
+      .join(broadcast(centers), Seq("cell"))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding").cast("array<double>"), col("center"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 6).as("avg_d2"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("avg_d2"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_ivf" -> knnIvf _
+    "knn_ivf" -> knnIvf _,
+    "embed_kmeans" -> embedKmeans _
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -106,4 +106,27 @@ class IvfSpec extends SparkTestBase {
       assert(drv.sameElements(dist), s"nprobe=$nprobe: ${drv.toSeq} vs ${dist.toSeq}")
     }
   }
+
+  test("embed_kmeans: membership conserves; within-cluster SS <= total SS") {
+    val rows = Ivf.embedKmeans(spark, sf).collect()
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    assert(rows.map(_.getLong(1)).sum === vecs.length.toLong,
+      "every vector belongs to exactly one cell")
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // variance decomposition: Σ n_c·avg_d2_c (within SS) must not
+    // exceed the total SS about the GLOBAL mean — the bound any
+    // clustering tightens and a broken assignment violates
+    val d = vecs.head.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / vecs.length)
+    val totalSS = vecs.map(v =>
+      v.zip(mean).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+    val withinSS = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(withinSS <= totalSS + 1e-6,
+      s"within-cluster SS $withinSS must be <= total SS $totalSS")
+    assert(withinSS < totalSS * 0.999,
+      "clustering must strictly tighten the bound on this corpus")
+  }
 }

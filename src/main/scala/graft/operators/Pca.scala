@@ -92,14 +92,18 @@ object Pca {
     */
   def embedPca(spark: SparkSession, sfDir: String): DataFrame = {
     val (means, comps, _) = pcaModel(spark, sfDir, k = 8)
+    // centered as a materialized column, not inside the lambdas — see
+    // knnPca; bench's count() prunes the pcs but Verify's full dump
+    // (and any real consumer) evaluates all of them
     val centered = zip_with(col("embedding").cast("array<double>"),
       typedlit(means.toSeq), (x, m) => x - m)
     val pcs = comps.zipWithIndex.map { case (v, c) =>
       round(aggregate(
-        zip_with(centered, typedlit(v.toSeq), (x, w) => x * w),
+        zip_with(col("centered"), typedlit(v.toSeq), (x, w) => x * w),
         lit(0.0), (acc, t) => acc + t), 6).as(s"pc$c")
     }
     Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), centered.as("centered"))
       .select(col("vec_id") +: pcs: _*)
       .orderBy(col("vec_id"))
   }
@@ -121,12 +125,17 @@ object Pca {
     */
   def knnPca(spark: SparkSession, sfDir: String): DataFrame = {
     val (means, comps, _) = pcaModel(spark, sfDir, k = 16)
+    // centered is materialized as a COLUMN before the 16 dot products:
+    // referenced inside each lambda it would re-run the 64-element
+    // subtraction once per component (the interpreted-HOF discipline,
+    // measured 3.2 s -> 1.3 s warm at sf0.1)
     val centered = zip_with(col("embedding").cast("array<double>"),
       typedlit(means.toSeq), (x, m) => x - m)
     val sketch = array(comps.map(v =>
-      aggregate(zip_with(centered, typedlit(v.toSeq), (x, w) => x * w),
+      aggregate(zip_with(col("centered"), typedlit(v.toSeq), (x, w) => x * w),
         lit(0.0), (acc, t) => acc + t)): _*)
     val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), centered.as("centered"))
       .select(col("vec_id"), col("embedding"), sketch.as("sketch"))
     val probe = e.filter(col("vec_id") === 0)
       .select(col("sketch").as("probe_sketch"), col("embedding").as("pv"))

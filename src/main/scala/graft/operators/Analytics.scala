@@ -230,17 +230,20 @@ object Analytics {
     * first), so ROUND-6 is engine-stable.
     */
   def basket(spark: SparkSession, sfDir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      // collect_set dedups in-aggregate: ONE shuffle builds the
-      // distinct sorted basket (no separate distinct() pass), and its
-      // state is bounded by the order's line count ∩ brand domain
-      .groupBy(col("okey"))
-      .agg(sort_array(collect_set(col("brand"))).as("basket"))
-      .localCheckpoint()
+    // The basket table is a per-snapshot MATERIALIZED artifact (the
+    // signature-table policy): collect_set dedups in-aggregate — ONE
+    // shuffle builds the distinct sorted basket, state bounded by the
+    // order's line count ∩ brand domain — and the parquet artifact is
+    // built once per (JVM, lineitem content), not per query run.
+    val baskets = graft.sources.Materialize.once(spark, sfDir,
+      "lineitem", "brand_baskets")(
+      Tables.lineitem(spark, sfDir)
+        .join(broadcast(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .groupBy(col("okey"))
+        .agg(sort_array(collect_set(col("brand"))).as("basket")))
     val pairs = baskets
       .select(explode(expr(
         "flatten(transform(basket, (x, i) -> " +

@@ -22,43 +22,17 @@ import graft.sources.Tables
   */
 object NearDedup {
 
-  /** Signature-table parquet paths already written by this JVM. */
-  private val writtenSigs = scala.collection.mutable.Set.empty[String]
-
-  /** Per-PROCESS root for materialized signature tables: a fresh
-    * `Files.createTempDirectory` per JVM, so concurrent processes/users
-    * can never collide on a predictable shared /tmp path (the dir name
-    * embeds a random suffix and is owned by this process).
-    */
-  private lazy val sigRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_sigs_")
-    p.toFile.deleteOnExit()
-    p
-  }
-
-  /** Materialize a derived corpus artifact ONCE per (JVM, corpus
-    * content): signature tables and similarity edge sets are the
+  /** Materialize a document-derived artifact once per (JVM, corpus
+    * content) — signature tables and similarity edge sets are the
     * per-snapshot artifacts a production pipeline WRITES and every
-    * downstream query joins from — recomputing the
-    * shingle→join→filter lineage inside each of the five graph/dedup
-    * queries re-did the dominant map-side work per query per run.
-    * Path = per-process root + content fingerprint of `documents`
-    * (file listing + mtimes): a corpus rewrite within one JVM yields a
-    * new path, and other processes can't collide on or poison a
-    * predictable shared location.
+    * downstream query joins from; recomputing the shingle→join→filter
+    * lineage inside each of the five graph/dedup queries re-did the
+    * dominant map-side work per query per run. Shared machinery in
+    * [[graft.sources.Materialize]].
     */
   private def materialized(spark: SparkSession, sfDir: String,
-      kind: String)(build: => DataFrame): DataFrame = {
-    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "documents")
-    val path = sigRoot.resolve(s"${kind}_$fp").toString
-    NearDedup.synchronized {
-      if (!writtenSigs.contains(path)) {
-        build.coalesce(4).write.mode("overwrite").parquet(path)
-        writtenSigs += path
-      }
-    }
-    spark.read.parquet(path)
-  }
+      kind: String)(build: => DataFrame): DataFrame =
+    graft.sources.Materialize.once(spark, sfDir, "documents", kind)(build)
 
   /** The deterministic banded edge set as a materialized artifact —
     * shared input of dedup_cluster, pipeline_near_dedup and

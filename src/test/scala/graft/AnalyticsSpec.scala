@@ -211,10 +211,10 @@ class AnalyticsSpec extends SparkTestBase {
     val generates = plan.linesIterator.count(_.contains("Generate explode"))
     assert(generates === 1,
       s"exactly one Generate (the pair fan-out), got $generates:\n$plan")
-    // downstream of the checkpointed basket table there is NO parquet
-    // re-scan: three consumers share one materialization
-    assert(!plan.contains("Scan parquet"),
-      s"all consumers must read the checkpointed baskets, not re-scan:\n$plan")
+    // downstream of the materialized basket artifact there is NO
+    // re-scan of the FACT tables: consumers read the artifact only
+    assert(!plan.contains("lineitem") && !plan.contains("part.parquet"),
+      s"consumers must read the basket artifact, not re-derive it:\n$plan")
   }
 
   test("analytics_rfm: quartile buckets balanced, scores monotone in their measure") {

@@ -344,7 +344,50 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** `ts_decompose` — classical additive seasonal decomposition of the
+    * daily revenue series: trend = centered 7-day moving average,
+    * seasonal = the day-of-week mean of the detrended series
+    * (re-centered to sum to zero, so trend keeps the level), residual
+    * = observed − trend − seasonal. The anomaly-vs-seasonality
+    * separator behind every "is Monday always like this" dashboard.
+    *
+    * Spark-first shape: the fact stream collapses to ONE daily
+    * aggregate (decimal-exact), and everything after runs over the
+    * calendar-sized series — a centered ROWS frame, a 7-row
+    * day-of-week aggregate broadcast back, row-local arithmetic.
+    * Day-of-week is the PORTABLE epoch-day mod 7 (the engines'
+    * dayofweek() origins differ); the moving average is the only
+    * engine-order-sensitive float (window aggregation internals) —
+    * ROUND-6 absorbs its last-ulp variance, the mom/markov precedent.
+    */
+  def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend", avg(col("total")).over(wTrend))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+    val seasonal = trended
+      .groupBy(col("dow"))
+      .agg(avg(col("total") - col("trend")).as("raw_seasonal"))
+    val center = seasonal.agg(avg(col("raw_seasonal")).as("season_mean"))
+    trended
+      .join(broadcast(seasonal), Seq("dow"))
+      .crossJoin(broadcast(center))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        col("dow").cast("long").as("dow"), col("total"),
+        round(col("trend"), 6).as("trend"),
+        round(col("raw_seasonal") - col("season_mean"), 6).as("seasonal"),
+        round(col("total") - col("trend") -
+          (col("raw_seasonal") - col("season_mean")), 6).as("residual"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_decompose" -> tsDecompose _,
     "ts_autocorr" -> tsAutocorr _,
     "stream_tumble" -> streamTumble _,
     "stream_slide" -> streamSlide _,
@@ -360,6 +403,28 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, total,
+        |    AVG(total) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+        |  FROM daily),
+        |s AS (
+        |  SELECT dow, AVG(total - trend) AS raw_seasonal FROM t GROUP BY 1),
+        |c AS (SELECT AVG(raw_seasonal) AS season_mean FROM s)
+        |SELECT CAST(t.day AS TIMESTAMP) AS day_ts,
+        |  CAST(t.dow AS BIGINT) AS dow, t.total,
+        |  ROUND(t.trend, 6) AS trend,
+        |  ROUND(s.raw_seasonal - c.season_mean, 6) AS seasonal,
+        |  ROUND(t.total - t.trend - (s.raw_seasonal - c.season_mean), 6)
+        |    AS residual
+        |FROM t JOIN s ON t.dow = s.dow CROSS JOIN c
+        |ORDER BY day_ts""".stripMargin,
     "ts_autocorr" ->
       """WITH l AS (
         |  SELECT event_type, value,

@@ -312,6 +312,26 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("ts_decompose: components reassemble the series; seasonals centered") {
+    val rows = Temporal.tsDecompose(spark, sf).collect()
+    assert(rows.length === 30, "one row per corpus day")
+    rows.foreach { r =>
+      val (total, trend, seasonal, resid) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // additive identity at the rounding grain
+      assert(math.abs(total - (trend + seasonal + resid)) < 3e-6,
+        s"decomposition must reassemble at ${r.getTimestamp(0)}")
+    }
+    // seasonal effects are re-centered: the 7 distinct values sum ~ 0
+    val seasonals = rows.map(r => r.getLong(1) -> r.getDouble(4)).distinct
+    assert(seasonals.length === 7, "one seasonal effect per weekday")
+    assert(math.abs(seasonals.map(_._2).sum) < 1e-4,
+      "trend keeps the level; seasonals must sum to zero")
+    // same weekday always gets the same seasonal
+    assert(rows.groupBy(_.getLong(1)).values
+      .forall(_.map(_.getDouble(4)).distinct.length == 1))
+  }
+
   test("ts_autocorr plan: one scan, lag + corr share no join") {
     val plan = planOf(Temporal.tsAutocorr(spark, sf))
       .split("== Initial Plan ==").head

@@ -32,7 +32,7 @@ object NearDedup {
     */
   private def materialized(spark: SparkSession, sfDir: String,
       kind: String)(build: => DataFrame): DataFrame =
-    graft.sources.Materialize.once(spark, sfDir, "documents", kind)(build)
+    graft.sources.Materialize.once(spark, sfDir, Seq("documents"), kind)(build)
 
   /** The deterministic banded edge set as a materialized artifact —
     * shared input of dedup_cluster, pipeline_near_dedup and

@@ -18,18 +18,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialize {
   private lazy val root: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_artifacts_")
-    p.toFile.deleteOnExit()
+    // deleteOnExit silently skips non-empty directories — a recursive
+    // shutdown hook actually bounds /tmp growth across sessions
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
     p
   }
 
   private val written = scala.collection.mutable.Set.empty[String]
 
-  /** Read-through cache: builds + writes `kind` derived from `table`
-    * under `sfDir` on first use, then serves the parquet re-read.
+  /** Read-through cache: builds + writes `kind` derived from the given
+    * source tables under `sfDir` on first use, then serves the parquet
+    * re-read. EVERY table the build reads must be listed — the cache
+    * key is the combined content fingerprint, and omitting one source
+    * would serve a stale artifact after that table alone regenerates.
     */
-  def once(spark: SparkSession, sfDir: String, table: String,
+  def once(spark: SparkSession, sfDir: String, tables: Seq[String],
       kind: String)(build: => DataFrame): DataFrame = {
-    val fp = DataFingerprint.ofTable(sfDir, table)
+    val fp = tables.map(DataFingerprint.ofTable(sfDir, _)).mkString("_")
     val path = root.resolve(s"${kind}_$fp").toString
     Materialize.synchronized {
       if (!written.contains(path)) {

@@ -101,7 +101,8 @@ object Fuzz {
 
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-      19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35)) match {
+      19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+      36)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -400,13 +401,19 @@ object Fuzz {
          |ORDER BY k""".stripMargin
     case 29 => // regression moment aggregates (agg_regression's shape):
       // regr_slope/intercept/r2 share the same definition in both
-      // engines; merge-order noise must stay under the ROUND-6 grain
+      // engines; merge-order noise must stay under the ROUND-6 grain.
+      // The year regressor is RE-ANCHORED to the corpus epoch exactly
+      // like agg_regression: an epoch-1970 x extrapolates the
+      // intercept to year 0 and amplifies last-ulp moment noise ~2e4x
+      // past the rounding grain (caught live: seed 555 q026 diverged
+      // in the 6th decimal of a ~5e6 intercept)
       val (y, x, tbl, grp, pred) = pick(r, Seq(
         ("value", "CAST(user_id AS DOUBLE)", "events", "event_type",
           eventPredicate(r)),
         ("l_extendedprice", "CAST(l_quantity AS DOUBLE)", "lineitem",
           "l_returnflag", "l_linenumber >= 1"),
-        ("o_totalprice", "CAST(date_part('year', o_orderdate) AS DOUBLE)",
+        ("o_totalprice",
+          "CAST(date_part('year', o_orderdate) - 1995 AS DOUBLE)",
           "orders", "o_orderstatus", predicate(r))))
       s"""SELECT $grp,
          |  ROUND(regr_slope($y, $x), 6) AS slope,
@@ -483,6 +490,23 @@ object Fuzz {
          |  COUNT(*) AS n
          |FROM orders WHERE ${predicate(r)}
          |GROUP BY $g ORDER BY $g""".stripMargin
+    case 36 => // centered / trailing moving-average frames over a daily
+      // rollup (ts_decompose / ts_rolling_stats shapes): windowed AVG
+      // internals are engine-specific (segment trees vs streaming) —
+      // ROUND-6 must hold on every frame geometry
+      val pre = r.nextInt(5); val post = r.nextInt(5)
+      s"""WITH daily AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         |  FROM events WHERE ${eventPredicate(r)}
+         |  GROUP BY 1)
+         |SELECT CAST(day AS TIMESTAMP) AS day_ts, total,
+         |  COUNT(*) OVER w AS n_window,
+         |  ROUND(AVG(total) OVER w, 6) AS ma
+         |FROM daily
+         |WINDOW w AS (ORDER BY day
+         |  ROWS BETWEEN $pre PRECEDING AND $post FOLLOWING)
+         |ORDER BY day_ts""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -386,7 +386,40 @@ object Temporal {
       .orderBy(col("day_ts"))
   }
 
+  /** `ts_rolling_stats` — trailing-window monitoring statistics per
+    * event row: the last-10-observations count, mean, sample stddev
+    * and the resulting rolling z-score over each user's own series —
+    * the alerting primitive ("is THIS point abnormal vs its recent
+    * past") that global z-scores (dq_anomaly) and robust audits
+    * (dq_outlier_mad) can't give because their baseline is static.
+    *
+    * Spark-first shape: ONE (user)-partitioned ordered window carries
+    * all four outputs — O(1) state per row, skew-free partitioning.
+    * Determinism: mean/stddev are ROUND-6 (windowed moment removal
+    * order is engine-internal); the z denominator is null-guarded —
+    * stddev is NULL at n=1 in both engines, and 2-decimal values make
+    * a true zero-variance window impossible beyond n=1, so no
+    * near-zero-denominator cliff exists on this column type.
+    */
+  def tsRollingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    val mean = avg(col("value")).over(w)
+    val sd = stddev_samp(col("value")).over(w)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_utc"), col("value"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_mean", round(mean, 6))
+      .withColumn("roll_sd", round(sd, 6))
+      .withColumn("z", round(when(sd.isNotNull && sd =!= 0.0,
+        (col("value") - mean) / sd), 6))
+      .drop("ts_utc")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling_stats" -> tsRollingStats _,
     "ts_decompose" -> tsDecompose _,
     "ts_autocorr" -> tsAutocorr _,
     "stream_tumble" -> streamTumble _,
@@ -403,6 +436,17 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_rolling_stats" ->
+      """SELECT user_id, event_id, value,
+        |  COUNT(*) OVER w AS roll_n,
+        |  ROUND(AVG(value) OVER w, 6) AS roll_mean,
+        |  ROUND(stddev_samp(value) OVER w, 6) AS roll_sd,
+        |  ROUND((value - AVG(value) OVER w)
+        |    / NULLIF(stddev_samp(value) OVER w, 0), 6) AS z
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ts_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -407,7 +407,44 @@ object Analytics {
       .orderBy(col("cohort_year"), col("year_offset"))
   }
 
+  /** `analytics_forecast_naive` — the seasonal-naive forecast and its
+    * backtest: predict each day's revenue as the SAME WEEKDAY last
+    * week (`lag 7` over the daily series), score with the absolute
+    * error, and roll the series up to the backtest verdict (MAE and
+    * MAPE over the forecastable days). The baseline every real
+    * forecasting pipeline must beat — and the standard way to gate a
+    * fancier model's deployment.
+    *
+    * Spark-first shape: one decimal daily aggregate; lag and error
+    * are row-local over the calendar-sized series; the backtest
+    * summary is a second tiny aggregate attached via a one-row
+    * broadcast (no second scan). Revenue and forecast stay
+    * decimal-exact; only MAE/MAPE are ROUND-6 doubles.
+    */
+  def forecastNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val w = Window.orderBy(col("day"))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(dec2(col("value"))).as("total_dec"))
+      .withColumn("fc_dec", lag(col("total_dec"), 7).over(w))
+      .withColumn("err_dec", abs(col("total_dec") - col("fc_dec")))
+    val verdict = daily.filter(col("fc_dec").isNotNull)
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(col("err_dec").cast("double")), 6).as("mae"),
+        round(avg(col("err_dec").cast("double") /
+          col("total_dec").cast("double")) * 100.0, 6).as("mape_pct"))
+    daily.crossJoin(broadcast(verdict))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        col("total_dec").cast("double").as("total"),
+        col("fc_dec").cast("double").as("forecast"),
+        col("err_dec").cast("double").as("abs_err"),
+        col("n_scored"), col("mae"), col("mape_pct"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_forecast_naive" -> forecastNaive _,
     "analytics_cohort_ltv" -> cohortLtv _,
     "analytics_basket" -> basket _,
     "analytics_rfm" -> rfm _,
@@ -421,6 +458,30 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_forecast_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT day, total_dec,
+        |    LAG(total_dec, 7) OVER (ORDER BY day) AS fc_dec
+        |  FROM daily),
+        |e AS (SELECT day, total_dec, fc_dec,
+        |    abs(total_dec - fc_dec) AS err_dec FROM f),
+        |v AS (
+        |  SELECT COUNT(*) AS n_scored,
+        |    ROUND(AVG(CAST(err_dec AS DOUBLE)), 6) AS mae,
+        |    ROUND(AVG(CAST(err_dec AS DOUBLE) / CAST(total_dec AS DOUBLE))
+        |      * 100.0, 6) AS mape_pct
+        |  FROM e WHERE fc_dec IS NOT NULL)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(total_dec AS DOUBLE) AS total,
+        |  CAST(fc_dec AS DOUBLE) AS forecast,
+        |  CAST(err_dec AS DOUBLE) AS abs_err,
+        |  n_scored, mae, mape_pct
+        |FROM e CROSS JOIN v
+        |ORDER BY day_ts""".stripMargin,
     "analytics_cohort_ltv" ->
       """WITH fy AS (
         |  SELECT o_custkey, MIN(year(o_orderdate)) AS cy

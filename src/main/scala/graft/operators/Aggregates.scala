@@ -159,6 +159,49 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** `agg_skew_kurt` — population skewness and excess kurtosis of
+    * value per event type, completing the moments family beyond
+    * agg_stats/agg_regression: the distribution-shape screen (heavy
+    * tails, asymmetry) a data-quality audit runs beside mean/stddev.
+    *
+    * Cross-engine exactness discipline: the engines' NATIVE
+    * skewness/kurtosis disagree by definition (population vs
+    * bias-corrected sample), so both sides compute the SAME central-
+    * moment formula from raw power sums — and the power sums are
+    * EXACT DECIMAL, with every product width chosen to stay under
+    * both engines' 38-digit cap without precision-loss rounding
+    * ((9,2)→(18,4)→cast (15,4); (15,4)² = (31,8); (15,4)×(9,2) =
+    * (25,6)). The only floats are the final identical-text formula
+    * over exact inputs — bit-deterministic, ROUND-6 as belt and
+    * braces. One 2-phase shuffle, map-side partials.
+    */
+  def aggSkewKurt(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("value").cast("decimal(9,2)")
+    val v2 = (v * v).cast("decimal(15,4)")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), v.as("v"), v2.as("v2"),
+        (v2 * v).cast("decimal(24,6)").as("v3"),
+        // the widened operand forces both engines onto the int128
+        // decimal path — DuckDB multiplies (15,4)x(15,4) in int64
+        // physical and overflows on real v2 magnitudes
+        (v2.cast("decimal(19,4)") * v2).cast("decimal(31,8)").as("v4"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s1"),
+        sum(col("v2")).cast("double").as("s2"),
+        sum(col("v3")).cast("double").as("s3"),
+        sum(col("v4")).cast("double").as("s4"))
+      .select(col("event_type"), col("n"),
+        round(expr(
+          "(s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / " +
+            "pow(s2/n - (s1/n)*(s1/n), 1.5)"), 6).as("skewness"),
+        round(expr(
+          "(s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) " +
+            "- 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / " +
+            "pow(s2/n - (s1/n)*(s1/n), 2) - 3"), 6).as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
   /** `agg_group_by_all` — the GROUP BY ALL / ORDER BY ALL SQL surface
     * (every non-aggregate select item becomes a group key; every
     * select item becomes a sort key): the dialect convenience both
@@ -672,6 +715,7 @@ object Aggregates {
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_approx_freq" -> aggApproxFreq _,
     "agg_argmax" -> aggArgmax _,
+    "agg_skew_kurt" -> aggSkewKurt _,
     "agg_group_by_all" -> aggGroupByAll _,
     "agg_quantile" -> aggQuantile _,
     "agg_quantile_disc" -> aggQuantileDisc _,
@@ -762,6 +806,27 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(9,2)) AS v,
+        |    CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))
+        |      AS DECIMAL(15,4)) AS v2
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s1,
+        |    CAST(SUM(v2) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(v2 * v AS DECIMAL(24,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(CAST(v2 AS DECIMAL(19,4)) * v2 AS DECIMAL(31,8))) AS DOUBLE) AS s4
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) /
+        |    pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness,
+        |  ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+        |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+        |    pow(s2/n - (s1/n)*(s1/n), 2) - 3, 6) AS kurtosis_excess
+        |FROM s ORDER BY event_type""".stripMargin,
     "agg_group_by_all" ->
       // deliberately IDENTICAL query text modulo the table name
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,

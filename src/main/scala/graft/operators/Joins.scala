@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Dec._
 import graft.sources.Tables
@@ -123,6 +123,52 @@ object Joins {
         date_add(col("o_orderdate").cast("date"), 30).as("o_end"))
     o.join(broadcast(campaigns),
         col("o_start") < col("c_end") && col("c_start") < col("o_end"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_orders"),
+        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+      .orderBy(col("campaign"))
+  }
+
+  /** `join_interval_bucketed` — the LARGE-LARGE scale path for the
+    * interval-overlap join that join_interval only documents: both
+    * interval sets explode into the month-grain buckets they touch,
+    * the join becomes a plain shuffle EQUI-join on the bucket (two
+    * overlapping intervals necessarily share a grain bucket), the
+    * original overlap predicate survives as a residual filter, and a
+    * DISTINCT collapses the pairs an overlap spanning several buckets
+    * produced more than once — the one subtle correctness point of
+    * the rewrite. Same semantics, bounded fan-out (intervals/grain),
+    * no broadcast requirement, no nested-loop: at 100 TB × 100 TB
+    * this is the only shape that runs. The oracle is deliberately the
+    * PLAIN overlap join (the join_salted policy: the rewrite is
+    * physical, not semantic).
+    */
+  def joinIntervalBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    def buckets(s: Column, e: Column): Column =
+      sequence(trunc(s, "month"), trunc(date_sub(e, 1), "month"),
+        expr("interval 1 month"))
+    val campaigns = Seq(
+      ("launch_95", "1995-01-01", "1995-07-01"),
+      ("summer_97", "1997-06-01", "1997-09-01"),
+      ("holiday_98", "1998-11-15", "1999-01-15"),
+      ("clearance_00", "2000-03-01", "2000-04-01"))
+      .toDF("campaign", "c_start", "c_end")
+      .select(col("campaign"), col("c_start").cast("date").as("c_start"),
+        col("c_end").cast("date").as("c_end"))
+      .select(col("campaign"), col("c_start"), col("c_end"),
+        explode(buckets(col("c_start"), col("c_end"))).as("bkt"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("o_end"))
+      .select(col("*"),
+        explode(buckets(col("o_start"), col("o_end"))).as("bkt"))
+    o.join(campaigns.hint("shuffle_hash"), Seq("bkt"))
+      .filter(col("o_start") < col("c_end") && col("c_start") < col("o_end"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("campaign"))
+      .distinct()
       .groupBy(col("campaign"))
       .agg(count(lit(1)).as("n_orders"),
         outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
@@ -353,6 +399,7 @@ object Joins {
     "join_anti" -> joinAnti _,
     "join_range" -> joinRange _,
     "join_interval" -> joinInterval _,
+    "join_interval_bucketed" -> joinIntervalBucketed _,
     "join_cross" -> joinCross _,
     "subq_exists" -> subqExists _,
     "join_lateral" -> joinLateral _,
@@ -456,6 +503,23 @@ object Joins {
         |WHERE c.c_acctbal > 9000
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "join_interval" ->
+      """SELECT campaign, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |        CAST(o_orderdate AS DATE) AS o_start,
+        |        CAST(o_orderdate AS DATE) + 30 AS o_end
+        |      FROM orders) o
+        |JOIN (VALUES ('launch_95', DATE '1995-01-01', DATE '1995-07-01'),
+        |             ('summer_97', DATE '1997-06-01', DATE '1997-09-01'),
+        |             ('holiday_98', DATE '1998-11-15', DATE '1999-01-15'),
+        |             ('clearance_00', DATE '2000-03-01', DATE '2000-04-01'))
+        |  c(campaign, c_start, c_end)
+        |  ON o_start < c_end AND c_start < o_end
+        |GROUP BY campaign
+        |ORDER BY campaign""".stripMargin,
+    "join_interval_bucketed" ->
+      // deliberately the PLAIN overlap join: the bucket rewrite is
+      // physical, not semantic (the join_salted oracle policy)
       """SELECT campaign, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         |FROM (SELECT o_orderkey, o_totalprice,

@@ -127,6 +127,22 @@ class JoinsSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("join_interval_bucketed: equi-join on the grain bucket, no nested loop; agrees with the BNLJ form") {
+    val df = Joins.joinIntervalBucketed(spark, sf)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the rewrite's whole point is escaping the nested loop:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"bucket equi-join expected:\n$plan")
+    // physical rewrite, identical semantics: row-for-row equal to the
+    // broadcast nested-loop formulation
+    val a = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val b = Joins.joinInterval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq === b.toSeq, "bucketed ≡ plain overlap join")
+  }
+
   test("join_anti_nullaware: NOT IN plans the null-aware anti join; set matches brute force") {
     val df = Joins.joinAntiNullaware(spark, sf)
     val plan = planOf(df).split("== Initial Plan ==").head

@@ -435,7 +435,47 @@ object Pipeline {
       .orderBy(col("rrf").desc, col("doc_id")).limit(20)
   }
 
+  /** `pipeline_token_budget` — token-budget curation: fill 40 % of the
+    * corpus's token mass with the HIGHEST-quality documents — quality
+    * here the type-token ratio (vocabulary richness, the cheap
+    * repetition-penalizing score), ranked descending with doc_id
+    * tie-breaks on the ROUND-6 score (cross-engine-unique selection,
+    * the text_keywords discipline). The "which docs make the training
+    * mix under a budget" planner — analytics_pareto's
+    * cumulative-prefix machinery pointed at corpus curation, with the
+    * budget as exact integer token arithmetic (5·cum_before < 2·total
+    * ⟺ cum_before < 40 %).
+    *
+    * Scale shape: one map-side score pass, a doc-cardinality ranking
+    * window (two-phase prefix sum at unbounded corpus size — the
+    * pareto note), a one-row total broadcast. Output is the admitted
+    * prefix with its running budget consumption.
+    */
+  def pipelineTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = split(col("text"), " ")
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
+        round(size(array_distinct(tk)).cast("double") /
+          size(tk).cast("double"), 6).as("ttr"))
+    val ord = Window.orderBy(col("ttr").desc, col("doc_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    scored
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .filter((col("cum_tokens") - col("n_tokens")) * 5 <
+        col("total_tokens") * 2)
+      .select(col("doc_id"), col("rnk"), col("n_tokens"), col("ttr"),
+        col("cum_tokens"),
+        round(col("cum_tokens").cast("double") * 100.0 /
+          col("total_tokens").cast("double"), 6).as("budget_pct"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_token_budget" -> pipelineTokenBudget _,
     "knn_hybrid" -> knnHybrid _,
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_split" -> pipelineSplit _,
@@ -466,6 +506,27 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "pipeline_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_tokens, ttr,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rnk,
+        |    CAST(SUM(n_tokens) OVER (o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+        |  FROM s WINDOW o AS (ORDER BY ttr DESC, doc_id))
+        |SELECT doc_id, rnk, n_tokens, ttr, cum_tokens,
+        |  ROUND(CAST(cum_tokens AS DOUBLE) * 100.0 /
+        |    CAST(total_tokens AS DOUBLE), 6) AS budget_pct
+        |FROM w
+        |WHERE (cum_tokens - n_tokens) * 5 < total_tokens * 2
+        |ORDER BY rnk""".stripMargin,
     "knn_hybrid" -> {
       val terms = Seq("data", "merge", "vector")
       val tfCols = terms.zipWithIndex.map { case (t, i) =>

@@ -168,23 +168,31 @@ object Aggregates {
     * skewness/kurtosis disagree by definition (population vs
     * bias-corrected sample), so both sides compute the SAME central-
     * moment formula from raw power sums — and the power sums are
-    * EXACT DECIMAL, with every product width chosen to stay under
-    * both engines' 38-digit cap without precision-loss rounding
-    * ((9,2)→(18,4)→cast (15,4); (15,4)² = (31,8); (15,4)×(9,2) =
-    * (25,6)). The only floats are the final identical-text formula
+    * EXACT DECIMAL over an explicit admission domain, with every
+    * product width chosen to stay under both engines' 38-digit cap
+    * without precision-loss rounding (see the width proof at the
+    * casts). The only floats are the final identical-text formula
     * over exact inputs — bit-deterministic, ROUND-6 as belt and
     * braces. One 2-phase shuffle, map-side partials.
     */
   def aggSkewKurt(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = col("value").cast("decimal(9,2)")
+    // Admission domain |value| <= 99999.99, enforced as an EXPLICIT
+    // filter in BOTH engines (not a silent cast: Spark nulls an
+    // overflowing cast while DuckDB errors — divergent). Inside the
+    // domain every width below is provably exact: v (7,2); v2 =
+    // (15,4) <= 1e14 unscaled; v3 <= 1e15 in (23,6); v4 <= 1e20 in
+    // (29,8); sums over 10^5+ rows stay under 38 digits. The
+    // (19,4)-widened left operands force DuckDB onto the int128
+    // multiply path (it does NOT promote int64 operands even when the
+    // result width exceeds 18 — measured overflow otherwise).
+    val v = col("value").cast("decimal(7,2)")
     val v2 = (v * v).cast("decimal(15,4)")
+    val v2w = v2.cast("decimal(19,4)")
     Tables.events(spark, sfDir)
+      .filter(col("value").between(-99999.99, 99999.99))
       .select(col("event_type"), v.as("v"), v2.as("v2"),
-        (v2 * v).cast("decimal(24,6)").as("v3"),
-        // the widened operand forces both engines onto the int128
-        // decimal path — DuckDB multiplies (15,4)x(15,4) in int64
-        // physical and overflows on real v2 magnitudes
-        (v2.cast("decimal(19,4)") * v2).cast("decimal(31,8)").as("v4"))
+        (v2w * v).cast("decimal(23,6)").as("v3"),
+        (v2w * v2).cast("decimal(29,8)").as("v4"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("v")).cast("double").as("s1"),
@@ -809,16 +817,17 @@ object Aggregates {
     "agg_skew_kurt" ->
       """WITH p AS (
         |  SELECT event_type,
-        |    CAST(value AS DECIMAL(9,2)) AS v,
-        |    CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))
+        |    CAST(value AS DECIMAL(7,2)) AS v,
+        |    CAST(CAST(value AS DECIMAL(7,2)) * CAST(value AS DECIMAL(7,2))
         |      AS DECIMAL(15,4)) AS v2
-        |  FROM events),
+        |  FROM events
+        |  WHERE value BETWEEN -99999.99 AND 99999.99),
         |s AS (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(v) AS DOUBLE) AS s1,
         |    CAST(SUM(v2) AS DOUBLE) AS s2,
-        |    CAST(SUM(CAST(v2 * v AS DECIMAL(24,6))) AS DOUBLE) AS s3,
-        |    CAST(SUM(CAST(CAST(v2 AS DECIMAL(19,4)) * v2 AS DECIMAL(31,8))) AS DOUBLE) AS s4
+        |    CAST(SUM(CAST(CAST(v2 AS DECIMAL(19,4)) * v AS DECIMAL(23,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(CAST(v2 AS DECIMAL(19,4)) * v2 AS DECIMAL(29,8))) AS DOUBLE) AS s4
         |  FROM p GROUP BY 1)
         |SELECT event_type, n,
         |  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) /

@@ -432,8 +432,12 @@ object Analytics {
     val verdict = daily.filter(col("fc_dec").isNotNull)
       .agg(count(lit(1)).as("n_scored"),
         round(avg(col("err_dec").cast("double")), 6).as("mae"),
+        // nullif guard: a zero-revenue day would divide by zero, and
+        // Spark (NULL) and DuckDB (inf) disagree there; as NULL both
+        // engines' AVG drops the day from MAPE identically
         round(avg(col("err_dec").cast("double") /
-          col("total_dec").cast("double")) * 100.0, 6).as("mape_pct"))
+          nullif(col("total_dec").cast("double"), lit(0.0))) * 100.0, 6)
+          .as("mape_pct"))
     daily.crossJoin(broadcast(verdict))
       .select(col("day").cast("timestamp").as("day_ts"),
         col("total_dec").cast("double").as("total"),
@@ -472,7 +476,7 @@ object Analytics {
         |v AS (
         |  SELECT COUNT(*) AS n_scored,
         |    ROUND(AVG(CAST(err_dec AS DOUBLE)), 6) AS mae,
-        |    ROUND(AVG(CAST(err_dec AS DOUBLE) / CAST(total_dec AS DOUBLE))
+        |    ROUND(AVG(CAST(err_dec AS DOUBLE) / NULLIF(CAST(total_dec AS DOUBLE), 0))
         |      * 100.0, 6) AS mape_pct
         |  FROM e WHERE fc_dec IS NOT NULL)
         |SELECT CAST(day AS TIMESTAMP) AS day_ts,

@@ -106,17 +106,29 @@ object Joins {
     * banding idea the near-dedup LSH join uses; at this corpus the
     * dimension side is 4 rows and broadcast is strictly better.
     */
+  /** The campaign calendar both interval-join formulations share —
+    * one definition, so the physical-rewrite equivalence test can
+    * never drift on the data. (The two oracle SQL copies stay
+    * textual by the oracle-map contract.)
+    */
+  private val CampaignSpec = Seq(
+    ("launch_95", "1995-01-01", "1995-07-01"),
+    ("summer_97", "1997-06-01", "1997-09-01"),
+    ("holiday_98", "1998-11-15", "1999-01-15"),
+    ("clearance_00", "2000-03-01", "2000-04-01"))
+
+  private def campaignDf(spark: SparkSession): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    CampaignSpec.toDF("campaign", "c_start", "c_end")
+      .select(col("campaign"), col("c_start").cast("date").as("c_start"),
+        col("c_end").cast("date").as("c_end"))
+  }
+
   def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val campaigns = Seq(
-      ("launch_95", "1995-01-01", "1995-07-01"),
-      ("summer_97", "1997-06-01", "1997-09-01"),
-      ("holiday_98", "1998-11-15", "1999-01-15"),
-      ("clearance_00", "2000-03-01", "2000-04-01"))
-      .toDF("campaign", "c_start", "c_end")
-      .select(col("campaign"), col("c_start").cast("date").as("c_start"),
-        col("c_end").cast("date").as("c_end"))
+    val campaigns = campaignDf(spark)
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"),
         col("o_orderdate").cast("date").as("o_start"),
@@ -149,14 +161,7 @@ object Joins {
     def buckets(s: Column, e: Column): Column =
       sequence(trunc(s, "month"), trunc(date_sub(e, 1), "month"),
         expr("interval 1 month"))
-    val campaigns = Seq(
-      ("launch_95", "1995-01-01", "1995-07-01"),
-      ("summer_97", "1997-06-01", "1997-09-01"),
-      ("holiday_98", "1998-11-15", "1999-01-15"),
-      ("clearance_00", "2000-03-01", "2000-04-01"))
-      .toDF("campaign", "c_start", "c_end")
-      .select(col("campaign"), col("c_start").cast("date").as("c_start"),
-        col("c_end").cast("date").as("c_end"))
+    val campaigns = campaignDf(spark)
       .select(col("campaign"), col("c_start"), col("c_end"),
         explode(buckets(col("c_start"), col("c_end"))).as("bkt"))
     val o = Tables.orders(spark, sfDir)

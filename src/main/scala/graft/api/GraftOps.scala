@@ -127,6 +127,27 @@ object GraftOps {
       .limit(k)
   }
 
+  /** Radius (range) search: ALL neighbours of one probe row whose
+    * ROUND-6 cosine similarity reaches `tau` — the fixed-threshold
+    * twin of `cosineTopK` (near-duplicate candidate pull, semantic
+    * recall sweeps). Thresholding on the ROUNDED similarity makes
+    * boundary membership engine-exact under the same round-6 contract
+    * the top-k surfaces gate on. Same scale shape: broadcast 1-row
+    * probe, map-side cosine, filter — no shuffle of the vector table
+    * (the result ordering is a presentation sort over the radius hits).
+    */
+  def cosineRange(embeddings: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, tau: Double): DataFrame = {
+    ensureRegistered(embeddings)
+    val probe = embeddings.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__pv"))
+    embeddings.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), round(cosine(col(vecCol), col("__pv")), 6).as("sim"))
+      .filter(col("sim") >= tau)
+      .orderBy(col("sim").desc, col(idCol))
+  }
+
   /** LSH-bucketed approximate top-k: rank only the probe's bucket.
     * `nbits` defaults to the sizing rule over a caller-supplied count
     * (a catalog statistic at scale).

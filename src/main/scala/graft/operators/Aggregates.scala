@@ -704,7 +704,60 @@ object Aggregates {
       .orderBy(col("bucket"))
   }
 
+  /** `agg_corr_matrix` — the pairwise Pearson correlation matrix of
+    * the four lineitem measures (quantity, extendedprice, discount,
+    * tax) in ONE scan: the feature-dependence screen a modeling or
+    * data-quality pass runs before fitting anything — six
+    * correlations from fifteen shared power sums, never six passes.
+    *
+    * Cross-engine exactness discipline (the agg_skew_kurt pattern):
+    * all first- and second-order sums are EXACT DECIMAL over an
+    * explicit admission domain. Widths: measures admit at (9,2)
+    * (|x| ≤ 9,999,999.99 enforced by EXPLICIT filter, not a silent
+    * cast); each product's left operand widens to (19,2) — forcing
+    * DuckDB's int128 multiply path — giving (29,4) products
+    * (≤ 1e14 unscaled), whose sums over 10^6+ rows stay far under
+    * the 38-digit cap. The only floats are the six identical-text
+    * corr formulas over exact inputs, ROUND-6.
+    *
+    * Scale shape: one map-side-combined global aggregate (constant
+    * state: 15 decimal cells + count), no shuffle beyond the 1-row
+    * final combine — the same cost as a COUNT(*) at 100 TB.
+    */
+  def aggCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val measures = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val admitted = measures.foldLeft(Tables.lineitem(spark, sfDir)) {
+      case (df, (m, _)) => df.filter(col(m).between(-9999999.99, 9999999.99))
+    }
+    val narrow = admitted.select(measures.map { case (m, a) =>
+      col(m).cast("decimal(9,2)").as(a)
+    }: _*)
+    val pairs = for {
+      i <- measures.indices; j <- i until measures.size
+    } yield (measures(i)._2, measures(j)._2)
+    val sums =
+      measures.map { case (_, a) =>
+        sum(col(a)).cast("double").as(s"s_$a")
+      } ++ pairs.map { case (a, b) =>
+        sum((col(a).cast("decimal(19,2)") * col(b)).cast("decimal(29,4)"))
+          .cast("double").as(s"s_$a$b")
+      }
+    def corr(a: String, b: String) = round(
+      (col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")) /
+        sqrt((col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")) *
+          (col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b"))),
+      6).as(s"corr_${a}_$b")
+    val aggs = count(lit(1)).cast("double").as("n") +: sums
+    narrow
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n").cast("long").as("n_rows"),
+        corr("q", "p"), corr("q", "d"), corr("q", "t"),
+        corr("p", "d"), corr("p", "t"), corr("d", "t"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_matrix" -> aggCorrMatrix _,
     "agg_pricing" -> aggPricing _,
     "agg_histogram" -> aggHistogram _,
     "agg_equidepth" -> aggEquidepth _,
@@ -738,6 +791,40 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(9,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(9,2)) AS p,
+        |    CAST(l_discount AS DECIMAL(9,2)) AS d,
+        |    CAST(l_tax AS DECIMAL(9,2)) AS t
+        |  FROM lineitem
+        |  WHERE l_quantity BETWEEN -9999999.99 AND 9999999.99
+        |    AND l_extendedprice BETWEEN -9999999.99 AND 9999999.99
+        |    AND l_discount BETWEEN -9999999.99 AND 9999999.99
+        |    AND l_tax BETWEEN -9999999.99 AND 9999999.99),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS s_q, CAST(SUM(p) AS DOUBLE) AS s_p,
+        |    CAST(SUM(d) AS DOUBLE) AS s_d, CAST(SUM(t) AS DOUBLE) AS s_t,
+        |    CAST(SUM(CAST(CAST(q AS DECIMAL(19,2)) * q AS DECIMAL(29,4))) AS DOUBLE) AS s_qq,
+        |    CAST(SUM(CAST(CAST(q AS DECIMAL(19,2)) * p AS DECIMAL(29,4))) AS DOUBLE) AS s_qp,
+        |    CAST(SUM(CAST(CAST(q AS DECIMAL(19,2)) * d AS DECIMAL(29,4))) AS DOUBLE) AS s_qd,
+        |    CAST(SUM(CAST(CAST(q AS DECIMAL(19,2)) * t AS DECIMAL(29,4))) AS DOUBLE) AS s_qt,
+        |    CAST(SUM(CAST(CAST(p AS DECIMAL(19,2)) * p AS DECIMAL(29,4))) AS DOUBLE) AS s_pp,
+        |    CAST(SUM(CAST(CAST(p AS DECIMAL(19,2)) * d AS DECIMAL(29,4))) AS DOUBLE) AS s_pd,
+        |    CAST(SUM(CAST(CAST(p AS DECIMAL(19,2)) * t AS DECIMAL(29,4))) AS DOUBLE) AS s_pt,
+        |    CAST(SUM(CAST(CAST(d AS DECIMAL(19,2)) * d AS DECIMAL(29,4))) AS DOUBLE) AS s_dd,
+        |    CAST(SUM(CAST(CAST(d AS DECIMAL(19,2)) * t AS DECIMAL(29,4))) AS DOUBLE) AS s_dt,
+        |    CAST(SUM(CAST(CAST(t AS DECIMAL(19,2)) * t AS DECIMAL(29,4))) AS DOUBLE) AS s_tt
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  ROUND((n * s_qp - s_q * s_p) / sqrt((n * s_qq - s_q * s_q) * (n * s_pp - s_p * s_p)), 6) AS corr_q_p,
+        |  ROUND((n * s_qd - s_q * s_d) / sqrt((n * s_qq - s_q * s_q) * (n * s_dd - s_d * s_d)), 6) AS corr_q_d,
+        |  ROUND((n * s_qt - s_q * s_t) / sqrt((n * s_qq - s_q * s_q) * (n * s_tt - s_t * s_t)), 6) AS corr_q_t,
+        |  ROUND((n * s_pd - s_p * s_d) / sqrt((n * s_pp - s_p * s_p) * (n * s_dd - s_d * s_d)), 6) AS corr_p_d,
+        |  ROUND((n * s_pt - s_p * s_t) / sqrt((n * s_pp - s_p * s_p) * (n * s_tt - s_t * s_t)), 6) AS corr_p_t,
+        |  ROUND((n * s_dt - s_d * s_t) / sqrt((n * s_dd - s_d * s_d) * (n * s_tt - s_t * s_t)), 6) AS corr_d_t
+        |FROM s""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(bin * 10000.0 AS DOUBLE) AS bin_lo,
         |  CAST((bin + 1) * 10000.0 AS DOUBLE) AS bin_hi,

@@ -447,7 +447,163 @@ object Analytics {
       .orderBy(col("day_ts"))
   }
 
+  /** `analytics_attribution` — last-touch marketing attribution: each
+    * purchase is credited to the user's most recent STRICTLY-preceding
+    * touch event (view or click); purchases with no prior touch fall
+    * into the 'direct' channel. The revenue-by-channel report every
+    * attribution pipeline starts from (last-touch being the baseline
+    * model the fancier ones are compared against).
+    *
+    * Spark-first shape: ONE window over the per-user event sequence —
+    * `last(touch, ignoreNulls)` over rows (unbounded, -1) carries the
+    * latest prior touch to every row without a self-join or an
+    * event-sequence explode; the channel rollup is then a tiny
+    * aggregate. One shuffle on user_id, insensitive to per-user event
+    * skew beyond the window sort. Revenue accumulates in DECIMAL (the
+    * order-free choice), one double cast at the end.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"),
+      col("event_type"))
+    Tables.events(spark, sfDir)
+      .withColumn("channel",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec2(col("value"))).cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** `analytics_churn` — the monthly active/new/retained/churned
+    * customer ledger over orders: per month, how many customers were
+    * active, how many were first-ever active, how many were also
+    * active the previous month, and how many of the previous month's
+    * actives went silent. The subscription-health dashboard primitive.
+    *
+    * Spark-first shape: months as PORTABLE integer indices
+    * (year·12 + month−1 — no date+interval arithmetic, whose result
+    * types differ across engines), the activity set collapsed to
+    * distinct (customer, month) FIRST (one map-combined shuffle from
+    * fact scale down to customer×months), then lag/lead per customer
+    * over that dimension-sized frame classifies every transition
+    * row-locally — no month-to-month self-join. Churn at month m is
+    * attributed from month m−1 rows whose next activity isn't m; the
+    * left join back to active months drops the phantom max+1 month
+    * structurally.
+    */
+  def churn(spark: SparkSession, sfDir: String): DataFrame = {
+    val am = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("ym"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ym"))
+    val flagged = am
+      .withColumn("prev_ym", lag(col("ym"), 1).over(w))
+      .withColumn("next_ym", lead(col("ym"), 1).over(w))
+    val perMonth = flagged.groupBy(col("ym")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("prev_ym").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_ym") === col("ym") - 1, 1L).otherwise(0L))
+        .as("n_retained"))
+    val churned = flagged
+      .filter(col("next_ym").isNull || col("next_ym") =!= col("ym") + 1)
+      .groupBy((col("ym") + 1).as("ym"))
+      .agg(count(lit(1)).as("n_churned"))
+    perMonth.join(churned, Seq("ym"), "left")
+      .select((col("ym") / 12).cast("long").as("year"),
+        pmod(col("ym"), lit(12)).cast("long") .plus(1).as("month"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("year"), col("month"))
+  }
+
+  /** `analytics_stickiness` — the DAU/WAU engagement ratio per week
+    * over the event stream: average daily active users divided by
+    * weekly active users — the standard "how often do actives come
+    * back" product metric (its DAU/MAU sibling is the same shape one
+    * date_trunc wider).
+    *
+    * Spark-first shape: ONE distinct (day, user) collapse from fact
+    * scale (map-combined), then both the daily counts and the weekly
+    * distinct-user counts derive from that dimension-sized frame —
+    * the week re-collapse rides the same keys. Counts are exact
+    * integers; the two ratios are single IEEE divisions over them,
+    * ROUND-6. date_trunc('week') is ISO-Monday in both engines.
+    */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts_utc")).as("day"), col("user_id"))
+      .distinct()
+    val withWeek = du.withColumn("week",
+      date_trunc("week", col("day")).cast("date"))
+    val daily = withWeek.groupBy(col("week"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val weekly = withWeek.select(col("week"), col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    daily.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      .join(weekly, Seq("week"))
+      .select(col("week").cast("timestamp").as("week_ts"), col("n_days"),
+        round(col("sum_dau").cast("double") / col("n_days"), 6)
+          .as("avg_dau"),
+        col("wau"),
+        round(col("sum_dau").cast("double") /
+          (col("n_days") * col("wau")), 6).as("stickiness"))
+      .orderBy(col("week_ts"))
+  }
+
+  /** `analytics_mutual_info` — mutual information (nats) between event
+    * type and time-of-day quadrant, with both marginal entropies and
+    * the normalized MI: the dependence screen a feature-selection or
+    * drift-detection pass runs over categorical pairs (is WHAT users
+    * do associated with WHEN they do it).
+    *
+    * Spark-first shape: ONE fact-scale aggregate to the joint
+    * |X|×|Y| contingency cells (map-combined; 20 cells here, bounded
+    * by the category domains, never by row count); marginals and the
+    * total re-aggregate the cells. All counts are exact integers; the
+    * p·ln terms are doubles over a ≤20-element reduction, ROUND-6
+    * (the float-sum-order band is ~1e-15 of values O(1)). The hour
+    * quadrant uses floor(hour/6.0) — exact at the boundaries because
+    * multiples of 6 divide to exactly-representable integers in IEEE.
+    */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type").as("x"),
+        floor(hour(col("ts_utc")) / 6.0).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).cast("double").as("n"))
+    val mi = cells.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("nxy") / col("n")) *
+        log(col("nxy").cast("double") * col("n") /
+          (col("nx").cast("double") * col("ny").cast("double"))))
+        .as("mi"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg(sum(-(col("nx") / col("n")) * log(col("nx") / col("n")))
+        .as("h_x"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg(sum(-(col("ny") / col("n")) * log(col("ny") / col("n")))
+        .as("h_y"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(round(col("mi"), 6).as("mi_nats"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+        round(col("mi") / sqrt(col("h_x") * col("h_y")), 6).as("nmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_attribution" -> attribution _,
+    "analytics_churn" -> churn _,
+    "analytics_stickiness" -> stickiness _,
+    "analytics_mutual_info" -> mutualInfo _,
     "analytics_forecast_naive" -> forecastNaive _,
     "analytics_cohort_ltv" -> cohortLtv _,
     "analytics_basket" -> basket _,
@@ -462,6 +618,84 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    COALESCE(LAST_VALUE(
+        |        CASE WHEN event_type IN ('view','click') THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'direct') AS channel
+        |  FROM events)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+    "analytics_churn" ->
+      """WITH am AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, ym,
+        |    LAG(ym) OVER w AS prev_ym, LEAD(ym) OVER w AS next_ym
+        |  FROM am WINDOW w AS (PARTITION BY o_custkey ORDER BY ym)),
+        |pm AS (
+        |  SELECT ym, COUNT(*) AS n_active,
+        |    SUM(CASE WHEN prev_ym IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN prev_ym = ym - 1 THEN 1 ELSE 0 END) AS n_retained
+        |  FROM f GROUP BY ym),
+        |ch AS (
+        |  SELECT ym + 1 AS ym, COUNT(*) AS n_churned FROM f
+        |  WHERE next_ym IS NULL OR next_ym <> ym + 1 GROUP BY ym + 1)
+        |SELECT CAST(pm.ym // 12 AS BIGINT) AS year,
+        |  CAST(pm.ym % 12 AS BIGINT) + 1 AS month,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM pm LEFT JOIN ch ON pm.ym = ch.ym
+        |ORDER BY year, month""".stripMargin,
+    "analytics_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events),
+        |ww AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week, day,
+        |    user_id FROM du),
+        |daily AS (SELECT week, day, COUNT(*) AS dau FROM ww GROUP BY 1, 2),
+        |weekly AS (
+        |  SELECT week, COUNT(DISTINCT user_id) AS wau FROM ww GROUP BY 1),
+        |agg AS (
+        |  SELECT week, COUNT(*) AS n_days, SUM(dau) AS sum_dau
+        |  FROM daily GROUP BY 1)
+        |SELECT CAST(agg.week AS TIMESTAMP) AS week_ts,
+        |  CAST(n_days AS BIGINT) AS n_days,
+        |  ROUND(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS avg_dau,
+        |  CAST(wau AS BIGINT) AS wau,
+        |  ROUND(CAST(sum_dau AS DOUBLE) / CAST(n_days * wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM agg JOIN weekly ON agg.week = weekly.week
+        |ORDER BY week_ts""".stripMargin,
+    "analytics_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x,
+        |    CAST(FLOOR(hour(CAST(ts AS TIMESTAMP)) / 6.0) AS BIGINT) AS y,
+        |    COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM cells),
+        |mi AS (
+        |  SELECT SUM((nxy / n) * ln(CAST(nxy AS DOUBLE) * n /
+        |    (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) AS mi
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y), tot),
+        |hx AS (SELECT SUM(-(nx / n) * ln(nx / n)) AS h_x FROM mx, tot),
+        |hy AS (SELECT SUM(-(ny / n) * ln(ny / n)) AS h_y FROM my, tot)
+        |SELECT ROUND(mi, 6) AS mi_nats, ROUND(h_x, 6) AS h_x,
+        |  ROUND(h_y, 6) AS h_y,
+        |  ROUND(mi / sqrt(h_x * h_y), 6) AS nmi
+        |FROM mi, hx, hy""".stripMargin,
     "analytics_forecast_naive" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -264,7 +264,22 @@ object Ann {
       .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
   }
 
+  /** `knn_range` — radius (range) search: every vector whose ROUND-6
+    * cosine similarity to probe vec 0 reaches τ = 0.25 (corpus-tuned
+    * so the radius is non-empty at every scale factor) — the
+    * fixed-threshold retrieval surface beside the top-k ladder
+    * (near-duplicate candidate pull, semantic recall sweeps run this
+    * shape, not top-k). Thresholding on the ROUNDED similarity makes
+    * boundary membership engine-exact under the same round-6 contract
+    * the top-k gates prove. Broadcast 1-row probe, map-side cosine,
+    * filter — the vector table never shuffles.
+    */
+  def knnRange(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.GraftOps.cosineRange(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", probeId = 0L, tau = 0.25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_range" -> knnRange _,
     "knn_ann" -> knnAnn _,
     "knn_ann_multi" -> knnAnnMulti _,
     "knn_quant" -> knnQuant _,
@@ -273,6 +288,17 @@ object Ann {
   )
 
   val oracle: Map[String, String] = Map(
+    "knn_range" ->
+      """WITH probe AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT vec_id, sim FROM (
+        |  SELECT vec_id,
+        |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), pv), 6)
+        |      AS sim
+        |  FROM embeddings, probe WHERE vec_id <> 0)
+        |WHERE sim >= 0.25
+        |ORDER BY sim DESC, vec_id""".stripMargin,
     "knn_join" ->
       """SELECT probe_id, vec_id, sim FROM (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,

@@ -417,7 +417,33 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  /** `dq_dup_keys` — the primary-key uniqueness audit across every
+    * keyed table in one report: rows, distinct keys, and duplicate
+    * surplus per table — the first invariant an ingestion contract
+    * checks (a duplicated key silently doubles every downstream join
+    * and rollup).
+    *
+    * Scale shape: per table ONE exact count-distinct aggregate
+    * (Spark plans it as the two-phase partial-distinct expand —
+    * map-combined, no raw-row shuffle), then a 5-row union. Each
+    * table is scanned once, key column only (pruned scan).
+    */
+  def dqDupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(key)).as("n_keys"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+    audit("customer", Tables.customer(spark, sfDir), "c_custkey")
+      .unionAll(audit("events", Tables.events(spark, sfDir), "event_id"))
+      .unionAll(audit("orders", Tables.orders(spark, sfDir), "o_orderkey"))
+      .unionAll(audit("part", Tables.part(spark, sfDir), "p_partkey"))
+      .unionAll(audit("supplier", Tables.supplier(spark, sfDir), "s_suppkey"))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_dup_keys" -> dqDupKeys _,
     "dq_outlier_mad" -> dqOutlierMad _,
     "dq_freshness" -> dqFreshness _,
     "etl_dq_quarantine" -> dqQuarantine _,
@@ -436,6 +462,24 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "dq_dup_keys" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+        |    COUNT(DISTINCT c_custkey) AS n_keys,
+        |    COUNT(*) - COUNT(DISTINCT c_custkey) AS n_dup_rows FROM customer
+        |  UNION ALL
+        |  SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+        |    COUNT(*) - COUNT(DISTINCT event_id) FROM events
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey),
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+        |    COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+        |  UNION ALL
+        |  SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
+        |    COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier)
+        |ORDER BY table_name""".stripMargin,
     "dq_outlier_mad" ->
       """WITH m AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

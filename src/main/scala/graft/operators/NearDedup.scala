@@ -581,7 +581,30 @@ object NearDedup {
       .orderBy(col("degree"))
   }
 
+  /** `dedup_prefix` — shared-prefix near-dup detection: documents
+    * whose first 4 tokens are identical form a prefix group; the
+    * report lists every group with more than one member and the
+    * representative kept (min doc_id). The cheap boilerplate screen a
+    * crawl pipeline runs BEFORE MinHash (identical headers/templates
+    * collapse on an equi-key, no signatures needed); 4 tokens is
+    * corpus-tuned to this vocabulary (~30 types) so groups exist at
+    * every scale factor.
+    *
+    * Scale shape: the prefix key is map-side (split + slice — no
+    * regex per token), the group is ONE hash aggregate on it —
+    * exactly the exact-dedup cost, never pairwise.
+    */
+  def dedupPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("prefix4"))
+      .groupBy(col("prefix4"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix4"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix" -> dedupPrefix _,
     "graph_degree_dist" -> graphDegreeDist _,
     "graph_pagerank" -> graphPagerank _,
     "graph_triangles" -> graphTriangles _,
@@ -600,6 +623,12 @@ object NearDedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_prefix" ->
+      """SELECT array_to_string(string_split(text, ' ')[1:4], ' ') AS prefix4,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY prefix4""".stripMargin,
     "graph_degree_dist" ->
       """WITH sh AS (
         |  SELECT doc_id,

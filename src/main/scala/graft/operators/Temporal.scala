@@ -418,7 +418,48 @@ object Temporal {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** `ts_ewma` — exponentially-weighted moving average (α = 1/2) of
+    * daily revenue, truncated to an 8-term trailing window: the
+    * smoothing baseline beside ts_rolling_stats' flat window (recent
+    * days dominate; the truncation error is ≤ 2⁻⁸ of the oldest
+    * retained weight — below ROUND-6 at these magnitudes).
+    *
+    * Cross-engine exactness discipline: a recursive EWMA is a
+    * float-accumulation whose error COMPOUNDS differently per engine,
+    * so the truncated form is computed CLOSED-FORM instead — integer
+    * cents × power-of-two weights (2⁷⁻ⁱ for lag i), summed exactly in
+    * int64 (≤ daily-cents·255), with the per-row weight denominator
+    * counting only the lags that exist (the series head reweights
+    * itself). ONE IEEE division at the end, ROUND-6.
+    *
+    * Scale shape: one map-combined daily aggregate, then eight lags
+    * over ONE calendar-sized window — no self-join, no recursion.
+    */
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val w = Window.orderBy(col("day"))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(dec2(col("value"))).as("total_dec"))
+      .withColumn("cents", (col("total_dec") * 100).cast("long"))
+    val terms = (0 to 7).map { i =>
+      val c = if (i == 0) col("cents") else lag(col("cents"), i).over(w)
+      val wt = 1L << (7 - i)
+      (when(c.isNotNull, c * wt).otherwise(lit(0L)),
+        when(c.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    daily
+      .withColumn("ewma",
+        round(num.cast("double") / den.cast("double") / 100.0, 6))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        col("total_dec").cast("double").as("revenue"), col("ewma"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma" -> tsEwma _,
     "ts_rolling_stats" -> tsRollingStats _,
     "ts_decompose" -> tsDecompose _,
     "ts_autocorr" -> tsAutocorr _,
@@ -436,6 +477,35 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT day, total_dec,
+        |    CAST(total_dec * 100 AS BIGINT) AS cents FROM daily),
+        |l AS (
+        |  SELECT day, total_dec, cents AS c0,
+        |    LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+        |    LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+        |    LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+        |    LAG(cents, 7) OVER w AS c7
+        |  FROM c WINDOW w AS (ORDER BY day))
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(total_dec AS DOUBLE) AS revenue,
+        |  ROUND(CAST(128 * c0 + COALESCE(64 * c1, 0) + COALESCE(32 * c2, 0)
+        |      + COALESCE(16 * c3, 0) + COALESCE(8 * c4, 0)
+        |      + COALESCE(4 * c5, 0) + COALESCE(2 * c6, 0)
+        |      + COALESCE(c7, 0) AS DOUBLE)
+        |    / CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+        |      + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+        |      + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+        |      + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+        |      + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+        |      + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+        |      + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+        |    / 100.0, 6) AS ewma
+        |FROM l ORDER BY day_ts""".stripMargin,
     "ts_rolling_stats" ->
       """SELECT user_id, event_id, value,
         |  COUNT(*) OVER w AS roll_n,

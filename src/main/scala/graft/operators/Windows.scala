@@ -188,7 +188,39 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** `win_running_distinct` — the cumulative distinct-user curve per
+    * day (how many unique users has the product EVER seen, by day) —
+    * the audience-growth chart, and the canonical example of a
+    * running COUNT(DISTINCT) that must NOT be computed as one
+    * (no engine supports distinct in a running frame; the naive
+    * per-day re-scan is O(days × rows)).
+    *
+    * Spark-first shape: first-occurrence attribution — each user
+    * contributes exactly once, at their min(day) (one map-combined
+    * shuffle from fact scale to user scale, re-collapsed to day
+    * scale), and the cumulative curve is then a plain running SUM
+    * over the calendar-sized day frame. The left join back to the
+    * distinct activity days keeps zero-new-user days on the curve.
+    */
+  def winRunningDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts_utc")).as("day"), col("user_id"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))
+    val days = ev.select(col("day")).distinct()
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstSeen, col("day") === col("first_day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        col("n_new_users"), col("cum_users"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_running_distinct" -> winRunningDistinct _,
     "win_ignore_nulls" -> winIgnoreNulls _,
     "win_pattern" -> winPattern _,
     "win_rank" -> winRank _,
@@ -200,6 +232,22 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_running_distinct" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events),
+        |fs AS (
+        |  SELECT first_day, COUNT(*) AS n_new FROM (
+        |    SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1)
+        |  GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM ev)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_users,
+        |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM days LEFT JOIN fs ON days.day = fs.first_day
+        |ORDER BY day_ts""".stripMargin,
     "win_ignore_nulls" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -48,6 +48,32 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("agg_corr_matrix: matches Spark's native corr, bounded, symmetric inputs") {
+    val r = Aggregates.aggCorrMatrix(spark, sf).collect().head
+    val corrs = (1 to 6).map(r.getDouble)
+    corrs.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9,
+      s"correlation out of [-1,1]: $c"))
+    // cross-check every pair against Spark's built-in (co-moment) corr
+    val li = Tables.lineitem(spark, sf)
+    val pairs = Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+      ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val native = li.agg(corr(col(a), col(b))).collect().head.getDouble(0)
+      assert(math.abs(corrs(i) - native) < 1e-6,
+        s"corr($a,$b): exact-sum ${corrs(i)} vs native $native")
+    }
+  }
+
+  test("agg_corr_matrix plans as ONE aggregate pass — no join, no window") {
+    val plan = planOf(Aggregates.aggCorrMatrix(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"six correlations from one scan:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"one lineitem scan, got $scans")
+  }
+
   test("agg_argmax plans as ONE 2-phase aggregate — no window, no join-back") {
     val plan = planOf(Aggregates.aggArgmax(spark, sf))
       .split("== Initial Plan ==").head

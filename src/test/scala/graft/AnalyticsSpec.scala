@@ -264,4 +264,94 @@ class AnalyticsSpec extends SparkTestBase {
       .select(col("l_partkey")).distinct().count()
     assert(n < totalParts, "the covering prefix must be a strict subset")
   }
+
+  test("analytics_attribution: purchase and revenue conservation, brute-force channels") {
+    val rows = Analytics.attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_utc").cast("long").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    // driver brute force: per purchase, latest strictly-preceding touch
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._5, e._2))
+      sorted.zipWithIndex.collect {
+        case (e, i) if e._3 == "purchase" =>
+          val ch = sorted.take(i).reverse
+            .find(p => p._3 == "view" || p._3 == "click")
+            .map(_._3).getOrElse("direct")
+          (ch, e._4)
+      }
+    }
+    val expect = brute.groupBy(_._1).view.mapValues { vs =>
+      (vs.size.toLong,
+        vs.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+    }.toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (ch, (n, rev)) =>
+      assert(rows(ch)._1 === n, s"channel $ch count")
+      assert(math.abs(rows(ch)._2 - rev.toDouble) < 1e-9, s"channel $ch revenue")
+    }
+    // conservation: every purchase is attributed exactly once
+    assert(rows.values.map(_._1).sum === ev.count(_._3 == "purchase").toLong)
+  }
+
+  test("analytics_churn: ledger identities hold month over month") {
+    val rows = Analytics.churn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    val byYm = rows.map { case ((y, m), v) => (y * 12 + m - 1, v) }.toMap
+    val totalCust = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    // every customer is new exactly once
+    assert(rows.map(_._2._2).sum === totalCust)
+    rows.foreach { case ((y, m), (active, nw, ret, churned)) =>
+      val ym = y * 12 + m - 1
+      assert(nw + ret <= active, s"$y-$m: new+retained bounded by active")
+      byYm.get(ym - 1).foreach { case (prevActive, _, _, _) =>
+        assert(ret <= prevActive, s"$y-$m: retained bounded by prev active")
+        // prev actives split exactly into retained-here and churned-here
+        assert(ret + churned === prevActive,
+          s"$y-$m: retained($ret) + churned($churned) must equal prev active($prevActive)")
+      }
+    }
+  }
+
+  test("analytics_stickiness: ratio bounds and day accounting") {
+    val rows = Analytics.stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDays = graft.sources.Tables.events(spark, sf)
+      .select(to_date(col("ts_utc"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nDays, "weeks partition the days")
+    rows.foreach { r =>
+      val (avgDau, wau, st) = (r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(avgDau <= wau + 1e-9, "daily actives bounded by weekly actives")
+      assert(st > 0.0 && st <= 1.0 + 1e-9, s"stickiness in (0,1]: $st")
+      assert(math.abs(st - avgDau / wau) < 2e-6, "ratio consistency")
+    }
+  }
+
+  test("analytics_mutual_info: information-theoretic bounds and brute-force value") {
+    val r = Analytics.mutualInfo(spark, sf).collect().head
+    val (mi, hx, hy, nmi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-9 && mi <= math.min(hx, hy) + 1e-6,
+      "0 <= MI <= min(Hx, Hy)")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, "normalized MI in [0,1]")
+    // brute force from the raw events
+    val cells = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), floor(hour(col("ts_utc")) / 6.0).cast("long"))
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1)))
+    val n = cells.length.toDouble
+    val jx = cells.groupBy(_._1).view.mapValues(_.length).toMap
+    val jy = cells.groupBy(_._2).view.mapValues(_.length).toMap
+    val jxy = cells.groupBy(identity).view.mapValues(_.length).toMap
+    val bruteMi = jxy.map { case ((x, y), c) =>
+      (c / n) * math.log(c * n / (jx(x).toDouble * jy(y).toDouble))
+    }.sum
+    val bruteHx = jx.values.map(c => -(c / n) * math.log(c / n)).sum
+    assert(math.abs(mi - bruteMi) < 2e-6, s"MI $mi vs brute $bruteMi")
+    assert(math.abs(hx - bruteHx) < 2e-6, s"Hx $hx vs brute $bruteHx")
+  }
 }

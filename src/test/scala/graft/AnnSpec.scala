@@ -377,4 +377,24 @@ class AnnSpec extends SparkTestBase {
         s"$dir: max bucket $maxBucket exceeds 4x mean $bound (bits=$bits)")
     }
   }
+
+  test("knn_range: exactly the vectors at round-6 cosine >= tau, none missed") {
+    val rows = Ann.knnRange(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty, "radius must be non-empty at every sf")
+    rows.foreach { case (_, s) => assert(s >= 0.25, "threshold respected") }
+    // completeness + exactness vs the full exact ranking
+    val all = graft.api.GraftOps.cosineTopK(
+      graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      probeId = 0L, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = all.filter(_._2 >= 0.25)
+    assert(rows.toSeq === expect.toSeq,
+      "range = the >=tau prefix of the exact similarity ranking")
+    // ordering: sim desc, id asc
+    assert(rows.sliding(2).forall {
+      case Array((i1, s1), (i2, s2)) => s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    })
+  }
 }

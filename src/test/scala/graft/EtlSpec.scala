@@ -249,4 +249,23 @@ class EtlSpec extends SparkTestBase {
     assert(factHash === 0,
       s"the quarantine path must not shuffle the fact stream:\n$plan")
   }
+
+  test("dq_dup_keys: audit matches direct per-table counts") {
+    val rows = Etl.dqDupKeys(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === Set("customer", "events", "orders", "part",
+      "supplier"))
+    val expected = Map(
+      "customer" -> ("c_custkey", graft.sources.Tables.customer(spark, sf)),
+      "events" -> ("event_id", graft.sources.Tables.events(spark, sf)),
+      "orders" -> ("o_orderkey", graft.sources.Tables.orders(spark, sf)),
+      "part" -> ("p_partkey", graft.sources.Tables.part(spark, sf)),
+      "supplier" -> ("s_suppkey", graft.sources.Tables.supplier(spark, sf)))
+    expected.foreach { case (name, (key, df)) =>
+      val n = df.count()
+      val k = df.select(key).distinct().count()
+      assert(rows(name) === ((n, k, n - k)), s"table $name audit")
+    }
+  }
 }

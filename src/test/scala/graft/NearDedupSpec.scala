@@ -167,4 +167,29 @@ class NearDedupSpec extends SparkTestBase {
       s"handshake: sum(deg*n) must equal 2*|edges| = ${2 * nEdges}")
     assert(rows.map(_._1).distinct.length === rows.length, "one row per degree")
   }
+
+  test("dedup_prefix: groups match brute force, representatives are min ids") {
+    val rows = NearDedup.dedupPrefix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "prefix-4 collisions exist at every sf by construction")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).take(4).mkString(" ")))
+    val brute = docs.groupBy(_._2).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._1).min))
+      .filter(_._2._1 > 1).toMap
+    assert(rows.map(_._1).toSet === brute.keySet)
+    rows.foreach { case (p, n, keep) =>
+      assert((n, keep) === brute(p), s"group '$p'")
+    }
+  }
+
+  test("dedup_prefix plans as ONE hash aggregate on the prefix key — never pairwise") {
+    val plan = planOf(NearDedup.dedupPrefix(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"equi-key dedup must not join:\n$plan")
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hash === 1, s"one prefix-key shuffle, got $hash:\n$plan")
+  }
 }

@@ -340,4 +340,34 @@ class TemporalSpec extends SparkTestBase {
     assert(scans === 1, s"one pass over the stream, got $scans scans")
     assert(!plan.contains("Join"), s"no join in the lag formulation:\n$plan")
   }
+
+  test("ts_ewma: closed-form weights match a brute-force trailing-8 EWMA") {
+    val rows = Temporal.tsEwma(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // head: with no history the EWMA IS the day's value
+    assert(math.abs(rows.head._3 - rows.head._2) < 1e-6,
+      "first day: ewma == revenue")
+    // brute force over the cents series with weights 2^(7-i)
+    val cents = rows.map(r => math.round(r._2 * 100))
+    rows.indices.foreach { t =>
+      val terms = (0 to 7).flatMap { i =>
+        if (t - i >= 0) Some((cents(t - i), 1L << (7 - i))) else None
+      }
+      val brute =
+        terms.map(p => p._1 * p._2).sum.toDouble / terms.map(_._2).sum / 100.0
+      assert(math.abs(rows(t)._3 - brute) < 1e-6, s"row $t ewma")
+    }
+    // recency dominance: the current day carries weight 128/255 >= half
+    val mid = rows.length / 2
+    assert(rows(mid)._3 > 0, "smoke: mid-series ewma positive on this corpus")
+  }
+
+  test("ts_ewma plans as one aggregate + one calendar window, no join") {
+    val plan = planOf(Temporal.tsEwma(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"closed-form lags, not a self-join:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"one pass over events, got $scans")
+  }
 }

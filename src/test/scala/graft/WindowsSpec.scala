@@ -109,4 +109,36 @@ class WindowsSpec extends SparkTestBase {
     assert(hash === 1, s"one user_id shuffle expected, got $hash:\n$plan")
     assert(!plan.contains("Join"), "no self-join in the window formulation")
   }
+
+  test("win_running_distinct: curve equals brute-force distinct-so-far, monotone") {
+    val rows = Windows.winRunningDistinct(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getLong(1), r.getLong(2)))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(to_date(col("ts_utc")).as("d"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = ev.map(_._1).distinct.sorted(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    assert(rows.map(_._1).toSeq === days.toSeq, "every activity day on the curve")
+    rows.foreach { case (d, _, cum) =>
+      val brute = ev.filter(e => !e._1.isAfter(d)).map(_._2).distinct.length
+      assert(cum === brute.toLong, s"day $d cumulative distinct")
+    }
+    // monotone, and the last point is the total audience
+    assert(rows.sliding(2).forall {
+      case Array((_, _, a), (_, _, b)) => b >= a; case _ => true
+    })
+    assert(rows.last._3 === ev.map(_._2).distinct.length.toLong)
+    assert(rows.map(_._2).sum === rows.last._3, "new-user increments sum to the total")
+  }
+
+  test("win_running_distinct plans with NO running-distinct window over the fact table") {
+    val plan = planOf(Windows.winRunningDistinct(spark, sf))
+      .split("== Initial Plan ==").head
+    // the whole point: fact-scale work is two hash aggregates; the only
+    // window runs over the calendar-sized day frame after aggregation
+    assert(plan.contains("Window"), "running sum is a window")
+    val hash = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hash <= 3, s"bounded shuffles (user agg, day aggs, join), got $hash:\n$plan")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Dec._
 import graft.sources.Tables
@@ -756,7 +757,86 @@ object Aggregates {
         corr("p", "d"), corr("p", "t"), corr("d", "t"))
   }
 
+  /** `agg_weighted_median` — the quantity-weighted median price per
+    * return flag: the smallest price whose cumulative weight reaches
+    * half the total — "the price at which half the UNITS (not half the
+    * line items) sold at or below". The correct central-tendency for
+    * any per-unit economics; the unweighted median answers a different
+    * question.
+    *
+    * Exactness: weights are integer quantity-cents, cumulated over
+    * per-PRICE aggregates (ties collapse before the scan, so the
+    * cumulative at each distinct price is well-defined without a
+    * row-level tie-break); the selection test 2·cum ≥ W is exact
+    * integer — no division anywhere until the output cast.
+    *
+    * Scale shape: fact scale collapses to (flag, distinct price) in
+    * ONE map-combined shuffle; the cumulative window and the pick run
+    * over the price-domain-sized frame. Same cost class as any exact
+    * percentile; the approximate ladder is the documented swap.
+    */
+  def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val wcents = (col("l_quantity").cast("decimal(7,2)") * 100).cast("long")
+    val byPrice = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        wcents.as("w"))
+      .groupBy(col("l_returnflag"), col("price"))
+      .agg(sum(col("w")).as("w"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    byPrice
+      .withColumn("cum", sum(col("w")).over(cum))
+      .withColumn("total_w", sum(col("w")).over(tot))
+      .filter(col("cum") * 2 >= col("total_w"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("total_w")).as("total_weight_cents"),
+        min(col("price")).as("wmedian_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** `agg_hhi` — the Herfindahl–Hirschman concentration index of
+    * customer revenue within each market segment (Σ share², scaled to
+    * the conventional 0–10,000 points): the "is this segment's revenue
+    * concentrated in a few accounts" screen — portfolio risk for a
+    * sales org, monopoly screening for an economist, and the same
+    * statistic a data-curation pass uses to detect source-domination
+    * in a training mixture.
+    *
+    * Exactness: per-customer revenue sums in DECIMAL cents (exact
+    * int); shares and the Σ share² are doubles over the
+    * customer-count-bounded frame, ROUND-6 (float-sum-order band
+    * ~1e-12 of values O(1–10⁴)).
+    *
+    * Scale shape: facts join the broadcast customer dim, collapse to
+    * (segment, customer) in one map-combined shuffle, then re-collapse
+    * to segments — the aggregate cardinality ladder (rows → customers
+    * → segments), never a self-join.
+    */
+  def aggHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val perCust = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val tot = Window.partitionBy(col("c_mktsegment"))
+    perCust
+      .withColumn("seg_cents", sum(col("cents")).over(tot))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(max(col("seg_cents")).cast("double") / 100.0, 2)
+          .as("segment_revenue"),
+        round(sum((col("cents").cast("double") /
+            col("seg_cents").cast("double")) *
+          (col("cents").cast("double") / col("seg_cents").cast("double")))
+          * 10000.0, 6).as("hhi"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> aggWeightedMedian _,
+    "agg_hhi" -> aggHhi _,
     "agg_corr_matrix" -> aggCorrMatrix _,
     "agg_pricing" -> aggPricing _,
     "agg_histogram" -> aggHistogram _,
@@ -791,6 +871,39 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      """WITH bp AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * 100 AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, price, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+        |  FROM bp)
+        |SELECT l_returnflag,
+        |  CAST(MAX(total_w) AS BIGINT) AS total_weight_cents,
+        |  MIN(price) AS wmedian_price
+        |FROM c WHERE cum * 2 >= total_w
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hhi" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT c_mktsegment, c_custkey, cents,
+        |    SUM(cents) OVER (PARTITION BY c_mktsegment) AS seg_cents
+        |  FROM pc)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  ROUND(CAST(MAX(seg_cents) AS DOUBLE) / 100.0, 2) AS segment_revenue,
+        |  ROUND(SUM((CAST(cents AS DOUBLE) / CAST(seg_cents AS DOUBLE)) *
+        |    (CAST(cents AS DOUBLE) / CAST(seg_cents AS DOUBLE))) * 10000.0, 6)
+        |    AS hhi
+        |FROM s GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "agg_corr_matrix" ->
       """WITH m AS (
         |  SELECT CAST(l_quantity AS DECIMAL(9,2)) AS q,

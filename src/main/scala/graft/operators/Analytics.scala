@@ -599,7 +599,41 @@ object Analytics {
         round(col("mi") / sqrt(col("h_x") * col("h_y")), 6).as("nmi"))
   }
 
+  /** `analytics_ab_srm` — the sample-ratio-mismatch (SRM) guardrail for
+    * a hash-based A/B split: users assign to arms by md5 prefix (the
+    * same content-addressed rule as pipeline_split — deterministic,
+    * coordination-free, identical in both engines), and the χ²
+    * goodness-of-fit statistic against the intended 50/50 tests the
+    * assignment itself. SRM is the first check every experimentation
+    * platform runs — a biased splitter invalidates the experiment
+    * before any metric is read.
+    *
+    * Exactness: for a 50/50 split χ² reduces to (nA − nB)²/n — exact
+    * int64 arithmetic until ONE final division, ROUND-6. The flag
+    * compares against the df=1, α=0.05 critical value 3.841.
+    *
+    * Scale shape: distinct users (one map-combined shuffle), then a
+    * map-side hash assign and a single global conditional aggregate.
+    */
+  def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val arm = when(
+      substring(md5(col("user_id").cast("string")), 1, 4) < "8000", "A")
+      .otherwise("B")
+    Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) /
+          col("n_users").cast("double"), 6).as("chi2"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+          lit(3.841) * col("n_users").cast("double")).as("srm_detected"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_ab_srm" -> abSrm _,
     "analytics_attribution" -> attribution _,
     "analytics_churn" -> churn _,
     "analytics_stickiness" -> stickiness _,
@@ -618,6 +652,24 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_ab_srm" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |    < '8000' THEN 'A' ELSE 'B' END AS arm FROM u),
+        |s AS (
+        |  SELECT COUNT(*) AS n_users,
+        |    SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b
+        |  FROM a)
+        |SELECT CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND((n_a - n_b) * (n_a - n_b) / CAST(n_users AS DOUBLE), 6)
+        |    AS chi2,
+        |  (n_a - n_b) * (n_a - n_b) > 3.841 * CAST(n_users AS DOUBLE)
+        |    AS srm_detected
+        |FROM s""".stripMargin,
     "analytics_attribution" ->
       """WITH t AS (
         |  SELECT event_type, value,

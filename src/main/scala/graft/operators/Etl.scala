@@ -442,7 +442,45 @@ object Etl {
       .orderBy(col("table_name"))
   }
 
+  /** `join_pit` — the point-in-time (PIT) dimension lookup: each
+    * purchase fact joins to the SCD2 tier version that was valid AT its
+    * timestamp — the "what did we believe about this key THEN" join
+    * every feature-store / training-label pipeline must get right
+    * (joining today's dimension row onto yesterday's fact is the
+    * classic leakage bug).
+    *
+    * Spark-first shape: the version table (etl_scd2's output, rebuilt
+    * here from the same stream) joins facts on user_id — both sides
+    * hash the SAME key, one co-partitioned shuffle — and "valid at ts"
+    * is the latest `valid_from <= ts` picked by a rank-1 window per
+    * fact, which Spark prunes to WindowGroupLimit (the join_asof
+    * shape; interval containment needs no second bound because SCD2
+    * versions tile each key's timeline). Every purchase matches by
+    * construction: its own observation opened-or-continued a version
+    * at-or-before it.
+    */
+  def joinPit(spark: SparkSession, sfDir: String): DataFrame = {
+    val versions = scd2(spark, sfDir)
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("tier"), col("valid_from"))
+    val facts = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_utc"), col("value"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("valid_from").desc, col("version_id").desc)
+    facts.join(versions, Seq("user_id"))
+      .filter(col("valid_from") <= col("ts_utc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("purchase_id"), col("value"),
+        col("tier").as("tier_at_purchase"), col("version_id"),
+        col("valid_from"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_pit" -> joinPit _,
     "dq_dup_keys" -> dqDupKeys _,
     "dq_outlier_mad" -> dqOutlierMad _,
     "dq_freshness" -> dqFreshness _,
@@ -462,6 +500,30 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "join_pit" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+         |         event_type, value, $TierCase AS tier
+         |  FROM events),
+         |r AS (
+         |  SELECT *, LAG(tier) OVER
+         |    (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_tier
+         |  FROM e),
+         |v AS (
+         |  SELECT user_id, event_id AS version_id, tier, tsu AS valid_from
+         |  FROM r WHERE prev_tier IS NULL OR prev_tier <> tier),
+         |f AS (
+         |  SELECT user_id, event_id AS purchase_id, tsu, value
+         |  FROM e WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT f.user_id, f.purchase_id, f.value, v.tier, v.version_id,
+         |    v.valid_from,
+         |    ROW_NUMBER() OVER (PARTITION BY f.purchase_id
+         |      ORDER BY v.valid_from DESC, v.version_id DESC) AS rn
+         |  FROM f JOIN v ON f.user_id = v.user_id AND v.valid_from <= f.tsu)
+         |SELECT user_id, purchase_id, value, tier AS tier_at_purchase,
+         |  version_id, valid_from
+         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "dq_dup_keys" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,

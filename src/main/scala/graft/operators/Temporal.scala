@@ -458,7 +458,88 @@ object Temporal {
       .orderBy(col("day_ts"))
   }
 
+  /** `ts_cusum` — CUSUM drift screening per event type: the maximum
+    * absolute cumulative deviation from the series mean over the
+    * time-ordered value sequence — the classic change-point statistic
+    * (a mean shift mid-series makes the CUSUM excursion large; a
+    * stable series random-walks near zero).
+    *
+    * Cross-engine exactness discipline: S_t = Σ_{i≤t}(v_i − μ) is
+    * float-hostile (μ is a division), so the statistic is computed in
+    * the n-SCALED integer domain: n·S_t = n·prefix_t − t·total (cents),
+    * with (19,0)-widened DECIMAL products (exact to n·Σv ≈ 10³⁸ — int64
+    * would wrap silently past 2⁶³ cents²); max and the final unscale
+    * division are the only float steps, ROUND-6.
+    *
+    * Scale shape: one (type)-keyed aggregate joined back onto one
+    * (type)-partitioned running-sum window — two shuffles on the same
+    * key, partial-aggregated map-side; per-row state is O(1).
+    */
+  def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val cents = (dec2(col("value")) * 100).cast("long")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("ts_utc"),
+        cents.as("cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_utc"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    ev.join(stats, Seq("event_type"))
+      .withColumn("prefix", sum(col("cents")).over(w))
+      .withColumn("t", row_number().over(wn).cast("long"))
+      .withColumn("scaled_dev",
+        // (19,0)-widened products → both engines' int128 multiply path;
+        // int64 would silently wrap in Spark past n·Σv ≈ 2^63 cents²
+        abs(col("n").cast("decimal(19,0)") * col("prefix") -
+          col("t").cast("decimal(19,0)") * col("total")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        round(max(col("total")).cast("double") /
+          max(col("n")).cast("double") / 100.0, 6).as("mean_value"),
+        round(max(col("scaled_dev")).cast("double") /
+          max(col("n")).cast("double") / 100.0, 6).as("max_abs_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** `ts_peak_detect` — local-maximum peak detection over the daily
+    * revenue series: a day is a peak when it strictly exceeds BOTH
+    * neighbours; its prominence is the margin over the higher
+    * neighbour. The alerting primitive behind "traffic spiked on
+    * day X" — and, like ts_islands, a pure lag/lead shape.
+    *
+    * Exactness: revenue stays DECIMAL through the comparisons and the
+    * prominence subtraction (order-free, engine-exact); doubles only
+    * at output. Series endpoints are not peaks (a missing neighbour
+    * fails the strict compare — the conservative convention).
+    *
+    * Scale shape: one map-combined daily aggregate, one calendar-sized
+    * window, zero joins.
+    */
+  def tsPeakDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val w = Window.orderBy(col("day"))
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(dec2(col("value"))).as("total_dec"))
+      .withColumn("prev_dec", lag(col("total_dec"), 1).over(w))
+      .withColumn("next_dec", lead(col("total_dec"), 1).over(w))
+      .filter(col("prev_dec").isNotNull && col("next_dec").isNotNull &&
+        col("total_dec") > col("prev_dec") &&
+        col("total_dec") > col("next_dec"))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        col("total_dec").cast("double").as("revenue"),
+        (col("total_dec") - greatest(col("prev_dec"), col("next_dec")))
+          .cast("double").as("prominence"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum" -> tsCusum _,
+    "ts_peak_detect" -> tsPeakDetect _,
     "ts_ewma" -> tsEwma _,
     "ts_rolling_stats" -> tsRollingStats _,
     "ts_decompose" -> tsDecompose _,
@@ -477,6 +558,53 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(cents) AS total
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT e.event_type, n, total,
+        |    SUM(cents) OVER (PARTITION BY e.event_type
+        |      ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY e.event_type
+        |      ORDER BY tsu, event_id) AS BIGINT) AS t
+        |  FROM e JOIN s ON e.event_type = s.event_type),
+        |d AS (
+        |  SELECT event_type, n, total,
+        |    abs(CAST(n AS DECIMAL(19,0)) * prefix
+        |      - CAST(t AS DECIMAL(19,0)) * total) AS scaled_dev
+        |  FROM p)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  ROUND(CAST(MAX(total) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+        |    / 100.0, 6) AS mean_value,
+        |  ROUND(CAST(MAX(scaled_dev) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+        |    / 100.0, 6) AS max_abs_cusum
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_peak_detect" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT day, total_dec,
+        |    LAG(total_dec) OVER w AS prev_dec,
+        |    LEAD(total_dec) OVER w AS next_dec
+        |  FROM daily WINDOW w AS (ORDER BY day))
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(total_dec AS DOUBLE) AS revenue,
+        |  -- CASE, not greatest(): DuckDB's greatest() promotes DECIMAL
+        |  -- operands to DOUBLE, losing the exact subtraction
+        |  CAST(total_dec - CASE WHEN prev_dec >= next_dec
+        |    THEN prev_dec ELSE next_dec END AS DOUBLE) AS prominence
+        |FROM l
+        |WHERE prev_dec IS NOT NULL AND next_dec IS NOT NULL
+        |  AND total_dec > prev_dec AND total_dec > next_dec
+        |ORDER BY day_ts""".stripMargin,
     "ts_ewma" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

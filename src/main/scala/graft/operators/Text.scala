@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -341,7 +342,43 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** `text_zipf` — the Zipf rank-frequency diagnostic of the corpus
+    * vocabulary: OLS slope and intercept of ln(freq) on ln(rank) over
+    * the full type-frequency table. Natural text sits near slope −1;
+    * a corpus far off is template spam, tokenizer damage, or synthetic
+    * data — the one-number screen a pretraining-data audit runs per
+    * source. Ranks tie-break by token (count desc, token asc) so the
+    * regression inputs are engine-identical.
+    *
+    * Scale shape: token explode collapses immediately to the
+    * VOCABULARY-bounded frequency table (one map-combined shuffle);
+    * the rank window and the 5-sum OLS aggregate run over types, not
+    * tokens. The ln sums are doubles over the vocab-sized frame,
+    * ROUND-6 (order band ~1e-12).
+    */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val freqs = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("tok"))
+    val slopeExpr = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    freqs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(log(col("rnk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_types"),
+        round(expr(slopeExpr), 6).as("zipf_slope"),
+        round(expr(s"(sy - ($slopeExpr) * sx) / n"), 6)
+          .as("zipf_intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> textZipf _,
     "text_vocab_growth" -> textVocabGrowth _,
     "text_pmi" -> textPmi _,
     "text_keywords" -> textKeywords _,
@@ -374,6 +411,25 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_zipf" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (
+        |  SELECT tok, COUNT(*) AS freq FROM t WHERE tok <> '' GROUP BY 1),
+        |r AS (
+        |  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM f),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS zipf_intercept
+        |FROM s""".stripMargin,
     "text_vocab_growth" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

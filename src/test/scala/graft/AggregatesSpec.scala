@@ -65,6 +65,44 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("agg_weighted_median: smallest price reaching half the unit weight") {
+    val rows = Aggregates.aggWeightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1)
+    assert(rows.keySet === li.keySet)
+    li.foreach { case (flag, ls) =>
+      val total = ls.map(_._3).sum
+      val sorted = ls.sortBy(_._2)
+      var cum = 0L
+      val wm = sorted.find { l => cum += l._3; cum * 2 >= total }.get._2
+      assert(rows(flag)._1 === total, s"$flag total weight")
+      assert(rows(flag)._2 === wm, s"$flag weighted median")
+      // the weighted median differs from the naive unweighted one in
+      // general; at minimum it must be a member price
+      assert(ls.exists(_._2 === rows(flag)._2), "median is a member element")
+    }
+  }
+
+  test("agg_hhi: concentration bounds 10000/n <= hhi <= 10000, revenue conserved") {
+    val rows = Aggregates.aggHhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(3))
+      assert(hhi >= 10000.0 / n - 1e-6, "lower bound: perfectly even split")
+      assert(hhi <= 10000.0 + 1e-6, "upper bound: monopoly")
+    }
+    val totalRev = rows.map(_.getDouble(2)).sum
+    val expect = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).collect()
+      .head.getDecimal(0).doubleValue
+    assert(math.abs(totalRev - expect) < 0.05,
+      "segment revenues sum to the corpus total")
+  }
+
   test("agg_corr_matrix plans as ONE aggregate pass — no join, no window") {
     val plan = planOf(Aggregates.aggCorrMatrix(spark, sf))
       .split("== Initial Plan ==").head

@@ -332,6 +332,19 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("analytics_ab_srm: arms partition the users, chi2 identity holds") {
+    val r = Analytics.abSrm(spark, sf).collect().head
+    val (n, na, nb, chi2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(na + nb === n, "every user lands in exactly one arm")
+    val expect = (na - nb).toDouble * (na - nb) / n
+    assert(math.abs(chi2 - expect) < 1e-6, "chi2 = (nA-nB)^2/n for a 50/50 split")
+    assert(r.getBoolean(4) === (expect > 3.841), "flag matches the critical value")
+    val totalUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(n === totalUsers)
+  }
+
   test("analytics_mutual_info: information-theoretic bounds and brute-force value") {
     val r = Analytics.mutualInfo(spark, sf).collect().head
     val (mi, hx, hy, nmi) =

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Etl
 
 /** Plan + semantics pins for the ETL maintenance operators. The
@@ -248,6 +249,35 @@ class EtlSpec extends SparkTestBase {
         !l.contains("c_custkey"))
     assert(factHash === 0,
       s"the quarantine path must not shuffle the fact stream:\n$plan")
+  }
+
+  test("join_pit: every purchase matched once, to the version valid AT its time") {
+    val rows = Etl.joinPit(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getString(3), r.getLong(4)))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_utc").cast("long"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    def tierOf(v: Double) = if (v < 50) "low" else if (v < 200) "mid" else "high"
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(rows.length === purchases.length, "exactly one row per purchase")
+    assert(rows.map(_._1).distinct.length === rows.length, "no fan-out")
+    // brute force: per user, the version list is the run-starts of the
+    // tier sequence; the PIT pick is the last version starting <= ts
+    val byUser = ev.groupBy(_._1).view.mapValues { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      sorted.zipWithIndex.collect {
+        case (e, i) if i == 0 || tierOf(sorted(i - 1)._5) != tierOf(e._5) =>
+          (e._4, e._2, tierOf(e._5)) // (valid_from, version_id, tier)
+      }
+    }.toMap
+    val got = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    purchases.foreach { case (uid, pid, _, ts, _) =>
+      val v = byUser(uid).filter(_._1 <= ts)
+        .maxBy(v2 => (v2._1, v2._2))
+      assert(got(pid) === ((v._3, v._2)), s"purchase $pid PIT version")
+    }
   }
 
   test("dq_dup_keys: audit matches direct per-table counts") {

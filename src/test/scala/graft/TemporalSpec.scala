@@ -363,6 +363,52 @@ class TemporalSpec extends SparkTestBase {
     assert(rows(mid)._3 > 0, "smoke: mid-series ewma positive on this corpus")
   }
 
+  test("ts_cusum: matches a brute-force cumulative-deviation maximum") {
+    val rows = Temporal.tsCusum(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        col("ts_utc").cast("long"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.keySet === ev.keySet)
+    ev.foreach { case (tpe, es) =>
+      val cents = es.sortBy(e => (e._3, e._2)).map(e => math.round(e._4 * 100))
+      val n = cents.length
+      val total = cents.sum
+      val brute = cents.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+        case (prefix, i) =>
+          (BigInt(n) * BigInt(prefix) - BigInt(i + 1) * BigInt(total)).abs
+      }.max
+      val (gotN, gotMean, gotMax) = rows(tpe)
+      assert(gotN === n.toLong)
+      assert(math.abs(gotMean - total.toDouble / n / 100.0) < 1e-6)
+      assert(math.abs(gotMax - brute.toDouble / n / 100.0) < 1e-5,
+        s"$tpe max cusum")
+    }
+  }
+
+  test("ts_peak_detect: exactly the strict local maxima, correct prominence") {
+    val rows = Temporal.tsPeakDetect(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2)))
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("t"))
+      .orderBy(col("d")).collect()
+      .map(r => r.getDecimal(1))
+    val brutePeaks = (1 until daily.length - 1).filter { i =>
+      daily(i).compareTo(daily(i - 1)) > 0 && daily(i).compareTo(daily(i + 1)) > 0
+    }
+    assert(rows.length === brutePeaks.length, "peak count")
+    rows.zip(brutePeaks).foreach { case ((_, rev, prom), i) =>
+      assert(math.abs(rev - daily(i).doubleValue) < 1e-9)
+      val higher = daily(i - 1).max(daily(i + 1))
+      assert(math.abs(prom - daily(i).subtract(higher).doubleValue) < 1e-9)
+      assert(prom > 0, "strict maxima have positive prominence")
+    }
+  }
+
   test("ts_ewma plans as one aggregate + one calendar window, no join") {
     val plan = planOf(Temporal.tsEwma(spark, sf))
       .split("== Initial Plan ==").head

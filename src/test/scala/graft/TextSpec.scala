@@ -215,4 +215,24 @@ class TextSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(5) - pmi) < 1e-9, s"pmi($w1,$w2)")
     }
   }
+
+  test("text_zipf: OLS over the rank-frequency table matches brute force") {
+    val r = Text.textZipf(spark, sf).collect().head
+    val (nTypes, slope, intercept) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val freqs = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    assert(nTypes === freqs.length.toLong)
+    val pts = freqs.sortBy { case (tok, f) => (-f, tok) }.zipWithIndex
+      .map { case ((_, f), i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val bruteSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - bruteSlope) < 1e-6, s"slope $slope vs $bruteSlope")
+    assert(math.abs(intercept - (sy - bruteSlope * sx) / n) < 1e-6)
+    assert(slope < 0, "frequency decays with rank")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -632,7 +632,103 @@ object Analytics {
           lit(3.841) * col("n_users").cast("double")).as("srm_detected"))
   }
 
+  /** `analytics_survival_km` — the Kaplan–Meier retention curve over
+    * user lifetimes: for each observed churn time t (days between a
+    * user's first and last activity), the risk set, the churn count,
+    * and the product-limit survival estimate S(t) = Π(1 − dᵢ/nᵢ).
+    * Users still active on the corpus frontier day are right-CENSORED
+    * (they leave the risk set without a churn event) — the whole point
+    * of KM over a naive "fraction retained at t", which silently
+    * treats them as churned.
+    *
+    * Spark-first shape: per-user (first, last) days in one
+    * map-combined shuffle; the lifetime table collapses to the
+    * distinct-lifetime frame; risk sets come from one cumulative
+    * window (n_t = N − exits before t) and the product via
+    * exp(Σ ln(factor)) on the SAME window. A zero factor (everyone
+    * left churns at the last time) short-circuits to S=0 through an
+    * explicit flag — Spark's ln(0) is NULL while DuckDB's is -inf,
+    * so the guard is semantic, not cosmetic.
+    */
+  def survivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    // Purchase lifetimes, not all-event lifetimes: every user is active
+    // near-daily on this corpus (all-event lifetimes collapse to one
+    // spell), while first→last PURCHASE spans vary — the "paying
+    // lifetime" curve a retention team actually fits.
+    val perUser = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts_utc"))).as("first_day"),
+        max(to_date(col("ts_utc"))).as("last_day"))
+    val frontier = perUser.agg(max(col("last_day")).as("max_day"))
+    val lifetimes = perUser.crossJoin(broadcast(frontier))
+      .select(datediff(col("last_day"), col("first_day")).cast("long")
+          .as("t"),
+        (col("last_day") < col("max_day")).cast("long").as("churned"))
+    val byT = lifetimes.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_exit"), sum(col("churned")).as("d"))
+    val wOrd = Window.orderBy(col("t"))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val n = lifetimes.count()
+    byT
+      .withColumn("n_risk", lit(n) - coalesce(sum(col("n_exit")).over(prev),
+        lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("factor",
+        (col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double"))
+      .withColumn("hit_zero", max((col("factor") === 0.0).cast("long"))
+        .over(cum))
+      .withColumn("km_survival",
+        when(col("hit_zero") === 1, 0.0)
+          .otherwise(round(exp(sum(log(col("factor"))).over(cum)), 6)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_churned"),
+        col("km_survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** `analytics_elasticity` — log-log price elasticity of demand per
+    * part brand: the OLS slope of ln(quantity) on ln(unit price) over
+    * that brand's line items — THE price-sensitivity estimate a
+    * pricing team fits, and the grouped-regression surface beside
+    * agg_regression's per-type time trend.
+    *
+    * Spark-first shape: facts join the broadcast part dim; the five
+    * OLS sums partial-aggregate map-side into one (brand)-keyed
+    * shuffle — the closed-form slope needs no iteration.
+    *
+    * Exactness discipline: the per-row ln terms and their products are
+    * IEEE-identical in both engines (same doubles in, correctly-
+    * rounded ops), but a plain double SUM is merge-order-dependent —
+    * and the slope's numerator cancels near-equal 10⁷-scale terms,
+    * amplifying that band. So each term is QUANTIZED to DECIMAL(18,9)
+    * per row and summed exactly (order-free); the formula then runs
+    * once over exact inputs, ROUND-6.
+    */
+  def elasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    def q9(c: Column) = round(c, 9).cast("decimal(18,9)")
+    val x = log(col("l_extendedprice") / col("l_quantity"))
+    val y = log(col("l_quantity"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), x.as("x"), y.as("y"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(q9(col("x"))).cast("double").as("sx"),
+        sum(q9(col("y"))).cast("double").as("sy"),
+        sum(q9(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(q9(col("x") * col("y"))).cast("double").as("sxy"))
+      .select(col("p_brand"), col("n").cast("long").as("n_lines"),
+        round(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 6)
+          .as("elasticity"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_survival_km" -> survivalKm _,
+    "analytics_elasticity" -> elasticity _,
     "analytics_ab_srm" -> abSrm _,
     "analytics_attribution" -> attribution _,
     "analytics_churn" -> churn _,
@@ -652,6 +748,57 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_survival_km" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day,
+        |    MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |fr AS (SELECT MAX(last_day) AS max_day FROM pu),
+        |lt AS (
+        |  SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS t,
+        |    CASE WHEN last_day < max_day THEN 1 ELSE 0 END AS churned
+        |  FROM pu, fr),
+        |byt AS (
+        |  SELECT t, COUNT(*) AS n_exit, SUM(churned) AS d
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM lt),
+        |r AS (
+        |  SELECT t, d, n - COALESCE(SUM(n_exit) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt, tot),
+        |f AS (
+        |  SELECT t, d, n_risk,
+        |    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |  FROM r WHERE d > 0),
+        |k AS (
+        |  SELECT t, d, n_risk,
+        |    MAX(CASE WHEN factor = 0.0 THEN 1 ELSE 0 END) OVER cw AS hit_zero,
+        |    -- NULLIF: DuckDB's ln(0) ERRORS (Spark's returns NULL); the
+        |    -- zero row and everything after it report S=0 via hit_zero
+        |    SUM(ln(NULLIF(factor, 0.0))) OVER cw AS lsum
+        |  FROM f WINDOW cw AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_churned,
+        |  CASE WHEN hit_zero = 1 THEN 0.0
+        |    ELSE ROUND(exp(lsum), 6) END AS km_survival
+        |FROM k ORDER BY t_days""".stripMargin,
+    "analytics_elasticity" ->
+      """WITH m AS (
+        |  SELECT p_brand,
+        |    ln(l_extendedprice / l_quantity) AS x, ln(l_quantity) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+        |FROM s ORDER BY p_brand""".stripMargin,
     "analytics_ab_srm" ->
       """WITH u AS (
         |  SELECT DISTINCT user_id FROM events),

@@ -537,7 +537,83 @@ object Temporal {
       .orderBy(col("day_ts"))
   }
 
+  /** `ts_streaks` — monotone-increase runs over the daily revenue
+    * series: every maximal streak of strictly-rising days with its
+    * span, length, and decimal-exact gain — the "N days of growth in a
+    * row" momentum readout (ts_islands is the calendar-contiguity
+    * sibling; this one runs on the VALUE ordering).
+    *
+    * Spark-first shape: the rising flag is one lag over the daily
+    * frame; runs group by the classic gaps-and-islands key (row_number
+    * minus the running count of rising days — constant within a run);
+    * per-run endpoints come from one aggregate. All comparisons and the
+    * gain stay DECIMAL; zero joins, calendar-sized windows only.
+    */
+  def tsStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val w = Window.orderBy(col("day"))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(dec2(col("value"))).as("total_dec"))
+      .withColumn("prev_dec", lag(col("total_dec"), 1).over(w))
+      .withColumn("up",
+        (col("prev_dec").isNotNull && col("total_dec") > col("prev_dec"))
+          .cast("long"))
+      .withColumn("grp",
+        row_number().over(w).cast("long") -
+          sum(col("up")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    daily.filter(col("up") === 1)
+      .groupBy(col("grp"))
+      .agg(min(col("day")).as("first_up_day"), max(col("day")).as("last_day"),
+        count(lit(1)).as("rising_days"),
+        (max(col("total_dec")) - min(col("prev_dec"))).cast("double")
+          .as("gain"))
+      .select(col("first_up_day").cast("timestamp").as("start_ts"),
+        col("last_day").cast("timestamp").as("end_ts"),
+        col("rising_days"), col("gain"))
+      .orderBy(col("start_ts"))
+  }
+
+  /** `ts_downsample` — deviation-preserving downsampling of the daily
+    * series to 10 buckets: each bucket is represented by its most
+    * ANOMALOUS day (the max |value − bucket mean| point), so the
+    * downsampled series keeps spikes a plain per-bucket average would
+    * erase — the chart/alerting reduction for long metric series (the
+    * LTTB family; this is its order-free, engine-exact member).
+    *
+    * Exactness: the argmax key is the n-scaled integer deviation
+    * |n_b·v − Σ_b| in cents (no mean division anywhere), tie-broken by
+    * day — selection is engine-exact; only the output cast is float.
+    *
+    * Scale shape: ntile bucketing + two window passes over the
+    * calendar-sized daily frame; at fact scale the daily rollup
+    * beneath is the only fact-wide shuffle.
+    */
+  def tsDownsample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val w = Window.orderBy(col("day"))
+    val wb = Window.partitionBy(col("bucket"))
+    val pick = Window.partitionBy(col("bucket"))
+      .orderBy(col("dev").desc, col("day"))
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg((sum(dec2(col("value"))) * 100).cast("long").as("cents"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .withColumn("n_b", count(lit(1)).over(wb))
+      .withColumn("sum_b", sum(col("cents")).over(wb))
+      .withColumn("dev", abs(col("n_b") * col("cents") - col("sum_b")))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("day").cast("timestamp").as("day_ts"),
+        round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+        col("n_b").as("n_days_in_bucket"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_streaks" -> tsStreaks _,
+    "ts_downsample" -> tsDownsample _,
     "ts_cusum" -> tsCusum _,
     "ts_peak_detect" -> tsPeakDetect _,
     "ts_ewma" -> tsEwma _,
@@ -558,6 +634,51 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_streaks" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT day, total_dec, LAG(total_dec) OVER w AS prev_dec,
+        |    CASE WHEN LAG(total_dec) OVER w IS NOT NULL
+        |      AND total_dec > LAG(total_dec) OVER w THEN 1 ELSE 0 END AS up,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+        |  FROM daily WINDOW w AS (ORDER BY day)),
+        |g AS (
+        |  SELECT *, rn - SUM(up) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f)
+        |SELECT CAST(MIN(day) AS TIMESTAMP) AS start_ts,
+        |  CAST(MAX(day) AS TIMESTAMP) AS end_ts,
+        |  COUNT(*) AS rising_days,
+        |  CAST(MAX(total_dec) - MIN(prev_dec) AS DOUBLE) AS gain
+        |FROM g WHERE up = 1
+        |GROUP BY grp ORDER BY start_ts""".stripMargin,
+    "ts_downsample" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT day, cents,
+        |    CAST(NTILE(10) OVER (ORDER BY day) AS BIGINT) AS bucket
+        |  FROM daily),
+        |d AS (
+        |  SELECT bucket, day, cents,
+        |    COUNT(*) OVER (PARTITION BY bucket) AS n_b,
+        |    SUM(cents) OVER (PARTITION BY bucket) AS sum_b
+        |  FROM b),
+        |r AS (
+        |  SELECT bucket, day, cents, n_b,
+        |    abs(n_b * cents - sum_b) AS dev,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY abs(n_b * cents - sum_b) DESC, day) AS rn
+        |  FROM d)
+        |SELECT bucket, CAST(day AS TIMESTAMP) AS day_ts,
+        |  ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |  CAST(n_b AS BIGINT) AS n_days_in_bucket
+        |FROM r WHERE rn = 1 ORDER BY bucket""".stripMargin,
     "ts_cusum" ->
       """WITH e AS (
         |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS tsu,

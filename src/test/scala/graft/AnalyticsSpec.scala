@@ -332,6 +332,72 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("analytics_survival_km: product-limit curve matches brute force, monotone") {
+    val rows = Analytics.survivalKm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // brute force from raw purchase events
+    val pu = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts_utc")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues { ds =>
+        val days = ds.map(_._2)
+        (days.min, days.max)
+      }.toMap
+    val maxDay = pu.values.map(_._2).maxBy(_.toEpochDay)
+    val lifetimes = pu.values.toSeq.map { case (f, l) =>
+      (l.toEpochDay - f.toEpochDay, l.isBefore(maxDay))
+    }
+    val n = lifetimes.size
+    var survival = 1.0
+    var prevRisk = Long.MaxValue
+    val byT = lifetimes.groupBy(_._1).toSeq.sortBy(_._1)
+    val expect = byT.flatMap { case (t, exits) =>
+      val nRisk = n - lifetimes.count(_._1 < t)
+      val d = exits.count(_._2)
+      if (d > 0) {
+        survival *= (nRisk - d).toDouble / nRisk
+        Some((t, nRisk.toLong, d.toLong, survival))
+      } else None
+    }
+    assert(rows.length === expect.length)
+    rows.zip(expect).foreach { case ((t, nr, d, s), (et, enr, ed, es)) =>
+      assert((t, nr, d) === ((et, enr, ed)), s"t=$t exits")
+      assert(math.abs(s - es) < 1e-6, s"t=$t survival $s vs $es")
+      assert(nr <= prevRisk, "risk set shrinks"); prevRisk = nr
+    }
+    // the curve is non-increasing and within (0,1]
+    assert(rows.sliding(2).forall {
+      case Array((_, _, _, a), (_, _, _, b)) => b <= a + 1e-9; case _ => true
+    })
+    rows.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0 + 1e-9))
+  }
+
+  test("analytics_elasticity: grouped OLS matches brute force per brand") {
+    val rows = Analytics.elasticity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .join(broadcast(graft.sources.Tables.part(spark, sf)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(rows.keySet === li.keySet)
+    li.foreach { case (brand, ls) =>
+      val pts = ls.map(l => (math.log(l._2 / l._3), math.log(l._3)))
+      val m = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+      assert(rows(brand)._1 === ls.size.toLong)
+      assert(math.abs(rows(brand)._2 - slope) < 1e-4,
+        s"$brand slope ${rows(brand)._2} vs brute $slope")
+    }
+  }
+
   test("analytics_ab_srm: arms partition the users, chi2 identity holds") {
     val r = Analytics.abSrm(spark, sf).collect().head
     val (n, na, nb, chi2) =

@@ -363,6 +363,69 @@ class TemporalSpec extends SparkTestBase {
     assert(rows(mid)._3 > 0, "smoke: mid-series ewma positive on this corpus")
   }
 
+  test("ts_streaks: every maximal rising run, exact decimal gain") {
+    val rows = Temporal.tsStreaks(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        r.getLong(2), r.getDouble(3)))
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("t"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDecimal(1)))
+    // brute-force maximal strictly-rising runs
+    val runs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int)] // (firstUpIdx, lastIdx)
+    var i = 1
+    while (i < daily.length) {
+      if (daily(i)._2.compareTo(daily(i - 1)._2) > 0) {
+        val start = i
+        while (i + 1 < daily.length &&
+          daily(i + 1)._2.compareTo(daily(i)._2) > 0) i += 1
+        runs += ((start, i))
+      }
+      i += 1
+    }
+    assert(rows.length === runs.length, "run count")
+    rows.zip(runs).foreach { case ((s, e, len, gain), (bs, be)) =>
+      assert(s === daily(bs)._1 && e === daily(be)._1, "run span")
+      assert(len === (be - bs + 1).toLong, "rising-day count")
+      val expect = daily(be)._2.subtract(daily(bs - 1)._2).doubleValue
+      assert(math.abs(gain - expect) < 1e-9, "gain = end minus base")
+      assert(gain > 0, "rising runs gain")
+    }
+  }
+
+  test("ts_downsample: one representative per bucket, maximal deviation") {
+    val rows = Temporal.tsDownsample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L), "all 10 buckets, one rep each")
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("d"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("c"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    assert(rows.map(_._4).sum === daily.length.toLong,
+      "buckets partition the days")
+    // ntile semantics: first (n mod 10) buckets get the extra day
+    val nD = daily.length
+    val base = nD / 10; val extra = nD % 10
+    var off = 0
+    rows.foreach { case (b, day, rev, nb) =>
+      val sz = base + (if (b <= extra) 1 else 0)
+      assert(nb === sz.toLong, s"bucket $b size")
+      val slice = daily.slice(off, off + sz); off += sz
+      val sumB = slice.map(_._2).sum
+      val best = slice.map { case (d, c) =>
+        (math.abs(sz.toLong * c - sumB), d, c)
+      }.sortBy(t => (-t._1, t._2.toEpochDay)).head
+      assert(day === best._2, s"bucket $b representative day")
+      assert(math.abs(rev - best._3 / 100.0) < 1e-9)
+    }
+  }
+
   test("ts_cusum: matches a brute-force cumulative-deviation maximum") {
     val rows = Temporal.tsCusum(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))

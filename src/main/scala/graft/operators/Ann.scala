@@ -278,7 +278,36 @@ object Ann {
     graft.api.GraftOps.cosineRange(Tables.embeddings(spark, sfDir),
       "vec_id", "embedding", probeId = 0L, tau = 0.25)
 
+  /** `knn_recall_eval` — the retrieval-quality evaluation surface:
+    * per-probe recall@5 of the LSH-bucketed batch k-NN join against
+    * the exact join — the metric a production ANN deployment tracks
+    * before/after every index rebuild (an index that silently lost
+    * recall is worse than a slow one). No oracle (the LSH side is
+    * bucket-layout-specific by design); the recall floor and the
+    * evaluation identity (hits ⊆ exact, recall = hits/k) are pinned
+    * in AnnSpec.
+    *
+    * Scale shape: both joins are the existing broadcast-probe shapes;
+    * the hit test is an equi-join on (probe, neighbour) at k-bounded
+    * cardinality — the eval costs less than either retrieval.
+    */
+  def knnRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = knnJoin(spark, sfDir)
+      .select(col("probe_id"), col("vec_id"))
+    val ann = knnJoinAnn(spark, sfDir)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_hit"))
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall_at_5"))
+      .orderBy(col("probe_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_recall_eval" -> knnRecallEval _,
     "knn_range" -> knnRange _,
     "knn_ann" -> knnAnn _,
     "knn_ann_multi" -> knnAnnMulti _,

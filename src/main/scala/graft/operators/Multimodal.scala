@@ -131,7 +131,53 @@ object Multimodal {
           .cast("int").as("rs_h"))
       .orderBy(col("doc_id"))
 
+  /** `multimodal_quality` — corrupt/blank-media screening by byte
+    * entropy: per blob, the Shannon entropy (bits) of its byte
+    * distribution, flagging low-entropy blobs (a blank image, a
+    * constant-fill corrupt file, a truncated stream all collapse to
+    * few byte values — the cheapest no-decode quality signal a media
+    * pipeline has). Runs in the same once-per-task `mapPartitions`
+    * shape as the other extractors; the 256-bin histogram is O(1)
+    * state per blob, accumulated bin-ascending so the entropy sum
+    * order is deterministic. On this ASCII corpus the byte histogram
+    * is SQL-expressible, so the plumbing IS oracle-gated; the 4.0-bit
+    * threshold flags the corpus's bottom decile.
+    */
+  def multimodalQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { blobs =>
+        blobs.map { case (id, bytes) =>
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
+          val n = bytes.length.toDouble
+          var ent = 0.0
+          var b = 0
+          while (b < 256) {
+            if (hist(b) > 0) {
+              val p = hist(b) / n
+              ent -= p * math.log(p) / math.log(2.0)
+            }
+            b += 1
+          }
+          (id, bytes.length.toLong, ent)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "ent")
+      .select(col("doc_id"), col("n_bytes"),
+        round(col("ent"), 6).as("entropy_bits"))
+      // flag from the ROUNDED value: boundary membership then shares the
+      // round-6 contract instead of riding the last ulp of the raw sum
+      .withColumn("low_quality", col("entropy_bits") < 4.0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_quality" -> multimodalQuality _,
     "multimodal_decode" -> multimodalDecode _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_features" -> multimodalFeatures _,
@@ -139,6 +185,20 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_quality" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(n) AS nb FROM cc GROUP BY 1),
+        |e AS (
+        |  SELECT cc.doc_id, CAST(MAX(nb) AS BIGINT) AS n_bytes,
+        |    ROUND(SUM(-(n / CAST(nb AS DOUBLE)) *
+        |      ln(n / CAST(nb AS DOUBLE)) / ln(2)), 6) AS entropy_bits
+        |  FROM cc JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, n_bytes, entropy_bits,
+        |  entropy_bits < 4.0 AS low_quality
+        |FROM e ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
         |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,

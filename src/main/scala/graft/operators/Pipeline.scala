@@ -474,7 +474,36 @@ object Pipeline {
       .orderBy(col("rnk"))
   }
 
+  /** `pipeline_epoch_shuffle` — deterministic per-epoch reshuffling:
+    * for each training epoch, every document gets a shuffle rank from
+    * the md5 of (epoch, doc_id) — a different, reproducible, seedable
+    * permutation per epoch with ZERO coordination (any worker can
+    * compute any row's position). This is how a data loader reshuffles
+    * 100 TB between epochs without materializing a permutation: the
+    * order IS the sort key. Two epochs are emitted so the gate pins
+    * both completeness (each epoch is a full permutation) and
+    * decorrelation (the orders differ).
+    *
+    * Scale shape: map-side hash + one rank window per epoch partition;
+    * at scale the rank is realized by the shuffle-write sort itself
+    * (sortWithinPartitions on the hash), not a global window.
+    */
+  def pipelineEpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("shuffle_rank", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("shuffle_rank"))
+      .orderBy(col("epoch"), col("shuffle_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_token_budget" -> pipelineTokenBudget _,
     "knn_hybrid" -> knnHybrid _,
     "pipeline_curate" -> pipelineCurate _,
@@ -506,6 +535,16 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "pipeline_epoch_shuffle" ->
+      """WITH x AS (
+        |  SELECT doc_id, epoch,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+        |      AS shuffle_key
+        |  FROM documents, (SELECT unnest([0, 1]) AS epoch))
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM x ORDER BY epoch, shuffle_rank""".stripMargin,
     "pipeline_token_budget" ->
       """WITH s AS (
         |  SELECT doc_id,

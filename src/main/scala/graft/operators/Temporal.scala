@@ -611,7 +611,39 @@ object Temporal {
       .orderBy(col("bucket"))
   }
 
+  /** `join_asof_tolerance` — the bounded as-of (pandas merge_asof's
+    * `tolerance`): each purchase matches the latest signup at/before
+    * it ONLY if the gap is within 1 hour — stale matches drop instead
+    * of silently attributing to an hours-old signup. The missing
+    * tolerance bound is the classic as-of correctness bug in log
+    * correlation and feature lookup.
+    *
+    * Same one-shuffle running-MAX window shape as join_asof; the
+    * tolerance is a µs-exact integer filter AFTER the match (the
+    * match itself is unchanged — bounding inside the window would
+    * need a range frame and buy nothing). Gap reported in exact µs.
+    */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_utc"))
+      .withColumn("signup_ts",
+        max(when(col("event_type") === "signup", col("ts_utc"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("signup_ts").isNotNull)
+      .withColumn("gap_us",
+        unix_micros(col("ts_utc")) - unix_micros(col("signup_ts")))
+      .filter(col("gap_us") <= 3600000000L)
+      .select(col("event_id"), col("user_id"), col("signup_ts"),
+        col("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_tolerance" -> joinAsofTolerance _,
     "ts_streaks" -> tsStreaks _,
     "ts_downsample" -> tsDownsample _,
     "ts_cusum" -> tsCusum _,
@@ -634,6 +666,22 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'signup' THEN tsu END) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+        |  FROM e)
+        |SELECT event_id, user_id, signup_ts,
+        |  epoch_us(tsu) - epoch_us(signup_ts) AS gap_us
+        |FROM m
+        |WHERE event_type = 'purchase' AND signup_ts IS NOT NULL
+        |  AND epoch_us(tsu) - epoch_us(signup_ts) <= 3600000000
+        |ORDER BY event_id""".stripMargin,
     "ts_streaks" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

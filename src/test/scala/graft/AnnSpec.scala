@@ -378,6 +378,32 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("knn_recall_eval: the measurement is exact — identities + brute force") {
+    // NOTE: no recall FLOOR here — on this uniform test cloud the exact
+    // top-5 are not near-dups, so LSH recall is legitimately low (the
+    // regime LSH serves is pinned on planted near-dups below). What the
+    // EVAL op owes us is a correct MEASUREMENT of whatever recall is.
+    val rows = Ann.knnRecallEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nExact, nHit, recall) =>
+      assert(nExact === 5L, "exact join returns k=5 per probe")
+      assert(nHit >= 0L && nHit <= nExact, "hits are a subset of exact")
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-9,
+        "recall = hits / k")
+    }
+    // brute force the hit counts from the two join outputs directly
+    val exact = Ann.knnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ann = Ann.knnJoinAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_._1).toSet === exact.keySet, "one row per probe")
+    rows.foreach { case (pid, _, nHit, _) =>
+      val brute = exact(pid).count(ann.contains)
+      assert(nHit === brute.toLong, s"probe $pid hit count")
+    }
+  }
+
   test("knn_range: exactly the vectors at round-6 cosine >= tau, none missed") {
     val rows = Ann.knnRange(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

@@ -168,6 +168,25 @@ class NearDedupSpec extends SparkTestBase {
     assert(rows.map(_._1).distinct.length === rows.length, "one row per degree")
   }
 
+  test("graph_adamic_adar: non-adjacent pairs only, scores ordered and bounded") {
+    val rows = NearDedup.graphAdamicAdar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 100, "top-100 head")
+    rows.foreach { case (a, b, nc, aa) =>
+      assert(a < b, "canonical pair order")
+      assert(nc >= 1, "at least one common neighbour")
+      // deg(v) >= 2 for any common neighbour => each term <= 1/ln(2)
+      assert(aa > 0 && aa <= nc / math.log(2.0) + 1e-9,
+        s"AA bounded by n_common/ln(2): $aa vs $nc")
+    }
+    // descending score, ties by pair
+    assert(rows.sliding(2).forall {
+      case Array((a1, b1, _, s1), (a2, b2, _, s2)) =>
+        s1 > s2 || (s1 == s2 && (a1 < a2 || (a1 == a2 && b1 < b2)))
+      case _ => true
+    }, "ordering: aa desc, then pair")
+  }
+
   test("dedup_prefix: groups match brute force, representatives are min ids") {
     val rows = NearDedup.dedupPrefix(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

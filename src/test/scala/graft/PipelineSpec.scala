@@ -501,4 +501,44 @@ class PipelineSpec extends SparkTestBase {
     val joined = Pipeline.multimodalJoin(spark, sf).agg(sum("n_docs")).collect()(0).getLong(0)
     assert(joined === Tables.embeddings(spark, sf).count())
   }
+
+  test("pipeline_epoch_shuffle: full permutation per epoch, epochs decorrelated") {
+    val rows = Pipeline.pipelineEpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.length === nDocs.toInt, s"epoch $e covers every doc")
+      assert(rs.map(_._3).sorted.toSeq === (1L to nDocs).toSeq,
+        s"epoch $e ranks are a complete 1..n permutation")
+      assert(rs.map(_._2).distinct.length === rs.length,
+        s"epoch $e: each doc exactly once")
+    }
+    // the two epoch orders must differ (hash decorrelation): the rank
+    // assignment agreeing on every doc would defeat the reshuffle
+    val r0 = byEpoch(0L).map(r => r._2 -> r._3).toMap
+    val agree = byEpoch(1L).count(r => r0(r._2) == r._3)
+    assert(agree < nDocs / 10,
+      s"epoch orders nearly identical: $agree/$nDocs fixed points")
+  }
+
+  test("multimodal_quality: entropy bounds and flag consistency") {
+    val rows = graft.operators.Multimodal.multimodalQuality(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length === Tables.documents(spark, sf).count().toInt)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, nBytes, ent, low) =>
+      val text = docs(id)
+      assert(nBytes === text.length.toLong, "ASCII: bytes == chars")
+      val distinct = text.toSet.size
+      assert(ent >= -1e-9 && ent <= math.log(distinct.toDouble) /
+        math.log(2.0) + 1e-6,
+        s"doc $id: entropy within [0, log2(alphabet)]")
+      assert(low === (ent < 4.0), "flag derives from the rounded entropy")
+    }
+  }
 }

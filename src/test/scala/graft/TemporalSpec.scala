@@ -363,6 +363,29 @@ class TemporalSpec extends SparkTestBase {
     assert(rows(mid)._3 > 0, "smoke: mid-series ewma positive on this corpus")
   }
 
+  test("join_asof_tolerance: the bounded subset of join_asof, gaps within 1h") {
+    val tol = Temporal.joinAsofTolerance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
+    val full = Temporal.joinAsof(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toMap
+    assert(tol.nonEmpty)
+    tol.foreach { case (eid, signup, gap) =>
+      assert(gap >= 0L && gap <= 3600000000L, s"gap within tolerance: $gap")
+      assert(full(eid) === signup,
+        "tolerance never changes the MATCH, only membership")
+    }
+    // exactly the full-asof rows whose gap fits — none dropped, none added
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val tolIds = tol.map(_._1).toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts_utc"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    full.foreach { case (eid, signup) =>
+      val inTol = ev(eid) - us(signup) <= 3600000000L
+      assert(tolIds.contains(eid) === inTol, s"membership for $eid")
+    }
+  }
+
   test("ts_streaks: every maximal rising run, exact decimal gain") {
     val rows = Temporal.tsStreaks(spark, sf).collect()
       .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,

@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.{BloomFns, CosineSimilarity, HilbertCode, LshBucket, SimHash64}
 
@@ -1662,6 +1663,28 @@ object GraftOps {
     * query keeps the unbounded form so the distance VALUE is
     * oracle-checkable.
     */
+  /** Late-arrival audit: per key, replay the stream in ARRIVAL order
+    * (`arrivalCol`) and measure each event's lateness against the
+    * running event-time high-water mark — `late_us` = how far below
+    * the key's watermark this event arrived (0 if in order; the first
+    * arrival has no watermark and is never late). The delay
+    * distribution `withWatermark` must cover. ONE key-partitioned
+    * running-max window, O(1) state/row, no self-join.
+    */
+  def latenessAudit(df: DataFrame, keyCol: String, arrivalCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__hwm", max(col(tsCol)).over(w))
+      .withColumn("late_us",
+        // coalesce BEFORE greatest: the first arrival's watermark is
+        // NULL, and greatest() null semantics differ across engines
+        greatest(coalesce(
+          unix_micros(col("__hwm")) - unix_micros(col(tsCol)), lit(0L)),
+          lit(0L)))
+      .drop("__hwm")
+  }
+
   def fuzzyDupPairs(df: DataFrame, idCol: String, textCol: String,
       blockKey: Column, maxRel: Double,
       isDupCol: String = "is_dup"): DataFrame = {

@@ -726,7 +726,44 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** `analytics_conversion_window` — bounded-window conversion: of the
+    * users who ever signed up, how many purchased within 7 days of
+    * their FIRST signup — the activation metric behind every "D7
+    * conversion" dashboard. funnel_stages answers "ever, in order";
+    * this answers "in time", which is the version a growth team is
+    * actually paged on.
+    *
+    * Spark-first shape: the first-signup table is one conditional-min
+    * aggregate; purchases join it ON user_id — both sides hash the
+    * same key, one co-partitioned shuffle — and the bounded-window
+    * test collapses per user then globally (map-combined at each
+    * step). The 7-day bound is exact integer µs.
+    */
+  def conversionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts_utc")))
+        .as("first_signup"))
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_utc").as("p_ts"))
+    perUser.filter(col("first_signup").isNotNull)
+      .join(purchases, Seq("user_id"), "left")
+      .withColumn("converted",
+        (col("p_ts").isNotNull &&
+          unix_micros(col("p_ts")) >= unix_micros(col("first_signup")) &&
+          unix_micros(col("p_ts")) - unix_micros(col("first_signup")) <=
+            604800000000L).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(col("converted")).as("conv"))
+      .agg(count(lit(1)).as("n_signup_users"),
+        sum(col("conv")).as("n_converted_7d"),
+        round(sum(col("conv")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("conv_rate_7d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_conversion_window" -> conversionWindow _,
     "analytics_survival_km" -> survivalKm _,
     "analytics_elasticity" -> elasticity _,
     "analytics_ab_srm" -> abSrm _,
@@ -748,6 +785,29 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_conversion_window" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup'
+        |      THEN CAST(ts AS TIMESTAMP) END) AS first_signup
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT fs.user_id,
+        |    MAX(CASE WHEN p_ts IS NOT NULL
+        |      AND epoch_us(p_ts) >= epoch_us(first_signup)
+        |      AND epoch_us(p_ts) - epoch_us(first_signup) <= 604800000000
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM fs LEFT JOIN p ON fs.user_id = p.user_id
+        |  WHERE first_signup IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT COUNT(*) AS n_signup_users,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted_7d,
+        |  ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS conv_rate_7d
+        |FROM c""".stripMargin,
     "analytics_survival_km" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -479,7 +479,40 @@ object Etl {
       .orderBy(col("purchase_id"))
   }
 
+  /** `etl_late_data` — the late-arrival audit a streaming ingest needs
+    * before choosing its watermark: using per-user append order
+    * (event_id) as the arrival proxy, an event is LATE when it arrives
+    * after a later-timestamped event already did — i.e. its event time
+    * is below the user's running high-water mark. Reported per event
+    * day: how many events were late and the worst lateness, in exact
+    * µs — exactly the delay distribution `withWatermark` must cover
+    * (see graft.streaming for the consumers).
+    *
+    * Scale shape: ONE (user)-partitioned running-max window in arrival
+    * order, then a map-combined daily rollup — no self-join, O(1)
+    * per-row state, the same single-shuffle class as any sessionize.
+    */
+  def etlLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    // GraftOps.latenessAudit on (user, append-order, event-time). NOTE:
+    // the driver corpus is fully event-time-ordered within users, so the
+    // gated report is the audit's CLEAN verdict (n_late = 0 per day) —
+    // the detection logic itself is pinned on planted disorder in
+    // ApiSpec, where the proxy isn't vacuous.
+    graft.api.GraftOps.latenessAudit(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts_utc")),
+      "user_id", "event_id", "ts_utc")
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("max_lateness_us"))
+      .select(col("day").cast("timestamp").as("day_ts"), col("n_events"),
+        col("n_late"), col("max_lateness_us"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_late_data" -> etlLateData _,
     "join_pit" -> joinPit _,
     "dq_dup_keys" -> dqDupKeys _,
     "dq_outlier_mad" -> dqOutlierMad _,
@@ -500,6 +533,24 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "etl_late_data" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |h AS (
+        |  SELECT *, MAX(tsu) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e),
+        |l AS (
+        |  SELECT tsu,
+        |    greatest(COALESCE(epoch_us(hwm) - epoch_us(tsu), 0), 0) AS late_us
+        |  FROM h)
+        |SELECT CAST(CAST(tsu AS DATE) AS TIMESTAMP) AS day_ts,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(MAX(late_us) AS BIGINT) AS max_lateness_us
+        |FROM l GROUP BY 1 ORDER BY day_ts""".stripMargin,
     "join_pit" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,

@@ -502,7 +502,30 @@ object Pipeline {
       .orderBy(col("epoch"), col("shuffle_rank"))
   }
 
+  /** `sample_systematic` — systematic (every k-th) sampling over the
+    * doc_id-ordered corpus: rank rows, keep rank ≡ 3 (mod 7) — the
+    * audit-sampling scheme QA teams use when they want coverage spread
+    * EVENLY across the corpus rather than hash-random
+    * (sample_weighted / pipeline_split are the content-addressed
+    * family; this is the positional one, and the right choice when
+    * adjacent rows are correlated and you want one per neighbourhood).
+    *
+    * Scale shape: at corpus scale the rank is zipWithIndex-style
+    * partition arithmetic (offset = sum of earlier partition counts),
+    * not a global window; the modulus filter is map-side. The gate
+    * form uses the window (tiny corpus), the semantics are identical.
+    */
+  def sampleSystematic(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(pmod(col("rn"), lit(7)) === 3)
+      .orderBy(col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_systematic" -> sampleSystematic _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_token_budget" -> pipelineTokenBudget _,
     "knn_hybrid" -> knnHybrid _,
@@ -535,6 +558,12 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "sample_systematic" ->
+      """SELECT doc_id, lang, n_chars, rn FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn % 7 = 3 ORDER BY rn""".stripMargin,
     "pipeline_epoch_shuffle" ->
       """WITH x AS (
         |  SELECT doc_id, epoch,

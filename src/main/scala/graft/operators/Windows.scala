@@ -219,7 +219,48 @@ object Windows {
       .orderBy(col("day_ts"))
   }
 
+  /** `win_debounce` — alert debouncing: error events per user collapse
+    * into BURSTS (a new burst opens when the gap from the previous
+    * error exceeds 30 minutes), and only each burst's first event
+    * "fires" — the rest are suppressed. The dedup an alerting pipeline
+    * runs so one incident pages once, reported as one row per burst
+    * with its suppressed count. The stateful-looking cooldown is
+    * expressible statelessly because the burst boundary depends only
+    * on the PREVIOUS event (lag), not on which events fired.
+    *
+    * Scale shape: one (user)-partitioned lag window marks boundaries,
+    * a running sum of boundary flags keys the burst, one aggregate per
+    * burst — the sessionize-without-session_window idiom, one shuffle.
+    */
+  def winDebounce(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_utc"))
+      .withColumn("brk",
+        (lag(col("ts_utc"), 1).over(w).isNull ||
+          unix_micros(col("ts_utc")) -
+            unix_micros(lag(col("ts_utc"), 1).over(w)) > 1800000000L)
+          .cast("long"))
+      .withColumn("burst", sum(col("brk")).over(run))
+      // rank-1 within the burst, not min(event_id): under late arrivals
+      // the smallest id need not be the burst's first event in EVENT time
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("burst"))
+          .orderBy(col("ts_utc"), col("event_id"))))
+      .withColumn("n_burst", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("burst"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("ts_utc").as("burst_start"),
+        (col("n_burst") - 1).as("n_suppressed"))
+      .orderBy(col("user_id"), col("burst_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_debounce" -> winDebounce _,
     "win_running_distinct" -> winRunningDistinct _,
     "win_ignore_nulls" -> winIgnoreNulls _,
     "win_pattern" -> winPattern _,
@@ -232,6 +273,30 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT *, CASE WHEN LAG(tsu) OVER w IS NULL
+        |      OR epoch_us(tsu) - epoch_us(LAG(tsu) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+        |  FROM b),
+        |r AS (
+        |  SELECT user_id, event_id, tsu,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, burst
+        |      ORDER BY tsu, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, burst) AS n_burst
+        |  FROM g)
+        |SELECT user_id, event_id AS first_event_id, tsu AS burst_start,
+        |  CAST(n_burst - 1 AS BIGINT) AS n_suppressed
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, burst_start""".stripMargin,
     "win_running_distinct" ->
       """WITH ev AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id

@@ -332,6 +332,24 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("analytics_conversion_window: brute-force D7 conversion") {
+    val r = Analytics.conversionWindow(spark, sf).collect().head
+    val (nSign, nConv, rate) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts_utc")))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1)
+    val signers = ev.filter(_._2.exists(_._2 == "signup"))
+    assert(nSign === signers.size.toLong)
+    val conv = signers.count { case (_, es) =>
+      val fs = es.filter(_._2 == "signup").map(_._3).min
+      es.exists(e => e._2 == "purchase" && e._3 >= fs &&
+        e._3 - fs <= 604800000000L)
+    }
+    assert(nConv === conv.toLong, "brute-force converted count")
+    assert(math.abs(rate - conv.toDouble / signers.size) < 1e-6)
+  }
+
   test("analytics_survival_km: product-limit curve matches brute force, monotone") {
     val rows = Analytics.survivalKm(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

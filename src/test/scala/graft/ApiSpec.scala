@@ -695,4 +695,26 @@ class ApiSpec extends SparkTestBase {
     // the ANN result is a subset of candidates scoring identically
     assert(ann.nonEmpty && ann.toSet.subsetOf(Set(1L, 2L, 3L)))
   }
+
+  test("latenessAudit detects planted disorder with exact lateness") {
+    val s2 = spark
+    import s2.implicits._
+    // key 1 arrivals: t=100s, 300s, 200s (late by 100s), 400s;
+    // key 2 in order throughout
+    val df = Seq(
+      (1L, 1L, 100000000L), (1L, 2L, 300000000L),
+      (1L, 3L, 200000000L), (1L, 4L, 400000000L),
+      (2L, 1L, 50000000L), (2L, 2L, 60000000L))
+      .toDF("k", "arr", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = GraftOps.latenessAudit(df, "k", "arr", "ts")
+      .select(col("k"), col("arr"), col("late_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 1L)) === 0L, "first arrival is never late")
+    assert(out((1L, 2L)) === 0L)
+    assert(out((1L, 3L)) === 100000000L, "exact µs below the watermark")
+    assert(out((1L, 4L)) === 0L, "watermark recovers")
+    assert(out((2L, 1L)) === 0L && out((2L, 2L)) === 0L,
+      "in-order key stays clean")
+  }
 }

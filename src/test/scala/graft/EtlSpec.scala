@@ -251,6 +251,38 @@ class EtlSpec extends SparkTestBase {
       s"the quarantine path must not shuffle the fact stream:\n$plan")
   }
 
+  test("etl_late_data: lateness matches brute-force high-water marks") {
+    val rows = Etl.etlLateData(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts_utc")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val late = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(_._2) // arrival = append order
+      var hwm = Long.MinValue
+      sorted.map { e =>
+        val l = math.max(if (hwm == Long.MinValue) 0L else hwm - e._3, 0L)
+        hwm = math.max(hwm, e._3)
+        (e._3, l)
+      }
+    }
+    val byDay = late.groupBy(e =>
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(e._1, 86400000000L)))
+    assert(rows.map(_._1).toSet === byDay.keySet)
+    rows.foreach { case (day, n, nLate, maxL) =>
+      val es = byDay(day)
+      assert(n === es.size.toLong, s"$day count")
+      assert(nLate === es.count(_._2 > 0).toLong, s"$day late count")
+      assert(maxL === es.map(_._2).max, s"$day max lateness")
+    }
+    // this corpus is fully event-time-ordered within users: the audit's
+    // gated output is its CLEAN verdict (detection on planted disorder
+    // is pinned in ApiSpec, where the proxy isn't vacuous)
+    assert(rows.map(_._3).sum === 0L, "clean-corpus verdict")
+    assert(rows.map(_._4).max === 0L)
+  }
+
   test("join_pit: every purchase matched once, to the version valid AT its time") {
     val rows = Etl.joinPit(spark, sf).collect()
       .map(r => (r.getLong(1), r.getString(3), r.getLong(4)))

@@ -502,6 +502,20 @@ class PipelineSpec extends SparkTestBase {
     assert(joined === Tables.embeddings(spark, sf).count())
   }
 
+  test("sample_systematic: every 7th row by rank, evenly spread") {
+    val rows = Pipeline.sampleSystematic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    val expect = ids.zipWithIndex
+      .collect { case (id, i) if (i + 1) % 7 == 3 => (id, (i + 1).toLong) }
+    assert(rows.toSeq === expect.toSeq, "exactly rank ≡ 3 (mod 7)")
+    // even spread: consecutive kept ranks differ by exactly k
+    assert(rows.map(_._2).sliding(2).forall {
+      case Array(a, b) => b - a == 7; case _ => true
+    })
+  }
+
   test("pipeline_epoch_shuffle: full permutation per epoch, epochs decorrelated") {
     val rows = Pipeline.pipelineEpochShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

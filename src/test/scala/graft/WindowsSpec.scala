@@ -110,6 +110,33 @@ class WindowsSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "no self-join in the window formulation")
   }
 
+  test("win_debounce: bursts partition the errors, one firing per burst") {
+    val rows = Windows.winDebounce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    val errs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts_utc"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // conservation: every error is either a firing or suppressed
+    assert(rows.length + rows.map(_._4).sum === errs.length.toLong)
+    // brute-force burst structure per user
+    val byUser = errs.groupBy(_._1)
+    val brute = byUser.toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val bursts = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]
+      sorted.foreach { e =>
+        if (bursts.isEmpty || e._3 - bursts.last.last._3 > 1800000000L)
+          bursts += scala.collection.mutable.ArrayBuffer(e)
+        else bursts.last += e
+      }
+      bursts.map(b => (uid, b.head._2, (b.length - 1).toLong))
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.map(r => (r._1, r._2, r._4)).sortBy(t => (t._1, t._2))
+      .toSeq === brute.toSeq, "burst heads and suppressed counts")
+  }
+
   test("win_running_distinct: curve equals brute-force distinct-so-far, monotone") {
     val rows = Windows.winRunningDistinct(spark, sf).collect()
       .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,

@@ -102,7 +102,7 @@ object Fuzz {
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
-      36)) match {
+      36, 37, 38)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -507,6 +507,52 @@ object Fuzz {
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN $pre PRECEDING AND $post FOLLOWING)
          |ORDER BY day_ts""".stripMargin
+    case 37 => // cumulative-weight percentile pick (agg_weighted_median's
+      // shape): integer-cents weights, the exact k·cum >= p·W selection —
+      // no division anywhere, so the picked element must agree exactly
+      val p = pick(r, Seq(1, 2, 3)) // quartile numerator over 4
+      val lp = s"l_quantity >= ${1 + r.nextInt(20)} AND " +
+        s"l_orderkey % ${2 + r.nextInt(9)} = ${r.nextInt(2)}"
+      s"""WITH bp AS (
+         |  SELECT l_returnflag, l_extendedprice AS price,
+         |    SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * 100 AS BIGINT)) AS w
+         |  FROM lineitem WHERE $lp
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT l_returnflag, price, w,
+         |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+         |  FROM bp)
+         |SELECT l_returnflag, CAST(MAX(total_w) AS BIGINT) AS total_w,
+         |  MIN(price) AS picked
+         |FROM c WHERE cum * 4 >= total_w * $p
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    case 38 => // gap-threshold burst sessionization (win_debounce's
+      // shape): lag-gap break flags + running-sum burst keys — the
+      // rank-1 head and suppressed counts must agree on every gap scale
+      // shared-dialect gap test: timestamp difference vs INTERVAL — both
+      // engines accept the quoted-count INTERVAL '<n>' MINUTE form
+      // (epoch_us is DuckDB-only; unix_micros is Spark-only)
+      val gapMin = pick(r, Seq(5, 15, 30, 60, 120))
+      val et = pick(r, Seq("error", "click", "view", "purchase"))
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+         |  FROM events WHERE event_type = '$et'),
+         |b AS (
+         |  SELECT *, CASE WHEN LAG(tsu) OVER w IS NULL
+         |      OR tsu - LAG(tsu) OVER w > INTERVAL '$gapMin' MINUTE
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |g AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+         |    ORDER BY tsu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+         |  FROM b)
+         |SELECT user_id, COUNT(DISTINCT burst) AS n_bursts,
+         |  COUNT(*) AS n_events,
+         |  CAST(COUNT(*) - COUNT(DISTINCT burst) AS BIGINT) AS n_suppressed
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -524,7 +524,44 @@ object Pipeline {
       .orderBy(col("rn"))
   }
 
+  /** `pipeline_drift_report` — dataset drift card between two corpus
+    * snapshots: the doc_id-parity halves stand in for "yesterday's
+    * crawl" vs "today's", and the report gives per-language counts,
+    * shares, share deltas, and the total-variation distance between
+    * the two language mixtures — the distribution-shift gate a
+    * training-data pipeline runs before accepting a new snapshot into
+    * the mixture (a silent source flip shows up here first).
+    *
+    * Exactness: all counts exact integers (one map-combined
+    * aggregate); shares and TVD = ½Σ|p_a − p_b| are doubles over the
+    * language-domain-sized frame, ROUND-6. The TVD rides a
+    * whole-frame window over ≤|languages| rows.
+    */
+  def pipelineDriftReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = when(pmod(col("doc_id"), lit(2)) === 0, "a").otherwise("b")
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), half.as("half"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).cast("double").as("ta"),
+      sum(col("n_b")).cast("double").as("tb"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_a", col("n_a") / col("ta"))
+      .withColumn("share_b", col("n_b") / col("tb"))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round(col("share_a") - col("share_b"), 6).as("share_delta"),
+        round(sum(abs(col("share_a") - col("share_b"))).over(wAll) / 2.0, 6)
+          .as("tvd"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_drift_report" -> pipelineDriftReport _,
     "sample_systematic" -> sampleSystematic _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_token_budget" -> pipelineTokenBudget _,
@@ -558,6 +595,24 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "pipeline_drift_report" ->
+      """WITH counts AS (
+        |  SELECT lang,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+        |    CAST(SUM(n_b) AS DOUBLE) AS tb
+        |  FROM counts),
+        |sh AS (
+        |  SELECT lang, n_a, n_b, n_a / ta AS share_a, n_b / tb AS share_b
+        |  FROM counts, tot)
+        |SELECT lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND(share_a, 6) AS share_a, ROUND(share_b, 6) AS share_b,
+        |  ROUND(share_a - share_b, 6) AS share_delta,
+        |  ROUND(SUM(abs(share_a - share_b)) OVER () / 2.0, 6) AS tvd
+        |FROM sh ORDER BY lang""".stripMargin,
     "sample_systematic" ->
       """SELECT doc_id, lang, n_chars, rn FROM (
         |  SELECT doc_id, lang, n_chars,

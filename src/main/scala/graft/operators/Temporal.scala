@@ -642,7 +642,54 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** `ts_anomaly_stl` — anomaly detection on the DESEASONALIZED
+    * series: ts_decompose's residual (total − trend − seasonal) is
+    * z-scored against its own distribution and every day is flagged
+    * when |z| > 2 — the detector that catches a weekday spike a raw
+    * z-score (dq_anomaly) would excuse as "Mondays are always high",
+    * because trend and weekly seasonality are already removed. Every
+    * day is emitted with its flag (not just hits), so the gate is
+    * scale-stable and the output doubles as the inspection table.
+    *
+    * Exactness: the decomposition is the ts_decompose spine
+    * (decimal rollup, decimal-avg trend and seasonal); z-scores are
+    * computed from the ROUND-6 residuals — both engines feed
+    * identical inputs into the final mean/σ formula, whose
+    * calendar-sized double sums sit far inside ROUND-6.
+    */
+  def tsAnomalyStl(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend", avg(col("total")).over(wTrend))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(avg(col("total") - col("trend")).as("raw_seasonal"))
+    val center = seasonal.agg(avg(col("raw_seasonal")).as("season_mean"))
+    val resid = trended
+      .join(broadcast(seasonal), Seq("dow"))
+      .crossJoin(broadcast(center))
+      .select(col("day"), col("total"),
+        round(col("total") - col("trend") -
+          (col("raw_seasonal") - col("season_mean")), 6).as("residual"))
+    val stats = resid.agg(
+      avg(col("residual").cast("double")).as("mu"),
+      stddev_samp(col("residual").cast("double")).as("sigma"))
+    resid.crossJoin(broadcast(stats))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        col("total").cast("double").as("revenue"),
+        col("residual").cast("double").as("residual"),
+        round((col("residual") - col("mu")) / col("sigma"), 6).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly_stl" -> tsAnomalyStl _,
     "join_asof_tolerance" -> joinAsofTolerance _,
     "ts_streaks" -> tsStreaks _,
     "ts_downsample" -> tsDownsample _,
@@ -666,6 +713,33 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_anomaly_stl" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, total,
+        |    AVG(total) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+        |  FROM daily),
+        |s AS (
+        |  SELECT dow, AVG(total - trend) AS raw_seasonal FROM t GROUP BY 1),
+        |c AS (SELECT AVG(raw_seasonal) AS season_mean FROM s),
+        |r AS (
+        |  SELECT t.day, t.total,
+        |    ROUND(t.total - t.trend - (s.raw_seasonal - c.season_mean), 6)
+        |      AS residual
+        |  FROM t JOIN s ON t.dow = s.dow CROSS JOIN c),
+        |st AS (
+        |  SELECT AVG(residual) AS mu, stddev_samp(residual) AS sigma FROM r)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts, total AS revenue,
+        |  CAST(residual AS DOUBLE) AS residual,
+        |  ROUND((residual - mu) / sigma, 6) AS z,
+        |  abs(ROUND((residual - mu) / sigma, 6)) > 2.0 AS is_anomaly
+        |FROM r CROSS JOIN st
+        |ORDER BY day_ts""".stripMargin,
     "join_asof_tolerance" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu

@@ -502,6 +502,28 @@ class PipelineSpec extends SparkTestBase {
     assert(joined === Tables.embeddings(spark, sf).count())
   }
 
+  test("pipeline_drift_report: conservation, share identities, TVD bounds") {
+    val rows = Pipeline.pipelineDriftReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val perLang = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet === perLang.keySet)
+    rows.foreach { case (lang, na, nb, sa, sb, delta, _) =>
+      assert(na + nb === perLang(lang), s"$lang: halves partition the docs")
+      assert(math.abs(delta - (sa - sb)) < 2e-6)
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5, "A shares sum to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-5, "B shares sum to 1")
+    val tvd = rows.head._7
+    assert(rows.forall(r => math.abs(r._7 - tvd) < 1e-9),
+      "TVD is a single corpus-level number")
+    assert(tvd >= 0.0 && tvd <= 1.0)
+    val brute = rows.map(r => math.abs(r._4 - r._5)).sum / 2.0
+    assert(math.abs(tvd - brute) < 1e-5, "TVD = half the L1 distance")
+  }
+
   test("sample_systematic: every 7th row by rank, evenly spread") {
     val rows = Pipeline.sampleSystematic(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(3)))

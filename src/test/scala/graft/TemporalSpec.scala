@@ -363,6 +363,26 @@ class TemporalSpec extends SparkTestBase {
     assert(rows(mid)._3 > 0, "smoke: mid-series ewma positive on this corpus")
   }
 
+  test("ts_anomaly_stl: residuals match decompose, z standardized, flag consistent") {
+    val rows = Temporal.tsAnomalyStl(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val dec = Temporal.tsDecompose(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getDouble(5)).toMap
+    assert(rows.length === dec.size, "every day emitted")
+    rows.foreach { case (d, resid, _, _) =>
+      assert(math.abs(resid - dec(d)) < 1e-6,
+        s"$d: residual equals ts_decompose's")
+    }
+    val zs = rows.map(_._3)
+    assert(math.abs(zs.sum / zs.length) < 1e-3, "z-scores centered on 0")
+    val zVar = zs.map(z => z * z).sum / (zs.length - 1)
+    assert(math.abs(zVar - 1.0) < 0.1, s"z-scores unit-variance: $zVar")
+    rows.foreach { case (_, _, z, flag) =>
+      assert(flag === (math.abs(z) > 2.0), "flag from the rounded z")
+    }
+  }
+
   test("join_asof_tolerance: the bounded subset of join_asof, gaps within 1h") {
     val tol = Temporal.joinAsofTolerance(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))

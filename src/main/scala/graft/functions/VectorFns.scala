@@ -56,4 +56,16 @@ object VectorFns {
         (acc, v) => acc + v)
     dotAcc(a, b) / (sqrt(dotAcc(a, a)) * sqrt(dotAcc(b, b)))
   }
+
+  /** Raw inner product ⟨a, b⟩ in double, accumulated left-to-right —
+    * the UNNORMALIZED retrieval score (MIPS). Pure Catalyst HOFs with
+    * both arrays in ARGUMENT position (evaluated once per row, not per
+    * element — the winnow O(n²) lesson). Mirrors DuckDB's
+    * `list_inner_product` element order, so ROUND-6 closes the gap.
+    */
+  def innerProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
 }

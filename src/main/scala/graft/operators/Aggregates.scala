@@ -834,7 +834,49 @@ object Aggregates {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** `agg_theil` — the Theil-T inequality index of customer revenue
+    * within each market segment: T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ), the
+    * entropy-based companion to agg_gini/agg_hhi. Theil is the one
+    * classical inequality measure that DECOMPOSES additively into
+    * between-group + within-group terms, which is why mixture audits
+    * prefer it: "how much of the revenue concentration is across
+    * segments vs inside them" falls out of the same statistic.
+    *
+    * Exactness: per-customer revenue is exact integer cents (decimal
+    * sum × 100); ratios r = x·n/S are doubles of exact integers with
+    * identical formula text, ln is the only transcendental, and the
+    * per-segment Σ r·ln(r) averages O(1) terms — ROUND-6 absorbs the
+    * customer-count-bounded ulp wobble (the agg_hhi argument).
+    *
+    * Scale shape: fact scale collapses to (segment, customer) in ONE
+    * map-combined shuffle; the segment totals ride a window over the
+    * customer-cardinality frame partitioned by segment (5 partitions,
+    * dimension-bounded); the final rollup is segment-sized. Same cost
+    * class as agg_hhi at 100 TB.
+    */
+  def aggTheil(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val perCust = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val tot = Window.partitionBy(col("c_mktsegment"))
+    val r = col("cents").cast("double") * col("n_seg") /
+      col("seg_cents").cast("double")
+    perCust
+      .withColumn("seg_cents", sum(col("cents")).over(tot))
+      .withColumn("n_seg", count(lit(1)).over(tot))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(max(col("seg_cents")).cast("double") / 100.0, 2)
+          .as("segment_revenue"),
+        round(sum(r * log(r)) / max(col("n_seg")), 6).as("theil"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil" -> aggTheil _,
     "agg_weighted_median" -> aggWeightedMedian _,
     "agg_hhi" -> aggHhi _,
     "agg_corr_matrix" -> aggCorrMatrix _,
@@ -887,6 +929,24 @@ object Aggregates {
         |  MIN(price) AS wmedian_price
         |FROM c WHERE cum * 2 >= total_w
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_theil" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT c_mktsegment, cents,
+        |    SUM(cents) OVER (PARTITION BY c_mktsegment) AS seg_cents,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+        |  FROM pc)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  ROUND(CAST(MAX(seg_cents) AS DOUBLE) / 100.0, 2) AS segment_revenue,
+        |  ROUND(SUM((CAST(cents AS DOUBLE) * n_seg / CAST(seg_cents AS DOUBLE)) *
+        |    ln(CAST(cents AS DOUBLE) * n_seg / CAST(seg_cents AS DOUBLE))) /
+        |    MAX(n_seg), 6) AS theil
+        |FROM s GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "agg_hhi" ->
       """WITH pc AS (
         |  SELECT c_mktsegment, c_custkey,

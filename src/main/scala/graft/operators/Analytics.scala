@@ -762,7 +762,185 @@ object Analytics {
           count(lit(1)).cast("double"), 6).as("conv_rate_7d"))
   }
 
+  /** `analytics_anova` — one-way ANOVA of event value across event
+    * types: the k-group generalization of analytics_ttest — "do the
+    * five event types draw from one value distribution?" — reported as
+    * the F statistic and the effect size η² (between-group share of
+    * total variance). The screen an experimentation platform runs on a
+    * multi-arm test before any pairwise drill-down.
+    *
+    * Cross-engine exactness (the agg_corr_matrix discipline): Σv and
+    * Σv² are EXACT DECIMAL per group — (9,2) admission by explicit
+    * filter, (19,2)-widened squares into (29,4) — and both stay
+    * decimal through the second-stage group sum, so S1, S2 and N are
+    * bit-identical across engines and cluster sizes. The ONLY
+    * order-sensitive float op is the k-row Σ s1²/n (k = 5); its ≤4-ulp
+    * wobble enters F and η² at ~1e-12 relative — invisible at ROUND-6
+    * because both outputs are ratio-scale. Raw sums-of-squares are
+    * deliberately NOT emitted: at 1e9 magnitude their last-ulp wobble
+    * would straddle ROUND-6 boundaries.
+    *
+    * Scale shape: one map-side-combined groupBy(event_type) — constant
+    * state per group (count + two decimal cells) — then a k-row final
+    * combine. Same cost class as a grouped COUNT(*) at 100 TB.
+    */
+  def anova(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .filter(col("value").between(-9999999.99, 9999999.99))
+      .select(col("event_type"), col("value").cast("decimal(9,2)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum((col("v").cast("decimal(19,2)") * col("v"))
+          .cast("decimal(29,4)")).as("s2"))
+    val ssb = col("a") - col("s1t") * col("s1t") / col("n_total")
+    val sst = col("s2t") - col("s1t") * col("s1t") / col("n_total")
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+      sum(col("s1")).cast("double").as("s1t"),
+      sum(col("s2")).cast("double").as("s2t"),
+      sum(col("s1").cast("double") * col("s1").cast("double") / col("n"))
+        .as("a"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("n_total").cast("long").as("n_total"),
+        round((ssb / (col("k") - 1)) /
+          ((col("s2t") - col("a")) / (col("n_total") - col("k"))), 6)
+          .as("f_stat"),
+        round(ssb / sst, 6).as("eta_sq"))
+  }
+
+  /** `analytics_ab_cuped` — CUPED variance reduction for a hash-split
+    * A/B readout: the experiment metric (each user's second-half value
+    * total) is adjusted by its pre-period covariate (first-half total)
+    * via θ = cov(X,Y)/var(X), shrinking the arm-difference variance by
+    * the squared pre/post correlation — the standard trick that lets
+    * an experimentation platform detect the same lift with ~(1−ρ²)×
+    * the sample. Arms are the analytics_ab_srm md5 split; the period
+    * boundary is the exact integer-µs midpoint of the corpus span
+    * (data-derived, so corpus regeneration cannot strand it).
+    *
+    * Exactness: per-user X/Y are exact DECIMAL conditional sums; the
+    * user table re-admits at (9,2) (explicit filter) and ALL pooled
+    * power sums (Sx, Sy, Sxx, Sxy, Syy) and per-arm sums stay decimal
+    * through the single global aggregate — θ, the raw/adjusted diffs
+    * and the ρ² variance-reduction factor are identical-text double
+    * formulas over exact inputs, ROUND-6, all ratio-scale.
+    *
+    * Scale shape: one-row bounds broadcast (the BM25 one-row-stats
+    * pattern), ONE map-combined shuffle on user_id, then a single
+    * global aggregate with constant state (11 decimal cells + 3
+    * counts). No second fact-table pass, no per-arm subqueries.
+    */
+  def abCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(unix_micros(col("ts_utc"))).as("mn"),
+      max(unix_micros(col("ts_utc"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid"))
+    val dec0 = lit(0).cast("decimal(18,2)")
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(unix_micros(col("ts_utc")) < col("mid"),
+          col("value").cast("decimal(18,2)")).otherwise(dec0).as("xv"),
+        when(unix_micros(col("ts_utc")) >= col("mid"),
+          col("value").cast("decimal(18,2)")).otherwise(dec0).as("yv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("xv")).as("x0"), sum(col("yv")).as("y0"))
+      .filter(col("x0").between(-9999999.99, 9999999.99) &&
+        col("y0").between(-9999999.99, 9999999.99))
+      .select(col("user_id"), col("x0").cast("decimal(9,2)").as("x"),
+        col("y0").cast("decimal(9,2)").as("y"))
+    val isA =
+      substring(md5(col("user_id").cast("string")), 1, 4) < "8000"
+    def sq(a: Column, b: Column) =
+      sum((a.cast("decimal(19,2)") * b).cast("decimal(29,4)"))
+        .cast("double")
+    val s = perUser.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(when(isA, 1L).otherwise(0L)).cast("double").as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).cast("double").as("n_b"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(when(isA, col("x")).otherwise(dec0)).cast("double").as("sx_a"),
+      sum(when(isA, col("y")).otherwise(dec0)).cast("double").as("sy_a"),
+      sq(col("x"), col("x")).as("sxx"), sq(col("x"), col("y")).as("sxy"),
+      sq(col("y"), col("y")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varxN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varyN = col("n") * col("syy") - col("sy") * col("sy")
+    val theta = covN / varxN
+    val diffRaw = (col("sy") - col("sy_a")) / col("n_b") -
+      col("sy_a") / col("n_a")
+    val diffX = (col("sx") - col("sx_a")) / col("n_b") -
+      col("sx_a") / col("n_a")
+    s.select(col("n").cast("long").as("n_users"),
+      col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+      round(theta, 6).as("theta"),
+      round(diffRaw, 6).as("diff_raw"),
+      round(diffRaw - theta * diffX, 6).as("diff_cuped"),
+      round(covN * covN / (varxN * varyN), 6).as("var_reduction"))
+  }
+
+  /** `analytics_ci_bootstrap` — a 95% bootstrap confidence interval
+    * for the mean order value via the POISSON bootstrap: replicate r
+    * assigns each order a Poisson(1) weight drawn from
+    * md5(orderkey:r), and the replicate mean is the weighted mean —
+    * the multinomial resample's limit that needs NO global index, no
+    * sampling-by-position, and no driver coordination. This is *the*
+    * way to bootstrap at 100 TB: one pass × R replicates, each row
+    * decides its own weights locally (the same content-addressed
+    * policy as pipeline_split), and a cluster of any size produces
+    * bit-identical draws.
+    *
+    * Determinism: the uniform is the first 8 md5 hex digits as an
+    * integer in [0, 2³²); Poisson inversion compares against EXACT
+    * integer thresholds ⌊CDF·2³²⌋ (branchless sum of ≥-tests), so
+    * both engines draw identical weights — no float thresholds, no
+    * RNG. The tail truncates at w = 6 (P(w>6 | λ=1) ≈ 8·10⁻⁵),
+    * identically in both engines. Replicate means are exact-decimal
+    * weighted sums; the CI is nearest-rank order statistics (ranks 3
+    * and 98 of the 100 sorted means — ceil(0.025·R), ceil(0.975·R)),
+    * tie-broken by replicate id.
+    *
+    * Scale shape: the R-fold explode is map-side; per-replicate
+    * partial sums combine before the shuffle, so the exchange carries
+    * O(R × partitions) rows regardless of data size. The rank window
+    * runs over R rows.
+    */
+  def ciBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = 100
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val u = conv(substring(md5(concat(col("o_orderkey").cast("string"),
+      lit(":"), col("rep").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = thresholds.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = orders
+      .select(col("o_orderkey"), col("p"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("w", w)
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("nw"), sum(col("p") * col("w")).as("sw"))
+      .select(col("rep"),
+        (col("sw").cast("double") / col("nw").cast("double")).as("m"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("rep"))))
+    val ci = ranked.agg(
+      min(when(col("rn") === 3, col("m"))).as("ci_lo"),
+      min(when(col("rn") === 98, col("m"))).as("ci_hi"))
+    val pt = orders.agg(count(lit(1)).as("n_orders"),
+      (sum(col("p")).cast("double") / count(lit(1))).as("point_mean"))
+    pt.crossJoin(broadcast(ci))
+      .select(col("n_orders"), lit(reps.toLong).as("n_resamples"),
+        round(col("point_mean"), 6).as("point_mean"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_ci_bootstrap" -> ciBootstrap _,
+    "analytics_anova" -> anova _,
+    "analytics_ab_cuped" -> abCuped _,
     "analytics_conversion_window" -> conversionWindow _,
     "analytics_survival_km" -> survivalKm _,
     "analytics_elasticity" -> elasticity _,
@@ -784,7 +962,112 @@ object Analytics {
     "analytics_markov" -> markov _
   )
 
+  /** DuckDB lacks conv(): 8-hex md5 prefix → integer by per-digit
+    * strpos arithmetic over a column named `h` (the Pipeline idiom).
+    */
+  private val hex8OfH: String = (1 to 8).map { i =>
+    s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+  }.mkString("(", " + ", ")")
+
   val oracle: Map[String, String] = Map(
+    "analytics_ci_bootstrap" ->
+      s"""WITH o AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |r AS (SELECT CAST(range AS BIGINT) AS rep FROM range(0, 100)),
+        |x AS (
+        |  SELECT o.p, r.rep,
+        |    md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
+        |        CAST(r.rep AS VARCHAR)) AS h
+        |  FROM o, r),
+        |wts AS (
+        |  SELECT p, rep,
+        |    (CASE WHEN $hex8OfH >= 1580030168 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN $hex8OfH >= 3160060337 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN $hex8OfH >= 3950075421 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN $hex8OfH >= 4213413783 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN $hex8OfH >= 4279248373 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN $hex8OfH >= 4292415291 THEN 1 ELSE 0 END) AS w
+        |  FROM x),
+        |m AS (
+        |  SELECT rep, CAST(SUM(p * w) AS DOUBLE) /
+        |    CAST(SUM(w) AS DOUBLE) AS m
+        |  FROM wts GROUP BY rep),
+        |rk AS (
+        |  SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rn FROM m),
+        |ci AS (
+        |  SELECT MIN(CASE WHEN rn = 3 THEN m END) AS ci_lo,
+        |    MIN(CASE WHEN rn = 98 THEN m END) AS ci_hi
+        |  FROM rk),
+        |pt AS (
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(SUM(p) AS DOUBLE) / COUNT(*) AS point_mean
+        |  FROM o)
+        |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(100 AS BIGINT) AS n_resamples,
+        |  ROUND(point_mean, 6) AS point_mean,
+        |  ROUND(ci_lo, 6) AS ci_lo, ROUND(ci_hi, 6) AS ci_hi
+        |FROM pt, ci""".stripMargin,
+    "analytics_anova" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(9,2)) AS v
+        |  FROM events WHERE value BETWEEN -9999999.99 AND 9999999.99),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
+        |    SUM(CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(29,4))) AS s2
+        |  FROM a GROUP BY 1),
+        |t AS (
+        |  SELECT COUNT(*) AS k, SUM(n) AS n_total,
+        |    CAST(SUM(s1) AS DOUBLE) AS s1t, CAST(SUM(s2) AS DOUBLE) AS s2t,
+        |    SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) AS a
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k_groups,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  ROUND(((a - s1t * s1t / n_total) / (k - 1)) /
+        |    ((s2t - a) / (n_total - k)), 6) AS f_stat,
+        |  ROUND((a - s1t * s1t / n_total) /
+        |    (s2t - s1t * s1t / n_total), 6) AS eta_sq
+        |FROM t""".stripMargin,
+    "analytics_ab_cuped" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP))) +
+        |          epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |u0 AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < b.mid
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x0,
+        |    SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= b.mid
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y0
+        |  FROM events, b GROUP BY user_id, b.mid),
+        |u AS (
+        |  SELECT CAST(x0 AS DECIMAL(9,2)) AS x, CAST(y0 AS DECIMAL(9,2)) AS y,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000' AS is_a
+        |  FROM u0 WHERE x0 BETWEEN -9999999.99 AND 9999999.99
+        |    AND y0 BETWEEN -9999999.99 AND 9999999.99),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS DOUBLE) AS n_b,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CASE WHEN is_a THEN x ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE) AS sx_a,
+        |    CAST(SUM(CASE WHEN is_a THEN y ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE) AS sy_a,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,2)) * x AS DECIMAL(29,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,2)) * y AS DECIMAL(29,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,2)) * y AS DECIMAL(29,4))) AS DOUBLE) AS syy
+        |  FROM u)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+        |  ROUND((sy - sy_a) / n_b - sy_a / n_a, 6) AS diff_raw,
+        |  ROUND(((sy - sy_a) / n_b - sy_a / n_a) -
+        |    ((n * sxy - sx * sy) / (n * sxx - sx * sx)) *
+        |    ((sx - sx_a) / n_b - sx_a / n_a), 6) AS diff_cuped,
+        |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS var_reduction
+        |FROM s""".stripMargin,
     "analytics_conversion_window" ->
       """WITH fs AS (
         |  SELECT user_id,

@@ -306,7 +306,39 @@ object Ann {
       .orderBy(col("probe_id"))
   }
 
+  /** `knn_mips` — exact maximum-inner-product top-10 for probe vec 0:
+    * the UNNORMALIZED retrieval score recommendation and reranking
+    * models emit (user·item logits), distinct from cosine — a
+    * high-norm vector can out-score a better-aligned short one, so
+    * MIPS and cosine top-k genuinely differ. Brute force here is the
+    * correctness baseline of the ladder, like knn_ann's exact tier.
+    *
+    * Scale path (documented, not needed at gate scale): MIPS reduces
+    * to cosine ANN by the norm-augmentation transform — append
+    * sqrt(M² − ‖x‖²) to each corpus vector (M = max norm) and 0 to
+    * the query; the augmented vectors are equi-norm, so cosine order
+    * = inner-product order and the whole LSH/IVF ladder applies
+    * unchanged.
+    *
+    * Shape: 1-row broadcast probe, map-side codegen-friendly HOF dot
+    * product (argument-position arrays), TakeOrderedAndProject top-k
+    * — the corpus never shuffles.
+    */
+  def knnMips(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFns.innerProduct(
+          col("embedding"), col("pv")), 6).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_mips" -> knnMips _,
     "knn_recall_eval" -> knnRecallEval _,
     "knn_range" -> knnRange _,
     "knn_ann" -> knnAnn _,
@@ -317,6 +349,16 @@ object Ann {
   )
 
   val oracle: Map[String, String] = Map(
+    "knn_mips" ->
+      """WITH probe AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT vec_id, ip FROM (
+        |  SELECT vec_id,
+        |    ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), pv), 6)
+        |      AS ip
+        |  FROM embeddings, probe WHERE vec_id <> 0)
+        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
     "knn_range" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings

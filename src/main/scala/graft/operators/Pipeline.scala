@@ -560,7 +560,37 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** `sample_balanced` — class-balanced corpus sampling: at most 100
+    * documents per language, chosen by md5(doc_id) order — the
+    * "rebalance the multilingual mixture to a per-class budget" pass
+    * that stops a crawl's dominant language from swamping training.
+    * Selection is content-addressed (the pipeline_split policy):
+    * deterministic, coordination-free, stable under corpus growth for
+    * already-selected ids' relative order — no RNG state anywhere.
+    *
+    * Scale shape: the literal cap turns the per-class ranking into a
+    * `WindowGroupLimit` — each task keeps a bounded top-100 heap per
+    * language BEFORE the exchange, so the shuffle carries
+    * O(partitions × classes × cap) rows, not the corpus (pinned in
+    * PipelineSpec). A data-dependent cap (e.g. min class size) would
+    * forfeit that pushdown — compute the budget out-of-band and bind
+    * it as a literal, which is how a real curation config works
+    * anyway.
+    */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .select(col("doc_id"), col("lang"),
+        col("rn").cast("long").as("pick_rank"))
+      .orderBy(col("lang"), col("pick_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balanced" -> sampleBalanced _,
     "pipeline_drift_report" -> pipelineDriftReport _,
     "sample_systematic" -> sampleSystematic _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
@@ -595,6 +625,13 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "sample_balanced" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS pick_rank FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 100 ORDER BY lang, pick_rank""".stripMargin,
     "pipeline_drift_report" ->
       """WITH counts AS (
         |  SELECT lang,

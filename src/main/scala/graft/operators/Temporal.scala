@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Dec._
@@ -688,7 +688,66 @@ object Temporal {
       .orderBy(col("day_ts"))
   }
 
+  /** `ts_cross_corr` — lagged cross-correlation between the daily
+    * 'view' and 'purchase' value series: Pearson corr(view_t,
+    * purchase_{t+ℓ}) for every lead/lag ℓ ∈ [−7, +7] — "does browsing
+    * volume predict purchasing volume days later, and at what offset?"
+    * The lead-indicator scan behind demand forecasting and campaign
+    * lift attribution; ts_autocorr is its self-series special case.
+    *
+    * Exactness: daily conditional sums are exact DECIMAL (the
+    * agg_corr_matrix admission/widening discipline — (9,2) admitted by
+    * explicit filter, (19,2)-widened products into (29,4)); per-lag
+    * power sums stay decimal until the final identical-text corr
+    * formula, ROUND-6 on a ratio-scale output. A zero-variance side
+    * yields NULL via NULLIF, the same in both engines.
+    *
+    * Scale shape: the fact stream collapses to the calendar-bounded
+    * daily frame in ONE map-combined shuffle; the 15-lag × days pair
+    * frame is a broadcast self-join of that tiny aggregate — the
+    * window-vs-join choice is free here because BOTH sides are
+    * calendar-sized, never fact-sized. At 100 TB nothing after the
+    * first aggregate grows with the data.
+    */
+  def tsCrossCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec0 = lit(0).cast("decimal(18,2)")
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(when(col("event_type") === "view",
+        col("value").cast("decimal(18,2)")).otherwise(dec0)).as("x0"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)")).otherwise(dec0)).as("y0"))
+      .filter(col("x0").between(-9999999.99, 9999999.99) &&
+        col("y0").between(-9999999.99, 9999999.99))
+      .select(col("day"), col("x0").cast("decimal(9,2)").as("x"),
+        col("y0").cast("decimal(9,2)").as("y"))
+    val lags = spark.range(1)
+      .select(explode(sequence(lit(-7), lit(7))).as("lag"))
+    def sq(a: Column, b: Column) =
+      sum((a.cast("decimal(19,2)") * b).cast("decimal(29,4)"))
+        .cast("double")
+    val a = daily.select(col("day"), col("x"))
+    val b = daily.select(col("day").as("bday"), col("y"))
+    val stats = lags.crossJoin(a)
+      .join(broadcast(b),
+        col("bday") === date_add(col("day"), col("lag").cast("int")))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sq(col("x"), col("x")).as("sxx"), sq(col("x"), col("y")).as("sxy"),
+        sq(col("y"), col("y")).as("syy"))
+    stats.select(col("lag").cast("long").as("lag"),
+      col("n").cast("long").as("n_days"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)), 6)
+        .as("xcorr"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cross_corr" -> tsCrossCorr _,
     "ts_anomaly_stl" -> tsAnomalyStl _,
     "join_asof_tolerance" -> joinAsofTolerance _,
     "ts_streaks" -> tsStreaks _,
@@ -713,6 +772,36 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_cross_corr" ->
+      """WITH d0 AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x0,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y0
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT day, CAST(x0 AS DECIMAL(9,2)) AS x,
+        |    CAST(y0 AS DECIMAL(9,2)) AS y
+        |  FROM d0 WHERE x0 BETWEEN -9999999.99 AND 9999999.99
+        |    AND y0 BETWEEN -9999999.99 AND 9999999.99),
+        |l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-7, 8)),
+        |s AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(a.x) AS DOUBLE) AS sx, CAST(SUM(b.y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(a.x AS DECIMAL(19,2)) * a.x AS DECIMAL(29,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(a.x AS DECIMAL(19,2)) * b.y AS DECIMAL(29,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(b.y AS DECIMAL(19,2)) * b.y AS DECIMAL(29,4))) AS DOUBLE) AS syy
+        |  FROM l JOIN d a ON TRUE
+        |  JOIN d b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+        |  ROUND((n * sxy - sx * sy) /
+        |    NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+        |    6) AS xcorr
+        |FROM s ORDER BY lag""".stripMargin,
     "ts_anomaly_stl" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

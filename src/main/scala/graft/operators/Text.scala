@@ -377,7 +377,39 @@ object Text {
           .as("zipf_intercept"))
   }
 
+  /** `text_hapax` — per-language hapax legomena profile: vocabulary
+    * size, token count, the number of once-occurring types and their
+    * share of the vocabulary. The hapax ratio is the classic
+    * lexical-richness / OCR-noise signal a corpus-quality pass tracks:
+    * clean prose sits near Zipf's ~50% hapax share, while boilerplate
+    * collapses it and OCR garbage inflates it (every misread is a new
+    * "word"). Complements text_vocab_growth (Heaps' law) with the
+    * frequency-spectrum head.
+    *
+    * Scale shape: the token explode feeds ONE (lang, token)
+    * map-combined aggregate — state bounded by per-language vocabulary,
+    * not corpus size — then a language-domain-sized rollup. No second
+    * pass, no distinct over raw tokens.
+    */
+  def textHapax(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("vocab_size"),
+        col("n_hapax"),
+        round(col("n_hapax").cast("double") /
+          col("vocab_size").cast("double"), 6).as("hapax_ratio"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax" -> textHapax _,
     "text_zipf" -> textZipf _,
     "text_vocab_growth" -> textVocabGrowth _,
     "text_pmi" -> textPmi _,
@@ -411,6 +443,20 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_hapax" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, w, COUNT(*) AS c FROM t WHERE w <> ''
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab_size,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "text_zipf" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

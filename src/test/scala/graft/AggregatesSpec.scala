@@ -132,4 +132,25 @@ class AggregatesSpec extends SparkTestBase {
     assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
       "selection must be rank-conditional aggregation, not materialized lists")
   }
+
+  test("agg_theil: brute-force per-segment Theil-T; nonnegativity (Jensen)") {
+    val rows = Aggregates.aggTheil(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val perCust = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getDecimal(2).doubleValue()))
+    val bySeg = perCust.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (seg, n, revenue, theil) =>
+      val xs = bySeg(seg)
+      assert(n === xs.length.toLong, s"$seg customer count")
+      assert(math.abs(revenue - xs.sum) < 0.5, s"$seg revenue ${xs.sum}")
+      val mu = xs.sum / xs.length
+      val brute = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.length
+      assert(math.abs(theil - brute) < 1e-6, s"$seg theil $theil vs $brute")
+      assert(theil >= -1e-12, s"$seg Theil-T is nonnegative by Jensen")
+    }
+  }
 }

@@ -451,4 +451,106 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(mi - bruteMi) < 2e-6, s"MI $mi vs brute $bruteMi")
     assert(math.abs(hx - bruteHx) < 2e-6, s"Hx $hx vs brute $bruteHx")
   }
+
+  test("analytics_anova: F and eta_sq recompute from brute-force group stats") {
+    val row = Analytics.anova(spark, sf).collect()(0)
+    val (k, n, f, eta) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val byG = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(k === byG.size.toLong && n === vals.length.toLong)
+    val gm = vals.map(_._2).sum / vals.length
+    val ssb = byG.values.map { xs =>
+      val m = xs.sum / xs.length; xs.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = byG.values.map { xs =>
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val bruteF = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(f - bruteF) < 1e-4 * (1 + bruteF.abs),
+      s"F $f vs brute $bruteF")
+    assert(math.abs(eta - ssb / (ssb + ssw)) < 1e-6, s"eta_sq $eta")
+    assert(eta >= 0.0 && eta <= 1.0, "eta_sq is a variance share")
+  }
+
+  test("analytics_ab_cuped: identities and brute-force theta/diffs") {
+    val row = Analytics.abCuped(spark, sf).collect()(0)
+    val (nU, nA, nB) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (theta, dRaw, dCuped, vr) = (row.getDouble(3), row.getDouble(4),
+      row.getDouble(5), row.getDouble(6))
+    assert(nA + nB === nU, "arms partition the users")
+    assert(vr >= 0.0 && vr <= 1.0 + 1e-9, "variance reduction is rho^2")
+    // brute force per-user pre/post sums + pooled theta from raw events
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts_utc")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val per = evs.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._2 < mid).map(_._3).sum.toDouble,
+        es.filter(_._2 >= mid).map(_._3).sum.toDouble)
+    }.toSeq
+    assert(per.length.toLong === nU)
+    val n = per.length.toDouble
+    val (sx, sy) = (per.map(_._2).sum, per.map(_._3).sum)
+    val sxy = per.map(p => p._2 * p._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    val bruteTheta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(theta - bruteTheta) < 1e-4 * (1 + bruteTheta.abs),
+      s"theta $theta vs brute $bruteTheta")
+    def isA(u: Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      hex < "8000"
+    }
+    val (as, bs) = per.partition(p => isA(p._1))
+    assert(as.length.toLong === nA && bs.length.toLong === nB)
+    val bruteRaw = bs.map(_._3).sum / bs.length - as.map(_._3).sum / as.length
+    val bruteX = bs.map(_._2).sum / bs.length - as.map(_._2).sum / as.length
+    assert(math.abs(dRaw - bruteRaw) < 1e-5 * (1 + bruteRaw.abs),
+      s"diff_raw $dRaw vs brute $bruteRaw")
+    assert(math.abs(dCuped - (bruteRaw - bruteTheta * bruteX)) <
+      1e-4 * (1 + dCuped.abs), s"diff_cuped $dCuped")
+  }
+
+  test("analytics_ci_bootstrap: CI brackets the mean; replicate means recompute") {
+    val row = Analytics.ciBootstrap(spark, sf).collect()(0)
+    val (nOrders, nReps) = (row.getLong(0), row.getLong(1))
+    val (pt, lo, hi) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(nReps === 100L)
+    assert(lo < hi && lo <= pt && pt <= hi,
+      s"95% CI [$lo, $hi] should bracket the point mean $pt")
+    // brute-force replicates 0..4: exact md5 -> uniform -> Poisson(1)
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L)
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    assert(orders.length.toLong === nOrders)
+    def u32(key: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 8), 16)
+    // full brute force: all 100 replicate means, exact weights
+    val bruteMeans = (0 to 99).map { rep =>
+      val ws = orders.map { case (k, p) =>
+        val u = u32(s"$k:$rep"); (thresholds.count(u >= _), p)
+      }
+      ws.map { case (w, p) => p * w }.sum.toDouble / ws.map(_._1).sum
+    }.sorted
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(lo === r6(bruteMeans(2)), s"ci_lo must be rank-3 of sorted means")
+    assert(hi === r6(bruteMeans(97)), s"ci_hi must be rank-98 of sorted means")
+    // weight draw sanity: mean weight across a replicate is ~1 (Poisson(1))
+    val w0 = orders.map { case (k, _) => thresholds.count(u32(s"$k:0") >= _) }
+    val meanW = w0.sum.toDouble / w0.length
+    assert(meanW > 0.8 && meanW < 1.2, s"Poisson(1) mean weight, got $meanW")
+  }
 }

@@ -423,4 +423,31 @@ class AnnSpec extends SparkTestBase {
       case _ => true
     })
   }
+
+  test("knn_mips: matches brute-force inner-product top-10; corpus unshuffled") {
+    val df = Ann.knnMips(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val pv = vecs.find(_._1 == 0L).get._2
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * pv(i); i += 1 }
+        (id, r6(d))
+      }
+      .sortBy { case (id, ip) => (-ip, id) }.take(10)
+    assert(got.toSeq === brute.toSeq,
+      s"MIPS top-10 must equal brute force: $got vs ${brute.toSeq}")
+    // MIPS ranking is genuinely different from cosine on this corpus OR
+    // at minimum unnormalized: scores need not lie in [-1, 1]
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe broadcast + map-side score must not shuffle the corpus:\n$plan")
+  }
 }

@@ -577,4 +577,31 @@ class PipelineSpec extends SparkTestBase {
       assert(low === (ent < 4.0), "flag derives from the rounded entropy")
     }
   }
+
+  test("sample_balanced: per-class cap, md5 pick order, WindowGroupLimit plan") {
+    val df = Pipeline.sampleBalanced(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val classSizes = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val picked = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    classSizes.foreach { case (lang, n) =>
+      assert(picked(lang) === math.min(100L, n),
+        s"$lang: picked ${picked(lang)} of $n (cap 100)")
+    }
+    // pick order is the md5 order (content-addressed, deterministic)
+    def md5hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_._3).map(_._1)
+      val expect = Tables.documents(spark, sf)
+        .filter(col("lang") === lang).select(col("doc_id")).collect()
+        .map(_.getLong(0)).sortBy(id => (md5hex(id), id)).take(100)
+      assert(byRank.toSeq === expect.toSeq, s"$lang pick order must be md5 order")
+    }
+    // the literal cap must push a group-limit below the exchange
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"literal rank cap should plan a WindowGroupLimit:\n$plan")
+  }
 }

@@ -522,4 +522,43 @@ class TemporalSpec extends SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans === 1, s"one pass over events, got $scans")
   }
+
+  test("ts_cross_corr: lag structure + brute-force Pearson at lags 0 and 3") {
+    val rows = Temporal.tsCrossCorr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (-7L to 7L).toSeq, "one row per lag, ordered")
+    val nByLag = rows.map(r => r._1 -> r._2).toMap
+    // pair count shrinks by exactly the lag magnitude on a gap-free calendar
+    assert((-7L to 7L).forall(l => nByLag(l) === nByLag(0L) - math.abs(l)),
+      s"overlap counts must be |days| - |lag|: $nByLag")
+    // brute force from the daily conditional sums
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(when(col("event_type") === "view",
+        col("value").cast("decimal(18,2)")).otherwise(lit(0)
+        .cast("decimal(18,2)"))).as("x"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)")).otherwise(lit(0)
+          .cast("decimal(18,2)"))).as("y"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue()))
+      .sortBy(_._1)
+    def brute(lag: Int): Double = {
+      val byDay = daily.map(d => d._1 -> d).toMap
+      val pairs = daily.flatMap(a => byDay.get(a._1 + lag).map(b => (a._2, b._3)))
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val (sxx, syy) = (pairs.map(p => p._1 * p._1).sum,
+        pairs.map(p => p._2 * p._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    for (l <- Seq(0, 3)) {
+      val got = rows.find(_._1 == l).get._3
+      assert(math.abs(got - brute(l)) < 1e-5, s"lag $l: $got vs ${brute(l)}")
+      assert(got.abs <= 1.0 + 1e-9, s"lag $l correlation bounded")
+    }
+  }
 }

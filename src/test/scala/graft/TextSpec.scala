@@ -235,4 +235,27 @@ class TextSpec extends SparkTestBase {
     assert(math.abs(intercept - (sy - bruteSlope * sx) / n) < 1e-6)
     assert(slope < 0, "frequency decays with rank")
   }
+
+  test("text_hapax: brute-force per-language frequency spectrum head") {
+    val rows = graft.operators.Text.textHapax(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues { ds =>
+      val toks = ds.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      val freq = toks.groupBy(identity).view.mapValues(_.length).toMap
+      (toks.length.toLong, freq.size.toLong,
+        freq.values.count(_ == 1).toLong)
+    }.toMap
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (lang, nTok, vocab, hapax, ratio) =>
+      val (bTok, bVocab, bHapax) = byLang(lang)
+      assert(nTok === bTok && vocab === bVocab && hapax === bHapax,
+        s"$lang: ($nTok,$vocab,$hapax) vs brute ($bTok,$bVocab,$bHapax)")
+      assert(hapax <= vocab && vocab <= nTok, s"$lang spectrum identities")
+      assert(math.abs(ratio - hapax.toDouble / vocab) < 1e-9)
+    }
+  }
 }

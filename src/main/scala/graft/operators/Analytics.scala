@@ -937,7 +937,109 @@ object Analytics {
         round(col("ci_hi"), 6).as("ci_hi"))
   }
 
+  /** `analytics_did` — the 2×2 difference-in-differences readout:
+    * md5-split arms × pre/post periods (the exact integer-µs corpus
+    * midpoint, as in analytics_ab_cuped), per-cell mean event value,
+    * and DiD = (B_post − B_pre) − (A_post − A_pre). The causal
+    * estimator for a staggered rollout under the parallel-trends
+    * assumption — the pre-period difference it subtracts is exactly
+    * the selection bias a naive post-only comparison eats. CUPED
+    * (variance) and DiD (bias) are the two standard corrections; the
+    * engine provides both.
+    *
+    * Exactness: cell sums are exact DECIMAL conditional aggregates in
+    * ONE pass (no per-cell subqueries); counts exact int64; the four
+    * means and the DiD are identical-text double formulas, ROUND-6.
+    *
+    * Scale shape: one-row bounds broadcast + a single global
+    * conditional aggregate — constant state (4 decimal cells + 4
+    * counts), map-side combined. A COUNT(*)'s cost at 100 TB.
+    */
+  def did(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(unix_micros(col("ts_utc"))).as("mn"),
+      max(unix_micros(col("ts_utc"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid"))
+    val isA =
+      substring(md5(col("user_id").cast("string")), 1, 4) < "8000"
+    val pre = unix_micros(col("ts_utc")) < col("mid")
+    val dec0 = lit(0).cast("decimal(18,2)")
+    def cell(arm: Column, period: Column) = struct(
+      sum(when(arm && period, col("value").cast("decimal(18,2)"))
+        .otherwise(dec0)).cast("double").as("s"),
+      sum(when(arm && period, 1L).otherwise(0L)).as("c"))
+    val s = ev.crossJoin(broadcast(bounds))
+      .agg(cell(isA, pre).as("ap"), cell(isA, !pre).as("aq"),
+        cell(!isA, pre).as("bp"), cell(!isA, !pre).as("bq"))
+    def m(cell: String) = col(s"$cell.s") / col(s"$cell.c")
+    s.select(
+      col("ap.c").as("n_a_pre"), col("aq.c").as("n_a_post"),
+      col("bp.c").as("n_b_pre"), col("bq.c").as("n_b_post"),
+      round(m("ap"), 6).as("mean_a_pre"),
+      round(m("aq"), 6).as("mean_a_post"),
+      round(m("bp"), 6).as("mean_b_pre"),
+      round(m("bq"), 6).as("mean_b_post"),
+      round((m("bq") - m("bp")) - (m("aq") - m("ap")), 6).as("did"))
+  }
+
+  /** `analytics_ratio_delta` — delta-method inference for a RATIO
+    * metric: revenue per event, R = ΣY/ΣN over per-user (purchase
+    * revenue, event count) pairs, with the linearized standard error
+    * SE² ≈ (σ²_y − 2R·cov(y,n) + R²·σ²_n)/(n·μ_n²) and the 95% CI.
+    * Ratio metrics (revenue/session, CTR, tokens/doc) violate the
+    * i.i.d.-per-row assumption a naive t-test makes — the USER is the
+    * randomization unit, not the event — and the delta method is the
+    * standard correction every experimentation platform applies.
+    * Completes the inference trio: ttest (means), CUPED (variance
+    * reduction), delta method (ratio metrics).
+    *
+    * Exactness: per-user Y is an exact DECIMAL conditional sum
+    * ((9,2)-admitted), N an exact int64; the five pooled power sums
+    * are decimal/int64 exact (Σn² pure int64, Σy·n decimal×int64 —
+    * exact in both engines at ≤(38,2)); the ratio, SE and CI are
+    * identical-text double formulas over exact inputs, ROUND-6.
+    *
+    * Scale shape: ONE map-combined shuffle on user_id, then a single
+    * constant-state global aggregate — the CUPED cost class.
+    */
+  def ratioDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec0 = lit(0).cast("decimal(18,2)")
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)")).otherwise(dec0)).as("y0"),
+        count(lit(1)).as("nn"))
+      .filter(col("y0").between(-9999999.99, 9999999.99))
+      .select(col("y0").cast("decimal(9,2)").as("y"), col("nn"))
+    val s = per.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("nn")).cast("double").as("sn"),
+      sum((col("y").cast("decimal(19,2)") * col("y"))
+        .cast("decimal(29,4)")).cast("double").as("syy"),
+      sum((col("y").cast("decimal(19,2)") * col("nn"))
+        .cast("decimal(29,2)")).cast("double").as("syn"),
+      sum(col("nn") * col("nn")).cast("double").as("snn"))
+    val r = col("sy") / col("sn")
+    val varY = (col("syy") - col("sy") * col("sy") / col("n")) /
+      (col("n") - 1)
+    val covYN = (col("syn") - col("sy") * col("sn") / col("n")) /
+      (col("n") - 1)
+    val varN = (col("snn") - col("sn") * col("sn") / col("n")) /
+      (col("n") - 1)
+    val muN = col("sn") / col("n")
+    val se = sqrt((varY - lit(2.0) * r * covYN + r * r * varN) /
+      (col("n") * muN * muN))
+    s.select(col("n").cast("long").as("n_users"),
+      round(r, 6).as("ratio"),
+      round(se, 6).as("se"),
+      round(r - lit(1.96) * se, 6).as("ci_lo"),
+      round(r + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_ratio_delta" -> ratioDelta _,
+    "analytics_did" -> did _,
     "analytics_ci_bootstrap" -> ciBootstrap _,
     "analytics_anova" -> anova _,
     "analytics_ab_cuped" -> abCuped _,
@@ -970,6 +1072,72 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_ratio_delta" ->
+      """WITH u0 AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y0,
+        |    COUNT(*) AS nn
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT CAST(y0 AS DECIMAL(9,2)) AS y, nn FROM u0
+        |  WHERE y0 BETWEEN -9999999.99 AND 9999999.99),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(nn) AS DOUBLE) AS sn,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,2)) * y AS DECIMAL(29,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,2)) * nn AS DECIMAL(29,2))) AS DOUBLE) AS syn,
+        |    CAST(SUM(nn * nn) AS DOUBLE) AS snn
+        |  FROM u),
+        |f AS (
+        |  SELECT n, sy / sn AS r,
+        |    (syy - sy * sy / n) / (n - 1) AS var_y,
+        |    (syn - sy * sn / n) / (n - 1) AS cov_yn,
+        |    (snn - sn * sn / n) / (n - 1) AS var_n,
+        |    sn / n AS mu_n
+        |  FROM s),
+        |g AS (
+        |  SELECT n, r,
+        |    sqrt((var_y - 2.0 * r * cov_yn + r * r * var_n) /
+        |      (n * mu_n * mu_n)) AS se
+        |  FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_users, ROUND(r, 6) AS ratio,
+        |  ROUND(se, 6) AS se, ROUND(r - 1.96 * se, 6) AS ci_lo,
+        |  ROUND(r + 1.96 * se, 6) AS ci_hi
+        |FROM g""".stripMargin,
+    "analytics_did" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP))) +
+        |          epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |e AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000' AS is_a,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) < b.mid AS pre
+        |  FROM events, b),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN is_a AND pre THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_ap,
+        |    SUM(CASE WHEN is_a AND pre THEN 1 ELSE 0 END) AS c_ap,
+        |    CAST(SUM(CASE WHEN is_a AND NOT pre THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_aq,
+        |    SUM(CASE WHEN is_a AND NOT pre THEN 1 ELSE 0 END) AS c_aq,
+        |    CAST(SUM(CASE WHEN NOT is_a AND pre THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_bp,
+        |    SUM(CASE WHEN NOT is_a AND pre THEN 1 ELSE 0 END) AS c_bp,
+        |    CAST(SUM(CASE WHEN NOT is_a AND NOT pre THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_bq,
+        |    SUM(CASE WHEN NOT is_a AND NOT pre THEN 1 ELSE 0 END) AS c_bq
+        |  FROM e)
+        |SELECT CAST(c_ap AS BIGINT) AS n_a_pre,
+        |  CAST(c_aq AS BIGINT) AS n_a_post,
+        |  CAST(c_bp AS BIGINT) AS n_b_pre,
+        |  CAST(c_bq AS BIGINT) AS n_b_post,
+        |  ROUND(s_ap / c_ap, 6) AS mean_a_pre,
+        |  ROUND(s_aq / c_aq, 6) AS mean_a_post,
+        |  ROUND(s_bp / c_bp, 6) AS mean_b_pre,
+        |  ROUND(s_bq / c_bq, 6) AS mean_b_post,
+        |  ROUND((s_bq / c_bq - s_bp / c_bp) -
+        |    (s_aq / c_aq - s_ap / c_ap), 6) AS did
+        |FROM s""".stripMargin,
     "analytics_ci_bootstrap" ->
       s"""WITH o AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p

@@ -511,7 +511,37 @@ object Etl {
       .orderBy(col("day_ts"))
   }
 
+  /** `dq_partition_skew` — partition-health report for a time-
+    * partitioned fact table: per event-day row count, share of total,
+    * and the skew ratio against the mean partition size, flagging
+    * partitions above 2× mean. The report a table-maintenance pass
+    * (compaction planning, writer tuning, straggler forensics) reads
+    * before anything else — a hot day is tomorrow's straggler task.
+    * Complements dq_freshness (is data ARRIVING) with "is data
+    * arriving EVENLY".
+    *
+    * Scale shape: one map-combined groupBy(day) collapses the fact
+    * table to the calendar frame; the mean rides a one-row broadcast
+    * cross join (the BM25 stats pattern). At 100 TB this reads
+    * partition-pruned parquet footers' worth of work — counts only,
+    * no payload columns (column pruning leaves a count-only scan).
+    */
+  def dqPartitionSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = daily.agg(sum(col("n_rows")).cast("double").as("total"),
+      avg(col("n_rows")).as("mean_rows"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("day").cast("timestamp").as("day_ts"), col("n_rows"),
+        round(col("n_rows") / col("total"), 6).as("share"),
+        round(col("n_rows") / col("mean_rows"), 6).as("skew_ratio"),
+        (col("n_rows") > lit(2.0) * col("mean_rows")).as("is_hot"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_partition_skew" -> dqPartitionSkew _,
     "etl_late_data" -> etlLateData _,
     "join_pit" -> joinPit _,
     "dq_dup_keys" -> dqDupKeys _,
@@ -533,6 +563,20 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "dq_partition_skew" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    COUNT(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+        |    AVG(n_rows) AS mean_rows
+        |  FROM d)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts, n_rows,
+        |  ROUND(n_rows / total, 6) AS share,
+        |  ROUND(n_rows / mean_rows, 6) AS skew_ratio,
+        |  n_rows > 2.0 * mean_rows AS is_hot
+        |FROM d, t ORDER BY day_ts""".stripMargin,
     "etl_late_data" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu

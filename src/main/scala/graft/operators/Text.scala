@@ -408,7 +408,48 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** `text_vocab_jaccard` — pairwise vocabulary overlap between
+    * languages: |V_a ∩ V_b| and Jaccard |∩|/|∪| for every language
+    * pair. The cross-lingual contamination screen: a language pair
+    * whose vocabularies overlap beyond the numerals-and-names baseline
+    * signals mislabeled documents or code-switching — exactly what a
+    * langid-based mixture audit (text_langid's confusion risk) wants
+    * to see quantified.
+    *
+    * Scale shape: the (lang, token) DISTINCT collapses the corpus to
+    * vocabulary cardinality in one map-combined shuffle; the
+    * intersection is a token-keyed self-join of that vocab table —
+    * per-token fan-out bounded by the LANGUAGE DOMAIN squared (≤C(5,2)
+    * pairs per token), never corpus-sized — and the union comes from
+    * the inclusion–exclusion identity with broadcast per-language
+    * sizes, not a second join. Same aliased-self-join checkpoint
+    * rationale as analytics_ttest.
+    */
+  def textVocabJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .localCheckpoint()
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val inter = vocab.toDF("lang_a", "w")
+      .join(vocab.toDF("lang_b", "w2"),
+        col("w") === col("w2") && col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("lang_a", "va")), Seq("lang_a"))
+      .join(broadcast(sizes.toDF("lang_b", "vb")), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("va"), col("vb"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("va") + col("vb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_jaccard" -> textVocabJaccard _,
     "text_hapax" -> textHapax _,
     "text_zipf" -> textZipf _,
     "text_vocab_growth" -> textVocabGrowth _,
@@ -443,6 +484,25 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_vocab_jaccard" ->
+      """WITH v AS (
+        |  SELECT DISTINCT lang, w FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |sz AS (SELECT lang, COUNT(*) AS n FROM v GROUP BY 1),
+        |i AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    COUNT(*) AS n_common
+        |  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, sa.n AS va, sb.n AS vb, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM i
+        |JOIN sz sa ON sa.lang = i.lang_a
+        |JOIN sz sb ON sb.lang = i.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin,
     "text_hapax" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w

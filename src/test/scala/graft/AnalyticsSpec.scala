@@ -553,4 +553,58 @@ class AnalyticsSpec extends SparkTestBase {
     val meanW = w0.sum.toDouble / w0.length
     assert(meanW > 0.8 && meanW < 1.2, s"Poisson(1) mean weight, got $meanW")
   }
+
+  test("analytics_did: cells partition the stream; DiD recomputes from means") {
+    val row = Analytics.did(spark, sf).collect()(0)
+    val counts = (0 to 3).map(row.getLong)
+    val means = (4 to 7).map(row.getDouble)
+    val didV = row.getDouble(8)
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(counts.sum === total, "the 2x2 cells partition all events")
+    assert(counts.forall(_ > 0), "every cell populated on this corpus")
+    val expect = (means(3) - means(2)) - (means(1) - means(0))
+    assert(math.abs(didV - expect) < 3e-6,
+      s"did $didV vs means identity $expect")
+    // brute-force one cell: A-arm pre-period count and mean
+    def isA(u: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.substring(0, 4) < "8000"
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts_utc")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val cellAP = evs.filter(e => isA(e._1) && e._2 < mid)
+    assert(cellAP.length.toLong === counts(0), "A-pre cell count")
+    val bruteMean = cellAP.map(e => BigDecimal(e._3).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / cellAP.length
+    assert(math.abs(means(0) - bruteMean) < 1e-6, s"A-pre mean $bruteMean")
+  }
+
+  test("analytics_ratio_delta: brute-force ratio + SE; CI symmetric") {
+    val row = Analytics.ratioDelta(spark, sf).collect()(0)
+    val n = row.getLong(0)
+    val (r, se, lo, hi) = (row.getDouble(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4))
+    assert(se > 0 && math.abs((hi - r) - (r - lo)) < 3e-6, "CI symmetric")
+    val per = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)")).otherwise(lit(0)
+        .cast("decimal(18,2)"))).as("y"), count(lit(1)).as("nn"))
+      .collect().map(x => (x.getDecimal(1).doubleValue(), x.getLong(2)))
+    assert(per.length.toLong === n)
+    val nn = per.length.toDouble
+    val (sy, sn) = (per.map(_._1).sum, per.map(_._2).sum.toDouble)
+    val bruteR = sy / sn
+    assert(math.abs(r - bruteR) < 1e-6, s"ratio $r vs $bruteR")
+    val varY = (per.map(p => p._1 * p._1).sum - sy * sy / nn) / (nn - 1)
+    val covYN = (per.map(p => p._1 * p._2).sum - sy * sn / nn) / (nn - 1)
+    val varN = (per.map(p => p._2.toDouble * p._2).sum - sn * sn / nn) /
+      (nn - 1)
+    val muN = sn / nn
+    val bruteSe = math.sqrt(
+      (varY - 2 * bruteR * covYN + bruteR * bruteR * varN) /
+        (nn * muN * muN))
+    assert(math.abs(se - bruteSe) < 1e-6 * (1 + bruteSe), s"se $se vs $bruteSe")
+  }
 }

@@ -330,4 +330,21 @@ class EtlSpec extends SparkTestBase {
       assert(rows(name) === ((n, k, n - k)), s"table $name audit")
     }
   }
+
+  test("dq_partition_skew: counts conserve, shares sum to 1, ratio recomputes") {
+    val rows = Etl.dqPartitionSkew(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "day counts conserve the stream")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to ~1")
+    val mean = total.toDouble / rows.length
+    rows.foreach { case (_, n, _, ratio, hot) =>
+      assert(math.abs(ratio - n / mean) < 1e-6, s"skew ratio recomputes")
+      assert(hot === (n > 2.0 * mean), "hot flag derives from the 2x rule")
+    }
+    assert(rows.map(_._1.getTime).sliding(2).forall {
+      case Array(a, b) => a < b; case _ => true
+    }, "days ordered")
+  }
 }

@@ -258,4 +258,29 @@ class TextSpec extends SparkTestBase {
       assert(math.abs(ratio - hapax.toDouble / vocab) < 1e-9)
     }
   }
+
+  test("text_vocab_jaccard: brute-force pairwise vocabulary overlap") {
+    val rows = graft.operators.Text.textVocabJaccard(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocabs = docs.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty).toSet).toMap
+    val langs = vocabs.keys.toSeq.sorted
+    val pairs = for {
+      i <- langs.indices; j <- i + 1 until langs.size
+    } yield (langs(i), langs(j))
+    assert(rows.map(_._1).toSet === pairs.toSet, "all C(k,2) pairs present")
+    rows.foreach { case ((a, b), (va, vb, common, jac)) =>
+      val (sa, sb) = (vocabs(a), vocabs(b))
+      assert(va === sa.size.toLong && vb === sb.size.toLong)
+      val inter = (sa intersect sb).size.toLong
+      assert(common === inter, s"($a,$b) intersection $common vs $inter")
+      val expect = inter.toDouble / (sa union sb).size
+      assert(math.abs(jac - expect) < 1e-9, s"($a,$b) jaccard")
+      assert(jac > 0.0 && jac <= 1.0)
+    }
+  }
 }

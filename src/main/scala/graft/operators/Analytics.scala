@@ -1037,7 +1037,56 @@ object Analytics {
       round(r + lit(1.96) * se, 6).as("ci_hi"))
   }
 
+  /** `analytics_auc` — ROC-AUC of a scalar score against a binary
+    * label via the Mann–Whitney rank-sum identity (AUC = P(score_pos >
+    * score_neg) with ½ credit for ties): the evaluation a quality
+    * classifier, reranker, or dedup scorer is judged by. Binary task:
+    * embeddings label 0 vs rest, scored by the vector's ROUND-6 first
+    * component (any scalar scorer slots in).
+    *
+    * Spark-first shape — NO per-row global rank: rows collapse to the
+    * DISTINCT-SCORE frame first (one map-combined shuffle), mid-ranks
+    * come from a cumulative window over that score-domain-sized frame
+    * (cum-before + (n+1)/2), and the rank-sum is Σ n_pos(s)·midrank(s).
+    * A row-level rank() would single-partition-sort the corpus; this
+    * form sorts only the score domain — the agg_weighted_median
+    * discipline applied to ranking.
+    *
+    * Exactness: ties are decided on the ROUNDED score (bit-equal
+    * across engines); counts and cum-counts are exact int64; mid-ranks
+    * are half-integers and every partial sum stays < 2⁵³, so the
+    * rank-sum is EXACT in double in any summation order — the only
+    * inexact op is the final AUC division, ROUND-6.
+    */
+  def auc(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select((col("label") === 0).as("pos"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("s"))
+    val byScore = scored.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val cum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("cum_before", coalesce(sum(col("n")).over(cum), lit(0L)))
+      .select(col("np"),
+        (col("cum_before") + (col("n") + 1) / lit(2.0)).as("midrank"))
+    ranked.agg(
+      sum(col("np")).as("n_pos0"),
+      sum(col("np") * col("midrank")).as("rsum"),
+      count(lit(1)).as("n_scores"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_total"))))
+      .select(col("n_pos0").as("n_pos"),
+        (col("n_total") - col("n_pos0")).as("n_neg"),
+        col("n_scores"),
+        round((col("rsum") -
+          col("n_pos0") * (col("n_pos0") + 1) / lit(2.0)) /
+          (col("n_pos0") * (col("n_total") - col("n_pos0")))
+            .cast("double"), 6).as("auc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_auc" -> auc _,
     "analytics_ratio_delta" -> ratioDelta _,
     "analytics_did" -> did _,
     "analytics_ci_bootstrap" -> ciBootstrap _,
@@ -1072,6 +1121,32 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_auc" ->
+      """WITH sc AS (
+        |  SELECT label = 0 AS pos,
+        |    ROUND(CAST(embedding[1] AS DOUBLE), 6) AS s
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT s, COUNT(*) AS n,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np
+        |  FROM sc GROUP BY s),
+        |r AS (
+        |  SELECT np,
+        |    COALESCE(SUM(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (n + 1) / 2.0 AS midrank
+        |  FROM b),
+        |t AS (
+        |  SELECT SUM(np) AS n_pos0, SUM(np * midrank) AS rsum,
+        |    COUNT(*) AS n_scores
+        |  FROM r),
+        |tot AS (SELECT COUNT(*) AS n_total FROM sc)
+        |SELECT CAST(n_pos0 AS BIGINT) AS n_pos,
+        |  CAST(n_total - n_pos0 AS BIGINT) AS n_neg,
+        |  CAST(n_scores AS BIGINT) AS n_scores,
+        |  ROUND((rsum - n_pos0 * (n_pos0 + 1) / 2.0) /
+        |    CAST(n_pos0 * (n_total - n_pos0) AS DOUBLE), 6) AS auc
+        |FROM t, tot""".stripMargin,
     "analytics_ratio_delta" ->
       """WITH u0 AS (
         |  SELECT user_id,

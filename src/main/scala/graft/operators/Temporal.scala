@@ -746,7 +746,50 @@ object Temporal {
       .orderBy(col("lag"))
   }
 
+  /** `ts_burstiness` — the Goh–Barabási burstiness coefficient
+    * B = (σ−μ)/(σ+μ) of inter-event gaps, pooled per event type:
+    * B → −1 for a metronome, 0 for a Poisson process, → +1 for
+    * extreme bursts. The one-number answer to "is this traffic
+    * bursty?" that capacity planning and anomaly baselining start
+    * from — and a direct measure of how badly an event-time partition
+    * will skew (dq_partition_skew's statistical cousin).
+    *
+    * Exactness: gaps are exact integer µs from ONE lag window per
+    * (type, user) stream (the analytics_markov ordering contract:
+    * ts, event_id); Σg is int64-exact, Σg² rides DECIMAL(38,0)
+    * (int64 would wrap at ~10⁵ day-scale µs gaps — the ts_cusum
+    * lesson); μ, σ and B are identical-text double formulas over
+    * exact sums, ROUND-6 on the ratio-scale B.
+    *
+    * Scale shape: one shuffle on (type, user) for the lag window,
+    * then a constant-state per-type aggregate. The window never
+    * sees more than one user's stream per partition slice.
+    */
+  def tsBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts_utc")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val s = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("gap")).cast("double").as("sg"),
+        sum((col("gap").cast("decimal(19,0)") * col("gap"))
+          .cast("decimal(38,0)")).cast("double").as("sgg"))
+    val mu = col("sg") / col("n")
+    val sigma = sqrt((col("sgg") - col("sg") * col("sg") / col("n")) /
+      (col("n") - 1))
+    s.select(col("event_type"), col("n").cast("long").as("n_gaps"),
+      round(mu / lit(1000000.0), 6).as("mean_gap_sec"),
+      round(sigma / lit(1000000.0), 6).as("sd_gap_sec"),
+      round((sigma - mu) / (sigma + mu), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_burstiness" -> tsBurstiness _,
     "ts_cross_corr" -> tsCrossCorr _,
     "ts_anomaly_stl" -> tsAnomalyStl _,
     "join_asof_tolerance" -> joinAsofTolerance _,
@@ -772,6 +815,28 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(gap) AS DOUBLE) AS sg,
+        |    CAST(SUM(CAST(CAST(gap AS DECIMAL(19,0)) * gap
+        |      AS DECIMAL(38,0))) AS DOUBLE) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  ROUND(sg / n / 1000000.0, 6) AS mean_gap_sec,
+        |  ROUND(sqrt((sgg - sg * sg / n) / (n - 1)) / 1000000.0, 6)
+        |    AS sd_gap_sec,
+        |  ROUND((sqrt((sgg - sg * sg / n) / (n - 1)) - sg / n) /
+        |    (sqrt((sgg - sg * sg / n) / (n - 1)) + sg / n), 6)
+        |    AS burstiness
+        |FROM s ORDER BY event_type""".stripMargin,
     "ts_cross_corr" ->
       """WITH d0 AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -607,4 +607,33 @@ class AnalyticsSpec extends SparkTestBase {
         (nn * muN * muN))
     assert(math.abs(se - bruteSe) < 1e-6 * (1 + bruteSe), s"se $se vs $bruteSe")
   }
+
+  test("analytics_auc: equals the brute-force P(pos > neg) + tie credit") {
+    val row = Analytics.auc(spark, sf).collect()(0)
+    val (nPos, nNeg, nScores, aucV) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val scored = graft.sources.Tables.embeddings(spark, sf)
+      .select((col("label") === 0), col("embedding")).collect()
+      .map { r =>
+        val s = BigDecimal(r.getSeq[Float](1).head.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getBoolean(0), s)
+      }
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    assert(nPos === pos.length.toLong && nNeg === neg.length.toLong)
+    assert(nScores === scored.map(_._2).distinct.length.toLong)
+    // literal definition: P(score_pos > score_neg) + 0.5 P(tie)
+    var wins = 0.0
+    for (p <- pos; q <- neg)
+      wins += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val brute = wins / (pos.length.toDouble * neg.length)
+    assert(math.abs(aucV - brute) < 1e-6, s"auc $aucV vs brute $brute")
+    assert(aucV >= 0.0 && aucV <= 1.0)
+    // plan guard: no per-row global sort — the rank rides the
+    // collapsed distinct-score frame
+    val plan = planOf(Analytics.auc(spark, sf))
+    assert(!plan.contains("rank(") && !plan.contains("row_number("),
+      s"AUC must not rank per-row:\n$plan")
+  }
 }

@@ -561,4 +561,29 @@ class TemporalSpec extends SparkTestBase {
       assert(got.abs <= 1.0 + 1e-9, s"lag $l correlation bounded")
     }
   }
+
+  test("ts_burstiness: brute-force Goh-Barabasi B per type; bounds hold") {
+    val rows = Temporal.tsBurstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts_utc")), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byType = evs.groupBy(_._1)
+    rows.foreach { case (tpe, nGaps, meanS, sdS, b) =>
+      val gaps = byType(tpe).groupBy(_._2).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._3, e._4)).map(_._3)
+        sorted.sliding(2).collect { case Array(a2, b2) => (b2 - a2).toDouble }
+      }.toArray
+      assert(nGaps === gaps.length.toLong, s"$tpe gap count")
+      val mu = gaps.sum / gaps.length
+      val sd = math.sqrt(
+        gaps.map(g => (g - mu) * (g - mu)).sum / (gaps.length - 1))
+      assert(math.abs(meanS - mu / 1e6) < 1e-4, s"$tpe mean gap")
+      assert(math.abs(sdS - sd / 1e6) < 1e-4, s"$tpe sd gap")
+      assert(math.abs(b - (sd - mu) / (sd + mu)) < 1e-5, s"$tpe B")
+      assert(b > -1.0 && b < 1.0, s"$tpe burstiness bounded")
+    }
+  }
 }

@@ -1085,7 +1085,92 @@ object Analytics {
             .cast("double"), 6).as("auc"))
   }
 
+  /** `analytics_power_mde` — the pre-experiment sample-size table:
+    * for each relative MDE δ ∈ {1%, 2%, 5%, 10%}, the users-per-arm
+    * needed to detect a δ·μ lift in per-user revenue at 80% power /
+    * α = 0.05, via the standard n ≈ 16·σ²/(δμ)² rule of thumb
+    * (16 ≈ 2(z₀.₉₇₅ + z₀.₈)²). The first question asked of every
+    * proposed A/B test — "can this corpus even power that lift?" —
+    * answered from ONE variance aggregate. Completes the
+    * experimentation suite: srm (validity), ttest/anova (testing),
+    * cuped/ratio_delta (precision), did (bias), power (planning).
+    *
+    * Exactness: per-user revenue moments from the ratio_delta decimal
+    * power sums; μ, σ², and each n = CEIL(16σ²/(δμ)²) are
+    * identical-text double formulas over exact sums — CEIL of
+    * bit-identical doubles agrees across engines.
+    *
+    * Scale shape: one user-keyed shuffle + a constant-state global
+    * aggregate, then a 4-row literal grid explode. A COUNT(*)'s cost.
+    */
+  def powerMde(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec0 = lit(0).cast("decimal(18,2)")
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)")).otherwise(dec0)).as("y0"))
+      .filter(col("y0").between(-9999999.99, 9999999.99))
+      .select(col("y0").cast("decimal(9,2)").as("y"))
+    val s = per.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("y").cast("decimal(19,2)") * col("y"))
+        .cast("decimal(29,4)")).cast("double").as("syy"))
+    val mu = col("sy") / col("n")
+    val variance = (col("syy") - col("sy") * col("sy") / col("n")) /
+      (col("n") - 1)
+    s.select(col("n").cast("long").as("n_users"),
+      round(mu, 6).as("baseline_mean"),
+      round(sqrt(variance), 6).as("sd"), variance.as("v"), mu.as("m"))
+      .select(col("n_users"), col("baseline_mean"), col("sd"),
+        explode(array(lit(0.01), lit(0.02), lit(0.05), lit(0.10)))
+          .as("mde_rel"), col("v"), col("m"))
+      .select(col("mde_rel"), col("n_users"), col("baseline_mean"),
+        col("sd"),
+        ceil(lit(16.0) * col("v") /
+          (col("mde_rel") * col("m") * (col("mde_rel") * col("m"))))
+          .cast("long").as("n_per_arm"))
+      .orderBy(col("mde_rel"))
+  }
+
+  /** `analytics_calibration` — the reliability diagram behind every
+    * "is this classifier's score a probability?" audit: scores bin
+    * into 10 equal-width buckets over the observed [min, max] range,
+    * and each bin reports its size, mean score, and empirical
+    * positive rate (embeddings label 0 vs rest, same task as
+    * analytics_auc — AUC measures ranking, calibration measures the
+    * score VALUES; a model can ace one and fail the other).
+    *
+    * Exactness: bin ids are floor((s−min)/(max−min)·10) clamped to 9,
+    * computed from ROUND-6 scores and one-row broadcast bounds —
+    * identical doubles both engines, so bin membership is exact; all
+    * counts int64; means/rates ROUND-6.
+    *
+    * Scale shape: one-row bounds broadcast + ONE map-combined
+    * groupBy(bin) — 10-ary state. The histogram cost class.
+    */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select((col("label") === 0).as("pos"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("s"))
+    val bounds = scored.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("pos"), col("s"),
+        least(floor((col("s") - col("lo")) / (col("hi") - col("lo")) *
+          lit(10.0)).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        round(avg(col("s")), 6).as("mean_score"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_power_mde" -> powerMde _,
+    "analytics_calibration" -> calibration _,
     "analytics_auc" -> auc _,
     "analytics_ratio_delta" -> ratioDelta _,
     "analytics_did" -> did _,
@@ -1121,6 +1206,49 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_power_mde" ->
+      """WITH u0 AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y0
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT CAST(y0 AS DECIMAL(9,2)) AS y FROM u0
+        |  WHERE y0 BETWEEN -9999999.99 AND 9999999.99),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,2)) * y AS DECIMAL(29,4))) AS DOUBLE) AS syy
+        |  FROM u),
+        |f AS (
+        |  SELECT n, sy / n AS m,
+        |    (syy - sy * sy / n) / (n - 1) AS v
+        |  FROM s),
+        |g AS (SELECT CAST(unnest([0.01, 0.02, 0.05, 0.10]) AS DOUBLE)
+        |  AS mde_rel)
+        |SELECT g.mde_rel, CAST(f.n AS BIGINT) AS n_users,
+        |  ROUND(f.m, 6) AS baseline_mean, ROUND(sqrt(f.v), 6) AS sd,
+        |  CAST(CEIL(16.0 * f.v /
+        |    (g.mde_rel * f.m * (g.mde_rel * f.m))) AS BIGINT) AS n_per_arm
+        |FROM f, g ORDER BY g.mde_rel""".stripMargin,
+    "analytics_calibration" ->
+      """WITH sc AS (
+        |  SELECT label = 0 AS pos,
+        |    ROUND(CAST(embedding[1] AS DOUBLE), 6) AS s
+        |  FROM embeddings),
+        |b AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM sc),
+        |x AS (
+        |  SELECT pos, s,
+        |    LEAST(CAST(FLOOR((s - lo) / (hi - lo) * 10.0) AS BIGINT),
+        |      9) AS bin
+        |  FROM sc, b)
+        |SELECT bin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  ROUND(AVG(s), 6) AS mean_score,
+        |  ROUND(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+        |FROM x GROUP BY bin ORDER BY bin""".stripMargin,
     "analytics_auc" ->
       """WITH sc AS (
         |  SELECT label = 0 AS pos,

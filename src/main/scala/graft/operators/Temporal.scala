@@ -788,7 +788,55 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** `ts_theil_sen` — the Theil–Sen robust trend: the median of all
+    * pairwise day-to-day slopes of the daily revenue series. Immune
+    * to ~29% outlier contamination where the OLS slope
+    * (analytics_elasticity's machinery) chases a single spiked day —
+    * the trend estimator a monitoring system wants on dirty
+    * operational series.
+    *
+    * Scale shape: the O(n²) pair set is over the CALENDAR frame
+    * (C(30,2) = 435 pairs), never the fact table — the fact stream
+    * collapses to daily decimal sums in one map-combined shuffle
+    * first. On an unbounded calendar the same estimator runs on a
+    * coarser resample (ts_downsample) or the repeated-median variant;
+    * the pair explosion never touches row scale. Median = mean of the
+    * two middle order statistics (rank window over 435 rows),
+    * tie-broken deterministically by day pair.
+    *
+    * Exactness: slopes are doubles of exact decimal diffs over exact
+    * integer day gaps — identical division both engines; the median
+    * picks VALUES (engine-identical), and the final mean-of-two +
+    * ROUND-6 matches text.
+    */
+  def tsTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .localCheckpoint()
+    val a = daily.toDF("day_a", "rev_a")
+    val b = daily.toDF("day_b", "rev_b")
+    val slopes = a.join(b, col("day_a") < col("day_b"))
+      .select(col("day_a"), col("day_b"),
+        ((col("rev_b") - col("rev_a")).cast("double") /
+          datediff(col("day_b"), col("day_a")).cast("double"))
+          .as("slope"))
+    val w = Window.orderBy(col("slope"), col("day_a"), col("day_b"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked
+      .filter(col("rn") === expr("(cnt + 1) DIV 2") ||
+        col("rn") === expr("cnt DIV 2 + 1"))
+      .agg(max(col("cnt")).as("n_pairs"),
+        round(avg(col("slope")), 6).as("sen_slope"))
+      .select(col("n_pairs"), col("sen_slope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theil_sen" -> tsTheilSen _,
     "ts_burstiness" -> tsBurstiness _,
     "ts_cross_corr" -> tsCrossCorr _,
     "ts_anomaly_stl" -> tsAnomalyStl _,
@@ -815,6 +863,25 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_theil_sen" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.day AS day_a, b.day AS day_b,
+        |    CAST(b.rev - a.rev AS DOUBLE) /
+        |      CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |r AS (
+        |  SELECT slope,
+        |    ROW_NUMBER() OVER (ORDER BY slope, day_a, day_b) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM p)
+        |SELECT CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+        |  ROUND(AVG(slope), 6) AS sen_slope
+        |FROM r
+        |WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1""".stripMargin,
     "ts_burstiness" ->
       """WITH g AS (
         |  SELECT event_type,

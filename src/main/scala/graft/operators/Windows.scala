@@ -259,7 +259,58 @@ object Windows {
       .orderBy(col("user_id"), col("burst_start"))
   }
 
+  /** `win_drawdown` — running-peak drawdown of cumulative daily
+    * revenue: for each day, the cumulative total, the running peak,
+    * and the percentage drawdown from that peak. The classic
+    * "how far below the high-water mark" sweep — finance's risk
+    * curve, and the same shape an SLO dashboard runs on cumulative
+    * error budgets. Pure window composition: cumulative sum, then
+    * running max OVER the cumulative series, then a row-local ratio.
+    *
+    * The series is daily NET revenue — purchases minus error-event
+    * chargebacks — whose cumulative walk genuinely dips (a
+    * purchases-only cumsum is monotone and the query would be
+    * vacuously zero).
+    *
+    * Exactness: daily and cumulative net are EXACT DECIMAL
+    * (associative cumsum — cluster-safe), the running max is a
+    * decimal comparison (exact), the absolute drawdown is an exact
+    * decimal difference, and the percentage is ROUND-6, NULL while
+    * the peak is non-positive (identical CASE text both engines —
+    * a negative-equity drawdown ratio is meaningless).
+    *
+    * Scale shape: the fact table collapses to the calendar frame in
+    * ONE map-combined shuffle; both windows run over that tiny frame.
+    * An unbounded-history cumsum at true scale partitions by epoch
+    * (year) and carries forward one row per epoch — noted, not needed
+    * at the calendar-bounded gate.
+    */
+  def winDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val net = when(col("event_type") === "purchase", dec2(col("value")))
+      .when(col("event_type") === "error", -dec2(col("value")))
+      .otherwise(lit(0).cast("decimal(18,2)"))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(net).as("rev"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum", sum(col("rev")).over(cum))
+      .withColumn("peak", max(col("cum")).over(cum))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        outDec(col("rev"), 18, 2).as("net_revenue"),
+        outDec(col("cum"), 18, 2).as("cum_net"),
+        outDec(col("peak"), 18, 2).as("peak_net"),
+        outDec(col("peak") - col("cum"), 18, 2).as("drawdown"),
+        when(col("peak") > 0,
+          round((col("peak") - col("cum")).cast("double") /
+            col("peak").cast("double"), 6)).as("drawdown_pct"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_drawdown" -> winDrawdown _,
     "win_debounce" -> winDebounce _,
     "win_running_distinct" -> winRunningDistinct _,
     "win_ignore_nulls" -> winIgnoreNulls _,
@@ -273,6 +324,34 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_drawdown" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      WHEN event_type = 'error'
+        |      THEN -CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day, rev,
+        |    SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |p AS (
+        |  SELECT day, rev, cum,
+        |    MAX(cum) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(CAST(rev AS DECIMAL(18,2)) AS DOUBLE) AS net_revenue,
+        |  CAST(CAST(cum AS DECIMAL(18,2)) AS DOUBLE) AS cum_net,
+        |  CAST(CAST(peak AS DECIMAL(18,2)) AS DOUBLE) AS peak_net,
+        |  CAST(CAST(peak - cum AS DECIMAL(18,2)) AS DOUBLE) AS drawdown,
+        |  CASE WHEN peak > 0 THEN
+        |    ROUND(CAST(peak - cum AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+        |  END AS drawdown_pct
+        |FROM p ORDER BY day_ts""".stripMargin,
     "win_debounce" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu

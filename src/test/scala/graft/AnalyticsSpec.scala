@@ -636,4 +636,49 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!plan.contains("rank(") && !plan.contains("row_number("),
       s"AUC must not rank per-row:\n$plan")
   }
+
+  test("analytics_power_mde: n recomputes; monotone decreasing in MDE") {
+    val rows = Analytics.powerMde(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(0.01, 0.02, 0.05, 0.10))
+    // larger detectable effect -> smaller required sample, ~1/delta^2
+    assert(rows.map(_._5).sliding(2).forall {
+      case Array(a, b) => a > b; case _ => true
+    }, "n_per_arm must decrease with MDE")
+    val per = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)")).otherwise(lit(0)
+        .cast("decimal(18,2)"))).as("y"))
+      .collect().map(_.getDecimal(1).doubleValue())
+    val n = per.length.toDouble
+    val mu = per.sum / n
+    val v = per.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+    rows.foreach { case (mde, nUsers, bm, sd, nArm) =>
+      assert(nUsers === per.length.toLong)
+      assert(math.abs(bm - mu) < 1e-5 * (1 + mu), s"baseline mean")
+      assert(math.abs(sd - math.sqrt(v)) < 1e-4 * (1 + math.sqrt(v)))
+      val expect = math.ceil(16.0 * v / (mde * mu * (mde * mu))).toLong
+      assert(nArm === expect, s"mde $mde: n_per_arm $nArm vs $expect")
+    }
+  }
+
+  test("analytics_calibration: bins partition; rates recompute; coverage") {
+    val rows = Analytics.calibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    val nPos = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("label") === 0).count()
+    assert(rows.map(_._2).sum === total, "bins partition all vectors")
+    assert(rows.map(_._3).sum === nPos, "positives conserved")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9), "bin ids clamped")
+    rows.foreach { case (bin, n, np, _, rate) =>
+      // rate is ROUND-6 in the query; compare at half-ulp of that scale
+      assert(math.abs(rate - np.toDouble / n) < 5e-7, s"bin $bin rate")
+    }
+    // edge bins are non-empty by construction (min and max exist)
+    assert(rows.map(_._1).contains(0L) && rows.map(_._1).contains(9L))
+  }
 }

@@ -586,4 +586,27 @@ class TemporalSpec extends SparkTestBase {
       assert(b > -1.0 && b < 1.0, s"$tpe burstiness bounded")
     }
   }
+
+  test("ts_theil_sen: equals the brute-force median of pairwise slopes") {
+    val row = Temporal.tsTheilSen(spark, sf).collect()(0)
+    val (nPairs, slope) = (row.getLong(0), row.getDouble(1))
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getDecimal(1).doubleValue()))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- i + 1 until daily.length
+    } yield (daily(j)._2 - daily(i)._2) / (daily(j)._1 - daily(i)._1))
+      .sorted
+    assert(nPairs === slopes.length.toLong, "pair count C(n,2)")
+    val m = slopes.length
+    val brute =
+      if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+    assert(math.abs(slope - brute) < 1e-5 * (1 + brute.abs),
+      s"sen slope $slope vs brute $brute")
+  }
 }

@@ -168,4 +168,30 @@ class WindowsSpec extends SparkTestBase {
       l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
     assert(hash <= 3, s"bounded shuffles (user agg, day aggs, join), got $hash:\n$plan")
   }
+
+  test("win_drawdown: cum chains, peak is running max, pct derives; dips exist") {
+    val rows = Windows.winDrawdown(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(rows.length === 30, "one row per corpus day")
+    var cum = BigDecimal(0); var peak = BigDecimal("-1e18")
+    rows.foreach { case (_, rev, cumV, peakV, dd, pct) =>
+      cum += BigDecimal(rev)
+      if (cum > peak) peak = cum
+      assert(math.abs(cumV - cum.toDouble) < 1e-6, "cumulative chains")
+      assert(math.abs(peakV - peak.toDouble) < 1e-6, "running peak")
+      assert(math.abs(dd - (peak - cum).toDouble) < 1e-6, "drawdown")
+      assert(dd >= -1e-9, "drawdown nonnegative")
+      pct.foreach { p =>
+        assert(peakV > 0, "pct only emitted above water")
+        val expect = BigDecimal((peakV - cumV) / peakV)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(p - expect) < 1e-9, "pct derives from peak/cum")
+      }
+    }
+    // the purchases-minus-errors walk must actually dip somewhere —
+    // a monotone series would make this query vacuous
+    assert(rows.exists(_._4 > 1e-9), "at least one real drawdown")
+  }
 }

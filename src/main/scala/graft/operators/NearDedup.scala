@@ -454,6 +454,39 @@ object NearDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** `graph_clustering` — the local clustering coefficient of every
+    * vertex of the rare-shingle graph: c(v) = 2·tri(v)/(deg(v)·
+    * (deg(v)−1)), the share of a node's neighbour pairs that are
+    * themselves connected. The transitivity profile that separates
+    * clique-like boilerplate families (c → 1) from hub-and-spoke
+    * template reuse (c → 0) — graph_triangles' counts turned into the
+    * per-node statistic community detection thresholds on.
+    *
+    * Scale shape: degrees are one map-combined aggregate over the
+    * symmetrized edge list; triangle counts reuse the O(√m) oriented
+    * wedge machinery (GraftOps.triangleCounts); the final join is
+    * vertex-cardinality against vertex-cardinality on the same id.
+    * Nodes in no triangle LEFT-join to zero; degree-1 nodes emit
+    * c = 0 by an explicit guard (identical CASE text both engines —
+    * 0/0 is a semantic choice, not an accident).
+    */
+  def graphClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = rareShingleEdgesTable(spark, sfDir)
+    val und = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = graft.api.GraftOps.triangleCounts(edges, "src", "dst")
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `graph_reach` — bounded-hop transitive closure from a seed set
     * over the rare-shingle graph, written as a RECURSIVE CTE (Spark 4
     * ships `WITH RECURSIVE`; DuckDB evaluates the identical recursion) —
@@ -654,6 +687,7 @@ object NearDedup {
     "graph_degree_dist" -> graphDegreeDist _,
     "graph_pagerank" -> graphPagerank _,
     "graph_triangles" -> graphTriangles _,
+    "graph_clustering" -> graphClustering _,
     "graph_reach" -> graphReach _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "dedup_minhash" -> dedupMinhash _,
@@ -749,6 +783,38 @@ object NearDedup {
         |SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops,
         |  CAST(COUNT(*) AS BIGINT) AS n_paths
         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    "graph_clustering" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(grams) AS gr FROM sh),
+        |rare AS (SELECT gr FROM (SELECT gr, count(*) AS df FROM g GROUP BY gr)
+        |         WHERE df BETWEEN 3 AND 5),
+        |blk AS (SELECT g.gr, g.doc_id FROM g JOIN rare USING (gr)),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM blk a JOIN blk b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+        |       JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |verts AS (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+        |          UNION ALL SELECT z AS id FROM tri),
+        |tcount AS (SELECT id, COUNT(*) AS n_tri FROM verts GROUP BY id)
+        |SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    ROUND(2.0 * COALESCE(t.n_tri, 0) /
+        |      CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN tcount t ON t.id = d.id
+        |ORDER BY doc_id""".stripMargin,
     "graph_triangles" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -835,7 +835,58 @@ object Temporal {
       .select(col("n_pairs"), col("sen_slope"))
   }
 
+  /** `ts_spectral` — the discrete-Fourier periodogram of the daily
+    * revenue series: for each integer frequency k (1..15 cycles over
+    * the span), the spectral power share |Σ x̂_t·e^{−2πikt/n}|²/ΣP —
+    * "which cycle dominates this series?" answered directly, where
+    * ts_decompose ASSUMES weekly seasonality and ts_autocorr reads
+    * lags one at a time. The k at the share peak is the data-derived
+    * season length a decomposition should use.
+    *
+    * Exactness: the series is centered (the DC term would swamp the
+    * spectrum) with exact decimal daily sums and a one-row broadcast
+    * mean; cos/sin are the only transcendentals — both engines
+    * evaluate the IDENTICAL argument text `2 * pi() * k * t / nd` on
+    * identical doubles, and the output is the NORMALIZED share
+    * (ratio-scale), so sub-ulp libm drift enters at ~1e-14 relative —
+    * invisible at ROUND-6 (the raw power, at (Σ|x|)² magnitude, is
+    * deliberately not a column — the analytics_anova lesson).
+    *
+    * Scale shape: fact scale collapses to the calendar frame once;
+    * the k×t product frame is 15×days rows; the share rides a window
+    * over 15 rows. Nothing after the first aggregate grows with data.
+    */
+  def tsSpectral(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+    // exact decimal total / exact count — NOT avg(double), whose
+    // partition-order sum would put engine-divergent noise into xc
+    val stats = daily.agg(count(lit(1)).as("nd"),
+      min(col("day")).as("d0"),
+      (sum(col("rev")).cast("double") / count(lit(1))).as("mu"))
+    val terms = daily.crossJoin(broadcast(stats))
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+        (col("rev").cast("double") - col("mu")).as("xc"), col("nd"))
+      .select(col("t"), col("xc"), col("nd"),
+        explode(sequence(lit(1), lit(15))).as("k"))
+    val spec = terms
+      .groupBy(col("k"))
+      .agg(max(col("nd")).as("nd"),
+        sum(col("xc") * expr("cos(2 * pi() * k * t / nd)")).as("a"),
+        sum(col("xc") * expr("sin(2 * pi() * k * t / nd)")).as("b"))
+      .select(col("k").cast("long").as("k"), col("nd"),
+        (col("a") * col("a") + col("b") * col("b")).as("p"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    spec.select(col("k"),
+      round(col("nd").cast("double") / col("k"), 6).as("period_days"),
+      round(col("p") / sum(col("p")).over(wAll), 6).as("power_share"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_spectral" -> tsSpectral _,
     "ts_theil_sen" -> tsTheilSen _,
     "ts_burstiness" -> tsBurstiness _,
     "ts_cross_corr" -> tsCrossCorr _,
@@ -863,6 +914,29 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_spectral" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT COUNT(*) AS nd, MIN(day) AS d0,
+        |    CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM d),
+        |x AS (
+        |  SELECT date_diff('day', st.d0, d.day) AS t,
+        |    CAST(d.rev AS DOUBLE) - st.mu AS xc, st.nd
+        |  FROM d, st),
+        |ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 16)),
+        |sp AS (
+        |  SELECT ks.k, MAX(x.nd) AS nd,
+        |    SUM(x.xc * cos(2 * pi() * ks.k * x.t / x.nd)) AS a,
+        |    SUM(x.xc * sin(2 * pi() * ks.k * x.t / x.nd)) AS b
+        |  FROM ks, x GROUP BY ks.k),
+        |p AS (SELECT k, nd, a * a + b * b AS p FROM sp)
+        |SELECT k, ROUND(CAST(nd AS DOUBLE) / k, 6) AS period_days,
+        |  ROUND(p / SUM(p) OVER (), 6) AS power_share
+        |FROM p ORDER BY k""".stripMargin,
     "ts_theil_sen" ->
       """WITH d AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -448,7 +448,43 @@ object Text {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** `text_code_detect` — the code-vs-prose screen of an LLM corpus
+    * router: per document, the density of code-ish symbol characters
+    * ({}[]();=<>), the digit density, the mean token length, and a
+    * flag at symbol density > 2% — code and prose want different
+    * tokenization, different dedup thresholds, and different mixture
+    * weights, so the split happens this early in every real pipeline.
+    * Distinct from text_quality (prose wellness) and text_langid
+    * (which language): this is WHICH MODALITY of text.
+    *
+    * Determinism: densities are exact integer character counts (length
+    * minus the symbol-stripped length) over identical regexes; the
+    * flag derives from the ROUNDED ratio (the multimodal_quality
+    * contract — both engines compare the same 6-decimal value). All
+    * map-side, no shuffle before the presentation sort.
+    */
+  def textCodeDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = length(col("text"))
+    val symbols = n - length(regexp_replace(col("text"),
+      lit("[{}\\[\\]();=<>]"), lit("")))
+    val digits = n - length(regexp_replace(col("text"),
+      lit("[0-9]"), lit("")))
+    val toks = size(split(col("text"), " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        n.cast("long").as("n_chars_m"),
+        round(symbols.cast("double") / n.cast("double"), 6)
+          .as("symbol_ratio"),
+        round(digits.cast("double") / n.cast("double"), 6)
+          .as("digit_ratio"),
+        round((n - (toks - 1)).cast("double") / toks.cast("double"), 6)
+          .as("mean_token_len"))
+      .withColumn("is_codeish", col("symbol_ratio") > 0.02)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> textCodeDetect _,
     "text_vocab_jaccard" -> textVocabJaccard _,
     "text_hapax" -> textHapax _,
     "text_zipf" -> textZipf _,
@@ -484,6 +520,25 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_code_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    length(text) - length(regexp_replace(text,
+        |      '[{}\[\]();=<>]', '', 'g')) AS symbols,
+        |    length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS digits,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_m,
+        |  ROUND(CAST(symbols AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS symbol_ratio,
+        |  ROUND(CAST(digits AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS digit_ratio,
+        |  ROUND(CAST(n - (toks - 1) AS DOUBLE) / CAST(toks AS DOUBLE), 6)
+        |    AS mean_token_len,
+        |  ROUND(CAST(symbols AS DOUBLE) / CAST(n AS DOUBLE), 6) > 0.02
+        |    AS is_codeish
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_vocab_jaccard" ->
       """WITH v AS (
         |  SELECT DISTINCT lang, w FROM (

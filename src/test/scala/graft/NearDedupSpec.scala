@@ -211,4 +211,28 @@ class NearDedupSpec extends SparkTestBase {
       l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
     assert(hash === 1, s"one prefix-key shuffle, got $hash:\n$plan")
   }
+
+  test("graph_clustering: structural bounds and internal consistency") {
+    val rows = NearDedup.graphClustering(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // triangles per node must agree with graph_triangles exactly
+    val triRows = NearDedup.graphTriangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, deg, tri, c) =>
+      assert(deg >= 1, s"$id appears in an edge, degree >= 1")
+      assert(tri === triRows.getOrElse(id, 0L), s"$id triangle count")
+      // a node's triangles can't exceed its neighbour pairs
+      assert(tri <= deg * (deg - 1) / 2, s"$id: tri $tri vs C($deg,2)")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, s"$id clustering in [0,1]")
+      if (deg < 2) assert(c === 0.0, s"$id degree-1 guard")
+      else {
+        val expect = BigDecimal(2.0 * tri / (deg * (deg - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(c - expect) < 1e-9, s"$id c recomputes")
+      }
+    }
+    // clustering only covers vertices WITH edges; triangle nodes ⊆ them
+    assert(triRows.keySet.subsetOf(rows.map(_._1).toSet))
+  }
 }

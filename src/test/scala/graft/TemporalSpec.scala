@@ -609,4 +609,35 @@ class TemporalSpec extends SparkTestBase {
     assert(math.abs(slope - brute) < 1e-5 * (1 + brute.abs),
       s"sen slope $slope vs brute $brute")
   }
+
+  test("ts_spectral: shares form a distribution; brute-force DFT agrees") {
+    val rows = Temporal.tsSpectral(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (1L to 15L).toSeq)
+    assert(rows.forall(_._3 >= -1e-12), "powers nonnegative")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares sum to 1")
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getDecimal(1).doubleValue())).sortBy(_._1)
+    val n = daily.length
+    val t0 = daily.map(_._1).min
+    val mu = daily.map(_._2).sum / n
+    val powers = (1 to 15).map { k =>
+      var a = 0.0; var b = 0.0
+      daily.foreach { case (d, x) =>
+        val arg = 2 * math.Pi * k * (d - t0) / n
+        a += (x - mu) * math.cos(arg); b += (x - mu) * math.sin(arg)
+      }
+      a * a + b * b
+    }
+    val tot = powers.sum
+    rows.foreach { case (k, period, share) =>
+      assert(math.abs(period - n.toDouble / k) < 1e-6, s"k=$k period")
+      assert(math.abs(share - powers(k.toInt - 1) / tot) < 1e-6,
+        s"k=$k share $share vs ${powers(k.toInt - 1) / tot}")
+    }
+  }
 }

@@ -283,4 +283,27 @@ class TextSpec extends SparkTestBase {
       assert(jac > 0.0 && jac <= 1.0)
     }
   }
+
+  test("text_code_detect: brute-force char densities; flag from rounded ratio") {
+    val rows = graft.operators.Text.textCodeDetect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (id, n, symR, digR, mtl, flag) =>
+      val text = docs(id)
+      assert(n === text.length.toLong)
+      val sym = text.count("{}[]();=<>".contains(_))
+      val dig = text.count(_.isDigit)
+      val toks = text.split(" ", -1).length
+      assert(symR === r6(sym.toDouble / text.length), s"$id symbols")
+      assert(digR === r6(dig.toDouble / text.length), s"$id digits")
+      assert(mtl === r6((text.length - (toks - 1)).toDouble / toks),
+        s"$id mean token len")
+      assert(flag === (symR > 0.02), s"$id flag from ROUNDED ratio")
+    }
+  }
 }

@@ -1168,7 +1168,44 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** `analytics_funnel_windowed` — the conversion-window refinement of
+    * funnel_stages: a later stage only counts if it happens within
+    * 72 h of the user's FIRST previous-stage event (view → click ≤72h
+    * → purchase ≤72h). Unwindowed funnels overcount (a purchase weeks
+    * after the view is not that view's conversion); every product-
+    * analytics tool exposes exactly this window parameter.
+    *
+    * Same scale shape as funnel_stages: per-user first-timestamp per
+    * stage as conditional mins in ONE groupBy — one scan, one
+    * user-keyed map-combined shuffle — then the window constraint is a
+    * row-local exact integer-µs comparison and the rollup one
+    * constant-state aggregate.
+    */
+  def funnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val winUs = 72L * 3600 * 1000000
+    def firstUs(stage: String) =
+      min(when(col("event_type") === stage, unix_micros(col("ts_utc"))))
+    val stages = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(firstUs("view").as("t_view"), firstUs("click").as("t_click"),
+        firstUs("purchase").as("t_purch"))
+      .select(
+        col("t_view").isNotNull.as("s1"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_click") - col("t_view") <= winUs).as("s2"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_click") - col("t_view") <= winUs &&
+          col("t_purch") > col("t_click") &&
+          col("t_purch") - col("t_click") <= winUs).as("s3"))
+    stages.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("s1").cast("long")).as("n_view"),
+      sum(col("s2").cast("long")).as("n_click_72h"),
+      sum(col("s3").cast("long")).as("n_purchase_72h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_funnel_windowed" -> funnelWindowed _,
     "analytics_power_mde" -> powerMde _,
     "analytics_calibration" -> calibration _,
     "analytics_auc" -> auc _,
@@ -1206,6 +1243,32 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_funnel_windowed" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purch
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT t_view IS NOT NULL AS s1,
+        |    t_view IS NOT NULL AND t_click > t_view
+        |      AND t_click - t_view <= 259200000000 AS s2,
+        |    t_view IS NOT NULL AND t_click > t_view
+        |      AND t_click - t_view <= 259200000000
+        |      AND t_purch > t_click
+        |      AND t_purch - t_click <= 259200000000 AS s3
+        |  FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_click_72h,
+        |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase_72h
+        |FROM f""".stripMargin,
     "analytics_power_mde" ->
       """WITH u0 AS (
         |  SELECT user_id,

@@ -470,6 +470,48 @@ object NearDedup {
     * c = 0 by an explicit guard (identical CASE text both engines —
     * 0/0 is a semantic choice, not an accident).
     */
+  /** `graph_assortativity` — the degree-assortativity coefficient of
+    * the rare-shingle graph: the Pearson correlation of endpoint
+    * degrees over every edge (both orientations, the standard
+    * undirected convention). Positive r = hubs link hubs (a social-
+    * network signature), negative = hubs link leaves (star-shaped
+    * template reuse) — one number that says which dedup topology this
+    * corpus has, and therefore whether CC components will be few-and-
+    * giant or many-and-small.
+    *
+    * Exactness: degrees are exact int64; all five power sums are
+    * sums of int-products far inside 2⁵³, so they are EXACT doubles
+    * in any summation order; the only inexact step is the final
+    * identical-text correlation formula, ROUND-6.
+    *
+    * Scale shape: degree table (one map-combined aggregate), then TWO
+    * dimension-sized hash joins endpoint→degree on the edge list, and
+    * a constant-state global aggregate. No per-node windows, no
+    * quadratic anything.
+    */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = rareShingleEdgesTable(spark, sfDir)
+    val und = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d")).localCheckpoint()
+    val paired = und
+      .join(deg.toDF("id_a", "dx"), col("src") === col("id_a"))
+      .join(deg.toDF("id_b", "dy"), col("dst") === col("id_b"))
+      .select(col("dx"), col("dy"))
+    val s = paired.agg(count(lit(1)).cast("double").as("m"),
+      sum(col("dx")).cast("double").as("sx"),
+      sum(col("dy")).cast("double").as("sy"),
+      sum(col("dx") * col("dy")).cast("double").as("sxy"),
+      sum(col("dx") * col("dx")).cast("double").as("sxx"),
+      sum(col("dy") * col("dy")).cast("double").as("syy"))
+    s.select(col("m").cast("long").as("n_endpoints"),
+      round((col("m") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("m") * col("sxx") - col("sx") * col("sx")) *
+          (col("m") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("assortativity"))
+  }
+
   def graphClustering(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = rareShingleEdgesTable(spark, sfDir)
     val und = edges.unionAll(
@@ -688,6 +730,7 @@ object NearDedup {
     "graph_pagerank" -> graphPagerank _,
     "graph_triangles" -> graphTriangles _,
     "graph_clustering" -> graphClustering _,
+    "graph_assortativity" -> graphAssortativity _,
     "graph_reach" -> graphReach _,
     "dedup_fuzzy" -> dedupFuzzy _,
     "dedup_minhash" -> dedupMinhash _,
@@ -783,6 +826,39 @@ object NearDedup {
         |SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops,
         |  CAST(COUNT(*) AS BIGINT) AS n_paths
         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    "graph_assortativity" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS grams
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(grams) AS gr FROM sh),
+        |rare AS (SELECT gr FROM (SELECT gr, count(*) AS df FROM g GROUP BY gr)
+        |         WHERE df BETWEEN 3 AND 5),
+        |blk AS (SELECT g.gr, g.doc_id FROM g JOIN rare USING (gr)),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM blk a JOIN blk b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY 1),
+        |pr AS (
+        |  SELECT da.d AS dx, db.d AS dy
+        |  FROM und JOIN deg da ON und.src = da.id
+        |           JOIN deg db ON und.dst = db.id),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+        |    CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+        |    CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+        |    CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(dy * dy) AS DOUBLE) AS syy
+        |  FROM pr)
+        |SELECT CAST(m AS BIGINT) AS n_endpoints,
+        |  ROUND((m * sxy - sx * sy) /
+        |    sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+        |    AS assortativity
+        |FROM s""".stripMargin,
     "graph_clustering" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -589,7 +589,37 @@ object Pipeline {
       .orderBy(col("lang"), col("pick_rank"))
   }
 
+  /** `pipeline_curriculum` — curriculum phase assignment: documents
+    * quartile into 4 training phases by length (the simplest
+    * difficulty proxy — short/clean first, long-tail last) via
+    * `ntile(4)` per language, with per-phase doc and character
+    * budgets. The phase boundary table a curriculum-ordered training
+    * run consumes; also the engine's NTILE window surface (the one
+    * ranking function the battery didn't cover).
+    *
+    * Determinism: the ntile ORDER BY carries doc_id as an exact
+    * tie-break, so equal lengths split between phases identically in
+    * both engines (NTILE at a tie boundary is order-dependent —
+    * without the tie-break this query would be engine-divergent BY
+    * SPEC). Scale: one lang-keyed window over the doc table, then a
+    * (lang, phase)-ary rollup.
+    */
+  def pipelineCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("phase", ntile(4).over(w).cast("long"))
+      .groupBy(col("lang"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("phase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> pipelineCurriculum _,
     "sample_balanced" -> sampleBalanced _,
     "pipeline_drift_report" -> pipelineDriftReport _,
     "sample_systematic" -> sampleSystematic _,
@@ -625,6 +655,18 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "pipeline_curriculum" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    NTILE(4) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS phase
+        |  FROM documents)
+        |SELECT lang, CAST(phase AS BIGINT) AS phase,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM p GROUP BY 1, 2 ORDER BY lang, phase""".stripMargin,
     "sample_balanced" ->
       """SELECT doc_id, lang, CAST(rn AS BIGINT) AS pick_rank FROM (
         |  SELECT doc_id, lang,

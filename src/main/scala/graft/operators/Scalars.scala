@@ -195,7 +195,32 @@ object Scalars {
       .orderBy(col("event_id"))
   }
 
+  /** `fn_date_arith` — the calendar-arithmetic battery fn_date leaves
+    * out: quarter, month-end (last_day), month addition with
+    * end-of-month clamping (add_months — BOTH engines clamp Jan 31 +
+    * 1mo to Feb 29), fixed-day subtraction, days-in-month, and the
+    * PORTABLE day-of-week (epoch-days mod 7, 0 = Thursday) — the
+    * dow convention every engine disagrees on (Spark dayofweek is
+    * 1=Sunday, DuckDB dayofweek is 0=Sunday, ISO dow is 1=Monday), so
+    * the engine exposes the convention-free form and documents the
+    * trap instead of gating on either vendor's choice.
+    */
+  def fnDateArith(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        quarter(d).cast("long").as("qtr"),
+        last_day(d).cast("timestamp").as("month_end"),
+        add_months(d, 3).cast("timestamp").as("plus_3mo"),
+        date_sub(d, 30).cast("timestamp").as("minus_30d"),
+        dayofmonth(last_day(d)).cast("long").as("days_in_month"),
+        pmod(datediff(d, lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow_epoch"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_date_arith" -> fnDateArith _,
     "fn_try" -> fnTry _,
     "fn_url" -> fnUrl _,
     "fn_string" -> fnString _,
@@ -209,6 +234,20 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+        |    AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+        |    AS plus_3mo,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS TIMESTAMP)
+        |    AS minus_30d,
+        |  CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+        |    AS days_in_month,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) % 7 AS BIGINT) AS dow_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_try" ->
       """WITH e AS (
         |  SELECT event_id, event_type, value,

@@ -681,4 +681,30 @@ class AnalyticsSpec extends SparkTestBase {
     // edge bins are non-empty by construction (min and max exist)
     assert(rows.map(_._1).contains(0L) && rows.map(_._1).contains(9L))
   }
+
+  test("analytics_funnel_windowed: monotone, dominated by the open funnel") {
+    val row = Analytics.funnelWindowed(spark, sf).collect()(0)
+    val Seq(users, v, c, p) = (0 to 3).map(row.getLong)
+    assert(users >= v && v >= c && c >= p && p >= 0, "windowed funnel monotone")
+    val open = Analytics.funnelStages(spark, sf).collect()(0)
+    assert(v === open.getLong(1), "stage 1 has no window constraint")
+    assert(c <= open.getLong(2) && p <= open.getLong(3),
+      "the 72h window can only REMOVE conversions vs the open funnel")
+    // brute-force stage-2 count
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts_utc"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val win = 72L * 3600 * 1000000
+    val byUser = evs.groupBy(_._1)
+    val brute2 = byUser.values.count { es =>
+      val tv = es.filter(_._2 == "view").map(_._3).minOption
+      val tc = es.filter(_._2 == "click").map(_._3).minOption
+      (tv, tc) match {
+        case (Some(a), Some(b)) => b > a && b - a <= win
+        case _ => false
+      }
+    }
+    assert(c === brute2.toLong, s"stage 2 windowed count $c vs $brute2")
+  }
 }

@@ -235,4 +235,17 @@ class NearDedupSpec extends SparkTestBase {
     // clustering only covers vertices WITH edges; triangle nodes ⊆ them
     assert(triRows.keySet.subsetOf(rows.map(_._1).toSet))
   }
+
+  test("graph_assortativity: handshake identity with degrees; |r| <= 1") {
+    val row = NearDedup.graphAssortativity(spark, sf).collect()(0)
+    val (m, r) = (row.getLong(0), row.getDouble(1))
+    assert(r.abs <= 1.0 + 1e-9, "a Pearson correlation")
+    // each undirected edge contributes two endpoint pairs, and the
+    // degree sum over graph_clustering's vertex table equals exactly
+    // that (the handshake lemma): m == sum(deg)
+    val degSum = NearDedup.graphClustering(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(m === degSum, s"endpoint pairs $m vs handshake ${degSum}")
+    assert(m % 2 === 0L, "both orientations counted")
+  }
 }

@@ -604,4 +604,28 @@ class PipelineSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"),
       s"literal rank cap should plan a WindowGroupLimit:\n$plan")
   }
+
+  test("pipeline_curriculum: ntile balance, coverage, ordered phase ranges") {
+    val rows = Pipeline.pipelineCurriculum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val classSizes = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, ph) =>
+      assert(ph.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+        s"$lang: all four phases present")
+      assert(ph.map(_._3).sum === classSizes(lang), s"$lang docs conserved")
+      // NTILE balance: bucket sizes differ by at most 1
+      assert(ph.map(_._3).max - ph.map(_._3).min <= 1, s"$lang balanced")
+      // phases are ordered by difficulty: ranges are non-decreasing
+      val sorted = ph.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 <= b._5,
+            s"$lang phase ${a._2} max ${a._6} vs phase ${b._2} min ${b._5}")
+        case _ =>
+      }
+    }
+  }
 }

@@ -54,4 +54,24 @@ class ScalarsSpec extends SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans === 1, s"one events scan, got $scans")
   }
+
+  test("fn_date_arith: java.time brute force on every row") {
+    val rows = Scalars.fnDateArith(spark, sf).collect()
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), to_date(col("o_orderdate"))).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    rows.foreach { r =>
+      val d = src(r.getLong(0))
+      assert(r.getLong(1) === (d.getMonthValue - 1) / 3 + 1, "quarter")
+      val monthEnd = d.withDayOfMonth(d.lengthOfMonth)
+      assert(r.getTimestamp(2).toLocalDateTime.toLocalDate === monthEnd)
+      assert(r.getTimestamp(3).toLocalDateTime.toLocalDate ===
+        d.plusMonths(3), "add_months clamps like java.time plusMonths")
+      assert(r.getTimestamp(4).toLocalDateTime.toLocalDate ===
+        d.minusDays(30))
+      assert(r.getLong(5) === d.lengthOfMonth.toLong, "days in month")
+      assert(r.getLong(6) === java.lang.Math.floorMod(d.toEpochDay, 7L),
+        "portable epoch dow")
+    }
+  }
 }

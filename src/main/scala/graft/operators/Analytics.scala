@@ -1204,7 +1204,59 @@ object Analytics {
       sum(col("s3").cast("long")).as("n_purchase_72h"))
   }
 
+  /** `analytics_gains` — the cumulative-gains (lift) chart behind
+    * every targeting decision: users decile by their pre-period value
+    * (the score a campaign would rank on), and each decile reports
+    * its post-period purchase-response rate plus the cumulative share
+    * of all responders captured down to that decile. "Target the top
+    * 3 deciles, capture X% of responders" — the marketing-analytics
+    * readout, and the business-facing twin of analytics_auc's
+    * statistical one.
+    *
+    * Determinism: the decile ORDER BY ties-break on user_id (the
+    * pipeline_curriculum NTILE contract); pre/post use the exact
+    * µs corpus midpoint; scores are exact decimals; rates and shares
+    * are single divisions of exact counts, ROUND-6.
+    *
+    * Scale: one user-keyed shuffle, one 10-ary rollup, windows over
+    * 10 rows.
+    */
+  def gains(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(unix_micros(col("ts_utc"))).as("mn"),
+      max(unix_micros(col("ts_utc"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid"))
+    val dec0 = lit(0).cast("decimal(18,2)")
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(sum(when(unix_micros(col("ts_utc")) < col("mid"),
+        col("value").cast("decimal(18,2)")).otherwise(dec0)).as("score"),
+        max(when(unix_micros(col("ts_utc")) >= col("mid") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("responded"))
+    val w = Window.orderBy(col("score").desc, col("user_id"))
+    val byDecile = perUser
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("responded")).as("n_resp"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDecile
+      .withColumn("cum_resp", sum(col("n_resp")).over(cum))
+      .withColumn("tot_resp", sum(col("n_resp")).over(tot))
+      .select(col("decile"), col("n_users"), col("n_resp"),
+        round(col("n_resp").cast("double") /
+          col("n_users").cast("double"), 6).as("response_rate"),
+        round(col("cum_resp").cast("double") /
+          col("tot_resp").cast("double"), 6).as("cum_gain"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_gains" -> gains _,
     "analytics_funnel_windowed" -> funnelWindowed _,
     "analytics_power_mde" -> powerMde _,
     "analytics_calibration" -> calibration _,
@@ -1243,6 +1295,39 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_gains" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP))) +
+        |          epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < b.mid
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS score,
+        |    MAX(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= b.mid
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS responded
+        |  FROM events, b GROUP BY user_id, b.mid),
+        |d AS (
+        |  SELECT NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile,
+        |    responded
+        |  FROM u),
+        |g AS (
+        |  SELECT decile, COUNT(*) AS n_users, SUM(responded) AS n_resp
+        |  FROM d GROUP BY decile),
+        |c AS (
+        |  SELECT decile, n_users, n_resp,
+        |    SUM(n_resp) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_resp,
+        |    SUM(n_resp) OVER () AS tot_resp
+        |  FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_users,
+        |  CAST(n_resp AS BIGINT) AS n_resp,
+        |  ROUND(CAST(n_resp AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |    AS response_rate,
+        |  ROUND(CAST(cum_resp AS DOUBLE) / CAST(tot_resp AS DOUBLE), 6)
+        |    AS cum_gain
+        |FROM c ORDER BY decile""".stripMargin,
     "analytics_funnel_windowed" ->
       """WITH s AS (
         |  SELECT user_id,

@@ -540,7 +540,43 @@ object Etl {
       .orderBy(col("day_ts"))
   }
 
+  /** `etl_checksum` — order-independent content fingerprint per table:
+    * row count plus the SUM of each row's md5-prefix integer over its
+    * business key columns. Because addition commutes, the checksum is
+    * independent of row order, partitioning, and cluster size — two
+    * snapshots match iff the sums match (up to adversarial collision,
+    * irrelevant for drift detection). The cheap "did replication/
+    * backfill produce the same table?" handshake that avoids a full
+    * anti-join diff (etl_snapshot_diff is the expensive drill-down
+    * when this says no).
+    *
+    * Exactness: each term is a 32-bit integer from the md5 hex prefix
+    * (the established conv/strpos bridge); sums stay far inside int64
+    * (≤ 4·10⁹ per row). All map-side until one constant-state
+    * aggregate per table; the union of per-table one-row aggregates
+    * is driver-trivial.
+    */
+  def etlChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    def sumOf(name: String, df: org.apache.spark.sql.DataFrame,
+        key: Column) =
+      df.select(conv(substring(md5(key), 1, 8), 16, 10)
+        .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    sumOf("orders", o, concat_ws("|", col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus")))
+      .unionAll(sumOf("lineitem", l, concat_ws("|", col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))))
+      .unionAll(sumOf("customer", c, concat_ws("|", col("c_custkey"),
+        col("c_mktsegment"))))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_checksum" -> etlChecksum _,
     "dq_partition_skew" -> dqPartitionSkew _,
     "etl_late_data" -> etlLateData _,
     "join_pit" -> joinPit _,
@@ -563,6 +599,30 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "etl_checksum" -> {
+      def hex8(keyExpr: String) = (1 to 8).map { i =>
+        s"(strpos('0123456789abcdef', substr(md5($keyExpr), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+      }.mkString("(", " + ", ")")
+      s"""WITH o AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(${hex8("CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus")}) AS checksum
+        |  FROM orders),
+        |l AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(${hex8("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)")}) AS checksum
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(${hex8("CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment")}) AS checksum
+        |  FROM customer)
+        |SELECT 'customer' AS table_name, n_rows,
+        |  CAST(checksum AS BIGINT) AS checksum FROM c
+        |UNION ALL
+        |SELECT 'lineitem', n_rows, CAST(checksum AS BIGINT) FROM l
+        |UNION ALL
+        |SELECT 'orders', n_rows, CAST(checksum AS BIGINT) FROM o
+        |ORDER BY table_name""".stripMargin
+    },
     "dq_partition_skew" ->
       """WITH d AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

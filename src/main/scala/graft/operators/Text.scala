@@ -483,7 +483,50 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** `text_oov_rate` — vocabulary-budget coverage: for tokenizer
+    * vocab budgets {1k, 5k, 10k}, the share of all token OCCURRENCES
+    * covered by the top-N most frequent types, and the resulting
+    * out-of-vocabulary rate. The curve a tokenizer-vocab decision is
+    * made from ("10k types covers 98.7% of the stream") — the
+    * occurrence-weighted complement of text_vocab_growth's type
+    * curve, and the planning input to pipeline_bpe_train.
+    *
+    * Determinism: type ranking ties-break on the token string; the
+    * cumulative ride is over the VOCAB-sized frame (the global-sort
+    * window is bounded by type cardinality, never the corpus — at a
+    * 100 TB corpus the vocabulary is still ~10⁷); coverage picks are
+    * exact integer sums, ROUND-6 on the rate only.
+    */
+  def textOovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w"))
+    val cum = Window.orderBy(col("c").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = types
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_occ", sum(col("c")).over(cum))
+    val tot = types.agg(sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val budgets = spark.range(1)
+      .select(explode(array(lit(1000L), lit(5000L), lit(10000L)))
+        .as("vocab_budget"))
+    budgets.crossJoin(broadcast(ranked))
+      .filter(col("rnk") <= col("vocab_budget"))
+      .groupBy(col("vocab_budget"))
+      .agg(max(col("cum_occ")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_budget"), col("vocab_size"),
+        col("covered_tokens"), col("total_tokens"),
+        round(lit(1.0) - col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("vocab_budget"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_oov_rate" -> textOovRate _,
     "text_code_detect" -> textCodeDetect _,
     "text_vocab_jaccard" -> textVocabJaccard _,
     "text_hapax" -> textHapax _,
@@ -520,6 +563,31 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_oov_rate" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (
+        |  SELECT w, COUNT(*) AS c FROM t WHERE w <> '' GROUP BY 1),
+        |r AS (
+        |  SELECT c,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk,
+        |    SUM(c) OVER (ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_occ
+        |  FROM f),
+        |tot AS (
+        |  SELECT SUM(c) AS total_tokens, COUNT(*) AS vocab_size FROM f),
+        |b AS (SELECT unnest([1000, 5000, 10000]) AS vocab_budget),
+        |cov AS (
+        |  SELECT b.vocab_budget, MAX(r.cum_occ) AS covered_tokens
+        |  FROM b JOIN r ON r.rnk <= b.vocab_budget
+        |  GROUP BY b.vocab_budget)
+        |SELECT CAST(cov.vocab_budget AS BIGINT) AS vocab_budget,
+        |  CAST(tot.vocab_size AS BIGINT) AS vocab_size,
+        |  CAST(cov.covered_tokens AS BIGINT) AS covered_tokens,
+        |  CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+        |  ROUND(1.0 - CAST(cov.covered_tokens AS DOUBLE) /
+        |    CAST(tot.total_tokens AS DOUBLE), 6) AS oov_rate
+        |FROM cov, tot ORDER BY vocab_budget""".stripMargin,
     "text_code_detect" ->
       """WITH m AS (
         |  SELECT doc_id, length(text) AS n,

@@ -707,4 +707,24 @@ class AnalyticsSpec extends SparkTestBase {
     }
     assert(c === brute2.toLong, s"stage 2 windowed count $c vs $brute2")
   }
+
+  test("analytics_gains: deciles partition users; cumulative gain reaches 1") {
+    val rows = Analytics.gains(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (1L to 10L).toSeq, "ten deciles")
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum === nUsers, "deciles partition the users")
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "NTILE balance")
+    rows.foreach { case (d, n, resp, rate, _) =>
+      assert(resp <= n, s"decile $d responders bounded")
+      assert(math.abs(rate - resp.toDouble / n) < 5e-7, s"decile $d rate")
+    }
+    // cumulative gain is nondecreasing and ends at exactly 1
+    assert(rows.map(_._5).sliding(2).forall {
+      case Array(a, b) => b >= a - 1e-12; case _ => true
+    })
+    assert(math.abs(rows.last._5 - 1.0) < 1e-9, "all responders captured")
+  }
 }

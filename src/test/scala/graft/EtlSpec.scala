@@ -347,4 +347,21 @@ class EtlSpec extends SparkTestBase {
       case Array(a, b) => a < b; case _ => true
     }, "days ordered")
   }
+
+  test("etl_checksum: brute-force order-independent fingerprint") {
+    val got = Etl.etlChecksum(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def md5u32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 8), 16)
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .collect().map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}")
+    // reversed iteration order: the sum must not care
+    val brute = orders.reverse.map(md5u32).sum
+    assert(got("orders") === ((orders.length.toLong, brute)),
+      s"orders checksum ${got("orders")} vs ($brute)")
+    assert(got.keySet === Set("orders", "lineitem", "customer"))
+  }
 }

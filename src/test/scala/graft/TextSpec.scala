@@ -306,4 +306,28 @@ class TextSpec extends SparkTestBase {
       assert(flag === (symR > 0.02), s"$id flag from ROUNDED ratio")
     }
   }
+
+  test("text_oov_rate: brute-force coverage at every budget; monotone") {
+    val rows = graft.operators.Text.textOovRate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(1000L, 5000L, 10000L))
+    // larger budget covers at least as much
+    assert(rows.map(_._3).sliding(2).forall {
+      case Array(a, b) => b >= a; case _ => true
+    })
+    val freq = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = freq.values.sum
+    val ordered = freq.toSeq.sortBy { case (w, c) => (-c, w) }
+    rows.foreach { case (budget, vocab, covered, tot, oov) =>
+      assert(vocab === freq.size.toLong)
+      assert(tot === total)
+      val bruteCov = ordered.take(budget.toInt).map(_._2).sum
+      assert(covered === bruteCov, s"budget $budget coverage")
+      assert(math.abs(oov - (1.0 - bruteCov.toDouble / total)) < 5e-7)
+    }
+  }
 }

@@ -1255,7 +1255,88 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** `analytics_seasonal_index` — the month-of-year seasonal index of
+    * order revenue: each calendar month's average monthly total across
+    * the corpus's seven years, divided by the overall monthly average.
+    * Index 1.10 = "Novembers run 10% hot" — the multiplicative
+    * seasonal profile demand planning and target-setting divide by,
+    * computed from the multi-year orders table (ts_decompose's weekly
+    * profile is the events-stream analogue; this is the yearly one).
+    *
+    * Exactness: (year, month) totals are exact decimals; the month
+    * and overall averages are exact-sum / exact-count double
+    * divisions; the index is one more division, ROUND-6. A partial
+    * first/last calendar year contributes only the months it has —
+    * n_years is per-month, not assumed constant.
+    *
+    * Scale shape: fact scale collapses to the (year × month) frame in
+    * ONE map-combined shuffle; everything after is calendar-sized
+    * (the one-row overall average broadcasts).
+    */
+  def seasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val ym = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val overall = ym.agg(
+      (sum(col("rev")).cast("double") / count(lit(1))).as("overall_avg"))
+    ym.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_years"),
+        (sum(col("rev")).cast("double") / count(lit(1))).as("month_avg"))
+      .crossJoin(broadcast(overall))
+      .select(col("m").cast("long").as("month"), col("n_years"),
+        round(col("month_avg"), 6).as("month_avg"),
+        round(col("month_avg") / col("overall_avg"), 6)
+          .as("seasonal_index"))
+      .orderBy(col("month"))
+  }
+
+  /** `analytics_lead_time` — order-to-ship lead time distribution per
+    * order priority: line-level days between order date and ship
+    * date, with the count, mean, and EXACT p50/p90 per priority — the
+    * fulfilment SLA table an operations dashboard leads with, and a
+    * direct check that priority classes actually get faster handling.
+    *
+    * Exactness: lead times are exact integer days; the percentiles
+    * are nearest-rank picks by pure INTEGER cumulative-weight tests
+    * (2·cum ≥ n for p50, 10·cum ≥ 9·n for p90 — no division, the
+    * agg_weighted_median discipline); the mean is exact-sum/count.
+    *
+    * Scale shape: orders⟗lineitem is the co-partitioned orderkey
+    * equi-join both tables already hash on; the distribution then
+    * collapses to (priority, distinct days) — day-domain-sized — and
+    * the rank picks ride windows over that tiny frame.
+    */
+  def leadTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("days"))
+    val byDay = joined.groupBy(col("prio"), col("days"))
+      .agg(count(lit(1)).as("w"))
+    val cum = Window.partitionBy(col("prio")).orderBy(col("days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("prio"))
+    byDay
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("n", sum(col("w")).over(tot))
+      .withColumn("sumd", sum(col("days") * col("w")).over(tot))
+      .groupBy(col("prio"))
+      .agg(max(col("n")).as("n_lines"),
+        round(max(col("sumd")).cast("double") /
+          max(col("n")).cast("double"), 6).as("mean_days"),
+        min(when(col("cumw") * 2 >= col("n"), col("days")))
+          .as("p50_days"),
+        min(when(col("cumw") * 10 >= col("n") * 9, col("days")))
+          .as("p90_days"))
+      .orderBy(col("prio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_seasonal_index" -> seasonalIndex _,
+    "analytics_lead_time" -> leadTime _,
     "analytics_gains" -> gains _,
     "analytics_funnel_windowed" -> funnelWindowed _,
     "analytics_power_mde" -> powerMde _,
@@ -1295,6 +1376,45 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_seasonal_index" ->
+      """WITH ym AS (
+        |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS overall_avg
+        |  FROM ym),
+        |mo AS (
+        |  SELECT m, COUNT(*) AS n_years,
+        |    CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS month_avg
+        |  FROM ym GROUP BY m)
+        |SELECT CAST(m AS BIGINT) AS month, n_years,
+        |  ROUND(month_avg, 6) AS month_avg,
+        |  ROUND(month_avg / overall_avg, 6) AS seasonal_index
+        |FROM mo, ov ORDER BY month""".stripMargin,
+    "analytics_lead_time" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority AS prio,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bd AS (
+        |  SELECT prio, days, COUNT(*) AS w FROM j GROUP BY 1, 2),
+        |c AS (
+        |  SELECT prio, days, w,
+        |    SUM(w) OVER (PARTITION BY prio ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY prio) AS n,
+        |    SUM(days * w) OVER (PARTITION BY prio) AS sumd
+        |  FROM bd)
+        |SELECT prio, CAST(MAX(n) AS BIGINT) AS n_lines,
+        |  ROUND(CAST(MAX(sumd) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+        |    AS mean_days,
+        |  CAST(MIN(CASE WHEN cumw * 2 >= n THEN days END) AS BIGINT)
+        |    AS p50_days,
+        |  CAST(MIN(CASE WHEN cumw * 10 >= n * 9 THEN days END) AS BIGINT)
+        |    AS p90_days
+        |FROM c GROUP BY prio ORDER BY prio""".stripMargin,
     "analytics_gains" ->
       """WITH b AS (
         |  SELECT (epoch_us(MIN(CAST(ts AS TIMESTAMP))) +

@@ -885,7 +885,55 @@ object Temporal {
       .orderBy(col("k"))
   }
 
+  /** `ts_mann_kendall` — the Mann–Kendall nonparametric trend TEST on
+    * the daily revenue series: S = Σ_{i<j} sign(x_j − x_i) (exact
+    * integer over decimal comparisons), tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    * continuity-corrected Z. The estimator/test pair with
+    * ts_theil_sen: Sen says HOW STEEP, Mann–Kendall says WHETHER the
+    * monotone trend is significant — the standard combination on
+    * dirty monitoring series precisely because neither assumes
+    * normality.
+    *
+    * Exactness: S and every tie term are exact int64; Var(S) and Z
+    * are identical-text double formulas over exact integers, the
+    * Z branch chosen by S's exact sign (CASE text identical), output
+    * ROUND-6; the trend label derives from the ROUNDED |z| vs 1.96.
+    *
+    * Scale shape: the pair set is calendar-bounded (the ts_theil_sen
+    * argument); the tie table is a groupBy over ≤n distinct values.
+    */
+  def tsMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .localCheckpoint()
+    val a = daily.toDF("day_a", "rev_a")
+    val b = daily.toDF("day_b", "rev_b")
+    val sAgg = a.join(b, col("day_a") < col("day_b"))
+      .agg(sum(signum((col("rev_b") - col("rev_a")).cast("double"))
+        .cast("long")).as("s"))
+    val ties = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_term"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+      col("tie_term")).cast("double") / lit(18.0)
+    val z = when(col("s") > 0,
+        (col("s") - lit(1)).cast("double") / sqrt(varS))
+      .when(col("s") < 0,
+        (col("s") + lit(1)).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n").cast("long").as("n_days"), col("s").as("s_stat"),
+        round(varS, 6).as("var_s"), round(z, 6).as("z"))
+      .withColumn("trend",
+        when(abs(col("z")) <= 1.96, "none")
+          .when(col("z") > 0, "increasing").otherwise("decreasing"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_mann_kendall" -> tsMannKendall _,
     "ts_spectral" -> tsSpectral _,
     "ts_theil_sen" -> tsTheilSen _,
     "ts_burstiness" -> tsBurstiness _,
@@ -914,6 +962,36 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events GROUP BY 1),
+        |sp AS (
+        |  SELECT CAST(SUM(CAST(sign(CAST(b.rev - a.rev AS DOUBLE))
+        |    AS BIGINT)) AS BIGINT) AS s
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |tt AS (
+        |  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        |  FROM (SELECT COUNT(*) AS t FROM d GROUP BY rev)),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |f AS (
+        |  SELECT nn.n, sp.s,
+        |    CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tie_term
+        |      AS DOUBLE) / 18.0 AS var_s
+        |  FROM sp, tt, nn),
+        |g AS (
+        |  SELECT n, s, var_s,
+        |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |         ELSE 0.0 END AS z
+        |  FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat,
+        |  ROUND(var_s, 6) AS var_s, ROUND(z, 6) AS z,
+        |  CASE WHEN abs(ROUND(z, 6)) <= 1.96 THEN 'none'
+        |       WHEN ROUND(z, 6) > 0 THEN 'increasing'
+        |       ELSE 'decreasing' END AS trend
+        |FROM g""".stripMargin,
     "ts_spectral" ->
       """WITH d AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -727,4 +727,56 @@ class AnalyticsSpec extends SparkTestBase {
     })
     assert(math.abs(rows.last._5 - 1.0) < 1e-9, "all responders captured")
   }
+
+  test("analytics_seasonal_index: indices average to 1 under month weights") {
+    val rows = Analytics.seasonalIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === (1L to 12L).toSeq, "all twelve months")
+    // sum over months of n_years*month_avg = total revenue = overall_avg
+    // * total month-cells, so the n_years-weighted mean index is 1
+    val cells = rows.map(_._2).sum.toDouble
+    val weighted = rows.map(r => r._2 * r._4).sum / cells
+    assert(math.abs(weighted - 1.0) < 1e-5,
+      s"weighted mean index must be 1, got $weighted")
+    assert(rows.forall(_._4 > 0), "indices positive")
+    // brute force one month from raw orders
+    val ym = graft.sources.Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getDecimal(2).doubleValue()))
+    val m3 = ym.filter(_._2 == 3)
+    val avg3 = m3.map(_._3).sum / m3.length
+    val got3 = rows.find(_._1 == 3L).get
+    assert(got3._2 === m3.length.toLong, "march year count")
+    assert(math.abs(got3._3 - avg3) < 1e-4 * (1 + avg3), "march avg")
+  }
+
+  test("analytics_lead_time: brute-force percentiles per priority") {
+    val rows = Analytics.leadTime(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    val joined = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byP = joined.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (prio, n, mean, p50, p90) =>
+      val ds = byP(prio)
+      assert(n === ds.length.toLong, s"$prio line count")
+      assert(math.abs(mean - ds.sum.toDouble / ds.length) < 1e-6)
+      // nearest-rank from the integer selection rules
+      val b50 = ds(math.max(0, math.ceil(ds.length / 2.0).toInt - 1))
+      val b90 = ds(math.max(0, math.ceil(ds.length * 9 / 10.0).toInt - 1))
+      assert(p50 === b50, s"$prio p50 $p50 vs $b50")
+      assert(p90 === b90, s"$prio p90 $p90 vs $b90")
+      assert(p50 <= p90, s"$prio percentile order")
+      // note: the synthetic corpus does NOT maintain ship >= order
+      // (negative lead times exist) — the operator reports what is
+    }
+  }
 }

@@ -640,4 +640,33 @@ class TemporalSpec extends SparkTestBase {
         s"k=$k share $share vs ${powers(k.toInt - 1) / tot}")
     }
   }
+
+  test("ts_mann_kendall: brute-force S, tie-corrected variance, Z") {
+    val row = Temporal.tsMannKendall(spark, sf).collect()(0)
+    val (n, s, varS, z, trend) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getString(4))
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getDecimal(2 - 1))).sortBy(_._1).map(_._2)
+    assert(n === daily.length.toLong)
+    var bs = 0L
+    for (i <- daily.indices; j <- i + 1 until daily.length)
+      bs += daily(j).compareTo(daily(i)).sign
+    assert(s === bs, s"S $s vs brute $bs")
+    val ties = daily.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val nn = daily.length.toLong
+    val bruteVar = (nn * (nn - 1) * (2 * nn + 5) - ties) / 18.0
+    assert(math.abs(varS - bruteVar) < 1e-4, s"var $varS vs $bruteVar")
+    val bruteZ =
+      if (bs > 0) (bs - 1) / math.sqrt(bruteVar)
+      else if (bs < 0) (bs + 1) / math.sqrt(bruteVar) else 0.0
+    assert(math.abs(z - bruteZ) < 1e-5, s"Z $z vs $bruteZ")
+    val expectTrend = if (math.abs(z) <= 1.96) "none"
+      else if (z > 0) "increasing" else "decreasing"
+    assert(trend === expectTrend, "label derives from the rounded Z")
+  }
 }

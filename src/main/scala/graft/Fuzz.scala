@@ -100,7 +100,7 @@ object Fuzz {
   }
 
   /** One random query in the shared dialect. */
-  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+  private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
       36, 37, 38)) match {
     case 1 => // single-group aggregate
@@ -553,6 +553,41 @@ object Fuzz {
          |  COUNT(*) AS n_events,
          |  CAST(COUNT(*) - COUNT(DISTINCT burst) AS BIGINT) AS n_suppressed
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+    case 39 => // NTILE bucket rollup (pipeline_curriculum's shape):
+      // NTILE at a tie boundary is order-dependent BY SPEC, so the
+      // ORDER BY carries the unique key — with it, bucket membership
+      // and the per-bucket min/max must agree exactly
+      val k = pick(r, Seq(3, 4, 5, 8))
+      val dp = s"n_chars % ${2 + r.nextInt(5)} <= ${r.nextInt(2)}"
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    NTILE($k) OVER (PARTITION BY lang
+         |      ORDER BY n_chars, doc_id) AS bucket
+         |  FROM documents WHERE $dp)
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(MIN(n_chars) AS BIGINT) AS lo,
+         |  CAST(MAX(n_chars) AS BIGINT) AS hi
+         |FROM t GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+    case 40 => // two-level calendar index (analytics_seasonal_index's
+      // shape): period aggregate, cross-joined scalar mean, ratio —
+      // decimal sums exact through BOTH levels, one double division
+      val per = pick(r, Seq("month", "quarter"))
+      val fp = s"o_totalprice >= ${1000 + r.nextInt(50000)}"
+      s"""WITH ym AS (
+         |  SELECT year(o_orderdate) AS y, $per(o_orderdate) AS p,
+         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         |  FROM orders WHERE $fp GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_all FROM ym),
+         |mo AS (
+         |  SELECT p, COUNT(*) AS n_cells,
+         |    CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_p
+         |  FROM ym GROUP BY p)
+         |SELECT CAST(p AS BIGINT) AS period, CAST(n_cells AS BIGINT)
+         |    AS n_cells,
+         |  ROUND(avg_p / avg_all, 6) AS idx
+         |FROM mo, ov ORDER BY period""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

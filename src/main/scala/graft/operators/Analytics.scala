@@ -1334,7 +1334,45 @@ object Analytics {
       .orderBy(col("prio"))
   }
 
+  /** `analytics_rolling_retention` — the daily 7-day rolling
+    * retention curve: for each activity day, the share of that day's
+    * active users who are ALSO active exactly 7 days later. Daily
+    * granularity where cohort_retention is yearly and analytics_churn
+    * monthly — the curve a consumer product watches for launch-week
+    * decay.
+    *
+    * Scale shape: the stream collapses to the DISTINCT (user, day)
+    * activity table in one map-combined shuffle; the day+7 lookup is
+    * a self-equi-join on (user, day+7) — co-partitioned on user, and
+    * the day dimension is calendar-bounded so the join fan-out is
+    * ≤ days per user. Exact integer counts, one ROUND-6 division.
+    * Trailing days with no +7 observation window emit NULL retention
+    * (identical CASE both engines), not a fake zero.
+    */
+  def rollingRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts_utc")).as("day"))
+      .distinct()
+      .localCheckpoint()
+    val later = act.toDF("user_id", "day7")
+    val maxDay = act.agg(max(col("day")).as("max_day"))
+    act
+      .join(later, later("user_id") === act("user_id") &&
+        col("day7") === date_add(col("day"), 7), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("day7")).as("n_retained"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("day").cast("timestamp").as("day_ts"),
+        col("n_active"), col("n_retained"),
+        when(date_add(col("day"), 7) <= col("max_day"),
+          round(col("n_retained").cast("double") /
+            col("n_active").cast("double"), 6)).as("d7_retention"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_rolling_retention" -> rollingRetention _,
     "analytics_seasonal_index" -> seasonalIndex _,
     "analytics_lead_time" -> leadTime _,
     "analytics_gains" -> gains _,
@@ -1376,6 +1414,24 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_rolling_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |    AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM act),
+        |j AS (
+        |  SELECT a.day, a.user_id,
+        |    CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS ret
+        |  FROM act a LEFT JOIN act b
+        |    ON b.user_id = a.user_id AND b.day = a.day + 7)
+        |SELECT CAST(j.day AS TIMESTAMP) AS day_ts,
+        |  COUNT(*) AS n_active,
+        |  CAST(SUM(ret) AS BIGINT) AS n_retained,
+        |  CASE WHEN j.day + 7 <= mx.max_day THEN
+        |    ROUND(CAST(SUM(ret) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |  END AS d7_retention
+        |FROM j, mx GROUP BY j.day, mx.max_day ORDER BY day_ts""".stripMargin,
     "analytics_seasonal_index" ->
       """WITH ym AS (
         |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,

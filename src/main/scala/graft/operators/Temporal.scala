@@ -932,7 +932,65 @@ object Temporal {
           .when(col("z") > 0, "increasing").otherwise("decreasing"))
   }
 
+  /** `ts_hampel` — the Hampel robust outlier filter on the daily
+    * revenue series: each day compares against the MEDIAN of its ±3-day
+    * window, flagged when |x − med| exceeds 3·1.4826·MAD (the
+    * normal-consistent robust sigma). Unlike the z-score family
+    * (dq_anomaly, ts_rolling_stats) a single spike cannot drag its own
+    * baseline — median and MAD have a 50% breakdown point, which is
+    * why Hampel is the standard despiking pass on operational series.
+    *
+    * Exactness: window medians and MADs are NEAREST-RANK picks of
+    * exact decimals by pure integer cumulative tests (2·cum ≥ n — the
+    * agg_weighted_median discipline, no interpolation, no division);
+    * the flag compares ROUND-6 doubles on both sides (deviation vs
+    * 4.4478·MAD) so boundary membership is engine-exact.
+    *
+    * Scale shape: everything after the daily collapse is
+    * calendar-bounded — the ±3-day band self-join fans out ≤7 rows
+    * per day and both rank picks ride day-partitioned windows over
+    * that small frame. At unbounded history the window is a bounded
+    * ROWS frame per series — still never fact-scale.
+    */
+  def tsHampel(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .localCheckpoint()
+    val pairs = daily.toDF("cday", "x")
+      .join(daily.toDF("day", "v"),
+        datediff(col("day"), col("cday")).between(-3, 3))
+    def rankPick(df: DataFrame, key: String, value: String, out: String) = {
+      val cum = Window.partitionBy(col(key)).orderBy(col(value))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col(key))
+      df.groupBy(col(key), col(value)).agg(count(lit(1)).as("w"))
+        .withColumn("cum", sum(col("w")).over(cum))
+        .withColumn("n", sum(col("w")).over(tot))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col(key)).agg(min(col(value)).as(out))
+    }
+    val med = rankPick(pairs.select(col("cday"), col("v")),
+      "cday", "v", "med")
+    val devs = pairs.join(med, Seq("cday"))
+      .select(col("cday"), abs(col("v") - col("med")).as("dev"))
+    val mad = rankPick(devs, "cday", "dev", "mad")
+    import graft.functions.Dec._
+    daily.toDF("cday", "x")
+      .join(med, Seq("cday")).join(mad, Seq("cday"))
+      .select(col("cday").cast("timestamp").as("day_ts"),
+        outDec(col("x"), 18, 2).as("revenue"),
+        outDec(col("med"), 18, 2).as("med7"),
+        outDec(col("mad"), 18, 2).as("mad7"),
+        round(abs(col("x") - col("med")).cast("double"), 6).as("abs_dev"),
+        (round(abs(col("x") - col("med")).cast("double"), 6) >
+          round(lit(4.4478) * col("mad").cast("double"), 6))
+          .as("is_outlier"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_hampel" -> tsHampel _,
     "ts_mann_kendall" -> tsMannKendall _,
     "ts_spectral" -> tsSpectral _,
     "ts_theil_sen" -> tsTheilSen _,
@@ -962,6 +1020,50 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_hampel" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events GROUP BY 1),
+        |pr AS (
+        |  SELECT a.day AS cday, a.rev AS x, b.rev AS v
+        |  FROM d a JOIN d b
+        |    ON date_diff('day', a.day, b.day) BETWEEN -3 AND 3),
+        |mw AS (
+        |  SELECT cday, v, COUNT(*) AS w FROM pr GROUP BY 1, 2),
+        |mc AS (
+        |  SELECT cday, v,
+        |    SUM(w) OVER (PARTITION BY cday ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY cday) AS n
+        |  FROM mw),
+        |med AS (
+        |  SELECT cday, MIN(v) AS med FROM mc WHERE cum * 2 >= n
+        |  GROUP BY cday),
+        |dv AS (
+        |  SELECT pr.cday, abs(pr.v - med.med) AS dev
+        |  FROM pr JOIN med ON pr.cday = med.cday),
+        |dw AS (
+        |  SELECT cday, dev, COUNT(*) AS w FROM dv GROUP BY 1, 2),
+        |dc AS (
+        |  SELECT cday, dev,
+        |    SUM(w) OVER (PARTITION BY cday ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY cday) AS n
+        |  FROM dw),
+        |mad AS (
+        |  SELECT cday, MIN(dev) AS mad FROM dc WHERE cum * 2 >= n
+        |  GROUP BY cday)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day_ts,
+        |  CAST(CAST(d.rev AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        |  CAST(CAST(med.med AS DECIMAL(18,2)) AS DOUBLE) AS med7,
+        |  CAST(CAST(mad.mad AS DECIMAL(18,2)) AS DOUBLE) AS mad7,
+        |  ROUND(CAST(abs(d.rev - med.med) AS DOUBLE), 6) AS abs_dev,
+        |  ROUND(CAST(abs(d.rev - med.med) AS DOUBLE), 6) >
+        |    ROUND(4.4478 * CAST(mad.mad AS DOUBLE), 6) AS is_outlier
+        |FROM d JOIN med ON med.cday = d.day
+        |JOIN mad ON mad.cday = d.day
+        |ORDER BY day_ts""".stripMargin,
     "ts_mann_kendall" ->
       """WITH d AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -779,4 +779,28 @@ class AnalyticsSpec extends SparkTestBase {
       // (negative lead times exist) — the operator reports what is
     }
   }
+
+  test("analytics_rolling_retention: brute-force day-7 lookback") {
+    val rows = Analytics.rollingRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toEpochDay,
+        r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val act = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts_utc"))).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val byDay = act.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val maxDay = act.map(_._2).max
+    rows.foreach { case (day, nAct, nRet, retention) =>
+      val users = byDay(day)
+      assert(nAct === users.size.toLong, s"day $day actives")
+      val later = byDay.getOrElse(day + 7, Set.empty[Long])
+      assert(nRet === (users intersect later).size.toLong, s"day $day retained")
+      if (day + 7 <= maxDay) {
+        assert(retention.isDefined, s"day $day inside the window")
+        assert(math.abs(retention.get - nRet.toDouble / nAct) < 5e-7)
+      } else assert(retention.isEmpty,
+        s"day $day has no complete +7 window — NULL, not fake zero")
+    }
+  }
 }

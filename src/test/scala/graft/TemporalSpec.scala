@@ -669,4 +669,37 @@ class TemporalSpec extends SparkTestBase {
       else if (z > 0) "increasing" else "decreasing"
     assert(trend === expectTrend, "label derives from the rounded Z")
   }
+
+  test("ts_hampel: brute-force windowed median/MAD picks and the flag") {
+    val rows = Temporal.tsHampel(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toEpochDay,
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getDecimal(1))).sortBy(_._1)
+    // nearest-rank lower-median pick: smallest value with 2*rank >= n
+    def pickMed(xs: Seq[java.math.BigDecimal]): java.math.BigDecimal = {
+      val s = xs.sorted((a: java.math.BigDecimal,
+        b: java.math.BigDecimal) => a.compareTo(b))
+      s((s.length + 1) / 2 - 1)
+    }
+    val byDay = daily.toMap
+    rows.foreach { case (day, x, med, mad, dev, flag) =>
+      val window = daily.filter(d => math.abs(d._1 - day) <= 3).map(_._2)
+      val bm = pickMed(window)
+      assert(med === bm.doubleValue(), s"day $day median")
+      val bmad = pickMed(window.map(v => v.subtract(bm).abs()))
+      assert(mad === bmad.doubleValue(), s"day $day MAD")
+      val bdev = byDay(day).subtract(bm).abs().doubleValue()
+      assert(math.abs(dev - bdev) < 5e-7, s"day $day deviation")
+      assert(flag === (BigDecimal(dev) >
+        BigDecimal(4.4478 * bmad.doubleValue()).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)), s"day $day flag")
+      assert(x === byDay(day).doubleValue())
+    }
+  }
 }

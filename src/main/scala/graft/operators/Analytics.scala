@@ -1218,8 +1218,13 @@ object Analytics {
     * µs corpus midpoint; scores are exact decimals; rates and shares
     * are single divisions of exact counts, ROUND-6.
     *
-    * Scale: one user-keyed shuffle, one 10-ary rollup, windows over
-    * 10 rows.
+    * Scale: one user-keyed shuffle, then a USER-cardinality NTILE —
+    * an unpartitioned sort of the per-user table (fine for the
+    * dimension-sized user universe here; at 10⁹ users the decile
+    * boundaries come from an approx-quantile sketch broadcast back as
+    * range predicates — the agg_equidepth machinery — trading exact
+    * NTILE balance for a sort-free map-side bin). The rollup and
+    * cumulative windows are 10-ary either way.
     */
   def gains(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -1371,7 +1376,91 @@ object Analytics {
       .orderBy(col("day_ts"))
   }
 
+  /** `analytics_new_vs_returning` — the daily new-vs-returning order
+    * split: each order day reports how many orders came from
+    * customers placing their FIRST-ever order that day vs repeat
+    * customers, with the revenue split — the top-line acquisition/
+    * retention mix every commerce dashboard opens with.
+    *
+    * Scale shape: per-customer first-order date is one map-combined
+    * aggregate; the classify join is customer-keyed (co-partitioned
+    * with the orders shuffle — AQE broadcasts the first-order table
+    * at dimension scale); the daily rollup is calendar×2-ary. Counts
+    * exact; revenue exact decimal → double.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val first = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_day"))
+    Tables.orders(spark, sfDir)
+      .join(first, col("o_custkey") === col("ck"))
+      .select(to_date(col("o_orderdate")).as("day"),
+        (to_date(col("o_orderdate")) === col("first_day")).as("is_new"),
+        dec2(col("o_totalprice")).as("p"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning"),
+        outDec(sum(when(col("is_new"), col("p"))
+          .otherwise(lit(0).cast("decimal(18,2)"))), 18, 2)
+          .as("rev_new"),
+        outDec(sum(when(!col("is_new"), col("p"))
+          .otherwise(lit(0).cast("decimal(18,2)"))), 18, 2)
+          .as("rev_returning"))
+      .select(col("day").cast("timestamp").as("day_ts"), col("n_new"),
+        col("n_returning"), col("rev_new"), col("rev_returning"))
+      .orderBy(col("day_ts"))
+  }
+
+  /** `analytics_rfm_migration` — the customer-state migration matrix:
+    * customers classify into value tiers (by total spend terciles —
+    * exact NTILE(3) with custkey tie-break) separately in the
+    * corpus's first and second half (exact day midpoint of the order
+    * span), and the matrix counts every (tier_H1 → tier_H2)
+    * transition including churn-to-absent and new-in-H2. The
+    * state-transition view of RFM: "are my high-value customers
+    * staying high-value" — analytics_markov's machinery applied to
+    * customer tiers instead of event types.
+    *
+    * Determinism: halves split on the exact integer epoch-day
+    * midpoint; tiers are NTILE with the custkey tie-break; absent
+    * halves label 'none' by identical CASE. Scale: two half-filtered
+    * customer aggregates (one scan each), customer-keyed FULL join,
+    * 4×4-ary rollup; the NTILE note from analytics_gains applies.
+    */
+  def rfmMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val bounds = o.agg(min(datediff(to_date(col("o_orderdate")),
+      lit("1970-01-01").cast("date"))).as("mn"),
+      max(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid"))
+    def tiers(pre: Boolean, out: String) = {
+      val side = if (pre) col("ed") < col("mid")
+        else col("ed") >= col("mid")
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("ed", datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")))
+        .filter(side)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .withColumn(out, concat(lit("T"), ntile(3).over(w)))
+        .select(col("o_custkey").as(s"ck_$out"), col(out))
+    }
+    val h1 = tiers(pre = true, "tier_h1")
+    val h2 = tiers(pre = false, "tier_h2")
+    h1.join(h2, col("ck_tier_h1") === col("ck_tier_h2"), "full")
+      .select(coalesce(col("tier_h1"), lit("none")).as("from_tier"),
+        coalesce(col("tier_h2"), lit("none")).as("to_tier"))
+      .groupBy(col("from_tier"), col("to_tier"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("from_tier"), col("to_tier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_new_vs_returning" -> newVsReturning _,
+    "analytics_rfm_migration" -> rfmMigration _,
     "analytics_rolling_retention" -> rollingRetention _,
     "analytics_seasonal_index" -> seasonalIndex _,
     "analytics_lead_time" -> leadTime _,
@@ -1414,6 +1503,60 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_new_vs_returning" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS ck,
+        |    MIN(CAST(o_orderdate AS DATE)) AS first_day
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(o_orderdate AS DATE) = f.first_day AS is_new,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders JOIN f ON o_custkey = f.ck)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(CAST(SUM(CASE WHEN is_new THEN p
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS rev_new,
+        |  CAST(CAST(SUM(CASE WHEN NOT is_new THEN p
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS rev_returning
+        |FROM j GROUP BY day ORDER BY day_ts""".stripMargin,
+    "analytics_rfm_migration" ->
+      """WITH b AS (
+        |  SELECT (MIN(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) +
+        |    MAX(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)))) // 2 AS mid
+        |  FROM orders),
+        |h1 AS (
+        |  SELECT o_custkey AS ck1, 'T' || CAST(NTILE(3) OVER (
+        |    ORDER BY spend DESC, o_custkey) AS VARCHAR) AS tier_h1
+        |  FROM (
+        |    SELECT o_custkey,
+        |      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |    FROM orders, b
+        |    WHERE date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) < b.mid
+        |    GROUP BY o_custkey)),
+        |h2 AS (
+        |  SELECT o_custkey AS ck2, 'T' || CAST(NTILE(3) OVER (
+        |    ORDER BY spend DESC, o_custkey) AS VARCHAR) AS tier_h2
+        |  FROM (
+        |    SELECT o_custkey,
+        |      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |    FROM orders, b
+        |    WHERE date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) >= b.mid
+        |    GROUP BY o_custkey))
+        |SELECT COALESCE(tier_h1, 'none') AS from_tier,
+        |  COALESCE(tier_h2, 'none') AS to_tier,
+        |  COUNT(*) AS n_customers
+        |FROM h1 FULL JOIN h2 ON ck1 = ck2
+        |GROUP BY 1, 2 ORDER BY from_tier, to_tier""".stripMargin,
     "analytics_rolling_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)

@@ -602,7 +602,9 @@ object Pipeline {
     * both engines (NTILE at a tie boundary is order-dependent —
     * without the tie-break this query would be engine-divergent BY
     * SPEC). Scale: one lang-keyed window over the doc table, then a
-    * (lang, phase)-ary rollup.
+    * (lang, phase)-ary rollup; a language partition at web scale
+    * swaps exact NTILE for approx-quantile boundary predicates (the
+    * analytics_gains note) — same output contract, sort-free.
     */
   def pipelineCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
@@ -618,7 +620,52 @@ object Pipeline {
       .orderBy(col("lang"), col("phase"))
   }
 
+  /** `embed_norm_audit` — embedding-vector hygiene per label class:
+    * count, mean and sd of the L2 norm, and the number of 3σ norm
+    * outliers. Degenerate vectors (zeros from a failed encoder call,
+    * explosions from a bad batch) show up as norm outliers long
+    * before they poison ANN recall or centroid drift — the first QA
+    * pass any embedding pipeline runs on a fresh shard.
+    *
+    * Exactness: the norm is the argument-position HOF dot product
+    * (identical element order to DuckDB's list_inner_product),
+    * ROUNDED to 6 and then cast to DECIMAL(12,6) so the per-label
+    * power sums are EXACT — mean, sd, and every 3σ boundary test are
+    * identical-text arithmetic over exact sums, not order-dependent
+    * double aggregation. Outlier counting needs the mean first, so
+    * the stats broadcast back (the BM25 one-row pattern, per label).
+    *
+    * Scale: map-side norms, one (label)-combined aggregate, one
+    * label-keyed broadcast join back. No shuffle of vectors.
+    */
+  def embedNormAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val normed = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        round(sqrt(graft.functions.VectorFns.innerProduct(
+          col("embedding"), col("embedding"))), 6)
+          .cast("decimal(12,6)").as("nm"))
+      .localCheckpoint()
+    val stats = normed.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("nm")).cast("double").as("s1"),
+        sum((col("nm").cast("decimal(19,6)") * col("nm"))
+          .cast("decimal(31,12)")).cast("double").as("s2"))
+      .select(col("label"), col("n_vecs"),
+        (col("s1") / col("n_vecs")).as("mu"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n_vecs")) /
+          (col("n_vecs") - 1)).as("sd"))
+    normed.join(broadcast(stats), Seq("label"))
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        round(max(col("mu")), 6).as("mean_norm"),
+        round(max(col("sd")), 6).as("sd_norm"),
+        sum(when(abs(col("nm").cast("double") - col("mu")) >
+          lit(3.0) * col("sd"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_norm_audit" -> embedNormAudit _,
     "pipeline_curriculum" -> pipelineCurriculum _,
     "sample_balanced" -> sampleBalanced _,
     "pipeline_drift_report" -> pipelineDriftReport _,
@@ -655,6 +702,30 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "embed_norm_audit" ->
+      """WITH nm AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(ROUND(sqrt(list_inner_product(
+        |      CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))), 6) AS DECIMAL(12,6)) AS nm
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT label, COUNT(*) AS n_vecs,
+        |    CAST(SUM(nm) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(nm AS DECIMAL(19,6)) * nm
+        |      AS DECIMAL(31,12))) AS DOUBLE) AS s2
+        |  FROM nm GROUP BY 1),
+        |mu AS (
+        |  SELECT label, n_vecs, s1 / n_vecs AS mu,
+        |    sqrt((s2 - s1 * s1 / n_vecs) / (n_vecs - 1)) AS sd
+        |  FROM st)
+        |SELECT nm.label AS label, CAST(MAX(mu.n_vecs) AS BIGINT) AS n_vecs,
+        |  ROUND(MAX(mu.mu), 6) AS mean_norm,
+        |  ROUND(MAX(mu.sd), 6) AS sd_norm,
+        |  CAST(SUM(CASE WHEN abs(CAST(nm.nm AS DOUBLE) - mu.mu) >
+        |    3.0 * mu.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM nm JOIN mu ON nm.label = mu.label
+        |GROUP BY nm.label ORDER BY nm.label""".stripMargin,
     "pipeline_curriculum" ->
       """WITH p AS (
         |  SELECT lang, doc_id, n_chars,

@@ -803,4 +803,44 @@ class AnalyticsSpec extends SparkTestBase {
         s"day $day has no complete +7 window — NULL, not fake zero")
     }
   }
+
+  test("analytics_new_vs_returning: brute-force daily split; conservation") {
+    val rows = Analytics.newVsReturning(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    assert(rows.map(r => r._2 + r._3).sum === orders.length.toLong,
+      "every order lands in exactly one bucket")
+    val firstDay = orders.groupBy(_._1).view.mapValues(_.map(_._2)
+      .minBy(_.toEpochDay)).toMap
+    val someDay = rows(rows.length / 2)
+    val dayOrders = orders.filter(_._2 == someDay._1)
+    val (nw, ret) = dayOrders.partition(o => firstDay(o._1) == o._2)
+    assert(someDay._2 === nw.length.toLong, "brute new count")
+    assert(someDay._3 === ret.length.toLong, "brute returning count")
+    assert(math.abs(someDay._4 - nw.map(_._3).sum.toDouble) < 1e-6)
+    assert(math.abs(someDay._5 - ret.map(_._3).sum.toDouble) < 1e-6)
+  }
+
+  test("analytics_rfm_migration: matrix covers the active universe") {
+    val rows = Analytics.rfmMigration(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(!rows.contains(("none", "none")),
+      "a never-active customer is not a matrix cell")
+    val total = rows.values.sum
+    val universe = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(total === universe,
+      s"matrix total $total must equal active customers $universe")
+    // tiers within a half are NTILE(3)-balanced: per-from-tier row sums
+    // (excluding 'none') differ by at most 1
+    val h1Sizes = rows.toSeq.filter(_._1._1 != "none")
+      .groupBy(_._1._1).view.mapValues(_.map(_._2).sum).values.toSeq
+    assert(h1Sizes.max - h1Sizes.min <= 1, s"H1 tercile balance: $h1Sizes")
+  }
 }

@@ -628,4 +628,30 @@ class PipelineSpec extends SparkTestBase {
       }
     }
   }
+
+  test("embed_norm_audit: brute-force norms, stats, and 3-sigma counts") {
+    val rows = Pipeline.embedNormAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0).toLong,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map { case (_, v) =>
+      r6(math.sqrt(v.map(x => x * x).sum))
+    }).toMap
+    rows.foreach { case (label, n, mu, sd, outliers) =>
+      val norms = byLabel(label)
+      assert(n === norms.length.toLong)
+      val bm = norms.sum / norms.length
+      val bsd = math.sqrt(
+        norms.map(x => (x - bm) * (x - bm)).sum / (norms.length - 1))
+      assert(math.abs(mu - bm) < 1e-5, s"label $label mean norm")
+      assert(math.abs(sd - bsd) < 1e-5, s"label $label sd norm")
+      val bOut = norms.count(x => math.abs(x - bm) > 3 * bsd)
+      assert(outliers === bOut.toLong, s"label $label outliers")
+    }
+  }
 }

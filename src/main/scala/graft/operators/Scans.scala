@@ -122,7 +122,34 @@ object Scans {
       .limit(100)
   }
 
+  /** `scan_file_provenance` — the hidden `_metadata` column surface:
+    * per input file, its name, size, row count, and the row-index
+    * range — the lineage a debugging/audit pass reads to answer
+    * "WHICH file produced this row" without any ETL bookkeeping
+    * column. Spark materializes `_metadata.file_name/file_size/
+    * row_index` only when referenced (zero cost otherwise); at
+    * cluster scale this is the per-file skew/completeness report over
+    * thousands of shard files, free of any shuffle beyond the
+    * file-ary rollup.
+    *
+    * No oracle by design: DuckDB's equivalent (`read_parquet(...,
+    * filename=true, file_row_number=true)`) needs the literal path in
+    * the SQL text, which would pin the oracle to one scale factor.
+    * The spec pins the contract instead: one row per file, row_index
+    * spans exactly [0, n), and the file size matches the filesystem.
+    */
+  def scanFileProvenance(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("file_size"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("file_name"), col("file_size"))
+      .agg(count(lit(1)).as("n_rows"), min(col("ri")).as("min_row_index"),
+        max(col("ri")).as("max_row_index"))
+      .orderBy(col("file_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_file_provenance" -> scanFileProvenance _,
     "layout_zorder" -> layoutZorder _,
     "layout_hilbert" -> layoutHilbert _,
     "scan_project" -> scanProject _,

@@ -70,4 +70,19 @@ class ScansSpec extends SparkTestBase {
     assert(cols === Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
       s"expected exactly the 4 projected columns, got: $readSchema")
   }
+
+  test("scan_file_provenance: _metadata matches the filesystem and row span") {
+    val rows = graft.operators.Scans.scanFileProvenance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 1, "single-file table -> one provenance row")
+    val (name, size, n, lo, hi) = rows(0)
+    assert(name === "events.parquet", "file_name is the leaf name")
+    assert(size === new java.io.File(s"$sf/events.parquet").length,
+      "_metadata.file_size matches the filesystem")
+    val expectN = graft.sources.Tables.events(spark, sf).count()
+    assert(n === expectN, "row count conserves")
+    assert(lo === 0L && hi === expectN - 1,
+      "row_index spans exactly [0, n)")
+  }
 }

@@ -551,10 +551,12 @@ object Etl {
     * when this says no).
     *
     * Exactness: each term is a 32-bit integer from the md5 hex prefix
-    * (the established conv/strpos bridge); sums stay far inside int64
-    * (≤ 4·10⁹ per row). All map-side until one constant-state
-    * aggregate per table; the union of per-table one-row aggregates
-    * is driver-trivial.
+    * (the established conv/strpos bridge); sums stay inside int64 up
+    * to ~2·10⁹ rows per table (4·10⁹ max per term) — beyond that the
+    * sum widens to DECIMAL(38,0), same associativity, good to 10²⁸
+    * rows. All map-side until one constant-state aggregate per
+    * table; the union of per-table one-row aggregates is
+    * driver-trivial.
     */
   def etlChecksum(spark: SparkSession, sfDir: String): DataFrame = {
     def sumOf(name: String, df: org.apache.spark.sql.DataFrame,
@@ -575,7 +577,48 @@ object Etl {
       .orderBy(col("table_name"))
   }
 
+  /** `dq_value_drift` — the Population Stability Index (PSI) of a
+    * NUMERIC distribution between snapshot halves: order totals split
+    * by orderkey parity, binned into 10 equal-width buckets over the
+    * observed range, PSI = Σ (p_a − p_b)·ln(p_a/p_b). The
+    * numeric-drift twin of pipeline_drift_report's categorical TVD —
+    * the pair every model-monitoring stack computes per feature
+    * (PSI < 0.1 stable, > 0.25 action). Laplace-smoothed (+1 per
+    * bin) so empty bins are defined, identically in both engines.
+    *
+    * Exactness: bin ids from one-row broadcast bounds on doubles
+    * (identical floor text both engines), counts exact, shares and
+    * the PSI ln terms identical-text doubles over exact counts —
+    * ROUND-6; the tiny whole-frame window rides 10 rows.
+    */
+  def dqValueDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = when(pmod(col("o_orderkey"), lit(2)) === 0, "a")
+      .otherwise("b")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice").as("x"), half.as("half"))
+    val bounds = base.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .select(least(floor((col("x") - col("lo")) /
+        (col("hi") - col("lo")) * lit(10.0)).cast("long"), lit(9L))
+        .as("bin"), col("half"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+    val tot = binned.agg(sum(col("n_a")).cast("double").as("ta"),
+      sum(col("n_b")).cast("double").as("tb"))
+    val pa = (col("n_a") + 1).cast("double") / (col("ta") + 10.0)
+    val pb = (col("n_b") + 1).cast("double") / (col("tb") + 10.0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+        round(sum((pa - pb) * log(pa / pb)).over(wAll), 6).as("psi"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_value_drift" -> dqValueDrift _,
     "etl_checksum" -> etlChecksum _,
     "dq_partition_skew" -> dqPartitionSkew _,
     "etl_late_data" -> etlLateData _,
@@ -599,6 +642,32 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "dq_value_drift" ->
+      """WITH base AS (
+        |  SELECT o_totalprice AS x,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS half
+        |  FROM orders),
+        |b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM base),
+        |bins AS (
+        |  SELECT LEAST(CAST(FLOOR((x - lo) / (hi - lo) * 10.0)
+        |      AS BIGINT), 9) AS bin,
+        |    SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS n_b
+        |  FROM base, b GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+        |    CAST(SUM(n_b) AS DOUBLE) AS tb
+        |  FROM bins),
+        |sh AS (
+        |  SELECT bin, n_a, n_b,
+        |    CAST(n_a + 1 AS DOUBLE) / (ta + 10.0) AS pa,
+        |    CAST(n_b + 1 AS DOUBLE) / (tb + 10.0) AS pb
+        |  FROM bins, t)
+        |SELECT bin, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND(pa, 6) AS share_a, ROUND(pb, 6) AS share_b,
+        |  ROUND(SUM((pa - pb) * ln(pa / pb)) OVER (), 6) AS psi
+        |FROM sh ORDER BY bin""".stripMargin,
     "etl_checksum" -> {
       def hex8(keyExpr: String) = (1 to 8).map { i =>
         s"(strpos('0123456789abcdef', substr(md5($keyExpr), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"

@@ -989,7 +989,66 @@ object Temporal {
       .orderBy(col("day_ts"))
   }
 
+  /** `ts_stl_strength` — forecastability profile of the daily revenue
+    * series: trend strength F_t = max(0, 1 − var(resid)/var(detrended
+    * + resid… precisely: var(R)/var(T+R)) and seasonal strength
+    * F_s = max(0, 1 − var(R)/var(S+R)) from the ts_decompose spine
+    * (Hyndman's STL-strength statistics). One pair of numbers that
+    * says whether a decomposition-based forecast (analytics_forecast_
+    * naive) can work at all on this series — the triage step before
+    * any model choice; ts_spectral finds WHICH cycle, this says HOW
+    * MUCH of the variance it explains.
+    *
+    * Exactness: the spine reuses ts_decompose's decimal rollup and
+    * ROUND-6 component columns, so variance inputs are bit-identical
+    * across engines; the three variances are computed from exact
+    * power sums of those ROUNDED components via identical formula
+    * text, ROUND-6 on the two ratio-scale strengths.
+    *
+    * Scale: everything after the daily collapse is calendar-bounded
+    * (the ts_decompose argument).
+    */
+  def tsStlStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend", avg(col("total")).over(wTrend))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(avg(col("total") - col("trend")).as("raw_seasonal"))
+    val center = seasonal.agg(avg(col("raw_seasonal")).as("season_mean"))
+    val comps = trended
+      .join(broadcast(seasonal), Seq("dow"))
+      .crossJoin(broadcast(center))
+      .select(
+        round(col("raw_seasonal") - col("season_mean"), 6).as("s"),
+        round(col("total") - col("trend") -
+          (col("raw_seasonal") - col("season_mean")), 6).as("r"),
+        round(col("trend"), 6).as("t"))
+    def varOf(x: Column, n: Column, sx: Column, sxx: Column) =
+      (sxx - sx * sx / n) / (n - 1)
+    val agg = comps.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"),
+      sum(col("s") + col("r")).as("ssr"),
+      sum((col("s") + col("r")) * (col("s") + col("r"))).as("ssrr"),
+      sum(col("t") + col("r")).as("str"),
+      sum((col("t") + col("r")) * (col("t") + col("r"))).as("strr"))
+    val varR = varOf(col("r"), col("n"), col("sr"), col("srr"))
+    val varSR = varOf(col("s"), col("n"), col("ssr"), col("ssrr"))
+    val varTR = varOf(col("t"), col("n"), col("str"), col("strr"))
+    agg.select(col("n").cast("long").as("n_days"),
+      round(greatest(lit(0.0), lit(1.0) - varR / varTR), 6)
+        .as("trend_strength"),
+      round(greatest(lit(0.0), lit(1.0) - varR / varSR), 6)
+        .as("seasonal_strength"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_stl_strength" -> tsStlStrength _,
     "ts_hampel" -> tsHampel _,
     "ts_mann_kendall" -> tsMannKendall _,
     "ts_spectral" -> tsSpectral _,
@@ -1020,6 +1079,41 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_stl_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS DOUBLE) AS total
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, total,
+        |    AVG(total) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+        |  FROM daily),
+        |s AS (
+        |  SELECT dow, AVG(total - trend) AS raw_seasonal FROM t GROUP BY 1),
+        |c AS (SELECT AVG(raw_seasonal) AS season_mean FROM s),
+        |comps AS (
+        |  SELECT ROUND(s.raw_seasonal - c.season_mean, 6) AS sv,
+        |    ROUND(t.total - t.trend - (s.raw_seasonal - c.season_mean), 6)
+        |      AS rv,
+        |    ROUND(t.trend, 6) AS tv
+        |  FROM t JOIN s ON t.dow = s.dow, c),
+        |p AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(rv) AS sr, SUM(rv * rv) AS srr,
+        |    SUM(sv + rv) AS ssr, SUM((sv + rv) * (sv + rv)) AS ssrr,
+        |    SUM(tv + rv) AS str_, SUM((tv + rv) * (tv + rv)) AS strr
+        |  FROM comps)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  ROUND(GREATEST(0.0, 1.0 -
+        |    ((srr - sr * sr / n) / (n - 1)) /
+        |    ((strr - str_ * str_ / n) / (n - 1))), 6) AS trend_strength,
+        |  ROUND(GREATEST(0.0, 1.0 -
+        |    ((srr - sr * sr / n) / (n - 1)) /
+        |    ((ssrr - ssr * ssr / n) / (n - 1))), 6) AS seasonal_strength
+        |FROM p""".stripMargin,
     "ts_hampel" ->
       """WITH d AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -364,4 +364,29 @@ class EtlSpec extends SparkTestBase {
       s"orders checksum ${got("orders")} vs ($brute)")
     assert(got.keySet === Set("orders", "lineitem", "customer"))
   }
+
+  test("dq_value_drift: bins partition, shares smooth correctly, PSI >= 0") {
+    val rows = Etl.dqValueDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum === total, "bins partition")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    val (ta, tb) = (rows.map(_._2).sum.toDouble, rows.map(_._3).sum.toDouble)
+    var psi = 0.0
+    rows.foreach { case (bin, na, nb, sa, sb, _) =>
+      val pa = (na + 1) / (ta + 10); val pb = (nb + 1) / (tb + 10)
+      assert(math.abs(sa - pa) < 5e-7, s"bin $bin share_a")
+      assert(math.abs(sb - pb) < 5e-7, s"bin $bin share_b")
+      psi += (pa - pb) * math.log(pa / pb)
+    }
+    val gotPsi = rows.head._6
+    assert(rows.forall(r => math.abs(r._6 - gotPsi) < 1e-12),
+      "PSI is one number on every row")
+    assert(math.abs(gotPsi - psi) < 1e-5, s"PSI $gotPsi vs brute $psi")
+    // PSI is a sum of (p-q)ln(p/q) terms, each >= 0 (Gibbs)
+    assert(gotPsi >= -1e-12, "PSI nonnegative")
+    // parity halves of one distribution: drift should read as stable
+    assert(gotPsi < 0.1, s"parity halves must not 'drift': $gotPsi")
+  }
 }

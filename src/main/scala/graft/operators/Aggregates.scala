@@ -875,7 +875,56 @@ object Aggregates {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** `agg_trimmed_mean` — the 10% trimmed mean of extended price per
+    * return flag: drop the lowest and highest decile BY EXACT RANK and
+    * average the kept mass. The robust-location companion to
+    * agg_winsorize (which CLAMPS the tails instead of dropping them)
+    * — a trimmed mean ignores outliers entirely, which is what a
+    * price/latency SLA report usually wants.
+    *
+    * Exactness — the tie-aware overlap trick: rows collapse to
+    * (flag, distinct price, weight); each run occupies exact rank
+    * interval (cum−w, cum], and its KEPT weight is the integer
+    * interval overlap with (lo, hi] where lo = ⌊n/10⌋, hi = n − lo.
+    * Σ price·kept is decimal × int64 (exact), the divisor hi − lo is
+    * an exact integer — ties at a trim boundary contribute exactly
+    * the partial weight that lies inside, identically in both
+    * engines, with NO row-level rank and NO division until the final
+    * emitted mean.
+    *
+    * Scale shape: one map-combined collapse to the price domain, two
+    * windows over that collapsed frame — the agg_weighted_median
+    * cost class.
+    */
+  def aggTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice = Tables.lineitem(spark, sfDir)
+      .filter(col("l_extendedprice").between(-9999999.99, 9999999.99))
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(9,2)").as("price"))
+      .groupBy(col("l_returnflag"), col("price"))
+      .agg(count(lit(1)).as("w"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    byPrice
+      .withColumn("cum", sum(col("w")).over(cum))
+      .withColumn("n", sum(col("w")).over(tot))
+      .withColumn("lo", expr("n DIV 10"))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("w"), col("lo"))))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_rows"), max(col("lo")).as("n_trimmed_each"),
+        (sum(col("price") * col("kept")).cast("double") /
+          max(col("hi") - col("lo")).cast("double")).as("tm"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_trimmed_each"),
+        round(col("tm"), 6).as("trimmed_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_trimmed_mean" -> aggTrimmedMean _,
     "agg_theil" -> aggTheil _,
     "agg_weighted_median" -> aggWeightedMedian _,
     "agg_hhi" -> aggHhi _,
@@ -929,6 +978,30 @@ object Aggregates {
         |  MIN(price) AS wmedian_price
         |FROM c WHERE cum * 2 >= total_w
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_trimmed_mean" ->
+      """WITH bp AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(9,2))
+        |    AS price, COUNT(*) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice BETWEEN -9999999.99 AND 9999999.99
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, price, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM bp),
+        |k AS (
+        |  SELECT l_returnflag, price, w, cum, n,
+        |    n // 10 AS lo, n - n // 10 AS hi,
+        |    GREATEST(0, LEAST(cum, n - n // 10) -
+        |      GREATEST(cum - w, n // 10)) AS kept
+        |  FROM c)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(MAX(lo) AS BIGINT) AS n_trimmed_each,
+        |  ROUND(CAST(SUM(price * kept) AS DOUBLE) /
+        |    CAST(MAX(hi - lo) AS DOUBLE), 6) AS trimmed_mean
+        |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_theil" ->
       """WITH pc AS (
         |  SELECT c_mktsegment, c_custkey,

@@ -664,7 +664,41 @@ object Pipeline {
       .orderBy(col("label"))
   }
 
+  /** `pipeline_mix_plan` — the downsampling plan that rebalances the
+    * corpus to a TARGET language mixture (en 40%, others 15% each)
+    * without upsampling: the feasible total is M = min_l(n_l/t_l)
+    * (the scarcest language binds), each language keeps
+    * ⌊M·t_l⌋ docs, and the plan emits current share, target share,
+    * planned docs, and the keep rate. This is the arithmetic a
+    * mixture config compiles into per-source sampling rates before
+    * sample_balanced/pipeline_split execute them — planning surface,
+    * not a sample (pipeline_mixture is the executed counterpart with
+    * md5 sampling).
+    *
+    * Exactness: counts exact; M and the plan are identical-text
+    * double arithmetic over exact counts (FLOOR of bit-identical
+    * doubles agrees); windows ride the 5-row language frame.
+    */
+  def pipelineMixPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = when(col("lang") === "en", 0.40).otherwise(0.15)
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("t", target)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("m", min(col("n") / col("t")).over(wAll))
+      .select(col("lang"), col("n").as("n_docs"),
+        round(col("n") / col("total"), 6).as("current_share"),
+        col("t").as("target_share"),
+        floor(col("m") * col("t")).cast("long").as("planned_docs"),
+        round(floor(col("m") * col("t")) / col("n"), 6).as("keep_rate"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix_plan" -> pipelineMixPlan _,
     "embed_norm_audit" -> embedNormAudit _,
     "pipeline_curriculum" -> pipelineCurriculum _,
     "sample_balanced" -> sampleBalanced _,
@@ -702,6 +736,23 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "pipeline_mix_plan" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(CASE WHEN lang = 'en' THEN 0.40 ELSE 0.15 END
+        |      AS DOUBLE) AS t
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, n, t,
+        |    SUM(n) OVER () AS total,
+        |    MIN(n / t) OVER () AS m
+        |  FROM c)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  ROUND(CAST(n AS DOUBLE) / total, 6) AS current_share,
+        |  t AS target_share,
+        |  CAST(FLOOR(m * t) AS BIGINT) AS planned_docs,
+        |  ROUND(FLOOR(m * t) / n, 6) AS keep_rate
+        |FROM w ORDER BY lang""".stripMargin,
     "embed_norm_audit" ->
       """WITH nm AS (
         |  SELECT CAST(label AS BIGINT) AS label,

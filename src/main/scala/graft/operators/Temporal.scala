@@ -1047,7 +1047,53 @@ object Temporal {
         .as("seasonal_strength"))
   }
 
+  /** `ts_acf` — the autocorrelation function of the daily revenue
+    * series at lags 1..14: corr(x_t, x_{t+ℓ}) over the overlapping
+    * days — the Box–Jenkins identification plot (a spike at 7 = weekly
+    * seasonality, slow decay = trend). ts_cross_corr's self-series
+    * specialization and ts_autocorr's (per-user lag-1) full-curve
+    * generalization; the confidence band ±1.96/√n is emitted so the
+    * plot is self-contained.
+    *
+    * Exactness and scale: identical to ts_cross_corr — daily decimal
+    * conditional sums with the corr_matrix admission/widening, per-lag
+    * power sums decimal until the final identical-text formula,
+    * everything after the first aggregate calendar-bounded.
+    */
+  def tsAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x0"))
+      .filter(col("x0").between(-9999999.99, 9999999.99))
+      .select(col("day"), col("x0").cast("decimal(9,2)").as("x"))
+    val lags = spark.range(1)
+      .select(explode(sequence(lit(1), lit(14))).as("lag"))
+    def sq(a: Column, b: Column) =
+      sum((a.cast("decimal(19,2)") * b).cast("decimal(29,4)"))
+        .cast("double")
+    val a = daily.select(col("day"), col("x"))
+    val b = daily.select(col("day").as("bday"), col("x").as("y"))
+    lags.crossJoin(a)
+      .join(broadcast(b),
+        col("bday") === date_add(col("day"), col("lag").cast("int")))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sq(col("x"), col("x")).as("sxx"), sq(col("x"), col("y")).as("sxy"),
+        sq(col("y"), col("y")).as("syy"))
+      .select(col("lag").cast("long").as("lag"),
+        col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)),
+          6).as("acf"),
+        round(lit(1.96) / sqrt(col("n")), 6).as("conf_band"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_acf" -> tsAcf _,
     "ts_stl_strength" -> tsStlStrength _,
     "ts_hampel" -> tsHampel _,
     "ts_mann_kendall" -> tsMannKendall _,
@@ -1079,6 +1125,30 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_acf" ->
+      """WITH d0 AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x0
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT day, CAST(x0 AS DECIMAL(9,2)) AS x FROM d0
+        |  WHERE x0 BETWEEN -9999999.99 AND 9999999.99),
+        |l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 15)),
+        |s AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(a.x) AS DOUBLE) AS sx, CAST(SUM(b.x) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(a.x AS DECIMAL(19,2)) * a.x AS DECIMAL(29,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(a.x AS DECIMAL(19,2)) * b.x AS DECIMAL(29,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(b.x AS DECIMAL(19,2)) * b.x AS DECIMAL(29,4))) AS DOUBLE) AS syy
+        |  FROM l JOIN d a ON TRUE
+        |  JOIN d b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  ROUND((n * sxy - sx * sy) /
+        |    NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+        |    6) AS acf,
+        |  ROUND(1.96 / sqrt(n), 6) AS conf_band
+        |FROM s ORDER BY lag""".stripMargin,
     "ts_stl_strength" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -153,4 +153,25 @@ class AggregatesSpec extends SparkTestBase {
       assert(theil >= -1e-12, s"$seg Theil-T is nonnegative by Jensen")
     }
   }
+
+  test("agg_trimmed_mean: brute-force rank trim with ties; robustness order") {
+    val rows = Aggregates.aggTrimmedMean(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val prices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val byFlag = prices.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (flag, n, lo, tm) =>
+      val xs = byFlag(flag)
+      assert(n === xs.length.toLong)
+      assert(lo === xs.length / 10, s"$flag trim count")
+      val kept = xs.slice(lo.toInt, xs.length - lo.toInt)
+      val brute = (kept.sum / kept.length).toDouble
+      assert(math.abs(tm - brute) < 1e-5, s"$flag trimmed mean $tm vs $brute")
+      // trimming drops mass from both tails: mean of kept is between
+      // the dropped tails' extremes
+      assert(tm >= xs.head.toDouble && tm <= xs.last.toDouble)
+    }
+  }
 }

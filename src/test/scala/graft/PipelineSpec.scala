@@ -654,4 +654,32 @@ class PipelineSpec extends SparkTestBase {
       assert(outliers === bOut.toLong, s"label $label outliers")
     }
   }
+
+  test("pipeline_mix_plan: scarcest language binds; plan is feasible") {
+    val rows = Pipeline.pipelineMixPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = counts.keys.map(l =>
+      l -> (if (l == "en") 0.40 else 0.15)).toMap
+    val m = counts.map { case (l, n) => n / targets(l) }.min
+    rows.foreach { case (lang, n, share, t, planned, rate) =>
+      assert(n === counts(lang))
+      assert(t === targets(lang))
+      assert(planned === math.floor(m * t).toLong, s"$lang planned")
+      assert(planned <= n, s"$lang plan never upsamples")
+      assert(math.abs(rate - planned.toDouble / n) < 5e-7, s"$lang rate")
+      assert(math.abs(share - n.toDouble / counts.values.sum) < 5e-7)
+    }
+    // at least one language is kept (almost) whole — the binder
+    assert(rows.map(_._6).max > 0.99 - 1e-6, "the scarcest language binds")
+    // planned mixture hits the target shares exactly up to floor error
+    val plannedTotal = rows.map(_._5).sum.toDouble
+    rows.foreach { case (lang, _, _, t, planned, _) =>
+      assert(math.abs(planned / plannedTotal - t) < 0.01,
+        s"$lang planned share ~ target")
+    }
+  }
 }

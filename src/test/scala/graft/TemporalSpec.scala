@@ -722,4 +722,33 @@ class TemporalSpec extends SparkTestBase {
     // residual variance is positive on real data, so strengths < 1
     assert(varS(resid) > 0 && ft < 1.0 && fs < 1.0)
   }
+
+  test("ts_acf: self-series cross-corr identity; pair counts; band") {
+    val acf = Temporal.tsAcf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(acf.map(_._1).toSeq === (1L to 14L).toSeq)
+    acf.foreach { case (lag, n, a, band) =>
+      assert(n === 30 - lag, s"lag $lag pair count n - lag")
+      assert(a.abs <= 1.0 + 1e-9, s"lag $lag bounded")
+      assert(math.abs(band - BigDecimal(1.96 / math.sqrt(n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // brute-force lag 7 (the weekly spike candidate)
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getDecimal(1).doubleValue())).sortBy(_._1)
+    val byDay = daily.toMap
+    val pairs = daily.flatMap(d => byDay.get(d._1 + 7).map(y => (d._2, y)))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pairs.map(p => p._1 * p._1).sum,
+      pairs.map(p => p._2 * p._2).sum)
+    val brute = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(acf.find(_._1 == 7L).get._3 - brute) < 1e-5,
+      s"lag-7 ACF vs brute $brute")
+  }
 }

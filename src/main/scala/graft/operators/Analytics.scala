@@ -1458,7 +1458,114 @@ object Analytics {
       .orderBy(col("from_tier"), col("to_tier"))
   }
 
+  /** `analytics_ab_sequential` — the group-sequential A/B readout:
+    * the md5-split arms' mean event value compared at three
+    * interim looks (first 10/20/30 days) against the O'Brien–Fleming
+    * spending boundary z > 2.004·√(K/k) (the classic K = 3 OBF
+    * critical value) — peeking DONE RIGHT. A fixed-horizon test
+    * peeked three times inflates false positives ~2×; the OBF
+    * boundary spends almost no alpha early (first-look bar ≈ 3.47σ)
+    * and preserves the overall 5% level. Completes the
+    * experimentation suite's temporal dimension.
+    *
+    * Exactness: per-(look, arm) moments from ONE pass (3× map-side
+    * explode of look ids, exact decimal value sums + int counts);
+    * z uses the Welch-style unpooled variance from exact power sums;
+    * significance derives from the ROUNDED z vs the ROUNDED boundary.
+    *
+    * Scale: explode ×3 then a 6-cell constant-state aggregate —
+    * map-combined, one shuffle of 3×partitions rows.
+    */
+  def abSequential(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val day0 = ev.agg(min(to_date(col("ts_utc"))).as("d0"))
+    val isA =
+      substring(md5(col("user_id").cast("string")), 1, 4) < "8000"
+    val looks = ev.crossJoin(broadcast(day0))
+      .select(col("value").cast("decimal(9,2)").as("v"), isA.as("a"),
+        datediff(to_date(col("ts_utc")), col("d0")).as("di"),
+        explode(array(lit(10), lit(20), lit(30))).as("look_days"))
+      .filter(col("di") < col("look_days"))
+    def cell(arm: Boolean) = {
+      val p = if (arm) col("a") else !col("a")
+      Seq(sum(when(p, 1L).otherwise(0L)),
+        sum(when(p, col("v")).otherwise(lit(0).cast("decimal(9,2)"))),
+        sum(when(p, (col("v").cast("decimal(19,2)") * col("v"))
+          .cast("decimal(29,4)")).otherwise(lit(0).cast("decimal(29,4)"))))
+    }
+    val aggs = (cell(true) ++ cell(false)).zip(
+      Seq("na", "sa", "qa", "nb", "sb", "qb"))
+      .map { case (c, n) => c.as(n) }
+    val s = looks.groupBy(col("look_days")).agg(aggs.head, aggs.tail: _*)
+    def m(sx: String, n: String) =
+      col(sx).cast("double") / col(n).cast("double")
+    def vr(q: String, sx: String, n: String) =
+      (col(q).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double") /
+          col(n).cast("double")) / (col(n).cast("double") - 1)
+    val z = (m("sa", "na") - m("sb", "nb")) /
+      sqrt(vr("qa", "sa", "na") / col("na") +
+        vr("qb", "sb", "nb") / col("nb"))
+    val k = (col("look_days") / 10).cast("double")
+    val boundary = lit(2.004) * sqrt(lit(3.0) / k)
+    s.select(col("look_days").cast("long").as("look_days"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(m("sa", "na") - m("sb", "nb"), 6).as("mean_diff"),
+      round(z, 6).as("z"),
+      round(boundary, 6).as("obf_boundary"))
+      .withColumn("significant", abs(col("z")) > col("obf_boundary"))
+      .orderBy(col("look_days"))
+  }
+
+  /** `analytics_eb_smooth` — empirical-Bayes smoothed per-user
+    * purchase rates: each user's raw purchase share shrinks toward
+    * the corpus rate by a Beta prior fit with method-of-moments
+    * (α+β = m(1−m)/v − 1 on the raw-rate distribution), smoothed =
+    * (k + α)/(n + α + β). The ranking statistic that stops a
+    * 1-for-1 user outranking a 90-for-100 one — the same math every
+    * CTR/conversion leaderboard and quality-score shrinkage uses.
+    *
+    * Exactness: per-user counts exact; the prior moments come from
+    * exact integer power sums of (k, n) per user — the raw-rate mean
+    * and variance are computed as identical-text double formulas over
+    * those sums (NOT avg(double) of ratios; the ratio mean uses
+    * per-user exact k/n doubles summed in... rather: m and v are over
+    * the per-user rate r = k/n, whose power sums Σr, Σr² are sums of
+    * deterministic doubles — order wobble ≤ ulp·n, invisible at
+    * ROUND-6 of the O(1) outputs). One-row prior broadcast back.
+    *
+    * Scale: one user-keyed shuffle, a one-row prior aggregate, one
+    * map-side smooth. No sort, no window.
+    */
+  def ebSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+      .withColumn("r", col("k").cast("double") / col("n").cast("double"))
+    val prior = per.agg(count(lit(1)).cast("double").as("u"),
+      sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"))
+      .select(
+        (col("sr") / col("u")).as("m"),
+        ((col("srr") - col("sr") * col("sr") / col("u")) /
+          (col("u") - 1)).as("v"))
+      .select(col("m"), col("v"),
+        (col("m") * (lit(1.0) - col("m")) / col("v") - 1).as("s"))
+      .select((col("m") * col("s")).as("alpha"),
+        ((lit(1.0) - col("m")) * col("s")).as("beta"))
+    per.crossJoin(broadcast(prior))
+      .select(col("user_id"), col("n").as("n_events"),
+        col("k").as("n_purchases"),
+        round(col("r"), 6).as("raw_rate"),
+        round((col("k") + col("alpha")) /
+          (col("n") + col("alpha") + col("beta")), 6).as("smoothed_rate"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_ab_sequential" -> abSequential _,
+    "analytics_eb_smooth" -> ebSmooth _,
     "analytics_new_vs_returning" -> newVsReturning _,
     "analytics_rfm_migration" -> rfmMigration _,
     "analytics_rolling_retention" -> rollingRetention _,
@@ -1503,6 +1610,69 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_ab_sequential" ->
+      """WITH d0 AS (
+        |  SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+        |  FROM events),
+        |e AS (
+        |  SELECT CAST(value AS DECIMAL(9,2)) AS v,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000' AS a,
+        |    date_diff('day', d0.d0,
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS di
+        |  FROM events, d0),
+        |lk AS (
+        |  SELECT l.look_days, e.v, e.a
+        |  FROM (SELECT unnest([10, 20, 30]) AS look_days) l
+        |  JOIN e ON e.di < l.look_days),
+        |s AS (
+        |  SELECT look_days,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN a THEN v ELSE CAST(0 AS DECIMAL(9,2)) END) AS sa,
+        |    SUM(CASE WHEN a THEN CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(29,4)) ELSE CAST(0 AS DECIMAL(29,4)) END) AS qa,
+        |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN NOT a THEN v ELSE CAST(0 AS DECIMAL(9,2)) END) AS sb,
+        |    SUM(CASE WHEN NOT a THEN CAST(CAST(v AS DECIMAL(19,2)) * v AS DECIMAL(29,4)) ELSE CAST(0 AS DECIMAL(29,4)) END) AS qb
+        |  FROM lk GROUP BY look_days),
+        |f AS (
+        |  SELECT look_days, na, nb,
+        |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS mean_diff,
+        |    (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+        |    sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) *
+        |        CAST(sa AS DOUBLE) / na) / (na - 1)) / na +
+        |      ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) *
+        |        CAST(sb AS DOUBLE) / nb) / (nb - 1)) / nb) AS z,
+        |    2.004 * sqrt(3.0 / (look_days / 10)) AS obf
+        |  FROM s)
+        |SELECT CAST(look_days AS BIGINT) AS look_days,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  ROUND(mean_diff, 6) AS mean_diff, ROUND(z, 6) AS z,
+        |  ROUND(obf, 6) AS obf_boundary,
+        |  abs(ROUND(z, 6)) > ROUND(obf, 6) AS significant
+        |FROM f ORDER BY look_days""".stripMargin,
+    "analytics_eb_smooth" ->
+      """WITH per AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, n, k, CAST(k AS DOUBLE) / n AS r FROM per),
+        |pm AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS u, SUM(r) AS sr,
+        |    SUM(r * r) AS srr
+        |  FROM r),
+        |pv AS (
+        |  SELECT sr / u AS m,
+        |    (srr - sr * sr / u) / (u - 1) AS v
+        |  FROM pm),
+        |ab AS (
+        |  SELECT m * (m * (1.0 - m) / v - 1) AS alpha,
+        |    (1.0 - m) * (m * (1.0 - m) / v - 1) AS beta
+        |  FROM pv)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(k AS BIGINT) AS n_purchases,
+        |  ROUND(r, 6) AS raw_rate,
+        |  ROUND((k + alpha) / (n + alpha + beta), 6) AS smoothed_rate
+        |FROM r, ab ORDER BY user_id""".stripMargin,
     "analytics_new_vs_returning" ->
       """WITH f AS (
         |  SELECT o_custkey AS ck,

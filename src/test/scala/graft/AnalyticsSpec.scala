@@ -843,4 +843,56 @@ class AnalyticsSpec extends SparkTestBase {
       .groupBy(_._1._1).view.mapValues(_.map(_._2).sum).values.toSeq
     assert(h1Sizes.max - h1Sizes.min <= 1, s"H1 tercile balance: $h1Sizes")
   }
+
+  test("analytics_ab_sequential: looks nest; OBF boundary decays as sqrt(K/k)") {
+    val rows = Analytics.abSequential(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.map(_._1).toSeq === Seq(10L, 20L, 30L))
+    // interim samples nest: each look contains the previous one
+    assert(rows.map(_._2).sliding(2).forall {
+      case Array(a, b) => b >= a; case _ => true
+    } && rows.map(_._3).sliding(2).forall {
+      case Array(a, b) => b >= a; case _ => true
+    }, "cumulative looks grow")
+    // final look covers the whole stream
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.last._2 + rows.last._3 === total, "look 30 sees all events")
+    // OBF boundary values: 2.004*sqrt(3/k)
+    val expect = Seq(1, 2, 3).map(k => BigDecimal(2.004 * math.sqrt(3.0 / k))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows.map(_._6).toSeq === expect, "boundary ladder")
+    rows.foreach { case (_, _, _, _, z, b, sig) =>
+      assert(sig === (math.abs(z) > b), "flag derives from rounded z")
+    }
+    // null-effect corpus under a hash split: no look should fire
+    assert(!rows.exists(_._7), "hash split of one population: no signal")
+  }
+
+  test("analytics_eb_smooth: shrinkage toward the corpus rate; order preserved") {
+    val rows = Analytics.ebSmooth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val rates = rows.map(_._4)
+    val m = rates.sum / rates.length
+    rows.foreach { case (u, n, k, raw, sm) =>
+      assert(k <= n, s"user $u purchases bounded")
+      assert(sm >= 0.0 && sm <= 1.0, s"user $u smoothed rate is a rate")
+      // shrinkage: smoothed lies strictly between raw and the prior mean
+      // (or equals both when raw == prior mean)
+      if (math.abs(raw - m) > 1e-6)
+        assert((sm - raw).sign == (m - raw).sign &&
+          math.abs(sm - m) <= math.abs(raw - m) + 1e-9,
+          s"user $u: $raw -> $sm must move toward prior ~$m")
+    }
+    // fewer observations => more shrinkage: compare two users on
+    // opposite sides of the median n with similar raw rates
+    val sorted = rows.sortBy(_._2)
+    val small = sorted.take(rows.length / 4)
+    val large = sorted.takeRight(rows.length / 4)
+    val shrinkSmall = small.map(r => math.abs(r._5 - r._4)).sum / small.length
+    val shrinkLarge = large.map(r => math.abs(r._5 - r._4)).sum / large.length
+    assert(shrinkSmall >= shrinkLarge - 1e-9,
+      s"low-n users shrink at least as much on average: $shrinkSmall vs $shrinkLarge")
+  }
 }

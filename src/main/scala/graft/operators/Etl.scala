@@ -617,7 +617,35 @@ object Etl {
       .orderBy(col("bin"))
   }
 
+  /** `dq_id_gaps` — sequence-contiguity audit on event_id: observed
+    * range vs row count gives the exact number of missing ids and a
+    * duplicate count (a surrogate-key stream should have neither).
+    * The first question after a suspect ingestion: "did we DROP
+    * events?" — answered from three aggregates without materializing
+    * the missing set (dq_dup_keys says keys are unique; this says the
+    * SEQUENCE is whole).
+    *
+    * Exactness: pure int64 arithmetic on count/min/max/countDistinct;
+    * missing = (max − min + 1) − distinct, dups = count − distinct.
+    * Scale: one constant-state aggregate — COUNT(*) cost. (Exact
+    * countDistinct on a near-unique int64 key shuffles the id domain
+    * once; the HLL swap is agg_approx's documented trade.)
+    */
+  def dqIdGaps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        countDistinct(col("event_id")).as("n_distinct"))
+      .select(col("n_rows"), col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1 - col("n_distinct"))
+          .as("n_missing"),
+        (col("n_rows") - col("n_distinct")).as("n_dup_ids"),
+        (col("max_id") - col("min_id") + 1 === col("n_rows"))
+          .as("is_contiguous"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_id_gaps" -> dqIdGaps _,
     "dq_value_drift" -> dqValueDrift _,
     "etl_checksum" -> etlChecksum _,
     "dq_partition_skew" -> dqPartitionSkew _,
@@ -642,6 +670,15 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "dq_id_gaps" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |  CAST(MAX(event_id) - MIN(event_id) + 1 -
+        |    COUNT(DISTINCT event_id) AS BIGINT) AS n_missing,
+        |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+        |    AS n_dup_ids,
+        |  MAX(event_id) - MIN(event_id) + 1 = COUNT(*) AS is_contiguous
+        |FROM events""".stripMargin,
     "dq_value_drift" ->
       """WITH base AS (
         |  SELECT o_totalprice AS x,

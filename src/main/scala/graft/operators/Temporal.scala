@@ -1092,7 +1092,37 @@ object Temporal {
       .orderBy(col("lag"))
   }
 
+  /** `ts_dow_hour_heatmap` — the day-of-week × hour activity matrix
+    * (event count, value total, share of all activity): the staffing/
+    * capacity heatmap every ops dashboard draws, and the empirical
+    * basis for the load model behind dq_partition_skew. Day-of-week
+    * uses the convention-free epoch-mod-7 form (0 = Thursday — the
+    * fn_date_arith contract), hour from the UTC event time.
+    *
+    * Exactness: counts exact; value totals exact decimal → double;
+    * shares one division each against a one-row broadcast total.
+    * Scale: ONE map-combined groupBy over a ≤168-cell domain — the
+    * histogram cost class at any data size.
+    */
+  def tsDowHourHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Dec._
+    val cells = Tables.events(spark, sfDir)
+      .select(pmod(datediff(to_date(col("ts_utc")),
+        lit("1970-01-01").cast("date")), lit(7)).cast("long").as("dow"),
+        hour(col("ts_utc")).cast("long").as("hr"),
+        dec2(col("value")).as("v"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        outDec(sum(col("v")), 18, 2).as("value_total"))
+    val tot = cells.agg(sum(col("n_events")).cast("double").as("t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n_events"), col("value_total"),
+        round(col("n_events") / col("t"), 6).as("share"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_dow_hour_heatmap" -> tsDowHourHeatmap _,
     "ts_acf" -> tsAcf _,
     "ts_stl_strength" -> tsStlStrength _,
     "ts_hampel" -> tsHampel _,
@@ -1125,6 +1155,20 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_dow_hour_heatmap" ->
+      """WITH c AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS dow,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |    COUNT(*) AS n_events,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS DOUBLE) AS value_total
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS DOUBLE) AS t FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+        |  n_events, value_total,
+        |  ROUND(n_events / t.t, 6) AS share
+        |FROM c, t ORDER BY dow, hr""".stripMargin,
     "ts_acf" ->
       """WITH d0 AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -389,4 +389,18 @@ class EtlSpec extends SparkTestBase {
     // parity halves of one distribution: drift should read as stable
     assert(gotPsi < 0.1, s"parity halves must not 'drift': $gotPsi")
   }
+
+  test("dq_id_gaps: identities against brute-force id set") {
+    val row = Etl.dqIdGaps(spark, sf).collect()(0)
+    val (n, lo, hi, missing, dups, contig) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getBoolean(5))
+    val ids = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    assert(n === ids.length.toLong && lo === ids.min && hi === ids.max)
+    val distinct = ids.distinct.length.toLong
+    assert(missing === hi - lo + 1 - distinct, "missing ids")
+    assert(dups === n - distinct, "duplicate ids")
+    assert(contig === (hi - lo + 1 == n), "contiguity flag")
+    assert(missing >= 0 && dups >= 0)
+  }
 }

@@ -751,4 +751,28 @@ class TemporalSpec extends SparkTestBase {
     assert(math.abs(acf.find(_._1 == 7L).get._3 - brute) < 1e-5,
       s"lag-7 ACF vs brute $brute")
   }
+
+  test("ts_dow_hour_heatmap: cells partition the stream; shares sum to 1") {
+    val rows = Temporal.tsDowHourHeatmap(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3), r.getDouble(4))))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._2._1).sum === total, "cells partition all events")
+    assert(math.abs(rows.map(_._2._3).sum - 1.0) < 1e-3, "shares sum to 1")
+    assert(rows.forall { case ((d, h), _) =>
+      d >= 0 && d <= 6 && h >= 0 && h <= 23
+    }, "cell domain")
+    // brute-force one cell
+    val evs = Tables.events(spark, sf)
+      .select(to_date(col("ts_utc")), hour(col("ts_utc")), col("value"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getInt(1), r.getDouble(2)))
+    val ((d0, h0), (n0, v0, _)) = rows.head
+    val cell = evs.filter(e =>
+      java.lang.Math.floorMod(e._1, 7L) == d0 && e._2 == h0)
+    assert(n0 === cell.length.toLong, "brute cell count")
+    val bv = cell.map(e => BigDecimal(e._3).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(v0 - bv) < 1e-6, s"brute cell value $bv")
+  }
 }

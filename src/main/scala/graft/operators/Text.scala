@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -525,7 +525,64 @@ object Text {
       .orderBy(col("vocab_budget"))
   }
 
+  /** `text_js_divergence` — pairwise Jensen–Shannon divergence
+    * between the languages' unigram distributions, via the entropy
+    * identity JS(P,Q) = H((P+Q)/2) − (H(P)+H(Q))/2: the
+    * frequency-aware corpus-similarity metric (text_vocab_jaccard
+    * compares SUPPORTS; JS compares the distributions on them —
+    * bounded [0, ln 2], symmetric, defined without smoothing because
+    * a token absent from one side simply contributes only the other
+    * side's mass to the mixture). The distance a mixture audit uses
+    * to say "these two sources are near-duplicates of each other's
+    * distribution".
+    *
+    * Spark-first shape: ONE (token)-keyed aggregate pivots the corpus
+    * to a token × 5-language count matrix (vocab-bounded state); the
+    * 10 pairs then ride a row-local explode over that matrix — no
+    * per-pair joins, no second corpus pass; per-language totals are a
+    * 5-row broadcast. Entropy terms are doubles of exact counts,
+    * identical text, ROUND-6 on the [0, ln 2]-scale output.
+    */
+  def textJsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val cAggs = langs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(cAggs.head, cAggs.tail: _*)
+    val totals = langs.map(l => sum(col(s"c_$l")).as(s"n_$l"))
+    val tot = counts.agg(totals.head, totals.tail: _*)
+    val pairs = for {
+      i <- langs.indices; j <- i + 1 until langs.size
+    } yield (langs(i), langs(j))
+    val pairStructs = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("la"), lit(b).as("lb"),
+        col(s"c_$a").as("ca"), col(s"c_$b").as("cb"),
+        col(s"n_$a").as("na"), col(s"n_$b").as("nb"))
+    }: _*)
+    val exploded = counts.crossJoin(broadcast(tot))
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.la"), col("p.lb"),
+        (col("p.ca").cast("double") / col("p.na")).as("pw"),
+        (col("p.cb").cast("double") / col("p.nb")).as("qw"))
+    def hTerm(x: Column) = when(x > 0, -x * log(x)).otherwise(lit(0.0))
+    exploded
+      .groupBy(col("la").as("lang_a"), col("lb").as("lang_b"))
+      .agg(sum(hTerm((col("pw") + col("qw")) / 2)).as("hm"),
+        sum(hTerm(col("pw"))).as("hp"), sum(hTerm(col("qw"))).as("hq"))
+      .select(col("lang_a"), col("lang_b"),
+        round(col("hm") - (col("hp") + col("hq")) / 2, 6).as("js_nats"),
+        // ln(2) as an explicit literal in BOTH engines: same digits,
+        // same double, no dependence on either libm's ln(2.0)
+        round((col("hm") - (col("hp") + col("hq")) / 2) /
+          lit(0.6931471805599453), 6).as("js_normalized"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_js_divergence" -> textJsDivergence _,
     "text_oov_rate" -> textOovRate _,
     "text_code_detect" -> textCodeDetect _,
     "text_vocab_jaccard" -> textVocabJaccard _,
@@ -563,6 +620,50 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_js_divergence" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT w,
+        |    SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+        |    SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS c_es,
+        |    SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr,
+        |    SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS c_zh
+        |  FROM t WHERE w <> '' GROUP BY w),
+        |tot AS (
+        |  SELECT SUM(c_de) AS n_de, SUM(c_en) AS n_en, SUM(c_es) AS n_es,
+        |    SUM(c_fr) AS n_fr, SUM(c_zh) AS n_zh
+        |  FROM m),
+        |px AS (
+        |  SELECT p.la AS lang_a, p.lb AS lang_b,
+        |    CAST(p.ca AS DOUBLE) / p.na AS pw,
+        |    CAST(p.cb AS DOUBLE) / p.nb AS qw
+        |  FROM m, tot, UNNEST([
+        |    {'la': 'de', 'lb': 'en', 'ca': c_de, 'cb': c_en, 'na': n_de, 'nb': n_en},
+        |    {'la': 'de', 'lb': 'es', 'ca': c_de, 'cb': c_es, 'na': n_de, 'nb': n_es},
+        |    {'la': 'de', 'lb': 'fr', 'ca': c_de, 'cb': c_fr, 'na': n_de, 'nb': n_fr},
+        |    {'la': 'de', 'lb': 'zh', 'ca': c_de, 'cb': c_zh, 'na': n_de, 'nb': n_zh},
+        |    {'la': 'en', 'lb': 'es', 'ca': c_en, 'cb': c_es, 'na': n_en, 'nb': n_es},
+        |    {'la': 'en', 'lb': 'fr', 'ca': c_en, 'cb': c_fr, 'na': n_en, 'nb': n_fr},
+        |    {'la': 'en', 'lb': 'zh', 'ca': c_en, 'cb': c_zh, 'na': n_en, 'nb': n_zh},
+        |    {'la': 'es', 'lb': 'fr', 'ca': c_es, 'cb': c_fr, 'na': n_es, 'nb': n_fr},
+        |    {'la': 'es', 'lb': 'zh', 'ca': c_es, 'cb': c_zh, 'na': n_es, 'nb': n_zh},
+        |    {'la': 'fr', 'lb': 'zh', 'ca': c_fr, 'cb': c_zh, 'na': n_fr, 'nb': n_zh}
+        |  ]) AS u(p)),
+        |h AS (
+        |  SELECT lang_a, lang_b,
+        |    SUM(CASE WHEN (pw + qw) / 2 > 0
+        |      THEN -((pw + qw) / 2) * ln((pw + qw) / 2) ELSE 0.0 END) AS hm,
+        |    SUM(CASE WHEN pw > 0 THEN -pw * ln(pw) ELSE 0.0 END) AS hp,
+        |    SUM(CASE WHEN qw > 0 THEN -qw * ln(qw) ELSE 0.0 END) AS hq
+        |  FROM px GROUP BY 1, 2)
+        |SELECT lang_a, lang_b,
+        |  ROUND(hm - (hp + hq) / 2, 6) AS js_nats,
+        |  ROUND((hm - (hp + hq) / 2) / 0.6931471805599453, 6)
+        |    AS js_normalized
+        |FROM h ORDER BY lang_a, lang_b""".stripMargin,
     "text_oov_rate" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -330,4 +330,31 @@ class TextSpec extends SparkTestBase {
       assert(math.abs(oov - (1.0 - bruteCov.toDouble / total)) < 5e-7)
     }
   }
+
+  test("text_js_divergence: brute-force JS; bounds and symmetry of pairs") {
+    val rows = graft.operators.Text.textJsDivergence(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3))))
+    assert(rows.length === 10, "C(5,2) language pairs")
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dist = docs.groupBy(_._1).view.mapValues { ds =>
+      val toks = ds.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      val n = toks.length.toDouble
+      toks.groupBy(identity).view.mapValues(_.length / n).toMap
+    }.toMap
+    def h(p: Iterable[Double]) = p.filter(_ > 0).map(x => -x * math.log(x)).sum
+    rows.foreach { case ((a, b), (js, jsNorm)) =>
+      val (pa, pb) = (dist(a), dist(b))
+      val support = pa.keySet union pb.keySet
+      val hm = h(support.toSeq.map(w =>
+        (pa.getOrElse(w, 0.0) + pb.getOrElse(w, 0.0)) / 2))
+      val brute = hm - (h(pa.values) + h(pb.values)) / 2
+      assert(math.abs(js - brute) < 1e-5, s"($a,$b) JS $js vs $brute")
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9,
+        s"($a,$b) JS in [0, ln2]")
+      assert(math.abs(jsNorm - js / math.log(2.0)) < 2e-6)
+    }
+  }
 }

@@ -644,7 +644,58 @@ object Etl {
         (col("max_id") - col("min_id") + 1 === col("n_rows"))
           .as("is_contiguous"))
 
+  /** `dq_fd_audit` — functional-dependency discovery audit (Metanome-
+    * style, batteries-included): for each candidate FD `LHS → RHS` the
+    * audit reports how many keys exist, how many violate (|distinct
+    * RHS| > 1), the violation rate, and the worst/average fan-out. A
+    * clean FD (rate 0) certifies a join key or a denormalization; a
+    * high rate flags a column pair a modeler must NOT treat as
+    * determined. Candidates: partkey → unit price (lineitem pricing
+    * consistency), custkey → order priority, nationkey → market
+    * segment, user → event type.
+    *
+    * Exactness: the unit price ℓ_extendedprice/ℓ_quantity is a float-
+    * hostile ratio, so it is fingerprinted in the EXACT integer domain
+    * — (cents·10⁴) DIV qty with decimal cents admission (both engines
+    * truncate positive integer division identically); distinct counts
+    * are exact. avg fan-out sums small integers (exact in both
+    * engines' accumulators) with one final division, ROUND-6.
+    *
+    * Scale shape: each candidate is one map-combined two-level
+    * aggregate (key → distinct-count → one summary row); the four
+    * 1-row frames union driver-free. No joins, no row explosion —
+    * the audit reads each fact table exactly once at any scale.
+    */
+  def dqFdAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, lhs: Column,
+        rhs: Column): DataFrame =
+      df.select(lhs.as("k"), rhs.as("v"))
+        .groupBy(col("k"))
+        .agg(countDistinct(col("v")).as("nv"))
+        .agg(lit(name).as("fd"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating"),
+          round(sum(when(col("nv") > 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("violation_rate"),
+          max(col("nv")).as("max_distinct_rhs"),
+          round(avg(col("nv")), 6).as("avg_distinct_rhs"))
+    val unit = expr("(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+      " AS BIGINT) * 10000) DIV CAST(l_quantity AS BIGINT)")
+    audit("lineitem.partkey->unit_price",
+        Tables.lineitem(spark, sfDir), col("l_partkey"), unit)
+      .unionByName(audit("orders.custkey->orderpriority",
+        Tables.orders(spark, sfDir), col("o_custkey"),
+        col("o_orderpriority")))
+      .unionByName(audit("customer.nationkey->mktsegment",
+        Tables.customer(spark, sfDir), col("c_nationkey"),
+        col("c_mktsegment")))
+      .unionByName(audit("events.user->event_type",
+        Tables.events(spark, sfDir), col("user_id"), col("event_type")))
+      .orderBy(col("fd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd_audit" -> dqFdAudit _,
     "dq_id_gaps" -> dqIdGaps _,
     "dq_value_drift" -> dqValueDrift _,
     "etl_checksum" -> etlChecksum _,
@@ -670,6 +721,35 @@ object Etl {
       "ELSE 'high' END"
 
   val oracle: Map[String, String] = Map(
+    "dq_fd_audit" ->
+      """WITH a1 AS (
+        |  SELECT l_partkey AS k, COUNT(DISTINCT
+        |      (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) * 10000) // CAST(l_quantity AS BIGINT))
+        |    AS nv
+        |  FROM lineitem GROUP BY 1),
+        |a2 AS (
+        |  SELECT o_custkey AS k, COUNT(DISTINCT o_orderpriority) AS nv
+        |  FROM orders GROUP BY 1),
+        |a3 AS (
+        |  SELECT c_nationkey AS k, COUNT(DISTINCT c_mktsegment) AS nv
+        |  FROM customer GROUP BY 1),
+        |a4 AS (
+        |  SELECT user_id AS k, COUNT(DISTINCT event_type) AS nv
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT 'lineitem.partkey->unit_price' AS fd, * FROM a1
+        |  UNION ALL SELECT 'orders.custkey->orderpriority', * FROM a2
+        |  UNION ALL SELECT 'customer.nationkey->mktsegment', * FROM a3
+        |  UNION ALL SELECT 'events.user->event_type', * FROM a4)
+        |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  ROUND(CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate,
+        |  CAST(MAX(nv) AS BIGINT) AS max_distinct_rhs,
+        |  ROUND(AVG(nv), 6) AS avg_distinct_rhs
+        |FROM s GROUP BY fd ORDER BY fd""".stripMargin,
     "dq_id_gaps" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,

@@ -1121,7 +1121,83 @@ object Temporal {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** `ts_holt` — Holt linear-trend double exponential smoothing of the
+    * daily revenue series (α = 1/2, β = 1/4), with per-day level/trend
+    * state, the one-step-ahead fitted value, and a 7-day-ahead forecast
+    * fan (ŷ_{T+h} = l_T + h·b_T): the capacity-planning forecast one
+    * notch above ts_ewma (which tracks level only and lags any trend).
+    * Textbook init l₁ = y₁, b₁ = y₂ − y₁; updates for t ≥ 2. Requires a
+    * series of ≥ 2 days (the corpus calendar is 30).
+    *
+    * Cross-engine exactness discipline: the recursion is genuinely
+    * sequential, so instead of avoiding it (the ts_ewma closed form) it
+    * is made BIT-DETERMINISTIC — daily totals enter as exact decimal
+    * cents (order-free sums), and both engines then fold the IDENTICAL
+    * IEEE expression l' = 0.5y + 0.5(l+b); b' = 0.25(l'−l) + 0.75b over
+    * the same doubles in the same order (α, β dyadic → exact literals),
+    * so every intermediate is bit-identical and ROUND-6 at output is
+    * safe at any magnitude.
+    *
+    * Scale shape: the only data-sized work is ONE map-combined daily
+    * aggregate; the fold runs over a single calendar-length array on one
+    * row (aggregate() HOF over sort_array(collect_list)) — O(days)
+    * state, no self-join, no driver collect. At 100 TB the day count is
+    * still calendar-sized.
+    */
+  def tsHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg((sum(dec2(col("value"))) * 100).cast("long").as("cents"))
+    val series = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+        .as("s"))
+      .select(transform(col("s"), x => x.getField("day")).as("days"),
+        transform(col("s"), x => x.getField("cents").cast("double"))
+          .as("ys"))
+    val n = size(col("ys"))
+    val y1 = element_at(col("ys"), 1)
+    val y2 = element_at(col("ys"), 2)
+    val path = aggregate(
+      slice(col("ys"), lit(2), n - 1),
+      array(struct(y1.as("l"), (y2 - y1).as("b"))),
+      (acc: Column, y: Column) => {
+        val l0 = element_at(acc, -1).getField("l")
+        val b0 = element_at(acc, -1).getField("b")
+        val lNew = lit(0.5) * y + lit(0.5) * (l0 + b0)
+        val bNew = lit(0.25) * (lNew - l0) + lit(0.75) * b0
+        concat(acc, array(struct(lNew.as("l"), bNew.as("b"))))
+      })
+    val withPath = series.withColumn("path", path)
+    val lastDay = element_at(col("days"), -1)
+    val lN = element_at(col("path"), -1).getField("l")
+    val bN = element_at(col("path"), -1).getField("b")
+    val fitRows = transform(sequence(lit(1), n), t => struct(
+      element_at(col("days"), t).as("day"),
+      lit(0).as("horizon"),
+      element_at(col("ys"), t).as("y"),
+      element_at(col("path"), t).getField("l").as("l"),
+      element_at(col("path"), t).getField("b").as("b"),
+      when(t > lit(1), element_at(col("path"), t - 1).getField("l") +
+        element_at(col("path"), t - 1).getField("b")).as("yhat")))
+    val fcRows = transform(sequence(lit(1), lit(7)), h => struct(
+      date_add(lastDay, h).as("day"),
+      h.as("horizon"),
+      lit(null).cast("double").as("y"),
+      lit(null).cast("double").as("l"),
+      lit(null).cast("double").as("b"),
+      (lN + h.cast("double") * bN).as("yhat")))
+    withPath.select(explode(concat(fitRows, fcRows)).as("r"))
+      .select(col("r.day").cast("timestamp").as("day_ts"),
+        col("r.horizon").cast("long").as("horizon"),
+        (col("r.y") / 100.0).as("revenue"),
+        round(col("r.l") / 100.0, 6).as("level"),
+        round(col("r.b") / 100.0, 6).as("trend"),
+        round(col("r.yhat") / 100.0, 6).as("yhat"))
+      .orderBy(col("day_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt" -> tsHolt _,
     "ts_dow_hour_heatmap" -> tsDowHourHeatmap _,
     "ts_acf" -> tsAcf _,
     "ts_stl_strength" -> tsStlStrength _,
@@ -1155,6 +1231,50 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT day, y,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS t
+        |  FROM daily),
+        |nn AS (SELECT MAX(t) AS n, MAX(day) AS last_day FROM idx),
+        |rec AS (
+        |  SELECT i1.t AS t, i1.day AS day, i1.y AS y, i1.y AS l,
+        |    i2.y - i1.y AS b
+        |  FROM idx i1 JOIN idx i2 ON i1.t = 1 AND i2.t = 2
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.y,
+        |    CAST(0.5 AS DOUBLE) * i.y
+        |      + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
+        |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.y
+        |        + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+        |      + CAST(0.75 AS DOUBLE) * r.b AS b
+        |  FROM rec r JOIN idx i ON i.t = r.t + 1),
+        |fin AS (
+        |  SELECT r.l AS l, r.b AS b, nn.last_day AS last_day
+        |  FROM rec r, nn WHERE r.t = nn.n),
+        |fc AS (
+        |  SELECT last_day + CAST(h.h AS INTEGER) AS day,
+        |    CAST(h.h AS BIGINT) AS horizon,
+        |    l + CAST(h.h AS DOUBLE) * b AS yhat
+        |  FROM fin, (SELECT range AS h FROM range(1, 8)) h)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(0 AS BIGINT) AS horizon,
+        |  y / CAST(100.0 AS DOUBLE) AS revenue,
+        |  ROUND(l / CAST(100.0 AS DOUBLE), 6) AS level,
+        |  ROUND(b / CAST(100.0 AS DOUBLE), 6) AS trend,
+        |  ROUND((LAG(l) OVER (ORDER BY t) + LAG(b) OVER (ORDER BY t))
+        |    / CAST(100.0 AS DOUBLE), 6) AS yhat
+        |FROM rec
+        |UNION ALL
+        |SELECT CAST(day AS TIMESTAMP), horizon, NULL, NULL, NULL,
+        |  ROUND(yhat / CAST(100.0 AS DOUBLE), 6)
+        |FROM fc
+        |ORDER BY day_ts""".stripMargin,
     "ts_dow_hour_heatmap" ->
       """WITH c AS (
         |  SELECT date_diff('day', DATE '1970-01-01',

@@ -581,7 +581,46 @@ object Text {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** `text_edit_distance` — blocked Levenshtein fuzzy-pair mining: the
+    * record-linkage primitive dedup_minhash's set-similarity can't
+    * replace (edit distance sees transpositions/typos that shingle
+    * overlap blurs). Candidate pairs come from CLASSIC BLOCKING —
+    * same language, same 16-char length bucket, |Δn_chars| ≤ 8 — and
+    * each pair is scored on a 48-char prefix probe (bounds the DP cost
+    * per pair); the per-language report counts candidate, exact
+    * (d = 0) and close (d ≤ 12) pairs with min/avg distance.
+    *
+    * Scale shape: the O(n²) all-pairs trap is cut to within-block
+    * pairs by the equi-join on (lang, bucket) — a plain shuffle join
+    * whose cost is Σ|block|², tunable via bucket width; the probe cap
+    * makes each distance O(48²) regardless of document length.
+    * Levenshtein is a codegen'd built-in (character-based in both
+    * engines); all outputs are exact integers but the ROUND-6 mean.
+    */
+  def textEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(col("text"), 1, 48).as("probe"),
+        expr("n_chars DIV 16").as("bkt"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val dist = levenshtein(col("a.probe"), col("b.probe"))
+    a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.bkt") === col("b.bkt") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 8)
+      .select(col("a.lang").as("lang"), dist.as("dist"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("dist") <= 12, 1L).otherwise(0L)).as("n_close"),
+        min(col("dist")).cast("long").as("min_dist"),
+        round(avg(col("dist")), 6).as("avg_dist"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_edit_distance" -> textEditDistance _,
     "text_js_divergence" -> textJsDivergence _,
     "text_oov_rate" -> textOovRate _,
     "text_code_detect" -> textCodeDetect _,
@@ -620,6 +659,23 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    "text_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars, substr(text, 1, 48) AS probe,
+        |    n_chars // 16 AS bkt
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.lang AS lang, levenshtein(a.probe, b.probe) AS dist
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.bkt = b.bkt
+        |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(SUM(CASE WHEN dist <= 12 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_close,
+        |  CAST(MIN(dist) AS BIGINT) AS min_dist,
+        |  ROUND(AVG(dist), 6) AS avg_dist
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
     "text_js_divergence" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w

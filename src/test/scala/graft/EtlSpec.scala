@@ -403,4 +403,26 @@ class EtlSpec extends SparkTestBase {
     assert(contig === (hi - lo + 1 == n), "contiguity flag")
     assert(missing >= 0 && dups >= 0)
   }
+
+  test("dq_fd_audit: brute-force the events.user->event_type candidate; rate identities") {
+    val rows = Etl.dqFdAudit(spark, sf).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.size === 4, "four FD candidates")
+    rows.foreach { case (fd, (nk, nv, rate, mx, avg)) =>
+      assert(nv <= nk, s"$fd violators bounded by keys")
+      assert(math.abs(rate - nv.toDouble / nk.toDouble) < 1e-6, s"$fd rate")
+      assert(mx >= 1 && avg >= 1.0 - 1e-9 && avg <= mx.toDouble, s"$fd fanout")
+    }
+    // brute-force one candidate end-to-end
+    val fans = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+      .groupBy(_._1).map(_._2.length)
+    val (nk, nv, _, mx, avg) = rows("events.user->event_type")
+    assert(nk === fans.size.toLong, "brute key count")
+    assert(nv === fans.count(_ > 1).toLong, "brute violator count")
+    assert(mx === fans.max.toLong, "brute max fanout")
+    assert(math.abs(avg - fans.sum.toDouble / fans.size) < 1e-5)
+  }
 }

@@ -775,4 +775,56 @@ class TemporalSpec extends SparkTestBase {
       BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
     assert(math.abs(v0 - bv) < 1e-6, s"brute cell value $bv")
   }
+
+  test("ts_holt: brute-force Holt recursion, fitted t=2 == y2, 7-step linear forecast fan") {
+    val out = Temporal.tsHolt(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    val (fit, fc) = out.partition(_._2 == 0L)
+    assert(fc.length === 7, "seven forecast rows")
+    assert(fc.map(_._2).sorted.toSeq === (1L to 7L).toSeq)
+    // brute-force the recursion from the daily cents series
+    val ys = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1).toDouble)).sortBy(_._1).map(_._2)
+    assert(fit.length === ys.length, "one fitted row per day")
+    var l = ys(0); var b = ys(1) - ys(0)
+    val path = Array.newBuilder[(Double, Double)]
+    path += ((l, b))
+    for (t <- 1 until ys.length) {
+      val lNew = 0.5 * ys(t) + 0.5 * (l + b)
+      b = 0.25 * (lNew - l) + 0.75 * b
+      l = lNew
+      path += ((l, b))
+    }
+    val brute = path.result()
+    val sortedFit = fit.sortBy(_._1.getTime)
+    sortedFit.zipWithIndex.foreach { case ((_, _, y, lv, tr, yh), i) =>
+      assert(math.abs(y.get - ys(i) / 100.0) < 1e-9, s"revenue day $i")
+      assert(math.abs(lv.get - brute(i)._1 / 100.0) < 1e-5,
+        s"level day $i")
+      assert(math.abs(tr.get - brute(i)._2 / 100.0) < 1e-5,
+        s"trend day $i")
+      if (i == 0) assert(yh.isEmpty, "no fitted value at t=1")
+      else assert(math.abs(yh.get -
+        (brute(i - 1)._1 + brute(i - 1)._2) / 100.0) < 1e-5,
+        s"fitted day $i")
+    }
+    // init identity: fitted at t=2 is l1+b1 = y1+(y2-y1) = y2 exactly
+    assert(math.abs(sortedFit(1)._6.get - ys(1) / 100.0) < 1e-6,
+      "fitted t=2 equals y2")
+    // forecast fan is linear in h with slope b_n
+    val (lN, bN) = brute.last
+    fc.sortBy(_._2).foreach { case (_, h, y, lv, tr, yh) =>
+      assert(y.isEmpty && lv.isEmpty && tr.isEmpty, "forecast rows carry only yhat")
+      assert(math.abs(yh.get - (lN + h * bN) / 100.0) < 1e-5,
+        s"forecast h=$h")
+    }
+  }
 }

@@ -357,4 +357,48 @@ class TextSpec extends SparkTestBase {
       assert(math.abs(jsNorm - js / math.log(2.0)) < 2e-6)
     }
   }
+
+  test("text_edit_distance: brute-force blocked pairs with a reference Levenshtein DP") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).take(48)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val pairs = for {
+      a <- docs; b <- docs
+      if a._2 == b._2 && a._3 / 16 == b._3 / 16 && a._1 < b._1 &&
+        math.abs(a._3 - b._3) <= 8
+    } yield (a._2, lev(a._4, b._4))
+    val brute = pairs.groupBy(_._1).map { case (l, ps) =>
+      val ds = ps.map(_._2)
+      l -> (ds.length.toLong, ds.count(_ == 0).toLong,
+        ds.count(_ <= 12).toLong, ds.min.toLong,
+        ds.sum.toDouble / ds.length)
+    }
+    val got = Text.textEditDistance(spark, sf).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet === brute.keySet, "language coverage")
+    got.foreach { case (l, (np, ne, nc, mn, av)) =>
+      val (bp, be, bc, bm, ba) = brute(l)
+      assert(np === bp, s"$l pair count")
+      assert(ne === be, s"$l exact pairs")
+      assert(nc === bc, s"$l close pairs")
+      assert(mn === bm, s"$l min dist")
+      assert(math.abs(av - ba) < 1e-5, s"$l avg dist")
+      assert(ne <= nc && nc <= np, s"$l monotone counts")
+    }
+  }
 }

@@ -1563,7 +1563,64 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** `analytics_chi2` — χ² test of independence on the event_type ×
+    * md5-arm contingency table, with degrees of freedom, Cramér's V
+    * effect size, and the largest |standardized residual| (which cell
+    * drives the signal). Completes the classical-test battery: ttest
+    * (2 means), anova (k means), chi2 (categorical association) — the
+    * guardrail that a hash split did not skew the event-type mix.
+    *
+    * Determinism: all counts and margins are exact int64; each cell's
+    * expected value and χ² term are doubles of exact integers built
+    * from the IDENTICAL expression text in both engines (bit-equal),
+    * and the cross-cell summation — the one order-sensitive step — is
+    * made order-FREE by pre-rounding each term to 9 dp and summing in
+    * DECIMAL(28,9) (exact, commutative; ≤ R·C·0.5e-9 total bias,
+    * invisible at the ROUND-6 output). Standardized residuals are
+    * ROUND-6 before the max (order-free).
+    *
+    * Scale shape: one map-combined (type, arm) count aggregate — the
+    * cell frame is domain-bounded (|types| × 2), so the margin windows
+    * and the final fold run on a constant-size frame at any corpus
+    * size. One shuffle total.
+    */
+  def chi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type").as("typ"),
+        when(substring(md5(col("user_id").cast("string")), 1, 4) < "8000",
+          "A").otherwise("B").as("arm"))
+      .groupBy(col("typ"), col("arm"))
+      .agg(count(lit(1)).as("o"))
+    val m = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("typ"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("arm"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val od = col("o").cast("double")
+    val ex = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val sres = (od - ex) /
+      sqrt(ex * (lit(1.0) - col("rt").cast("double") / col("n").cast("double"))
+        * (lit(1.0) - col("ct").cast("double") / col("n").cast("double")))
+    m.select(col("typ"), col("arm"), col("n"),
+        round((od - ex) * (od - ex) / ex, 9).cast("decimal(28,9)").as("t9"),
+        round(sres, 6).as("sr6"))
+      .agg(max(col("n")).as("nn"),
+        countDistinct(col("typ")).as("r"),
+        countDistinct(col("arm")).as("c"),
+        sum(col("t9")).as("chi2dec"),
+        max(abs(col("sr6"))).as("max_sr"))
+      .select(col("nn").as("n_events"),
+        ((col("r") - 1) * (col("c") - 1)).cast("long").as("df"),
+        round(col("chi2dec").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chi2dec").cast("double") /
+          (col("nn").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+          .as("cramers_v"),
+        round(col("max_sr"), 6).as("max_abs_std_resid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_chi2" -> chi2Independence _,
     "analytics_ab_sequential" -> abSequential _,
     "analytics_eb_smooth" -> ebSmooth _,
     "analytics_new_vs_returning" -> newVsReturning _,
@@ -1610,6 +1667,41 @@ object Analytics {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "analytics_chi2" ->
+      """WITH e AS (
+        |  SELECT event_type AS typ,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |      < '8000' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |c AS (SELECT typ, arm, COUNT(*) AS o FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT typ, arm, o,
+        |    SUM(o) OVER (PARTITION BY typ) AS rt,
+        |    SUM(o) OVER (PARTITION BY arm) AS ct,
+        |    SUM(o) OVER () AS n
+        |  FROM c),
+        |t AS (
+        |  SELECT typ, arm, o, rt, ct, n,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS ex
+        |  FROM m),
+        |s AS (
+        |  SELECT typ, arm, n,
+        |    CAST(ROUND((CAST(o AS DOUBLE) - ex) * (CAST(o AS DOUBLE) - ex)
+        |      / ex, 9) AS DECIMAL(28,9)) AS t9,
+        |    ROUND((CAST(o AS DOUBLE) - ex) / sqrt(ex
+        |      * (1.0 - CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS sr6
+        |  FROM t)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+        |  CAST((COUNT(DISTINCT typ) - 1) * (COUNT(DISTINCT arm) - 1)
+        |    AS BIGINT) AS df,
+        |  ROUND(CAST(SUM(t9) AS DOUBLE), 6) AS chi2,
+        |  ROUND(sqrt(CAST(SUM(t9) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE)
+        |    * CAST(LEAST(COUNT(DISTINCT typ) - 1, COUNT(DISTINCT arm) - 1)
+        |      AS DOUBLE))), 6) AS cramers_v,
+        |  ROUND(MAX(ABS(sr6)), 6) AS max_abs_std_resid
+        |FROM s""".stripMargin,
     "analytics_ab_sequential" ->
       """WITH d0 AS (
         |  SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0

@@ -1196,7 +1196,68 @@ object Temporal {
       .orderBy(col("day_ts"))
   }
 
+  /** `ts_backtest` — rolling-origin one-step-ahead backtest of three
+    * baseline forecasters over the daily revenue series: `naive`
+    * (ŷ_t = y_{t−1}), `snaive7` (ŷ_t = y_{t−7}), and `combo_avg`
+    * (ŷ_t = (y_{t−1}+y_{t−7})/2 — the classic equal-weight forecast
+    * combination). Per method: evaluation count, MAE, RMSE, and MASE
+    * (MAE scaled by the naive MAE over the same window — naive ≡ 1 by
+    * construction, so snaive7/combo read as relative skill). This is
+    * the model-selection step ts_holt/ts_ewma feed into: before
+    * trusting any forecaster, beat the naives out of sample.
+    *
+    * Determinism: daily totals are exact integer cents, so every
+    * error is an exact integer (combo errors ×2 — half-integers kept
+    * integral), |e| sums are exact, and Σe² runs in DECIMAL(38,0)
+    * (int64 wraps at scale — the ts_cusum lesson). MAE/RMSE/MASE are
+    * single IEEE expressions over doubles of those exact integers,
+    * ROUND-6.
+    *
+    * Scale shape: one map-combined daily aggregate is the only
+    * data-sized work; the lag window and the method explode run on
+    * the calendar-sized frame (30 rows at any corpus size).
+    */
+  def tsBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_utc")).as("day"))
+      .agg((sum(dec2(col("value"))) * 100).cast("long").as("c"))
+    val w = Window.orderBy(col("day"))
+    val errs = daily
+      .withColumn("l1", lag(col("c"), 1).over(w))
+      .withColumn("l7", lag(col("c"), 7).over(w))
+      .filter(col("l7").isNotNull)
+      .select((col("c") - col("l1")).as("e1"),
+        (col("c") - col("l7")).as("e7"),
+        (col("c") * 2 - col("l1") - col("l7")).as("e2"))
+    val agg = errs.agg(count(lit(1)).as("n"),
+      sum(abs(col("e1")).cast("decimal(38,0)")).as("a1"),
+      sum(abs(col("e7")).cast("decimal(38,0)")).as("a7"),
+      sum(abs(col("e2")).cast("decimal(38,0)")).as("a2"),
+      sum(col("e1").cast("decimal(38,0)") * col("e1")).as("s1"),
+      sum(col("e7").cast("decimal(38,0)") * col("e7")).as("s7"),
+      sum(col("e2").cast("decimal(38,0)") * col("e2")).as("s2"))
+    def nd(c: Column) = c.cast("double")
+    agg.select(explode(array(
+        struct(lit("combo_avg").as("method"), col("n").as("n_eval"),
+          round(nd(col("a2")) / nd(col("n")) / 2.0 / 100.0, 6).as("mae"),
+          round(sqrt(nd(col("s2")) / nd(col("n")) / 4.0) / 100.0, 6)
+            .as("rmse"),
+          round(nd(col("a2")) / (nd(col("a1")) * 2.0), 6).as("mase")),
+        struct(lit("naive").as("method"), col("n").as("n_eval"),
+          round(nd(col("a1")) / nd(col("n")) / 100.0, 6).as("mae"),
+          round(sqrt(nd(col("s1")) / nd(col("n"))) / 100.0, 6).as("rmse"),
+          round(nd(col("a1")) / nd(col("a1")), 6).as("mase")),
+        struct(lit("snaive7").as("method"), col("n").as("n_eval"),
+          round(nd(col("a7")) / nd(col("n")) / 100.0, 6).as("mae"),
+          round(sqrt(nd(col("s7")) / nd(col("n"))) / 100.0, 6).as("rmse"),
+          round(nd(col("a7")) / nd(col("a1")), 6).as("mase")))).as("r"))
+      .select(col("r.method"), col("r.n_eval").cast("long").as("n_eval"),
+        col("r.mae"), col("r.rmse"), col("r.mase"))
+      .orderBy(col("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_backtest" -> tsBacktest _,
     "ts_holt" -> tsHolt _,
     "ts_dow_hour_heatmap" -> tsDowHourHeatmap _,
     "ts_acf" -> tsAcf _,
@@ -1231,6 +1292,47 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT c, LAG(c, 1) OVER (ORDER BY day) AS l1,
+        |    LAG(c, 7) OVER (ORDER BY day) AS l7
+        |  FROM daily),
+        |e AS (
+        |  SELECT c - l1 AS e1, c - l7 AS e7, c * 2 - l1 - l7 AS e2
+        |  FROM l WHERE l7 IS NOT NULL),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(ABS(e1) AS DECIMAL(38,0))) AS a1,
+        |    SUM(CAST(ABS(e7) AS DECIMAL(38,0))) AS a7,
+        |    SUM(CAST(ABS(e2) AS DECIMAL(38,0))) AS a2,
+        |    SUM(CAST(e1 AS DECIMAL(38,0)) * e1) AS s1,
+        |    SUM(CAST(e7 AS DECIMAL(38,0)) * e7) AS s7,
+        |    SUM(CAST(e2 AS DECIMAL(38,0)) * e2) AS s2
+        |  FROM e)
+        |SELECT 'combo_avg' AS method, CAST(n AS BIGINT) AS n_eval,
+        |  ROUND(CAST(a2 AS DOUBLE) / CAST(n AS DOUBLE) / 2.0 / 100.0, 6)
+        |    AS mae,
+        |  ROUND(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 4.0)
+        |    / 100.0, 6) AS rmse,
+        |  ROUND(CAST(a2 AS DOUBLE) / (CAST(a1 AS DOUBLE) * 2.0), 6) AS mase
+        |FROM a
+        |UNION ALL
+        |SELECT 'naive', CAST(n AS BIGINT),
+        |  ROUND(CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6),
+        |  ROUND(sqrt(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6),
+        |  ROUND(CAST(a1 AS DOUBLE) / CAST(a1 AS DOUBLE), 6)
+        |FROM a
+        |UNION ALL
+        |SELECT 'snaive7', CAST(n AS BIGINT),
+        |  ROUND(CAST(a7 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6),
+        |  ROUND(sqrt(CAST(s7 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6),
+        |  ROUND(CAST(a7 AS DOUBLE) / CAST(a1 AS DOUBLE), 6)
+        |FROM a
+        |ORDER BY method""".stripMargin,
     "ts_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -1699,4 +1699,62 @@ object GraftOps {
           greatest(length(col("text_a")), length(col("text_b"))) <= maxRel)
       .drop("__blk")
   }
+
+  /** Global inclusive prefix sums of integral columns over an
+    * UNBOUNDED ordered spine without a single-partition window — the
+    * scale shape an unpartitioned `Window.orderBy` cumsum cannot give
+    * (at 10⁹ rows that window is one task sorting the whole spine).
+    *
+    * Two-phase, the `RDD.zipWithIndex` pattern re-expressed on
+    * DataFrames: (1) shard by `orderCol DIV shardWidth` — an
+    * order-monotone key, so per-shard running sums ride a BOUNDED
+    * window partition; (2) shard totals (~n/shardWidth rows) are
+    * scanned exclusively on the driver — a tiny deterministic collect,
+    * the same move `zipWithIndex` makes with partition counts — and
+    * broadcast back as per-shard offsets. `cum_<c> = offset + run`.
+    *
+    * Requires: non-negative integral `orderCol` whose values are
+    * dense enough that n/shardWidth shards stay driver-sized (ingest
+    * ids, epoch days, row sequence numbers), and LONG sum columns
+    * (exact integer arithmetic — bit-identical in any order).
+    */
+  def globalPrefixSums(df: DataFrame, orderCol: String,
+      sumCols: Seq[String], shardWidth: Long = 65536L): DataFrame = {
+    require(sumCols.nonEmpty && shardWidth > 0)
+    val spark = df.sparkSession
+    val shard = expr(s"CAST($orderCol AS BIGINT) DIV $shardWidth")
+    val sharded = df.withColumn("__shard", shard)
+    val w = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = sumCols.foldLeft(sharded) { (d, c) =>
+      d.withColumn(s"__run_$c", sum(col(c)).over(w))
+    }
+    val totAggs = sumCols.map(c => sum(col(c)).cast("long").as(c))
+    val totals = sharded.groupBy(col("__shard"))
+      .agg(totAggs.head, totAggs.tail: _*)
+      .orderBy(col("__shard"))
+      .collect()
+    val acc = Array.fill(sumCols.size)(0L)
+    val offRows = totals.map { r =>
+      val out = org.apache.spark.sql.Row.fromSeq(
+        r.getLong(0) +: acc.toSeq)
+      sumCols.indices.foreach(i => acc(i) += r.getLong(i + 1))
+      out
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__shard",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+        sumCols.map(c => org.apache.spark.sql.types.StructField(
+          s"__off_$c", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val joined = run.join(broadcast(offsets), Seq("__shard"))
+    val withCums = sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"cum_$c",
+        (col(s"__off_$c") + col(s"__run_$c")).cast("long"))
+    }
+    withCums.drop("__shard" +:
+      sumCols.flatMap(c => Seq(s"__run_$c", s"__off_$c")): _*)
+  }
 }

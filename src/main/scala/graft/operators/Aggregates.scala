@@ -1221,7 +1221,7 @@ object Aggregates {
       """WITH c AS (
         |  SELECT lang, source, COUNT(*) AS c
         |  FROM documents GROUP BY 1, 2)
-        |SELECT lang, SUM(c) AS n_docs, COUNT(*) AS n_sources,
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_sources,
         |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
         |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
         |      CAST(SUM(c) AS DOUBLE), 6) AS entropy

@@ -1525,14 +1525,17 @@ object Analytics {
     * 1-for-1 user outranking a 90-for-100 one — the same math every
     * CTR/conversion leaderboard and quality-score shrinkage uses.
     *
-    * Exactness: per-user counts exact; the prior moments come from
-    * exact integer power sums of (k, n) per user — the raw-rate mean
-    * and variance are computed as identical-text double formulas over
-    * those sums (NOT avg(double) of ratios; the ratio mean uses
-    * per-user exact k/n doubles summed in... rather: m and v are over
-    * the per-user rate r = k/n, whose power sums Σr, Σr² are sums of
-    * deterministic doubles — order wobble ≤ ulp·n, invisible at
-    * ROUND-6 of the O(1) outputs). One-row prior broadcast back.
+    * Exactness (the md5-prefix discipline applied to the prior): each
+    * user's rate is fingerprinted as the exact scaled integer
+    * rfp = (k·10⁶) DIV n, and the prior moments m, v come from exact
+    * DECIMAL(38,0) power sums Σrfp, Σrfp² — commutative integer
+    * arithmetic, bit-identical in ANY summation order and at any
+    * cluster size (a double Σr/Σr² prior wobbles by partition order,
+    * and one ulp in α/β can flip a ROUND-6 boundary in EVERY user's
+    * smoothed_rate). The ≤1e-6 rate quantization shifts the prior by
+    * O(1e-6) — far inside the shrinkage's own noise. Identical-text
+    * double formulas both engines from the exact sums; one-row prior
+    * broadcast back.
     *
     * Scale: one user-keyed shuffle, a one-row prior aggregate, one
     * map-side smooth. No sort, no window.
@@ -1544,12 +1547,16 @@ object Analytics {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("k"))
       .withColumn("r", col("k").cast("double") / col("n").cast("double"))
+      .withColumn("rfp", expr("(k * 1000000) DIV n"))
     val prior = per.agg(count(lit(1)).cast("double").as("u"),
-      sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"))
-      .select(
-        (col("sr") / col("u")).as("m"),
-        ((col("srr") - col("sr") * col("sr") / col("u")) /
-          (col("u") - 1)).as("v"))
+      sum(col("rfp").cast("decimal(38,0)")).as("sfp"),
+      sum((col("rfp") * col("rfp")).cast("decimal(38,0)")).as("sfp2"))
+      .select(col("u"),
+        (col("sfp").cast("double") / lit(1000000.0) / col("u")).as("m"),
+        ((col("sfp2").cast("double") / lit(1000000000000.0) -
+          (col("sfp").cast("double") / lit(1000000.0)) *
+            (col("sfp").cast("double") / lit(1000000.0)) / col("u")) /
+          (col("u") - lit(1.0))).as("v"))
       .select(col("m"), col("v"),
         (col("m") * (lit(1.0) - col("m")) / col("v") - 1).as("s"))
       .select((col("m") * col("s")).as("alpha"),
@@ -1747,14 +1754,18 @@ object Analytics {
         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
         |  FROM events GROUP BY user_id),
         |r AS (
-        |  SELECT user_id, n, k, CAST(k AS DOUBLE) / n AS r FROM per),
+        |  SELECT user_id, n, k, CAST(k AS DOUBLE) / n AS r,
+        |    (k * 1000000) // n AS rfp FROM per),
         |pm AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS u, SUM(r) AS sr,
-        |    SUM(r * r) AS srr
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS u,
+        |    SUM(CAST(rfp AS DECIMAL(38,0))) AS sfp,
+        |    SUM(CAST(rfp * rfp AS DECIMAL(38,0))) AS sfp2
         |  FROM r),
         |pv AS (
-        |  SELECT sr / u AS m,
-        |    (srr - sr * sr / u) / (u - 1) AS v
+        |  SELECT CAST(sfp AS DOUBLE) / 1000000.0 / u AS m,
+        |    (CAST(sfp2 AS DOUBLE) / 1000000000000.0 -
+        |     (CAST(sfp AS DOUBLE) / 1000000.0) *
+        |       (CAST(sfp AS DOUBLE) / 1000000.0) / u) / (u - 1.0) AS v
         |  FROM pm),
         |ab AS (
         |  SELECT m * (m * (1.0 - m) / v - 1) AS alpha,

@@ -107,9 +107,14 @@ object Pipeline {
     */
   def embedRproject(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.SignedProject.register(spark)
-    Tables.embeddings(spark, sfDir)
+    // Flattened to 16 scalar DOUBLE columns (p0..p15): gated outputs
+    // must carry scalars only — the driver's pandas-based checker
+    // cannot sort/hash array columns (demonstrated in r8).
+    val proj = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr("signed_project(embedding, 16)").as("proj"))
+    proj.select(col("vec_id") +:
+        (0 until 16).map(j => col("proj")(j).as(s"p$j")): _*)
       .orderBy(col("vec_id"))
   }
 
@@ -1050,16 +1055,25 @@ object Pipeline {
         |  UNION ALL
         |  SELECT 'n_distinct_texts', CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) FROM documents) t
         |ORDER BY metric""".stripMargin,
-    "embed_rproject" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    "embed_rproject" -> {
+      // Scalar columns p0..p15, one per projected dim — array outputs
+      // crash the driver's pandas sort (r8 lesson).
+      val dims = (0 until 16).map(j => s"proj[${j + 1}] AS p$j")
+        .mkString(",\n        |  ")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (
+        |  SELECT vec_id,
+        |    [ROUND(list_sum(
+        |       [emb[i + 1] * (CASE WHEN (i * 37 + j * 101 + i * j * 13) % 4 < 2
+        |                      THEN 1.0 ELSE -1.0 END)
+        |        FOR i IN range(0, 64)]), 6)
+        |     FOR j IN range(0, 16)] AS proj
+        |  FROM e)
         |SELECT vec_id,
-        |  [ROUND(list_sum(
-        |     [emb[i + 1] * (CASE WHEN (i * 37 + j * 101 + i * j * 13) % 4 < 2
-        |                    THEN 1.0 ELSE -1.0 END)
-        |      FOR i IN range(0, 64)]), 6)
-        |   FOR j IN range(0, 16)] AS proj
-        |FROM e ORDER BY vec_id""".stripMargin,
+        |  $dims
+        |FROM p ORDER BY vec_id""".stripMargin
+    },
     "udf_cosine_topk" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0)

@@ -1001,9 +1001,14 @@ object Temporal {
     *
     * Exactness: the spine reuses ts_decompose's decimal rollup and
     * ROUND-6 component columns, so variance inputs are bit-identical
-    * across engines; the three variances are computed from exact
-    * power sums of those ROUNDED components via identical formula
-    * text, ROUND-6 on the two ratio-scale strengths.
+    * across engines; each component is then fingerprinted as the
+    * exact scaled integer round(x·10⁶) in DECIMAL(19,0) and the
+    * three variances come from exact DECIMAL power sums of those
+    * integers (commutative — bit-identical in any summation order,
+    * the eb_smooth prior discipline), converted once to doubles via
+    * identical formula text, ROUND-6 on the two ratio-scale
+    * strengths. DECIMAL(19,0) per-row keeps the DuckDB twin's
+    * product width at 38; sums ride wider decimal headroom.
     *
     * Scale: everything after the daily collapse is calendar-bounded
     * (the ts_decompose argument).
@@ -1031,12 +1036,24 @@ object Temporal {
         round(col("trend"), 6).as("t"))
     def varOf(x: Column, n: Column, sx: Column, sxx: Column) =
       (sxx - sx * sx / n) / (n - 1)
-    val agg = comps.agg(count(lit(1)).cast("double").as("n"),
-      sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"),
-      sum(col("s") + col("r")).as("ssr"),
-      sum((col("s") + col("r")) * (col("s") + col("r"))).as("ssrr"),
-      sum(col("t") + col("r")).as("str"),
-      sum((col("t") + col("r")) * (col("t") + col("r"))).as("strr"))
+    // Exact scaled-integer fingerprints of the ROUND-6 components:
+    // the only order-sensitive step (the cross-row sum) rides
+    // commutative DECIMAL integer arithmetic, never double addition.
+    def fp(c: Column) = round(c * lit(1000000.0), 0).cast("decimal(19,0)")
+    val ints = comps.select(fp(col("r")).as("ri"), fp(col("s")).as("si"),
+        fp(col("t")).as("ti"))
+      .withColumn("sri", (col("si") + col("ri")).cast("decimal(19,0)"))
+      .withColumn("tri", (col("ti") + col("ri")).cast("decimal(19,0)"))
+    val agg = ints.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("ri")).cast("double") / lit(1000000.0)).as("sr"),
+      (sum(col("ri") * col("ri")).cast("double") /
+        lit(1000000000000.0)).as("srr"),
+      (sum(col("sri")).cast("double") / lit(1000000.0)).as("ssr"),
+      (sum(col("sri") * col("sri")).cast("double") /
+        lit(1000000000000.0)).as("ssrr"),
+      (sum(col("tri")).cast("double") / lit(1000000.0)).as("str"),
+      (sum(col("tri") * col("tri")).cast("double") /
+        lit(1000000000000.0)).as("strr"))
     val varR = varOf(col("r"), col("n"), col("sr"), col("srr"))
     val varSR = varOf(col("s"), col("n"), col("ssr"), col("ssrr"))
     val varTR = varOf(col("t"), col("n"), col("str"), col("strr"))
@@ -1436,12 +1453,24 @@ object Temporal {
         |      AS rv,
         |    ROUND(t.trend, 6) AS tv
         |  FROM t JOIN s ON t.dow = s.dow, c),
+        |icomps AS (
+        |  SELECT CAST(ROUND(rv * 1000000.0, 0) AS DECIMAL(19,0)) AS ri,
+        |    CAST(ROUND(sv * 1000000.0, 0) AS DECIMAL(19,0)) AS si,
+        |    CAST(ROUND(tv * 1000000.0, 0) AS DECIMAL(19,0)) AS ti
+        |  FROM comps),
+        |ic AS (
+        |  SELECT ri, CAST(si + ri AS DECIMAL(19,0)) AS sri,
+        |    CAST(ti + ri AS DECIMAL(19,0)) AS tri
+        |  FROM icomps),
         |p AS (
         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |    SUM(rv) AS sr, SUM(rv * rv) AS srr,
-        |    SUM(sv + rv) AS ssr, SUM((sv + rv) * (sv + rv)) AS ssrr,
-        |    SUM(tv + rv) AS str_, SUM((tv + rv) * (tv + rv)) AS strr
-        |  FROM comps)
+        |    CAST(SUM(ri) AS DOUBLE) / 1000000.0 AS sr,
+        |    CAST(SUM(ri * ri) AS DOUBLE) / 1000000000000.0 AS srr,
+        |    CAST(SUM(sri) AS DOUBLE) / 1000000.0 AS ssr,
+        |    CAST(SUM(sri * sri) AS DOUBLE) / 1000000000000.0 AS ssrr,
+        |    CAST(SUM(tri) AS DOUBLE) / 1000000.0 AS str_,
+        |    CAST(SUM(tri * tri) AS DOUBLE) / 1000000000000.0 AS strr
+        |  FROM ic)
         |SELECT CAST(n AS BIGINT) AS n_days,
         |  ROUND(GREATEST(0.0, 1.0 -
         |    ((srr - sr * sr / n) / (n - 1)) /
@@ -1954,7 +1983,7 @@ object Temporal {
         |  SELECT user_id, grp, COUNT(*) AS len
         |  FROM g GROUP BY user_id, grp)
         |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
-        |  SUM(len) AS active_days
+        |  CAST(SUM(len) AS BIGINT) AS active_days
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_resample" ->
       """WITH b AS (

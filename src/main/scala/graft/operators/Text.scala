@@ -319,12 +319,14 @@ object Text {
     * each type is attributed to its FIRST document (min(doc_id) per
     * token: one vocab-sized 2-phase aggregate), so the curve is a
     * plain running SUM of new-type counts over the document spine.
-    * The spine cumsum is an unpartitioned window over doc-cardinality
-    * rows (the analytics_pareto note: two-phase prefix sum on an
-    * unbounded spine).
+    * The spine cumsum is GraftOps.globalPrefixSums — the two-phase
+    * prefix sum (shard-bounded running windows + driver-scanned shard
+    * offsets, the zipWithIndex pattern), NEVER an unpartitioned
+    * window over the doc-cardinality spine: at 10⁹ docs that window
+    * is one task sorting the corpus. Exact long sums, so the
+    * two-phase result is bit-identical to the naive cumsum.
     */
   def textVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val firstDoc = toks.groupBy(col("w"))
@@ -332,13 +334,14 @@ object Text {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
     val spine = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"))
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(firstDoc, Seq("doc_id"), "left")
+    val joined = spine.join(firstDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("vocab_size", sum(col("new_types")).over(w))
+    graft.api.GraftOps
+      .globalPrefixSums(joined, "doc_id", Seq("n_tokens", "new_types"))
+      .select(col("doc_id"), col("n_tokens"), col("new_types"),
+        col("cum_n_tokens").as("cum_tokens"),
+        col("cum_new_types").as("vocab_size"))
       .orderBy(col("doc_id"))
   }
 
@@ -513,7 +516,11 @@ object Text {
     val budgets = spark.range(1)
       .select(explode(array(lit(1000L), lit(5000L), lit(10000L)))
         .as("vocab_budget"))
-    budgets.crossJoin(broadcast(ranked))
+    // Broadcast only the top max(budget) types — shipping the FULL
+    // ranked vocabulary (~10⁷ types on a web corpus) to every task
+    // and discarding all but 10k rows was the r8 perf-weak finding.
+    val topRanked = ranked.filter(col("rnk") <= 10000L)
+    budgets.crossJoin(broadcast(topRanked))
       .filter(col("rnk") <= col("vocab_budget"))
       .groupBy(col("vocab_budget"))
       .agg(max(col("cum_occ")).as("covered_tokens"))
@@ -593,9 +600,16 @@ object Text {
     * Scale shape: the O(n²) all-pairs trap is cut to within-block
     * pairs by the equi-join on (lang, bucket) — a plain shuffle join
     * whose cost is Σ|block|², tunable via bucket width; the probe cap
-    * makes each distance O(48²) regardless of document length.
-    * Levenshtein is a codegen'd built-in (character-based in both
-    * engines); all outputs are exact integers but the ROUND-6 mean.
+    * makes each distance O(48²) regardless of document length. The
+    * build side fans out to buckets {bkt−1, bkt, bkt+1} so pairs
+    * whose lengths straddle a 16-char bucket boundary (15 vs 17) are
+    * STILL candidates — |Δn_chars| ≤ 8 is the true candidate
+    * definition, not an approximation (Δ ≤ 8 < 16 ⇒ buckets differ
+    * by ≤ 1, so the neighbor fan-out is exhaustive, and each pair
+    * matches exactly one of b's three distinct block entries — no
+    * dedup pass needed). Levenshtein is a codegen'd built-in
+    * (character-based in both engines); all outputs are exact
+    * integers but the ROUND-6 mean.
     */
   def textEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
@@ -603,10 +617,14 @@ object Text {
         substring(col("text"), 1, 48).as("probe"),
         expr("n_chars DIV 16").as("bkt"))
     val a = d.alias("a")
-    val b = d.alias("b")
+    val b = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("probe"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
+          .as("blk"))
+      .alias("b")
     val dist = levenshtein(col("a.probe"), col("b.probe"))
     a.join(b, col("a.lang") === col("b.lang") &&
-        col("a.bkt") === col("b.bkt") &&
+        col("a.bkt") === col("b.blk") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= 8)
       .select(col("a.lang").as("lang"), dist.as("dist"))
@@ -666,7 +684,8 @@ object Text {
         |  FROM documents),
         |p AS (
         |  SELECT a.lang AS lang, levenshtein(a.probe, b.probe) AS dist
-        |  FROM d a JOIN d b ON a.lang = b.lang AND a.bkt = b.bkt
+        |  FROM d a JOIN d b ON a.lang = b.lang
+        |    AND a.bkt BETWEEN b.bkt - 1 AND b.bkt + 1
         |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -828,10 +847,10 @@ object Text {
         |  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
         |SELECT s.doc_id, s.n_tokens,
         |  COALESCE(fd.new_types, 0) AS new_types,
-        |  SUM(s.n_tokens) OVER (ORDER BY s.doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-        |  SUM(COALESCE(fd.new_types, 0)) OVER (ORDER BY s.doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+        |  CAST(SUM(s.n_tokens) OVER (ORDER BY s.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(fd.new_types, 0)) OVER (ORDER BY s.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
         |FROM spine s LEFT JOIN fd USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
     "text_pmi" ->

@@ -717,4 +717,32 @@ class ApiSpec extends SparkTestBase {
     assert(out((2L, 1L)) === 0L && out((2L, 2L)) === 0L,
       "in-order key stays clean")
   }
+
+  test("globalPrefixSums: bit-identical to the naive cumsum across shard boundaries") {
+    // 1000 rows, shardWidth=64 → 16 shards; cum sums must chain
+    // EXACTLY through every shard boundary (exact long arithmetic).
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 7 + 1).cast("long").as("a"),
+      (col("id") % 3).cast("long").as("b"))
+    val out = GraftOps.globalPrefixSums(df, "k", Seq("a", "b"), shardWidth = 64L)
+      .orderBy("k").collect()
+    assert(out.length === 1000)
+    var ca = 0L; var cb = 0L
+    out.foreach { r =>
+      ca += r.getAs[Long]("a"); cb += r.getAs[Long]("b")
+      assert(r.getAs[Long]("cum_a") === ca, s"cum_a at k=${r.getAs[Long]("k")}")
+      assert(r.getAs[Long]("cum_b") === cb, s"cum_b at k=${r.getAs[Long]("k")}")
+    }
+    assert(ca === (0 until 1000).map(i => i % 7 + 1L).sum)
+  }
+
+  test("globalPrefixSums: sparse non-contiguous order keys (empty shards skipped)") {
+    val df = spark.range(0, 50).select((col("id") * 1000L).as("k"),
+      lit(1L).as("a"))
+    val out = GraftOps.globalPrefixSums(df, "k", Seq("a"), shardWidth = 64L)
+      .orderBy("k").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("cum_a") === i + 1L)
+    }
+  }
 }

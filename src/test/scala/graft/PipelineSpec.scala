@@ -137,8 +137,11 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("embed_rproject: every output dim recomputes exactly from the sign polynomial") {
+    // Output is 16 flattened scalar columns p0..p15 (gated outputs
+    // carry scalars only — the driver's checker cannot hash arrays).
     val proj = Pipeline.embedRproject(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getLong(0) ->
+        (0 until 16).map(j => r.getDouble(1 + j))).toMap
     val embs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

@@ -193,6 +193,21 @@ class TextSpec extends SparkTestBase {
     assert(firstDoc.getLong(2) === firstTokens, "first doc introduces all its types")
   }
 
+  test("text_vocab_growth plan pin: every window partitions by the shard key") {
+    // The r8 perf-weak finding: the spine cumsum was an unpartitioned
+    // window (one task sorting the corpus spine at 10⁹ docs). Now it
+    // rides globalPrefixSums — every WindowExec in the plan must carry
+    // the __shard partition key.
+    val df = Text.textVocabGrowth(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "running-sum windows present")
+    winLines.foreach(l => assert(l.contains("__shard"),
+      s"window must partition by __shard, never a global sort: $l"))
+  }
+
   test("text_pmi: counts and PMI recompute from a brute-force token walk") {
     val rows = Text.textPmi(spark, sf).collect()
     assert(rows.nonEmpty, "corpus has >= 5x repeated bigrams")
@@ -376,10 +391,12 @@ class TextSpec extends SparkTestBase {
       }
       dp(b.length)
     }
+    // With the neighbor-block fan-out, |Δn_chars| <= 8 IS the candidate
+    // definition (Δ <= 8 < 16 ⇒ bucket diff <= 1, always covered) —
+    // pairs straddling a 16-char boundary (15 vs 17) are candidates.
     val pairs = for {
       a <- docs; b <- docs
-      if a._2 == b._2 && a._3 / 16 == b._3 / 16 && a._1 < b._1 &&
-        math.abs(a._3 - b._3) <= 8
+      if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= 8
     } yield (a._2, lev(a._4, b._4))
     val brute = pairs.groupBy(_._1).map { case (l, ps) =>
       val ds = ps.map(_._2)

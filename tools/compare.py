@@ -62,6 +62,27 @@ def driver_hash_risk(v):
     return False
 
 
+def type_contract_risks(con, query_sql):
+    """Round-8 lesson: the rehearsal compared VALUES but never TYPES, and
+    four queries shipped green here yet failed the driver — DuckDB
+    SUM(BIGINT) returns HUGEINT (pandas coerces to float64, Spark stays
+    int64 → hash mismatch) and list columns crash the driver's pandas
+    sort_values outright. So DESCRIBE every gated output, both sides, and
+    FAIL on any type outside the scalar contract:
+    BIGINT/INTEGER/DOUBLE/FLOAT/VARCHAR/BOOLEAN/DATE/µs-TIMESTAMP.
+    """
+    risks = []
+    for col_name, col_type in con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE {query_sql})"
+            ).fetchall():
+        t = col_type.upper()
+        if ("HUGEINT" in t or "DECIMAL" in t or "[]" in t
+                or "STRUCT" in t or "MAP(" in t or "UNION(" in t
+                or "TIMESTAMP_NS" in t or "TIME ZONE" in t):
+            risks.append(f"{col_name}:{col_type}")
+    return risks
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -91,6 +112,19 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         ok = True
+        # Type contract first: a value-equal result with a banned type
+        # (HUGEINT/DECIMAL/array/struct/ns-ts) still fails the DRIVER.
+        try:
+            t_risks = (
+                [f"oracle {r}" for r in type_contract_risks(con, sql)] +
+                [f"spark {r}" for r in type_contract_risks(
+                    con,
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")])
+        except Exception as e:
+            t_risks = [f"DESCRIBE failed: {e}"]
+        if t_risks:
+            print(f"FAIL {name}: type-contract risk {t_risks}")
+            ok = False
         if sorted(spark_cols) != sorted(oracle_cols):
             print(f"FAIL {name}: columns spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
             ok = False
@@ -122,5 +156,36 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def selftest():
+    """The harness must REJECT the exact output shapes that shipped four
+    silent r8 failures (uncast SUM(BIGINT) → HUGEINT; list columns) and
+    accept the contract-clean forms. Run: python3 tools/compare.py --selftest
+    """
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 1::BIGINT AS k, 2::BIGINT AS v")
+    cases = [  # (sql, must_flag)
+        ("SELECT SUM(v) AS s FROM t", True),              # HUGEINT
+        ("SELECT CAST(SUM(v) AS BIGINT) AS s FROM t", False),
+        ("SELECT [1.0, 2.0] AS proj", True),              # list
+        ("SELECT CAST(1.5 AS DECIMAL(9,2)) AS d", True),  # DECIMAL
+        ("SELECT {'a': 1} AS st", True),                  # struct
+        ("SELECT 1::BIGINT AS a, 1.5::DOUBLE AS b, 'x' AS c, "
+         "TRUE AS d, DATE '2024-01-01' AS e, "
+         "TIMESTAMP '2024-01-01 00:00:00' AS f", False),
+    ]
+    bad = 0
+    for sql, must_flag in cases:
+        risks = type_contract_risks(con, sql)
+        flagged = bool(risks)
+        status = "ok" if flagged == must_flag else "WRONG"
+        if flagged != must_flag:
+            bad += 1
+        print(f"{status}: flag={flagged} expected={must_flag} :: {sql} {risks}")
+    print(f"== selftest {'PASS' if bad == 0 else 'FAIL'} ==")
+    return 1 if bad else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,7 +1,9 @@
 package graft
 
+import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.operators.Analytics
+import graft.sources.Tables
 
 /** Plan + semantics pins for the behavioural-analytics operators
   * (their exactness is oracle-gated; these pin the one-scan shapes and
@@ -894,5 +896,55 @@ class AnalyticsSpec extends SparkTestBase {
     val shrinkLarge = large.map(r => math.abs(r._5 - r._4)).sum / large.length
     assert(shrinkSmall >= shrinkLarge - 1e-9,
       s"low-n users shrink at least as much on average: $shrinkSmall vs $shrinkLarge")
+  }
+
+  test("analytics_chi2: recomputes from the brute-force contingency table") {
+    val row = Analytics.chi2Independence(spark, sf).collect()(0)
+    // brute-force the (event_type × md5-arm) table driver-side
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"),
+        when(substring(md5(col("user_id").cast("string")), 1, 4) < "8000",
+          "A").otherwise("B").as("arm"))
+      .groupBy("event_type", "arm").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = cells.keySet.map(_._1); val arms = cells.keySet.map(_._2)
+    val n = cells.values.sum.toDouble
+    def rt(t: String) = arms.toSeq.map(a => cells.getOrElse((t, a), 0L)).sum.toDouble
+    def ct(a: String) = types.toSeq.map(t => cells.getOrElse((t, a), 0L)).sum.toDouble
+    val chi2 = (for (t <- types.toSeq; a <- arms.toSeq) yield {
+      val o = cells.getOrElse((t, a), 0L).toDouble
+      val e = rt(t) * ct(a) / n
+      // mirror the operator's order-free fold: ROUND-9 per term
+      BigDecimal((o - e) * (o - e) / e)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }).sum.toDouble
+    assert(row.getAs[Long]("n_events") === n.toLong)
+    assert(row.getAs[Long]("df") ===
+      (types.size - 1L) * (arms.size - 1L), "df = (r-1)(c-1)")
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-5, "chi2 recompute")
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, "Cramér's V bounded")
+    assert(math.abs(v - math.sqrt(chi2 / (n * math.min(types.size - 1,
+      arms.size - 1)))) < 1e-5, "V recompute")
+  }
+
+  test("analytics_forecast_naive: forecast IS the lag-7 value; errors and MAE chain") {
+    val rows = Analytics.forecastNaive(spark, sf).collect()
+      .sortBy(_.getAs[Timestamp]("day_ts").getTime)
+    assert(rows.length > 8, "needs > one week of days")
+    val total = rows.map(_.getAs[Double]("total"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i >= 7) {
+        assert(r.getAs[Double]("forecast") === total(i - 7),
+          s"day $i forecast = same weekday last week")
+        assert(math.abs(r.getAs[Double]("abs_err") -
+          math.abs(total(i) - total(i - 7))) < 1e-9, s"day $i abs err")
+      } else assert(r.isNullAt(r.fieldIndex("forecast")),
+        s"day $i unforecastable")
+    }
+    val scored = rows.drop(7)
+    assert(rows.head.getAs[Long]("n_scored") === scored.length.toLong)
+    val mae = scored.map(_.getAs[Double]("abs_err")).sum / scored.length
+    assert(math.abs(rows.head.getAs[Double]("mae") - mae) < 1e-5, "MAE recompute")
   }
 }

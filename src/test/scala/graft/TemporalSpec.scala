@@ -827,4 +827,58 @@ class TemporalSpec extends SparkTestBase {
         s"forecast h=$h")
     }
   }
+
+  test("ts_backtest: naive MASE is 1 by construction; RMSE >= MAE; equal eval windows") {
+    val rows = Temporal.tsBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_eval"),
+        r.getAs[Double]("mae"), r.getAs[Double]("rmse"),
+        r.getAs[Double]("mase"))).toMap
+    assert(rows.keySet === Set("naive", "snaive7", "combo_avg"))
+    val ns = rows.values.map(_._1).toSet
+    assert(ns.size === 1, s"all methods score the SAME window: $ns")
+    assert(math.abs(rows("naive")._4 - 1.0) < 1e-9,
+      "MASE of naive vs itself is exactly 1")
+    rows.foreach { case (m, (_, mae, rmse, mase)) =>
+      assert(mae >= 0 && rmse >= 0 && mase >= 0, s"$m nonneg")
+      // RMSE >= MAE for any error sample (Cauchy–Schwarz); allow the
+      // two independent ROUND-6s one ulp of slack
+      assert(rmse >= mae - 1e-6, s"$m RMSE ($rmse) >= MAE ($mae)")
+    }
+    // MASE is MAE re-expressed on the naive scale — consistent within ROUND-6
+    val scale = rows("naive")._2
+    rows.foreach { case (m, (_, mae, _, mase)) =>
+      assert(math.abs(mase - mae / scale) < 1e-4, s"$m MASE = MAE/naiveMAE")
+    }
+  }
+
+  test("ts_rolling_stats: brute-force trailing-10 recompute; user-partitioned window plan") {
+    val df = Temporal.tsRollingStats(spark, sf)
+    val rows = df.collect()
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_utc"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Timestamp](2).getTime, r.getDouble(3)))
+    val byUser = events.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._3, e._2))
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Long]("roll_n"), r.getAs[Double]("roll_mean"))).toMap
+    byUser.foreach { case (u, es) =>
+      es.zipWithIndex.foreach { case (e, i) =>
+        val win = es.slice(math.max(0, i - 9), i + 1).map(_._4)
+        val (n, mean) = got((u, e._2))
+        assert(n === win.length.toLong, s"user $u event ${e._2} window size")
+        assert(math.abs(mean - win.sum / win.length) < 1e-5,
+          s"user $u event ${e._2} rolling mean")
+      }
+    }
+    // plan pin: ONE user-partitioned window, never a global sort
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach(l => assert(l.contains("user_id"),
+      s"window must partition by user_id: $l"))
+  }
 }

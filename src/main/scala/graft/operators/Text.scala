@@ -494,21 +494,32 @@ object Text {
     * occurrence-weighted complement of text_vocab_growth's type
     * curve, and the planning input to pipeline_bpe_train.
     *
-    * Determinism: type ranking ties-break on the token string; the
-    * cumulative ride is over the VOCAB-sized frame (the global-sort
-    * window is bounded by type cardinality, never the corpus — at a
-    * 100 TB corpus the vocabulary is still ~10⁷); coverage picks are
-    * exact integer sums, ROUND-6 on the rate only.
+    * Determinism: type ranking ties-break on the token string;
+    * coverage picks are exact integer sums, ROUND-6 on the rate only.
+    *
+    * Scale shape (the r8 perf-weak fix, then one better): the top
+    * max(budget) types are selected with orderBy(...).limit(10000) —
+    * Spark plans TakeOrderedAndProject, a per-partition bounded top-k
+    * heap + one 10k-row merge, so NO global sort and NO vocab-sized
+    * single-partition window ever exists (at a ~10⁷-type web-corpus
+    * vocabulary the old rank window was one task sorting the whole
+    * vocab, and the old broadcast shipped all of it to every task).
+    * The rank/cumsum windows then ride the literal-bounded 10k-row
+    * frame — the calendar-bounded-window class, constant at any
+    * corpus size.
     */
   def textOovRate(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // Distributed top-k heap selection (TakeOrderedAndProject) — the
+    // ONLY rows that ever see a window are these 10k.
+    val top = types.orderBy(col("c").desc, col("w")).limit(10000)
     val w = Window.orderBy(col("c").desc, col("w"))
     val cum = Window.orderBy(col("c").desc, col("w"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = types
+    val topRanked = top
       .withColumn("rnk", row_number().over(w).cast("long"))
       .withColumn("cum_occ", sum(col("c")).over(cum))
     val tot = types.agg(sum(col("c")).as("total_tokens"),
@@ -516,10 +527,6 @@ object Text {
     val budgets = spark.range(1)
       .select(explode(array(lit(1000L), lit(5000L), lit(10000L)))
         .as("vocab_budget"))
-    // Broadcast only the top max(budget) types — shipping the FULL
-    // ranked vocabulary (~10⁷ types on a web corpus) to every task
-    // and discarding all but 10k rows was the r8 perf-weak finding.
-    val topRanked = ranked.filter(col("rnk") <= 10000L)
     budgets.crossJoin(broadcast(topRanked))
       .filter(col("rnk") <= col("vocab_budget"))
       .groupBy(col("vocab_budget"))

@@ -208,6 +208,14 @@ class TextSpec extends SparkTestBase {
       s"window must partition by __shard, never a global sort: $l"))
   }
 
+  test("text_oov_rate plan pin: top-k heap selection, never a vocab-sized global sort") {
+    val df = Text.textOovRate(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10k must plan as per-partition bounded heaps:\n$plan")
+  }
+
   test("text_pmi: counts and PMI recompute from a brute-force token walk") {
     val rows = Text.textPmi(spark, sf).collect()
     assert(rows.nonEmpty, "corpus has >= 5x repeated bigrams")

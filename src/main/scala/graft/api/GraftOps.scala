@@ -1718,12 +1718,79 @@ object GraftOps {
     * ids, epoch days, row sequence numbers), and LONG sum columns
     * (exact integer arithmetic — bit-identical in any order).
     */
+  /** Global rank (`rnk`, 1-based) and inclusive prefix sums
+    * (`cum_<c>`) over a VALUE-ordered frame without a global sort or
+    * single-partition window — globalPrefixSums' sibling for frames
+    * ordered by data values (revenue desc, score desc) rather than a
+    * dense non-negative id.
+    *
+    * Shape: `repartitionByRange` on the order expressions puts each
+    * shard's rows in a contiguous key range; per-shard ranks and
+    * running sums ride BOUNDED windows keyed by `spark_partition_id`;
+    * shard (count, total) rows — one per shard — are scanned
+    * exclusively on the driver and broadcast back as offsets. Shard
+    * BOUNDARIES are sampling-dependent, but ranks and cumsums depend
+    * only on the global order, so outputs are deterministic whenever
+    * `orderExprs` is a total order (pass a unique tie-break key) and
+    * the summed columns are LONG (exact commutative arithmetic).
+    */
+  def sortedPrefixSums(df: DataFrame, orderExprs: Seq[Column],
+      sumCols: Seq[String], shards: Int = 64): DataFrame = {
+    require(orderExprs.nonEmpty && shards > 0)
+    val spark = df.sparkSession
+    // One materialization: both the offset collect and the output plan
+    // read the snapshot, so the upstream (often a corpus-scale
+    // aggregate) computes ONCE — the minhash-signature artifact rule.
+    val parted = df.repartitionByRange(shards, orderExprs: _*)
+      .withColumn("__shard", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("__shard")).orderBy(orderExprs: _*)
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run0 = parted.withColumn("__rn", row_number().over(w).cast("long"))
+    val run = sumCols.foldLeft(run0) { (d, c) =>
+      d.withColumn(s"__run_$c", sum(col(c)).over(wcum))
+    }
+    val aggs = count(lit(1)).cast("long").as("__cnt") +:
+      sumCols.map(c => sum(col(c)).cast("long").as(c))
+    val totals = parted.groupBy(col("__shard"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("__shard"))
+      .collect()
+    var cntAcc = 0L
+    val acc = Array.fill(sumCols.size)(0L)
+    val offRows = totals.map { r =>
+      val out = org.apache.spark.sql.Row.fromSeq(
+        r.getLong(0) +: cntAcc +: acc.toSeq)
+      cntAcc += r.getLong(1)
+      sumCols.indices.foreach(i => acc(i) += r.getLong(i + 2))
+      out
+    }
+    val lt = org.apache.spark.sql.types.LongType
+    val offSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("__shard", lt, false),
+        org.apache.spark.sql.types.StructField("__off_rn", lt, false)) ++
+        sumCols.map(c =>
+          org.apache.spark.sql.types.StructField(s"__off_$c", lt, false)))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val joined = run.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("rnk", col("__off_rn") + col("__rn"))
+    val withCums = sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"cum_$c",
+        (col(s"__off_$c") + col(s"__run_$c")).cast("long"))
+    }
+    withCums.drop("__shard" +: "__rn" +: "__off_rn" +:
+      sumCols.flatMap(c => Seq(s"__run_$c", s"__off_$c")): _*)
+  }
+
   def globalPrefixSums(df: DataFrame, orderCol: String,
       sumCols: Seq[String], shardWidth: Long = 65536L): DataFrame = {
     require(sumCols.nonEmpty && shardWidth > 0)
     val spark = df.sparkSession
     val shard = expr(s"CAST($orderCol AS BIGINT) DIV $shardWidth")
-    val sharded = df.withColumn("__shard", shard)
+    // Materialized once: the shard-totals collect and the output plan
+    // both read the snapshot instead of recomputing the upstream.
+    val sharded = df.withColumn("__shard", shard).localCheckpoint()
     val w = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = sumCols.foldLeft(sharded) { (d, c) =>

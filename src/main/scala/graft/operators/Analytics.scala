@@ -336,10 +336,10 @@ object Analytics {
     * arithmetic — no float accumulation order, no decimal-overflow
     * divergence between engines (decimal×int promotion rules
     * differ; int64 math doesn't). Only the final percentage is one
-    * IEEE division, ROUND-6ed. The unpartitioned running-sum window
-    * is over the aggregate (part-dimension-sized); on an unbounded
-    * key domain the standard two-phase prefix-sum (per-partition
-    * totals + offset join) replaces it.
+    * IEEE division, ROUND-6ed. The rank + running sum ride
+    * GraftOps.sortedPrefixSums (range-partitioned shards + offset
+    * broadcast), so no single-partition window exists even when the
+    * key domain is unbounded; the total is a one-row broadcast.
     */
   def pareto(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
@@ -353,13 +353,11 @@ object Analytics {
     val rev = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"))
       .agg(sum(centsEp * (lit(100L) - centsDisc)).as("rev_i"))
-    val ord = Window.orderBy(col("rev_i").desc, col("l_partkey"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    rev
-      .withColumn("rnk", row_number().over(ord).cast("long"))
-      .withColumn("cum_i", sum(col("rev_i")).over(cum))
-      .withColumn("total_i", sum(col("rev_i")).over(all))
+    val tot = rev.agg(sum(col("rev_i")).as("total_i"))
+    graft.api.GraftOps.sortedPrefixSums(rev,
+        Seq(col("rev_i").desc, col("l_partkey")), Seq("rev_i"))
+      .withColumnRenamed("cum_rev_i", "cum_i")
+      .crossJoin(broadcast(tot))
       .filter((col("cum_i") - col("rev_i")) * 5 < col("total_i") * 4)
       .select(col("l_partkey"), col("rnk"),
         (col("rev_i").cast("double") / 10000.0).as("revenue"),

@@ -451,25 +451,25 @@ object Pipeline {
     * budget as exact integer token arithmetic (5·cum_before < 2·total
     * ⟺ cum_before < 40 %).
     *
-    * Scale shape: one map-side score pass, a doc-cardinality ranking
-    * window (two-phase prefix sum at unbounded corpus size — the
-    * pareto note), a one-row total broadcast. Output is the admitted
-    * prefix with its running budget consumption.
+    * Scale shape: one map-side score pass; the doc-cardinality
+    * ranking + running sum ride GraftOps.sortedPrefixSums
+    * (range-partitioned shards, per-shard bounded windows,
+    * driver-scanned shard offsets — NEVER a global single-partition
+    * window over the corpus); the total is a one-row broadcast.
+    * Output is the admitted prefix with its running budget
+    * consumption.
     */
   def pipelineTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tk = split(col("text"), " ")
     val scored = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
         round(size(array_distinct(tk)).cast("double") /
           size(tk).cast("double"), 6).as("ttr"))
-    val ord = Window.orderBy(col("ttr").desc, col("doc_id"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    scored
-      .withColumn("rnk", row_number().over(ord).cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
-      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+    val tot = scored.agg(sum(col("n_tokens")).as("total_tokens"))
+    graft.api.GraftOps.sortedPrefixSums(scored,
+        Seq(col("ttr").desc, col("doc_id")), Seq("n_tokens"))
+      .withColumnRenamed("cum_n_tokens", "cum_tokens")
+      .crossJoin(broadcast(tot))
       .filter((col("cum_tokens") - col("n_tokens")) * 5 <
         col("total_tokens") * 2)
       .select(col("doc_id"), col("rnk"), col("n_tokens"), col("ttr"),

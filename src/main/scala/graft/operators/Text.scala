@@ -355,19 +355,21 @@ object Text {
     *
     * Scale shape: token explode collapses immediately to the
     * VOCABULARY-bounded frequency table (one map-combined shuffle);
-    * the rank window and the 5-sum OLS aggregate run over types, not
-    * tokens. The ln sums are doubles over the vocab-sized frame,
-    * ROUND-6 (order band ~1e-12).
+    * the global rank rides GraftOps.sortedPrefixSums
+    * (range-partitioned shards + offset broadcast — a ~10⁷-type
+    * web-corpus vocabulary never funnels through one task) and the
+    * 5-sum OLS aggregate runs over types, not tokens. The ln sums
+    * are doubles over the vocab-sized frame, ROUND-6 (order band
+    * ~1e-12).
     */
   def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
     val freqs = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("tok"))
     val slopeExpr = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
-    freqs
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    graft.api.GraftOps.sortedPrefixSums(freqs,
+        Seq(col("freq").desc, col("tok")), Seq.empty)
       .select(log(col("rnk").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
       .agg(count(lit(1)).cast("double").as("n"),

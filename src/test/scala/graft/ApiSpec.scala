@@ -736,6 +736,28 @@ class ApiSpec extends SparkTestBase {
     assert(ca === (0 until 1000).map(i => i % 7 + 1L).sum)
   }
 
+  test("sortedPrefixSums: rank and cumsum match the naive global sort, desc with ties") {
+    // values with heavy ties force the tie-break key to do real work,
+    // and shards=8 over 500 rows forces cross-shard offset chaining
+    val df = spark.range(0, 500).select(col("id").as("k"),
+      (col("id") % 13).cast("long").as("v"),
+      (col("id") % 5 + 1).cast("long").as("wt"))
+    val out = GraftOps.sortedPrefixSums(df,
+        Seq(col("v").desc, col("k")), Seq("wt"), shards = 8)
+      .orderBy("rnk").collect()
+    assert(out.length === 500)
+    val naive = (0L until 500L).map(i => (i, i % 13, i % 5 + 1))
+      .sortBy { case (k, v, _) => (-v, k) }
+    var cum = 0L
+    naive.zipWithIndex.foreach { case ((k, v, wt), i) =>
+      cum += wt
+      val r = out(i)
+      assert(r.getAs[Long]("k") === k, s"rank ${i + 1} row identity")
+      assert(r.getAs[Long]("rnk") === i + 1L)
+      assert(r.getAs[Long]("cum_wt") === cum, s"rank ${i + 1} cumsum")
+    }
+  }
+
   test("globalPrefixSums: sparse non-contiguous order keys (empty shards skipped)") {
     val df = spark.range(0, 50).select((col("id") * 1000L).as("k"),
       lit(1L).as("a"))

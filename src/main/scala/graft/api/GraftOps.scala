@@ -1783,6 +1783,23 @@ object GraftOps {
       sumCols.flatMap(c => Seq(s"__run_$c", s"__off_$c")): _*)
   }
 
+  /** Exact SQL-NTILE(k) bucket from a 1-based global rank and total
+    * row count — integer-only arithmetic, bit-identical to the window
+    * NTILE in every engine: with n = q·k + m, the first m buckets
+    * carry q+1 rows. Pair with sortedPrefixSums' `rnk` to decile an
+    * UNBOUNDED frame without the single-partition NTILE window.
+    */
+  def ntileFromRank(rnk: Column, n: Column, k: Int): Column = {
+    require(k > 0)
+    val kL = lit(k.toLong)
+    val q = call_function("div", n, kL)
+    val m = pmod(n, kL)
+    val thr = (q + 1) * m
+    when(rnk <= thr, call_function("div", rnk + q, q + 1))
+      .otherwise(m + call_function("div", rnk - thr + q - 1, q))
+      .cast("long")
+  }
+
   def globalPrefixSums(df: DataFrame, orderCol: String,
       sumCols: Seq[String], shardWidth: Long = 65536L): DataFrame = {
     require(sumCols.nonEmpty && shardWidth > 0)

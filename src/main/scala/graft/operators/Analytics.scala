@@ -286,14 +286,12 @@ object Analytics {
     *
     * Spark-first shape: ONE map-side-combined aggregate collapses the
     * fact table to customer cardinality; the corpus max date is a
-    * one-row broadcast. The three ntile windows are unpartitioned —
-    * deliberately: they run over the ALREADY-AGGREGATED customer
-    * table (orders-of-magnitude smaller than the facts), and exact
-    * global quartiles need a total order. At extreme dimension
-    * cardinality the swap is approx_percentile cut-points joined
-    * back (documented, not needed at reporting-dimension scale).
-    * Every ntile ORDER BY carries the unique custkey tie-break so
-    * bucket assignment is engine-deterministic.
+    * one-row broadcast. Each exact quartile rides sortedPrefixSums +
+    * ntileFromRank (range shards + offset broadcast + integer NTILE
+    * arithmetic) — bit-identical to the window NTILE with no
+    * single-partition sort even at 10⁹ customers; the three scored
+    * rankings rejoin on custkey. Every ranking carries the unique
+    * custkey tie-break so bucket assignment is engine-deterministic.
     */
   def rfm(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
@@ -305,17 +303,25 @@ object Analytics {
     // corpus max = max of per-customer last orders: derived from the
     // ALREADY-built customer aggregate, not a second fact-table scan
     val maxd = cust.agg(max(col("last_order")).as("corpus_max"))
-    val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
-    val wf = Window.orderBy(col("frequency"), col("o_custkey"))
-    val wm = Window.orderBy(col("monetary"), col("o_custkey"))
-    cust.crossJoin(broadcast(maxd))
+    val base = cust.crossJoin(broadcast(maxd))
       .select(col("o_custkey"),
         datediff(col("corpus_max"), col("last_order")).cast("long")
           .as("recency_days"),
         col("frequency"), col("monetary"))
-      .withColumn("r_score", ntile(4).over(wr).cast("long"))
-      .withColumn("f_score", ntile(4).over(wf).cast("long"))
-      .withColumn("m_score", ntile(4).over(wm).cast("long"))
+    val G = graft.api.GraftOps
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    def score(orderExprs: Seq[Column], out: String): DataFrame =
+      G.sortedPrefixSums(base, orderExprs, Seq.empty)
+        .crossJoin(broadcast(nAll))
+        .select(col("o_custkey"),
+          G.ntileFromRank(col("rnk"), col("n_all"), 4).as(out))
+    base
+      .join(score(Seq(col("recency_days").desc, col("o_custkey")),
+        "r_score"), Seq("o_custkey"))
+      .join(score(Seq(col("frequency"), col("o_custkey")),
+        "f_score"), Seq("o_custkey"))
+      .join(score(Seq(col("monetary"), col("o_custkey")),
+        "m_score"), Seq("o_custkey"))
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
       .orderBy(col("o_custkey"))
@@ -1216,13 +1222,11 @@ object Analytics {
     * µs corpus midpoint; scores are exact decimals; rates and shares
     * are single divisions of exact counts, ROUND-6.
     *
-    * Scale: one user-keyed shuffle, then a USER-cardinality NTILE —
-    * an unpartitioned sort of the per-user table (fine for the
-    * dimension-sized user universe here; at 10⁹ users the decile
-    * boundaries come from an approx-quantile sketch broadcast back as
-    * range predicates — the agg_equidepth machinery — trading exact
-    * NTILE balance for a sort-free map-side bin). The rollup and
-    * cumulative windows are 10-ary either way.
+    * Scale: one user-keyed shuffle, then the USER-cardinality decile
+    * rides sortedPrefixSums + ntileFromRank (range shards + offset
+    * broadcast + exact integer NTILE arithmetic) — bit-identical to
+    * the window NTILE with NO single-partition sort even at 10⁹
+    * users. The rollup and cumulative windows are 10-ary.
     */
   def gains(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -1237,9 +1241,13 @@ object Analytics {
         max(when(unix_micros(col("ts_utc")) >= col("mid") &&
           col("event_type") === "purchase", 1L).otherwise(0L))
           .as("responded"))
-    val w = Window.orderBy(col("score").desc, col("user_id"))
-    val byDecile = perUser
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val ranked = graft.api.GraftOps.sortedPrefixSums(perUser,
+      Seq(col("score").desc, col("user_id")), Seq.empty)
+    // n_all reads the materialized snapshot (max rank), not the stream
+    val nAll = ranked.agg(max(col("rnk")).as("n_all"))
+    val byDecile = ranked.crossJoin(broadcast(nAll))
+      .withColumn("decile",
+        graft.api.GraftOps.ntileFromRank(col("rnk"), col("n_all"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("responded")).as("n_resp"))
@@ -1424,7 +1432,9 @@ object Analytics {
     * midpoint; tiers are NTILE with the custkey tie-break; absent
     * halves label 'none' by identical CASE. Scale: two half-filtered
     * customer aggregates (one scan each), customer-keyed FULL join,
-    * 4×4-ary rollup; the NTILE note from analytics_gains applies.
+    * 4×4-ary rollup; each tercile rides sortedPrefixSums +
+    * ntileFromRank, so no single-partition NTILE window at any
+    * customer cardinality.
     */
   def rfmMigration(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -1436,14 +1446,19 @@ object Analytics {
     def tiers(pre: Boolean, out: String) = {
       val side = if (pre) col("ed") < col("mid")
         else col("ed") >= col("mid")
-      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-      o.crossJoin(broadcast(bounds))
+      val half = o.crossJoin(broadcast(bounds))
         .withColumn("ed", datediff(to_date(col("o_orderdate")),
           lit("1970-01-01").cast("date")))
         .filter(side)
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-        .withColumn(out, concat(lit("T"), ntile(3).over(w)))
+      val G = graft.api.GraftOps
+      val ranked = G.sortedPrefixSums(half,
+        Seq(col("spend").desc, col("o_custkey")), Seq.empty)
+      val nh = ranked.agg(max(col("rnk")).as("n_all"))
+      ranked.crossJoin(broadcast(nh))
+        .withColumn(out, concat(lit("T"),
+          G.ntileFromRank(col("rnk"), col("n_all"), 3)))
         .select(col("o_custkey").as(s"ck_$out"), col(out))
     }
     val h1 = tiers(pre = true, "tier_h1")

@@ -515,17 +515,19 @@ object Pipeline {
     * family; this is the positional one, and the right choice when
     * adjacent rows are correlated and you want one per neighbourhood).
     *
-    * Scale shape: at corpus scale the rank is zipWithIndex-style
-    * partition arithmetic (offset = sum of earlier partition counts),
-    * not a global window; the modulus filter is map-side. The gate
-    * form uses the window (tiny corpus), the semantics are identical.
+    * Scale shape: the rank IS zipWithIndex-style partition arithmetic
+    * now — GraftOps.sortedPrefixSums (range shards + driver-scanned
+    * offsets), never a global single-partition window; the modulus
+    * filter is map-side.
     */
   def sampleSystematic(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    graft.api.GraftOps.sortedPrefixSums(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq(col("doc_id")), Seq.empty)
+      .withColumnRenamed("rnk", "rn")
       .filter(pmod(col("rn"), lit(7)) === 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"))
       .orderBy(col("rn"))
   }
 

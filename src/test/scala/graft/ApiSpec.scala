@@ -758,6 +758,20 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("ntileFromRank: bit-identical to the NTILE window for ragged n/k") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 7, 10, 23, 100, 101); k <- Seq(1, 3, 5, 10)) {
+      val df = spark.range(1, n + 1).select(col("id").as("rnk"))
+      val got = df.withColumn("b",
+          GraftOps.ntileFromRank(col("rnk"), lit(n.toLong), k))
+        .orderBy("rnk").collect().map(_.getLong(1))
+      val want = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("rnk"))).cast("long"))
+        .orderBy("rnk").collect().map(_.getLong(1))
+      assert(got.toSeq === want.toSeq, s"n=$n k=$k")
+    }
+  }
+
   test("globalPrefixSums: sparse non-contiguous order keys (empty shards skipped)") {
     val df = spark.range(0, 50).select((col("id") * 1000L).as("k"),
       lit(1L).as("a"))

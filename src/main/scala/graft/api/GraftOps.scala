@@ -1700,24 +1700,6 @@ object GraftOps {
       .drop("__blk")
   }
 
-  /** Global inclusive prefix sums of integral columns over an
-    * UNBOUNDED ordered spine without a single-partition window — the
-    * scale shape an unpartitioned `Window.orderBy` cumsum cannot give
-    * (at 10⁹ rows that window is one task sorting the whole spine).
-    *
-    * Two-phase, the `RDD.zipWithIndex` pattern re-expressed on
-    * DataFrames: (1) shard by `orderCol DIV shardWidth` — an
-    * order-monotone key, so per-shard running sums ride a BOUNDED
-    * window partition; (2) shard totals (~n/shardWidth rows) are
-    * scanned exclusively on the driver — a tiny deterministic collect,
-    * the same move `zipWithIndex` makes with partition counts — and
-    * broadcast back as per-shard offsets. `cum_<c> = offset + run`.
-    *
-    * Requires: non-negative integral `orderCol` whose values are
-    * dense enough that n/shardWidth shards stay driver-sized (ingest
-    * ids, epoch days, row sequence numbers), and LONG sum columns
-    * (exact integer arithmetic — bit-identical in any order).
-    */
   /** Global rank (`rnk`, 1-based) and inclusive prefix sums
     * (`cum_<c>`) over a VALUE-ordered frame without a global sort or
     * single-partition window — globalPrefixSums' sibling for frames
@@ -1727,23 +1709,31 @@ object GraftOps {
     * Shape: `repartitionByRange` on the order expressions puts each
     * shard's rows in a contiguous key range; per-shard ranks and
     * running sums ride BOUNDED windows keyed by `spark_partition_id`;
-    * shard (count, total) rows — one per shard — are scanned
-    * exclusively on the driver and broadcast back as offsets. Shard
-    * BOUNDARIES are sampling-dependent, but ranks and cumsums depend
-    * only on the global order, so outputs are deterministic whenever
-    * `orderExprs` is a total order (pass a unique tie-break key) and
-    * the summed columns are LONG (exact commutative arithmetic).
+    * the exclusive scan over the ≤`shards`-row (count, total) frame is
+    * a literal-bounded window broadcast back as offsets. Shard
+    * BOUNDARIES are sampling-dependent (hence the one materialization
+    * barrier: both branches must see the SAME sampled partitioning),
+    * but ranks and cumsums depend only on the global order, so outputs
+    * are deterministic whenever `orderExprs` is a total order (pass a
+    * unique tie-break key) and the summed columns are LONG (exact
+    * commutative arithmetic).
     */
   def sortedPrefixSums(df: DataFrame, orderExprs: Seq[Column],
       sumCols: Seq[String], shards: Int = 64): DataFrame = {
     require(orderExprs.nonEmpty && shards > 0)
-    val spark = df.sparkSession
-    // One materialization: both the offset collect and the output plan
-    // read the snapshot, so the upstream (often a corpus-scale
-    // aggregate) computes ONCE — the minhash-signature artifact rule.
-    val parted = df.repartitionByRange(shards, orderExprs: _*)
+    // Two LAZY materialization barriers, zero eager jobs:
+    // (1) below the exchange — the range partitioner's SAMPLING pass
+    //     and the shuffle itself both read the input snapshot, so the
+    //     upstream (often a corpus-scale aggregate) computes ONCE;
+    // (2) above it — the run windows and the shard-totals branch MUST
+    //     observe the same sampled partitioning (a recomputed range
+    //     exchange may re-sample different boundaries).
+    // The first action (the offsets broadcast build) materializes
+    // both; every other consumer reads the cached blocks.
+    val snap = df.localCheckpoint(false)
+    val parted = snap.repartitionByRange(shards, orderExprs: _*)
       .withColumn("__shard", spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("__shard")).orderBy(orderExprs: _*)
     val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run0 = parted.withColumn("__rn", row_number().over(w).cast("long"))
@@ -1754,25 +1744,19 @@ object GraftOps {
       sumCols.map(c => sum(col(c)).cast("long").as(c))
     val totals = parted.groupBy(col("__shard"))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("__shard"))
-      .collect()
-    var cntAcc = 0L
-    val acc = Array.fill(sumCols.size)(0L)
-    val offRows = totals.map { r =>
-      val out = org.apache.spark.sql.Row.fromSeq(
-        r.getLong(0) +: cntAcc +: acc.toSeq)
-      cntAcc += r.getLong(1)
-      sumCols.indices.foreach(i => acc(i) += r.getLong(i + 2))
-      out
-    }
-    val lt = org.apache.spark.sql.types.LongType
-    val offSchema = org.apache.spark.sql.types.StructType(
-      Seq(org.apache.spark.sql.types.StructField("__shard", lt, false),
-        org.apache.spark.sql.types.StructField("__off_rn", lt, false)) ++
-        sumCols.map(c =>
-          org.apache.spark.sql.types.StructField(s"__off_$c", lt, false)))
-    val offsets = spark.createDataFrame(
-      java.util.Arrays.asList(offRows: _*), offSchema)
+    // Exclusive scan over the ≤`shards`-row totals frame — a
+    // literal-bounded window (lit(0) partition), not a driver collect:
+    // the whole prefix sum downstream of the snapshot is one lazy plan.
+    val ow = Window.partitionBy(lit(0)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sumCols.foldLeft(
+        totals.withColumn("__off_rn",
+          coalesce(sum(col("__cnt")).over(ow), lit(0L)).cast("long"))
+      ) { (d, c) =>
+        d.withColumn(s"__off_$c",
+          coalesce(sum(col(c)).over(ow), lit(0L)).cast("long"))
+      }.select(col("__shard") +: col("__off_rn") +:
+        sumCols.map(c => col(s"__off_$c")): _*)
     val joined = run.join(broadcast(offsets), Seq("__shard"))
       .withColumn("rnk", col("__off_rn") + col("__rn"))
     val withCums = sumCols.foldLeft(joined) { (d, c) =>
@@ -1800,14 +1784,36 @@ object GraftOps {
       .cast("long")
   }
 
+  /** Global inclusive prefix sums of integral columns over an
+    * UNBOUNDED ordered spine without a single-partition window — the
+    * scale shape an unpartitioned `Window.orderBy` cumsum cannot give
+    * (at 10⁹ rows that window is one task sorting the whole spine).
+    *
+    * Two-phase, the `RDD.zipWithIndex` pattern re-expressed on
+    * DataFrames: (1) shard by `orderCol DIV shardWidth` — an
+    * order-monotone key, so per-shard running sums ride a BOUNDED
+    * window partition; (2) the exclusive scan over the shard-totals
+    * frame (~n/shardWidth rows) is a driver-bounded window broadcast
+    * back as per-shard offsets. `cum_<c> = offset + run`. Everything
+    * is ONE lazy plan — no action, no materialization (value-derived
+    * shards make both branches consistent by construction).
+    *
+    * Requires: non-negative integral `orderCol` whose values are
+    * dense enough that n/shardWidth shards stay tiny relative to the
+    * data (ingest ids, epoch days, row sequence numbers), and LONG
+    * sum columns (exact integer arithmetic — bit-identical in any
+    * order).
+    */
   def globalPrefixSums(df: DataFrame, orderCol: String,
       sumCols: Seq[String], shardWidth: Long = 65536L): DataFrame = {
     require(sumCols.nonEmpty && shardWidth > 0)
-    val spark = df.sparkSession
+    // __shard derives from DATA VALUES (id DIV width), so the run
+    // branch and the totals branch agree by construction even if the
+    // upstream recomputes — no materialization barrier needed, and the
+    // whole prefix sum stays ONE lazy plan (zero extra Spark jobs; the
+    // shared upstream dedupes via exchange reuse).
     val shard = expr(s"CAST($orderCol AS BIGINT) DIV $shardWidth")
-    // Materialized once: the shard-totals collect and the output plan
-    // both read the snapshot instead of recomputing the upstream.
-    val sharded = df.withColumn("__shard", shard).localCheckpoint()
+    val sharded = df.withColumn("__shard", shard)
     val w = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = sumCols.foldLeft(sharded) { (d, c) =>
@@ -1816,23 +1822,16 @@ object GraftOps {
     val totAggs = sumCols.map(c => sum(col(c)).cast("long").as(c))
     val totals = sharded.groupBy(col("__shard"))
       .agg(totAggs.head, totAggs.tail: _*)
-      .orderBy(col("__shard"))
-      .collect()
-    val acc = Array.fill(sumCols.size)(0L)
-    val offRows = totals.map { r =>
-      val out = org.apache.spark.sql.Row.fromSeq(
-        r.getLong(0) +: acc.toSeq)
-      sumCols.indices.foreach(i => acc(i) += r.getLong(i + 1))
-      out
-    }
-    val offSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__shard",
-          org.apache.spark.sql.types.LongType, nullable = false) +:
-        sumCols.map(c => org.apache.spark.sql.types.StructField(
-          s"__off_$c", org.apache.spark.sql.types.LongType,
-          nullable = false)))
-    val offsets = spark.createDataFrame(
-      java.util.Arrays.asList(offRows: _*), offSchema)
+    // Exclusive scan over the SHARD-TOTALS frame: n/shardWidth rows
+    // (one per non-empty shard) — the driver-bounded class, not the
+    // data; lit(0) partition keys the bounded single partition.
+    val ow = Window.partitionBy(lit(0)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sumCols.foldLeft(totals) { (d, c) =>
+      d.withColumn(s"__off_$c",
+        coalesce(sum(col(c)).over(ow), lit(0L)).cast("long"))
+    }.select(col("__shard") +:
+      sumCols.map(c => col(s"__off_$c")): _*)
     val joined = run.join(broadcast(offsets), Seq("__shard"))
     val withCums = sumCols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"cum_$c",

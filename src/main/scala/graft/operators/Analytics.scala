@@ -286,12 +286,17 @@ object Analytics {
     *
     * Spark-first shape: ONE map-side-combined aggregate collapses the
     * fact table to customer cardinality; the corpus max date is a
-    * one-row broadcast. Each exact quartile rides sortedPrefixSums +
-    * ntileFromRank (range shards + offset broadcast + integer NTILE
-    * arithmetic) — bit-identical to the window NTILE with no
-    * single-partition sort even at 10⁹ customers; the three scored
-    * rankings rejoin on custkey. Every ranking carries the unique
-    * custkey tie-break so bucket assignment is engine-deterministic.
+    * one-row broadcast. All three exact quartiles ride ONE
+    * sortedPrefixSums pass: each customer explodes into three
+    * (metric, sort_val) rows ordered metric-first — a single
+    * range-sharded ranking whose per-metric rank is the global rank
+    * minus the metric's 3-row min-rank broadcast — then ntileFromRank
+    * (exact integer NTILE arithmetic) and a custkey pivot-back.
+    * Bit-identical to three window NTILEs with no single-partition
+    * sort even at 10⁹ customers (monetary rides exact cents in the
+    * shared LONG sort column; recency negates to share the ASC
+    * direction). Every ranking carries the unique custkey tie-break
+    * so bucket assignment is engine-deterministic.
     */
   def rfm(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
@@ -309,19 +314,29 @@ object Analytics {
           .as("recency_days"),
         col("frequency"), col("monetary"))
     val G = graft.api.GraftOps
-    val nAll = base.agg(count(lit(1)).as("n_all"))
-    def score(orderExprs: Seq[Column], out: String): DataFrame =
-      G.sortedPrefixSums(base, orderExprs, Seq.empty)
-        .crossJoin(broadcast(nAll))
-        .select(col("o_custkey"),
-          G.ntileFromRank(col("rnk"), col("n_all"), 4).as(out))
-    base
-      .join(score(Seq(col("recency_days").desc, col("o_custkey")),
-        "r_score"), Seq("o_custkey"))
-      .join(score(Seq(col("frequency"), col("o_custkey")),
-        "f_score"), Seq("o_custkey"))
-      .join(score(Seq(col("monetary"), col("o_custkey")),
-        "m_score"), Seq("o_custkey"))
+    val m3 = base.select(col("o_custkey"), explode(array(
+        struct(lit("r").as("metric"),
+          (-col("recency_days")).as("sort_val")),
+        struct(lit("f").as("metric"), col("frequency").as("sort_val")),
+        struct(lit("m").as("metric"),
+          (col("monetary") * 100).cast("long").as("sort_val"))))
+        .as("x"))
+      .select(col("o_custkey"), col("x.metric").as("metric"),
+        col("x.sort_val").as("sort_val"))
+    val ranked = G.sortedPrefixSums(m3,
+      Seq(col("metric"), col("sort_val"), col("o_custkey")), Seq.empty)
+    val mstats = ranked.groupBy(col("metric"))
+      .agg(min(col("rnk")).as("rnk0"), count(lit(1)).as("n_m"))
+    val scores = ranked.join(broadcast(mstats), Seq("metric"))
+      .withColumn("score",
+        G.ntileFromRank(col("rnk") - col("rnk0") + 1, col("n_m"), 4))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("metric") === "r", col("score"))).as("r_score"),
+        max(when(col("metric") === "f", col("score"))).as("f_score"),
+        max(when(col("metric") === "m", col("score"))).as("m_score"))
+    base.join(scores, Seq("o_custkey"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
       .orderBy(col("o_custkey"))
@@ -1430,11 +1445,13 @@ object Analytics {
     *
     * Determinism: halves split on the exact integer epoch-day
     * midpoint; tiers are NTILE with the custkey tie-break; absent
-    * halves label 'none' by identical CASE. Scale: two half-filtered
-    * customer aggregates (one scan each), customer-keyed FULL join,
-    * 4×4-ary rollup; each tercile rides sortedPrefixSums +
-    * ntileFromRank, so no single-partition NTILE window at any
-    * customer cardinality.
+    * halves label 'none' by identical CASE. Scale: ONE half-tagged
+    * customer aggregate (single scan, both halves), then both
+    * terciles ride ONE sortedPrefixSums pass ordered half-first —
+    * per-half rank = global rank minus the half's 2-row min-rank
+    * broadcast, then ntileFromRank; customer-keyed FULL join, 4×4-ary
+    * rollup. No single-partition NTILE window at any customer
+    * cardinality.
     */
   def rfmMigration(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -1443,26 +1460,25 @@ object Analytics {
       max(datediff(to_date(col("o_orderdate")),
         lit("1970-01-01").cast("date"))).as("mx"))
       .select(expr("(mn + mx) DIV 2").as("mid"))
-    def tiers(pre: Boolean, out: String) = {
-      val side = if (pre) col("ed") < col("mid")
-        else col("ed") >= col("mid")
-      val half = o.crossJoin(broadcast(bounds))
-        .withColumn("ed", datediff(to_date(col("o_orderdate")),
-          lit("1970-01-01").cast("date")))
-        .filter(side)
-        .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-      val G = graft.api.GraftOps
-      val ranked = G.sortedPrefixSums(half,
-        Seq(col("spend").desc, col("o_custkey")), Seq.empty)
-      val nh = ranked.agg(max(col("rnk")).as("n_all"))
-      ranked.crossJoin(broadcast(nh))
-        .withColumn(out, concat(lit("T"),
-          G.ntileFromRank(col("rnk"), col("n_all"), 3)))
-        .select(col("o_custkey").as(s"ck_$out"), col(out))
-    }
-    val h1 = tiers(pre = true, "tier_h1")
-    val h2 = tiers(pre = false, "tier_h2")
+    val G = graft.api.GraftOps
+    val spend = o.crossJoin(broadcast(bounds))
+      .withColumn("ed", datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")))
+      .withColumn("half",
+        when(col("ed") < col("mid"), "h1").otherwise("h2"))
+      .groupBy(col("half"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val ranked = G.sortedPrefixSums(spend,
+      Seq(col("half"), col("spend").desc, col("o_custkey")), Seq.empty)
+    val hstats = ranked.groupBy(col("half"))
+      .agg(min(col("rnk")).as("rnk0"), count(lit(1)).as("n_h"))
+    val tiersAll = ranked.join(broadcast(hstats), Seq("half"))
+      .withColumn("tier", concat(lit("T"),
+        G.ntileFromRank(col("rnk") - col("rnk0") + 1, col("n_h"), 3)))
+    val h1 = tiersAll.filter(col("half") === "h1")
+      .select(col("o_custkey").as("ck_tier_h1"), col("tier").as("tier_h1"))
+    val h2 = tiersAll.filter(col("half") === "h2")
+      .select(col("o_custkey").as("ck_tier_h2"), col("tier").as("tier_h2"))
     h1.join(h2, col("ck_tier_h1") === col("ck_tier_h2"), "full")
       .select(coalesce(col("tier_h1"), lit("none")).as("from_tier"),
         coalesce(col("tier_h2"), lit("none")).as("to_tier"))

@@ -662,9 +662,11 @@ object Analytics {
     *
     * Spark-first shape: per-user (first, last) days in one
     * map-combined shuffle; the lifetime table collapses to the
-    * distinct-lifetime frame; risk sets come from one cumulative
-    * window (n_t = N − exits before t) and the product via
-    * exp(Σ ln(factor)) on the SAME window. A zero factor (everyone
+    * distinct-lifetime frame — BOUNDED by the calendar day domain
+    * (≤ corpus span in days at any user cardinality), so its
+    * cumulative windows never see data-sized input; risk sets come
+    * from one cumulative window (n_t = N − exits before t) and the
+    * product via exp(Σ ln(factor)) on the SAME window. A zero factor (everyone
     * left churns at the last time) short-circuits to S=0 through an
     * explicit flag — Spark's ln(0) is NULL while DuckDB's is -inf,
     * so the guard is semantic, not cosmetic.

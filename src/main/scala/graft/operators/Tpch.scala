@@ -355,12 +355,12 @@ object Tpch {
   /** `tpch_q15` — top supplier: the supplier(s) whose Q1-1997 revenue
     * equals the maximum. The classic formulation is a scalar MAX
     * subquery over a revenue view scanned twice; here the view
-    * aggregates once and the max rides a whole-frame window over the
-    * AGGREGATED table — one fact scan total. The unpartitioned window
-    * is deliberate and bounded: its input is one row per supplier
-    * (dimension cardinality, ~10⁵ at any realistic scale), not the
-    * fact table, so the single-partition window stage is a rounding
-    * error next to the scan it saves. Equality on the decimal-derived
+    * aggregates once, the max is a ONE-ROW tree-reduced aggregate
+    * broadcast back (the scalar-broadcast pattern), and the equality
+    * filter stays map-side — no whole-frame window funneling the
+    * supplier table (~10⁸ rows at extreme scale) through one task;
+    * the per-supplier exchange under `rev` dedupes across the two
+    * consumers via exchange reuse. Equality on the decimal-derived
     * revenue is exact, so the tie-set is well-defined.
     */
   def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
@@ -370,9 +370,9 @@ object Tpch {
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .groupBy(col("l_suppkey"))
       .agg(outDec(revenue, 38, 4).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev
-      .withColumn("max_rev",
-        max(col("total_revenue")).over(Window.partitionBy()))
+      .crossJoin(broadcast(maxRev))
       .filter(col("total_revenue") === col("max_rev"))
       .join(broadcast(Tables.supplier(spark, sfDir)
         .select(col("s_suppkey"), col("s_name"))),

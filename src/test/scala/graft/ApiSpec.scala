@@ -758,6 +758,29 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("prefix machinery at 200k rows / 3125 shards: endpoints and spot ranks exact") {
+    // Scale smoke: many shards, long offset chains. Endpoint identities
+    // verify the full chain without a 200k-row driver loop.
+    val n = 200000L
+    val df = spark.range(0, n).select(col("id").as("k"), lit(1L).as("one"),
+      (col("id") % 100).cast("long").as("v"))
+    val g = GraftOps.globalPrefixSums(df, "k", Seq("one", "v"), shardWidth = 64L)
+    val gLast = g.orderBy(col("k").desc).limit(1).collect()(0)
+    assert(gLast.getAs[Long]("cum_one") === n, "final running count = n")
+    assert(gLast.getAs[Long]("cum_v") ===
+      (0L until n).map(_ % 100).sum, "final running sum = total")
+    // monotone + correct at a mid shard boundary (k = 64*1561 - 1 and next)
+    val mid = g.filter(col("k").isin(99903L, 99904L)).orderBy("k").collect()
+    assert(mid(0).getAs[Long]("cum_one") === 99904L)
+    assert(mid(1).getAs[Long]("cum_one") === 99905L)
+    val s = GraftOps.sortedPrefixSums(df, Seq(col("k")), Seq("one"), shards = 64)
+    val sLast = s.orderBy(col("rnk").desc).limit(1).collect()(0)
+    assert(sLast.getAs[Long]("rnk") === n, "max rank = n (no gaps, no dups)")
+    assert(sLast.getAs[Long]("cum_one") === n)
+    assert(s.filter(col("rnk") =!= col("k") + 1).count() === 0L,
+      "identity ordering: rank == k+1 for every row")
+  }
+
   test("ntileFromRank: bit-identical to the NTILE window for ragged n/k") {
     import org.apache.spark.sql.expressions.Window
     for (n <- Seq(1, 7, 10, 23, 100, 101); k <- Seq(1, 3, 5, 10)) {

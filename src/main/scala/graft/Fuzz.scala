@@ -425,8 +425,11 @@ object Fuzz {
     case 30 => // gaps-and-islands key (ts_islands' shape): DATE minus
       // ROW_NUMBER as the island constant — date-integer arithmetic and
       // distinct-day windows must agree between engines
+      // CAST the SUM: DuckDB promotes SUM(BIGINT) to HUGEINT, which the
+      // driver's pandas hasher coerces to float64 (the r8 gate lesson —
+      // the same cast the gated ts_islands oracle carries)
       s"""SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest,
-         |  SUM(len) AS active_days
+         |  CAST(SUM(len) AS BIGINT) AS active_days
          |FROM (
          |  SELECT user_id, grp, COUNT(*) AS len FROM (
          |    SELECT user_id, day,

@@ -30,8 +30,29 @@ import org.apache.spark.sql.types._
   * pruning / predicate pushdown intact. Nothing here materializes data.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Resolved-plan catalog: `spark.read.parquet` lists the path and reads
+    * the footer to infer the schema EVERY call; at ~2 dataframe builds per
+    * query across a 284-query Verify/Bench session that is thousands of
+    * redundant footer reads of the same nine files. A production catalog
+    * resolves a table once and serves the analyzed plan from metadata —
+    * this cache does that, keyed by (session, path, mtime, size) so a
+    * corpus REGENERATION (observed mid-round; FIXTURES.md) or a new
+    * session misses the cache and re-resolves instead of serving a stale
+    * schema. The cached value is the immutable analyzed DataFrame; Spark
+    * DataFrames are thread-safe to share, and the map is concurrent, so
+    * parallel query threads are fine. Bounded: 9 tables × 3 sf dirs ×
+    * live sessions — no eviction needed.
+    */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = (String.valueOf(System.identityHashCode(spark)),
+      path, f.lastModified(), f.length())
+    catalog.computeIfAbsent(key, _ => spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

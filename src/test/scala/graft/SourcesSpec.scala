@@ -249,4 +249,45 @@ class SourcesSpec extends SparkTestBase {
       case other => fail(s"unexpected raw ts type $other")
     }
   }
+
+  test("table catalog memoizes the resolved plan and invalidates on file rewrite") {
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    val dir = tmpDir("graft_catalog")
+    val dst = Paths.get(dir, "nation.parquet")
+    NF.copy(Paths.get(s"$sf/nation.parquet"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
+    val a = Tables.table(spark, dir, "nation")
+    val b = Tables.table(spark, dir, "nation")
+    // Same session + same file fingerprint → the SAME analyzed DataFrame
+    // (no second footer read), and it still executes.
+    assert(a eq b)
+    assert(a.count() === 25)
+    // Simulate the corpus regeneration the driver performs mid-round:
+    // replace the file (different bytes) and bump mtime. The catalog must
+    // MISS — serving the old plan here would pin a stale schema/row set.
+    NF.copy(Paths.get(s"$sf/region.parquet"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(dst.toFile.setLastModified(System.currentTimeMillis() + 2000))
+    val c = Tables.table(spark, dir, "nation")
+    assert(!(c eq a))
+    assert(c.columns.toSeq ===
+      Tables.region(spark, sf).columns.toSeq)
+    assert(c.count() === 5)
+  }
+
+  test("table catalog is safe under concurrent resolution from many threads") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 16 threads race to resolve + execute the same tables; computeIfAbsent
+    // must hand every thread a working frame (multi-tenant sessions run
+    // queries concurrently against one catalog in production).
+    val counts = Await.result(
+      Future.sequence((1 to 16).toList.map(i => Future {
+        val t = if (i % 2 == 0) "nation" else "region"
+        Tables.table(spark, sf, t).count()
+      })), 120.seconds)
+    assert(counts.count(_ == 25L) === 8)
+    assert(counts.count(_ == 5L) === 8)
+  }
 }

@@ -358,10 +358,15 @@ object Tpch {
     * aggregates once, the max is a ONE-ROW tree-reduced aggregate
     * broadcast back (the scalar-broadcast pattern), and the equality
     * filter stays map-side — no whole-frame window funneling the
-    * supplier table (~10⁸ rows at extreme scale) through one task;
-    * the per-supplier exchange under `rev` dedupes across the two
-    * consumers via exchange reuse. Equality on the decimal-derived
-    * revenue is exact, so the tie-set is well-defined.
+    * supplier table (~10⁸ rows at extreme scale) through one task.
+    * The view sits behind a LAZY localCheckpoint barrier: both
+    * consumers (the max branch and the equality filter) read the one
+    * materialized supplier-cardinality frame — without the barrier
+    * AQE plans the two branches as independent stages and the fact
+    * scan + aggregate runs TWICE (observed: exchange reuse does not
+    * fire across the broadcast-subquery boundary here). Equality on
+    * the decimal-derived revenue is exact, so the tie-set is
+    * well-defined.
     */
   def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
     val lo = lit("1997-01-01").cast("timestamp")
@@ -370,6 +375,7 @@ object Tpch {
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .groupBy(col("l_suppkey"))
       .agg(outDec(revenue, 38, 4).as("total_revenue"))
+      .localCheckpoint(false)
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev
       .crossJoin(broadcast(maxRev))

@@ -85,12 +85,23 @@ class PlanBudgetSpec extends SparkTestBase {
     assert(range === 0, s"got $range")
   }
 
-  test("tpch_q15: ONE data shuffle (the per-supplier aggregate)") {
-    // the whole-frame max window runs on the AGGREGATED per-supplier
-    // table via a single-partition exchange (not hash); a second hash
-    // shuffle would mean the revenue view computed twice
-    val (hash, _) = shuffles(Tpch.queries("tpch_q15")(spark, sf))
-    assert(hash === 1, s"got $hash")
+  test("tpch_q15: revenue view materialized ONCE; no hash shuffle in the consumer plan") {
+    // the per-supplier aggregate (the query's one data shuffle) rides
+    // the revenue view's lazy localCheckpoint materialization; both
+    // consumers — the one-row max broadcast and the equality filter —
+    // read the checkpointed supplier-cardinality frame (Scan
+    // ExistingRDD). A hash shuffle IN the consumer plan means the
+    // barrier was lost and the fact aggregate computes per consumer
+    // (observed pre-fix: AQE planned the fact scan + agg TWICE).
+    val df = Tpch.queries("tpch_q15")(spark, sf)
+    val (hash, _) = shuffles(df)
+    assert(hash === 0, s"got $hash")
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("ExistingRDD"),
+      "revenue view must come from the checkpoint barrier")
+    assert(!plan.contains("Scan parquet") ||
+      plan.linesIterator.count(_.contains("Scan parquet")) <= 1,
+      "only the supplier dimension may scan parquet in the consumer plan")
   }
 
   test("tpch_q17: ONE data shuffle (the per-part window partition)") {

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Scratch profiler: run one query warm and print per-job wall time and
+  * stage/task counts — for finding where a toy-scale query's session
+  * floor goes. Not part of the driver contract.
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val done = scala.collection.concurrent.TrieMap.empty[Int, (Long, Int)]
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        { jobs.put(js.jobId, js.time); () }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val t0 = Option(jobs.get(je.jobId)).getOrElse(je.time)
+        done.put(je.jobId, (je.time - t0, 0)); ()
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(sc.stageInfo.numTasks); ()
+      }
+    })
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count()  // cold
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      done.clear(); stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()  // warm
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val js = done.toSeq.sortBy(_._1)
+      println(f"== $name warm ${dt}%.3f s, ${js.size} jobs, ${stages.get} stages, ${tasks.get} tasks")
+      js.foreach { case (id, (ms, _)) => println(f"   job $id%3d  ${ms}%5d ms") }
+    }
+    spark.stop()
+  }
+}

@@ -1717,9 +1717,19 @@ object GraftOps {
     * are deterministic whenever `orderExprs` is a total order (pass a
     * unique tie-break key) and the summed columns are LONG (exact
     * commutative arithmetic).
+    *
+    * `withTotals = true` additionally attaches the GRAND totals as
+    * constant columns — `tot_rn` (total row count) and `tot_<c>` per
+    * sum column — computed as whole-frame windows over the same
+    * ≤`shards`-row offsets frame and carried through the broadcast
+    * join. Callers that need "cum vs total" (pareto cuts, budget
+    * fills, gain denominators) read them for free instead of
+    * re-aggregating the input a second time (a second fact pass at
+    * corpus scale, the exact redundancy this helper exists to avoid).
     */
   def sortedPrefixSums(df: DataFrame, orderExprs: Seq[Column],
-      sumCols: Seq[String], shards: Int = 64): DataFrame = {
+      sumCols: Seq[String], shards: Int = 64,
+      withTotals: Boolean = false): DataFrame = {
     require(orderExprs.nonEmpty && shards > 0)
     // Two LAZY materialization barriers, zero eager jobs:
     // (1) below the exchange — the range partitioner's SAMPLING pass
@@ -1749,14 +1759,30 @@ object GraftOps {
     // the whole prefix sum downstream of the snapshot is one lazy plan.
     val ow = Window.partitionBy(lit(0)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sumCols.foldLeft(
+    // grand totals ride the SAME ≤`shards`-row frame as a whole-frame
+    // window — no extra pass over the data
+    val owAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withOffs = sumCols.foldLeft(
         totals.withColumn("__off_rn",
           coalesce(sum(col("__cnt")).over(ow), lit(0L)).cast("long"))
       ) { (d, c) =>
         d.withColumn(s"__off_$c",
           coalesce(sum(col(c)).over(ow), lit(0L)).cast("long"))
-      }.select(col("__shard") +: col("__off_rn") +:
-        sumCols.map(c => col(s"__off_$c")): _*)
+      }
+    val withTots =
+      if (!withTotals) withOffs
+      else sumCols.foldLeft(
+          withOffs.withColumn("tot_rn",
+            sum(col("__cnt")).over(owAll).cast("long"))
+        ) { (d, c) =>
+          d.withColumn(s"tot_$c", sum(col(c)).over(owAll).cast("long"))
+        }
+    val totCols =
+      if (!withTotals) Nil
+      else col("tot_rn") +: sumCols.map(c => col(s"tot_$c"))
+    val offsets = withTots.select(col("__shard") +: col("__off_rn") +:
+      (sumCols.map(c => col(s"__off_$c")) ++ totCols): _*)
     val joined = run.join(broadcast(offsets), Seq("__shard"))
       .withColumn("rnk", col("__off_rn") + col("__rn"))
     val withCums = sumCols.foldLeft(joined) { (d, c) =>

@@ -289,14 +289,20 @@ object Analytics {
     * one-row broadcast. All three exact quartiles ride ONE
     * sortedPrefixSums pass: each customer explodes into three
     * (metric, sort_val) rows ordered metric-first — a single
-    * range-sharded ranking whose per-metric rank is the global rank
-    * minus the metric's 3-row min-rank broadcast — then ntileFromRank
-    * (exact integer NTILE arithmetic) and a custkey pivot-back.
-    * Bit-identical to three window NTILEs with no single-partition
-    * sort even at 10⁹ customers (monetary rides exact cents in the
-    * shared LONG sort column; recency negates to share the ASC
-    * direction). Every ranking carries the unique custkey tie-break
-    * so bucket assignment is engine-deterministic.
+    * range-sharded ranking — then ntileFromRank (exact integer NTILE
+    * arithmetic) and a custkey pivot-back. Because EVERY customer
+    * contributes all three metrics and the metric labels sort
+    * "f" < "m" < "r", the per-metric rank base and size are pure
+    * arithmetic on the prefix-sum grand total (n_m = tot_rn/3;
+    * rank bases 1, n+1, 2n+1) — no stats re-pass, no re-join against
+    * the customer aggregate: the pivot reconstructs recency/
+    * frequency/monetary from the exact integer sort keys (monetary
+    * cents derive from the DECIMAL sum, so cents/100.0 is the
+    * correctly-rounded double — bit-identical to CAST(dec AS DOUBLE),
+    * with no double×100 truncation hazard). Bit-identical to three
+    * window NTILEs with no single-partition sort even at 10⁹
+    * customers; every ranking carries the unique custkey tie-break so
+    * bucket assignment is engine-deterministic.
     */
   def rfm(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
@@ -304,37 +310,46 @@ object Analytics {
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
-        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("monetary"))
+        sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("mon_dec"))
     // corpus max = max of per-customer last orders: derived from the
     // ALREADY-built customer aggregate, not a second fact-table scan
     val maxd = cust.agg(max(col("last_order")).as("corpus_max"))
-    val base = cust.crossJoin(broadcast(maxd))
+    val G = graft.api.GraftOps
+    val m3 = cust.crossJoin(broadcast(maxd))
       .select(col("o_custkey"),
         datediff(col("corpus_max"), col("last_order")).cast("long")
           .as("recency_days"),
-        col("frequency"), col("monetary"))
-    val G = graft.api.GraftOps
-    val m3 = base.select(col("o_custkey"), explode(array(
+        col("frequency"),
+        (col("mon_dec") * 100).cast("long").as("mon_cents"))
+      .select(col("o_custkey"), explode(array(
         struct(lit("r").as("metric"),
           (-col("recency_days")).as("sort_val")),
         struct(lit("f").as("metric"), col("frequency").as("sort_val")),
-        struct(lit("m").as("metric"),
-          (col("monetary") * 100).cast("long").as("sort_val"))))
+        struct(lit("m").as("metric"), col("mon_cents").as("sort_val"))))
         .as("x"))
       .select(col("o_custkey"), col("x.metric").as("metric"),
         col("x.sort_val").as("sort_val"))
     val ranked = G.sortedPrefixSums(m3,
-      Seq(col("metric"), col("sort_val"), col("o_custkey")), Seq.empty)
-    val mstats = ranked.groupBy(col("metric"))
-      .agg(min(col("rnk")).as("rnk0"), count(lit(1)).as("n_m"))
-    val scores = ranked.join(broadcast(mstats), Seq("metric"))
+      Seq(col("metric"), col("sort_val"), col("o_custkey")), Seq.empty,
+      withTotals = true)
+    // metric-first ordering + equal 3-way split ⇒ per-metric rank base
+    // is arithmetic on the grand total ("f" < "m" < "r" ASC)
+    val nM = call_function("div", col("tot_rn"), lit(3L))
+    val rnk0 = when(col("metric") === "f", lit(1L))
+      .when(col("metric") === "m", nM + 1)
+      .otherwise(nM * 2 + 1)
+    ranked
       .withColumn("score",
-        G.ntileFromRank(col("rnk") - col("rnk0") + 1, col("n_m"), 4))
+        G.ntileFromRank(col("rnk") - rnk0 + 1, nM, 4))
       .groupBy(col("o_custkey"))
-      .agg(max(when(col("metric") === "r", col("score"))).as("r_score"),
+      .agg(max(when(col("metric") === "r", -col("sort_val")))
+          .as("recency_days"),
+        max(when(col("metric") === "f", col("sort_val"))).as("frequency"),
+        (max(when(col("metric") === "m", col("sort_val")))
+          .cast("double") / 100.0).as("monetary"),
+        max(when(col("metric") === "r", col("score"))).as("r_score"),
         max(when(col("metric") === "f", col("score"))).as("f_score"),
         max(when(col("metric") === "m", col("score"))).as("m_score"))
-    base.join(scores, Seq("o_custkey"))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))
       .withColumn("segment", concat(col("r_score").cast("string"),
@@ -374,11 +389,13 @@ object Analytics {
     val rev = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"))
       .agg(sum(centsEp * (lit(100L) - centsDisc)).as("rev_i"))
-    val tot = rev.agg(sum(col("rev_i")).as("total_i"))
+    // the grand total rides the prefix-sum offsets frame (withTotals) —
+    // a separate rev.agg() branch would re-run the fact scan+aggregate
     graft.api.GraftOps.sortedPrefixSums(rev,
-        Seq(col("rev_i").desc, col("l_partkey")), Seq("rev_i"))
+        Seq(col("rev_i").desc, col("l_partkey")), Seq("rev_i"),
+        withTotals = true)
       .withColumnRenamed("cum_rev_i", "cum_i")
-      .crossJoin(broadcast(tot))
+      .withColumnRenamed("tot_rev_i", "total_i")
       .filter((col("cum_i") - col("rev_i")) * 5 < col("total_i") * 4)
       .select(col("l_partkey"), col("rnk"),
         (col("rev_i").cast("double") / 10000.0).as("revenue"),
@@ -1258,13 +1275,14 @@ object Analytics {
         max(when(unix_micros(col("ts_utc")) >= col("mid") &&
           col("event_type") === "purchase", 1L).otherwise(0L))
           .as("responded"))
+    // n_all = tot_rn from the prefix-sum offsets frame — no second
+    // pass over the ranked snapshot for the denominator
     val ranked = graft.api.GraftOps.sortedPrefixSums(perUser,
-      Seq(col("score").desc, col("user_id")), Seq.empty)
-    // n_all reads the materialized snapshot (max rank), not the stream
-    val nAll = ranked.agg(max(col("rnk")).as("n_all"))
-    val byDecile = ranked.crossJoin(broadcast(nAll))
+      Seq(col("score").desc, col("user_id")), Seq.empty,
+      withTotals = true)
+    val byDecile = ranked
       .withColumn("decile",
-        graft.api.GraftOps.ntileFromRank(col("rnk"), col("n_all"), 10))
+        graft.api.GraftOps.ntileFromRank(col("rnk"), col("tot_rn"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("responded")).as("n_resp"))
@@ -1477,11 +1495,14 @@ object Analytics {
     val tiersAll = ranked.join(broadcast(hstats), Seq("half"))
       .withColumn("tier", concat(lit("T"),
         G.ntileFromRank(col("rnk") - col("rnk0") + 1, col("n_h"), 3)))
-    val h1 = tiersAll.filter(col("half") === "h1")
-      .select(col("o_custkey").as("ck_tier_h1"), col("tier").as("tier_h1"))
-    val h2 = tiersAll.filter(col("half") === "h2")
-      .select(col("o_custkey").as("ck_tier_h2"), col("tier").as("tier_h2"))
-    h1.join(h2, col("ck_tier_h1") === col("ck_tier_h2"), "full")
+    // each customer appears ≤ once per half, so the full outer join of
+    // the two halves IS a customer-keyed pivot: ONE pass over the
+    // tiered frame (the join form evaluated the rank plan twice, once
+    // per side) and one custkey shuffle instead of a shuffle join
+    tiersAll
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("half") === "h1", col("tier"))).as("tier_h1"),
+        max(when(col("half") === "h2", col("tier"))).as("tier_h2"))
       .select(coalesce(col("tier_h1"), lit("none")).as("from_tier"),
         coalesce(col("tier_h2"), lit("none")).as("to_tier"))
       .groupBy(col("from_tier"), col("to_tier"))

@@ -465,11 +465,13 @@ object Pipeline {
       .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
         round(size(array_distinct(tk)).cast("double") /
           size(tk).cast("double"), 6).as("ttr"))
-    val tot = scored.agg(sum(col("n_tokens")).as("total_tokens"))
+    // total token mass rides the prefix-sum offsets frame (withTotals)
+    // — a separate scored.agg() branch would re-scan the documents
     graft.api.GraftOps.sortedPrefixSums(scored,
-        Seq(col("ttr").desc, col("doc_id")), Seq("n_tokens"))
+        Seq(col("ttr").desc, col("doc_id")), Seq("n_tokens"),
+        withTotals = true)
       .withColumnRenamed("cum_n_tokens", "cum_tokens")
-      .crossJoin(broadcast(tot))
+      .withColumnRenamed("tot_n_tokens", "total_tokens")
       .filter((col("cum_tokens") - col("n_tokens")) * 5 <
         col("total_tokens") * 2)
       .select(col("doc_id"), col("rnk"), col("n_tokens"), col("ttr"),

@@ -743,9 +743,16 @@ class ApiSpec extends SparkTestBase {
       (col("id") % 13).cast("long").as("v"),
       (col("id") % 5 + 1).cast("long").as("wt"))
     val out = GraftOps.sortedPrefixSums(df,
-        Seq(col("v").desc, col("k")), Seq("wt"), shards = 8)
+        Seq(col("v").desc, col("k")), Seq("wt"), shards = 8,
+        withTotals = true)
       .orderBy("rnk").collect()
     assert(out.length === 500)
+    // withTotals: the grand totals ride every row as constants
+    val totWt = (0L until 500L).map(_ % 5 + 1).sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("tot_rn") === 500L, "tot_rn on every row")
+      assert(r.getAs[Long]("tot_wt") === totWt, "tot_wt on every row")
+    }
     val naive = (0L until 500L).map(i => (i, i % 13, i % 5 + 1))
       .sortBy { case (k, v, _) => (-v, k) }
     var cum = 0L

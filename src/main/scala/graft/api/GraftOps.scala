@@ -441,6 +441,10 @@ object GraftOps {
     require(weights.values.forall(_ > 0.0), s"weights must be positive: $weights")
     // T = min n_l/w_l over strata present in the data; rate_l = w_l*T/n_l.
     val withW = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+    // strata-cardinality counts behind a lazy barrier: the T scalar and
+    // the per-stratum rates both consume this frame — one counting scan
+    // of the corpus, not one per branch (the output filter pass is the
+    // second, unavoidable, corpus read)
     val nPerStratum = withW
       .groupBy(col(strataCol).as("__stratum"))
       .agg(count(lit(1)).as("__n"))
@@ -448,6 +452,7 @@ object GraftOps {
         case (acc, (s, v)) => acc.when(col("__stratum") === s, lit(v))
       })
       .withColumn("__cap", col("__n").cast("double") / col("__w"))
+      .localCheckpoint(false)
     val t = nPerStratum.agg(min(col("__cap")).as("__t"))
     val rated = nPerStratum.crossJoin(broadcast(t))
       .select(col("__stratum"),

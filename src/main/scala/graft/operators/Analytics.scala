@@ -424,8 +424,12 @@ object Analytics {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("oy"),
         col("o_totalprice"))
+    // customer-cardinality cohort map behind a lazy barrier: both the
+    // size rollup and the fact join consume it — without it each
+    // branch re-runs the fact scan + first-year aggregate
     val cohort = orders.groupBy(col("o_custkey"))
       .agg(min(col("oy")).as("cy"))
+      .localCheckpoint(false)
     val sz = cohort.groupBy(col("cy")).agg(count(lit(1)).as("n_cust"))
     val w = Window.partitionBy(col("cy")).orderBy(col("off"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -610,10 +614,15 @@ object Analytics {
     * multiples of 6 divide to exactly-representable integers in IEEE.
     */
   def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    // the contingency table is (event_types × 4) cells; SIX branches
+    // consume it (marginals, total, MI, both entropies) — the lazy
+    // checkpoint barrier makes the fact scan + aggregate run ONCE
+    // (unbarriered, AQE planned each branch independently: 6 fact reads)
     val cells = Tables.events(spark, sfDir)
       .select(col("event_type").as("x"),
         floor(hour(col("ts_utc")) / 6.0).cast("long").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(false)
     val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
     val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
     val tot = cells.agg(sum(col("nxy")).cast("double").as("n"))

@@ -215,36 +215,45 @@ object Etl {
     * consistency check an ETL runs on every load; a non-zero count
     * gates publication.
     *
-    * Spark-first shape: per relationship, a LEFT ANTI join of the
-    * key-projected fact against the key-projected dimension, collapsed
-    * to a count — anti joins need only the keys, so the scan is pruned
-    * to one column a side, and AQE broadcasts any dimension that fits
-    * (at 100 TB customer may not; the anti join then shuffles KEYS, not
-    * rows). The three audits are independent jobs unioned — each scan
-    * reads exactly one column.
+    * Spark-first shape: ONE pass per FACT table, not one per
+    * relationship — the fact's keys left-join every referenced
+    * dimension's (unique) primary key and all orphan counts plus the
+    * fact cardinality come out of a single conditional aggregate
+    * (pk IS NULL ⟺ no match ⟺ the anti-join membership, because the
+    * pk is unique so the left join never multiplies rows). The
+    * previous per-relationship anti-join + count shape read lineitem
+    * FOUR times (two relationships × two branches); this reads each
+    * fact once. Dimensions broadcast when they fit (at 100 TB
+    * customer may not; the join then shuffles KEYS, not rows).
     */
   def dqOrphans(spark: SparkSession, sfDir: String): DataFrame = {
-    def audit(rel: String, fact: DataFrame, fk: String,
-        dim: DataFrame, pk: String): DataFrame =
-      fact.select(col(fk))
-        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-        .select(lit(rel).as("rel"), col("n_orphans"),
-          lit(null).cast("long").as("n_fact"))
-        .unionAll(fact.agg(count(lit(1)).as("c"))
-          .select(lit(rel).as("rel"), lit(null).cast("long").as("n_orphans"),
-            col("c").as("n_fact")))
-        .groupBy(col("rel"))
-        .agg(max(col("n_orphans")).as("n_orphans"),
-          max(col("n_fact")).as("n_fact"))
-    val orders = Tables.orders(spark, sfDir)
-    val lineitem = Tables.lineitem(spark, sfDir)
-    audit("lineitem_part", lineitem, "l_partkey",
-        Tables.part(spark, sfDir), "p_partkey")
-      .unionAll(audit("lineitem_supplier", lineitem, "l_suppkey",
-        Tables.supplier(spark, sfDir), "s_suppkey"))
-      .unionAll(audit("orders_customer", orders, "o_custkey",
-        Tables.customer(spark, sfDir), "c_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(spark, sfDir).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(count(lit(1)).as("li_n"),
+        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("orph_part"),
+        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("orph_supp"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("ord_n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("orph_cust"))
+    li.crossJoin(ord)
+      .select(explode(array(
+        struct(lit("lineitem_part").as("rel"),
+          col("orph_part").as("n_orphans"), col("li_n").as("n_fact")),
+        struct(lit("lineitem_supplier").as("rel"),
+          col("orph_supp").as("n_orphans"), col("li_n").as("n_fact")),
+        struct(lit("orders_customer").as("rel"),
+          col("orph_cust").as("n_orphans"), col("ord_n").as("n_fact"))))
+        .as("x"))
+      .select(col("x.rel").as("rel"), col("x.n_orphans"), col("x.n_fact"))
       .orderBy(col("rel"))
   }
 
@@ -405,10 +414,13 @@ object Etl {
     * broadcast; lag is integer µs arithmetic (no float time math).
     */
   def dqFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    // event_type-cardinality frame behind a lazy barrier: the frontier
+    // scalar and the output both consume it — one fact scan, not two
     val per = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(max(col("ts_utc")).as("last_seen"),
         count(lit(1)).as("n_events"))
+      .localCheckpoint(false)
     val frontier = per.agg(max(col("last_seen")).as("frontier"))
     per.crossJoin(broadcast(frontier))
       .select(col("event_type"), col("last_seen"), col("n_events"),
@@ -604,6 +616,11 @@ object Etl {
       .groupBy(col("bin"))
       .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+      // lazy barrier on the 10-row histogram: the totals branch and the
+      // output both consume it — without it each re-runs the fact
+      // scan + binning (4 orders reads observed; 2 is the honest
+      // minimum: one bounds pass + one binning pass)
+      .localCheckpoint(false)
     val tot = binned.agg(sum(col("n_a")).cast("double").as("ta"),
       sum(col("n_b")).cast("double").as("tb"))
     val pa = (col("n_a") + 1).cast("double") / (col("ta") + 10.0)

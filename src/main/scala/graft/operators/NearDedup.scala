@@ -363,8 +363,13 @@ object NearDedup {
   def dedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+    // doc-cardinality digest frame behind a lazy barrier: the bloom
+    // build and the exact-verify semi join both consume it — one
+    // history scan, not two (in production history is yesterday's
+    // corpus; its digest table is materialized exactly like this)
     val history = docs.filter(col("doc_id") <= mid)
       .select(md5(col("text")).as("h"))
+      .localCheckpoint(false)
     // 8 bits/item at 1M items — far oversized for this corpus, so the
     // measured fpp in the spec is near zero
     val bf = GraftOps.bloomBuild(history, col("h"), 1000000L, 8000000L)

@@ -362,9 +362,13 @@ object Temporal {
     */
   def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
+    // calendar-sized daily series behind a lazy barrier: three branches
+    // consume it (seasonal means, centering, the output join) and the
+    // fact scan + aggregate must run ONCE, not once per branch
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+      .localCheckpoint(false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("trend", avg(col("total")).over(wTrend))
@@ -659,9 +663,13 @@ object Temporal {
     */
   def tsAnomalyStl(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
+    // lazy barrier on the calendar-sized daily series: the seasonal,
+    // centering, residual-stats and output branches all consume it —
+    // one fact scan + aggregate, not one per branch
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+      .localCheckpoint(false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("trend", avg(col("total")).over(wTrend))
@@ -1015,9 +1023,12 @@ object Temporal {
     */
   def tsStlStrength(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
+    // lazy barrier: seasonal/centering/variance branches share ONE
+    // fact scan + daily aggregate (the ts_decompose fix)
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+      .localCheckpoint(false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("trend", avg(col("total")).over(wTrend))

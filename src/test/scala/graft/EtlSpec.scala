@@ -153,17 +153,24 @@ class EtlSpec extends SparkTestBase {
     assert(scans === 1, s"expected a single events scan, got $scans:\n$plan")
   }
 
-  test("dq_orphans: anti joins broadcast the dimension and scan only key columns") {
+  test("dq_orphans: one pass per fact, broadcast outer joins, key-only scans") {
     val df = Etl.dqOrphans(spark, sf)
     df.collect()
     val plan = planOf(df).split("== Initial Plan ==").head
-    val anti = plan.linesIterator.count(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
-    assert(anti === 3, s"three FK audits must be broadcast anti joins, got $anti")
-    // fact scans are pruned to the single FK column per audit
-    assert(plan.contains("ReadSchema: struct<l_partkey:bigint>"), plan)
-    assert(plan.contains("ReadSchema: struct<l_suppkey:bigint>"), plan)
+    // both lineitem relationships ride ONE scan (two broadcast LEFT
+    // joins + one conditional aggregate); orders rides a second —
+    // three broadcast outer joins total, zero anti joins, zero
+    // per-relationship re-scans
+    val outer = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
+    assert(outer === 3, s"three broadcast LEFT joins expected, got $outer")
+    assert(!plan.contains("LeftAnti"), "orphan counts come from pk-null " +
+      "conditionals, not per-relationship anti joins")
+    // fact scans are pruned to the key columns, one scan per fact table
+    assert(plan.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), plan)
     assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"), plan)
+    assert(plan.linesIterator.count(_.contains("lineitem.parquet")) === 1,
+      "lineitem must be scanned exactly once")
   }
 
   test("etl_dq_quarantine: quarantined set is exactly the rule violations, reasons exact") {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Fact-scan budgets for the queries the round-9 duplicate-scan audit
+  * fixed: a physical plan that reads its fact table more often than the
+  * algorithm needs multiplies the dominant cost at 100 TB (the
+  * pareto/q15 disease: an unbarriered small derived frame re-runs its
+  * fact lineage once per consuming branch, and AQE does NOT reliably
+  * dedupe the branches via exchange reuse — measured, not assumed).
+  *
+  * Counts are against the pre-AQE sparkPlan: scans BELOW a lazy
+  * localCheckpoint barrier do not appear (the barrier is the fix — its
+  * one materialization is the single fact pass), so the pinned number
+  * is the per-evaluation fact read count of the consumer plan.
+  */
+class ScanBudgetSpec extends SparkTestBase {
+
+  private def scansOf(df: DataFrame, table: String): Int =
+    df.queryExecution.sparkPlan.collectWithSubqueries {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(s"$table.parquet")) => f
+    }.size
+
+  private def pin(name: String, table: String, maxScans: Int): Unit =
+    test(s"$name reads $table at most $maxScans time(s) per evaluation") {
+      val n = scansOf(SparkEntry.queries(name)(spark, sf), table)
+      assert(n <= maxScans,
+        s"$name plans $n scans of $table (budget $maxScans) — a shared " +
+          "derived frame lost its checkpoint barrier or a branch re-derives")
+    }
+
+  // barriered to ZERO consumer-plan fact scans (the one fact pass rides
+  // the barrier materialization)
+  pin("analytics_mutual_info", "events", 0)
+  pin("ts_decompose", "events", 0)
+  pin("ts_anomaly_stl", "events", 0)
+  pin("ts_stl_strength", "events", 0)
+  pin("dq_freshness", "events", 0)
+
+  // one live fact pass beside the barrier
+  pin("analytics_cohort_ltv", "orders", 1)
+  pin("pipeline_mixture", "documents", 1)
+
+  // two live passes is the honest exact minimum (bounds/percentile pass
+  // + binning pass)
+  pin("dq_value_drift", "orders", 2)
+  pin("agg_equidepth", "orders", 2)
+
+  // one pass per fact table covers every FK relationship + the total
+  pin("dq_orphans", "lineitem", 1)
+  pin("dq_orphans", "orders", 1)
+
+  // batch scan + the driver's one-row mid probe; history is barriered
+  pin("dedup_bloom", "documents", 2)
+
+  test("tpch_q15 reads lineitem zero times in the consumer plan (barriered)") {
+    assert(scansOf(operators.Tpch.queries("tpch_q15")(spark, sf),
+      "lineitem") === 0)
+  }
+}

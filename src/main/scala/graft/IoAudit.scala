@@ -2,9 +2,13 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
-/** Scratch audit: actual bytes/records READ per query (warm run) vs the
-  * source table size — ratio >1 means the fact data is genuinely read
-  * multiple times at runtime (AQE stage reuse did NOT dedupe).
+/** Scratch audit: actual records READ per query (warm run) vs the
+  * source table size — a ratio markedly >1 means the fact data is
+  * genuinely read multiple times at runtime (AQE stage reuse did NOT
+  * dedupe). CAVEAT: inputMetrics.recordsRead also counts CACHE-block
+  * reads, so a checkpoint-barriered query reports parquet records +
+  * (checkpointed-frame rows × consumers) — e.g. 1× fact + 2 × a tiny
+  * daily series. Judge the FACT multiple, not the raw total.
   */
 object IoAudit {
   def main(args: Array[String]): Unit = {

@@ -1400,6 +1400,10 @@ object GraftOps {
           size(filter(split(col(textCol), " "), x => x === lit(t)))
             .cast("double").as(s"__tf$i")
         }: _*)
+      // doc-cardinality (id, len, tf…) frame — no text — behind a lazy
+      // barrier: the corpus stats and the scored output both consume
+      // it; one corpus scan + tokenize, not two
+      .localCheckpoint(false)
     val aggs =
       count(lit(1)).cast("double").as("__n") +:
         sum(col("__len")).as("__sumlen") +:

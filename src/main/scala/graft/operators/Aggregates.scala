@@ -367,10 +367,15 @@ object Aggregates {
     * engine-specific); estimates are deterministic integers.
     */
   def aggSketchReagg(spark: SparkSession, sfDir: String): DataFrame = {
+    // calendar-sized sketch table behind a lazy barrier: the per-day
+    // readout and the union re-aggregation both consume it — one fact
+    // scan builds the sketches (exactly how a production rollup stores
+    // them), not one per consumer
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), 12).as("sk"),
         count(lit(1)).as("n_events"))
+      .localCheckpoint(false)
     val perDay = daily.select(col("day").cast("string").as("scope"),
       hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
     val total = daily

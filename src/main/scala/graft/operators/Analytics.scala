@@ -58,24 +58,21 @@ object Analytics {
     * year-offset) the number of distinct customers still ordering.
     * The decaying diagonal a retention dashboard plots.
     *
-    * Spark-first shape: the cohort table is a per-customer `min`
-    * aggregate (one shuffle, map-side combined); activity joins back
-    * on o_custkey — the cohort side is customer-cardinality, so AQE
-    * broadcasts it at dimension scale, and at 100 TB both sides
-    * already hash on the SAME key (one co-partitioned shuffle, no
-    * replan). The distinct (customer, offset) collapse rides the same
-    * key's partitioning before the small (cohort, offset) rollup.
+    * Spark-first shape: ONE fact pass. The fact stream collapses to
+    * the distinct (customer, active-year) frame first (one map-side-
+    * combined shuffle); the cohort year is then a `min` WINDOW over
+    * that frame's customer partitions — the agg+self-join formulation
+    * read the fact table twice (once for the cohort table, once for
+    * the activity side) for the identical result. Everything after
+    * the distinct is (customer × years)-cardinality.
     */
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
+    val cy = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("oy"))
-    val cohort = orders.groupBy(col("o_custkey"))
-      .agg(min(col("oy")).as("cy"))
-    orders.join(cohort, Seq("o_custkey"))
-      .select(col("o_custkey"), col("cy"),
-        (col("oy") - col("cy")).as("off"))
       .distinct()
-      .groupBy(col("cy"), col("off"))
+      .withColumn("cy",
+        min(col("oy")).over(Window.partitionBy(col("o_custkey"))))
+    cy.groupBy(col("cy"), (col("oy") - col("cy")).as("off"))
       .agg(count(lit(1)).as("n_active"))
       .select(col("cy").cast("long").as("cohort_year"),
         col("off").cast("long").as("year_offset"), col("n_active"))
@@ -410,32 +407,36 @@ object Analytics {
     * the running revenue per cohort member (LTV) — the curve a
     * payback-period analysis reads.
     *
-    * Spark-first shape: cohorting is the same one-aggregate +
-    * co-partitioned join as cohort_retention; the cumulative sum runs
-    * over the ~(years × offsets)-row rollup, partitioned by cohort.
+    * Spark-first shape: ONE fact pass (the cohort_retention rewrite).
+    * The fact stream collapses to per-(customer, year) decimal revenue
+    * first; the cohort year is a `min` window over that frame's
+    * customer partitions, and the frame sits behind a lazy checkpoint
+    * barrier because TWO branches consume it (the cohort-size rollup —
+    * a customer's first-year row marks its cohort — and the revenue
+    * rollup). The agg+join formulation read the fact table twice.
     * Exactness discipline: period AND cumulative revenue accumulate in
     * DECIMAL through the window — a double running sum would expose
     * the two engines' different window-aggregation orders (segment
-    * trees vs streaming); decimal is order-free. Only the final
-    * per-member ratio is one IEEE division, ROUND-6.
+    * trees vs streaming); decimal is order-free (decimal sums of
+    * per-(customer, year) decimal sums re-associate exactly). Only the
+    * final per-member ratio is one IEEE division, ROUND-6.
     */
   def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
-    val orders = Tables.orders(spark, sfDir)
-      .select(col("o_custkey"), year(col("o_orderdate")).as("oy"),
-        col("o_totalprice"))
-    // customer-cardinality cohort map behind a lazy barrier: both the
-    // size rollup and the fact join consume it — without it each
-    // branch re-runs the fact scan + first-year aggregate
-    val cohort = orders.groupBy(col("o_custkey"))
-      .agg(min(col("oy")).as("cy"))
+    val perCY = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("oy"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_cy"))
+      .withColumn("cy",
+        min(col("oy")).over(Window.partitionBy(col("o_custkey"))))
       .localCheckpoint(false)
-    val sz = cohort.groupBy(col("cy")).agg(count(lit(1)).as("n_cust"))
+    // each customer has exactly one oy === cy row (its first year)
+    val sz = perCY.filter(col("oy") === col("cy"))
+      .groupBy(col("cy")).agg(count(lit(1)).as("n_cust"))
     val w = Window.partitionBy(col("cy")).orderBy(col("off"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    orders.join(cohort, Seq("o_custkey"))
+    perCY
       .groupBy(col("cy"), (col("oy") - col("cy")).as("off"))
-      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+      .agg(sum(col("rev_cy")).as("rev_dec"))
       .withColumn("cum_dec", sum(col("rev_dec")).over(w))
       .join(broadcast(sz), Seq("cy"))
       .select(col("cy").cast("long").as("cohort_year"),
@@ -464,11 +465,14 @@ object Analytics {
   def forecastNaive(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
     val w = Window.orderBy(col("day"))
+    // calendar-sized scored series behind a lazy barrier: the backtest
+    // verdict and the output both consume it — one fact scan, not two
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(sum(dec2(col("value"))).as("total_dec"))
       .withColumn("fc_dec", lag(col("total_dec"), 7).over(w))
       .withColumn("err_dec", abs(col("total_dec") - col("fc_dec")))
+      .localCheckpoint(false)
     val verdict = daily.filter(col("fc_dec").isNotNull)
       .agg(count(lit(1)).as("n_scored"),
         round(avg(col("err_dec").cast("double")), 6).as("mae"),
@@ -543,9 +547,13 @@ object Analytics {
           .cast("long").as("ym"))
       .distinct()
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("ym"))
+    // (customer × active-month)-cardinality frame behind a lazy
+    // barrier: the per-month rollup and the churn branch both consume
+    // it — one fact scan + distinct + window, not two
     val flagged = am
       .withColumn("prev_ym", lag(col("ym"), 1).over(w))
       .withColumn("next_ym", lead(col("ym"), 1).over(w))
+      .localCheckpoint(false)
     val perMonth = flagged.groupBy(col("ym")).agg(
       count(lit(1)).as("n_active"),
       sum(when(col("prev_ym").isNull, 1L).otherwise(0L)).as("n_new"),
@@ -580,8 +588,12 @@ object Analytics {
     val du = Tables.events(spark, sfDir)
       .select(to_date(col("ts_utc")).as("day"), col("user_id"))
       .distinct()
+    // the (day × user) distinct frame — the DAU table a product
+    // pipeline materializes — behind a lazy barrier: the daily and
+    // weekly branches both consume it; one fact scan + distinct, not two
     val withWeek = du.withColumn("week",
       date_trunc("week", col("day")).cast("date"))
+      .localCheckpoint(false)
     val daily = withWeek.groupBy(col("week"), col("day"))
       .agg(count(lit(1)).as("dau"))
     val weekly = withWeek.select(col("week"), col("user_id")).distinct()
@@ -702,11 +714,15 @@ object Analytics {
     // near-daily on this corpus (all-event lifetimes collapse to one
     // spell), while first→last PURCHASE spans vary — the "paying
     // lifetime" curve a retention team actually fits.
+    // user-cardinality lifetime spans behind a lazy barrier: the
+    // frontier scalar, the lifetime frame, and the risk-set count all
+    // consume this — one fact scan, not one per consumer
     val perUser = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts_utc"))).as("first_day"),
         max(to_date(col("ts_utc"))).as("last_day"))
+      .localCheckpoint(false)
     val frontier = perUser.agg(max(col("last_day")).as("max_day"))
     val lifetimes = perUser.crossJoin(broadcast(frontier))
       .select(datediff(col("last_day"), col("first_day")).cast("long")
@@ -780,26 +796,26 @@ object Analytics {
     * this answers "in time", which is the version a growth team is
     * actually paged on.
     *
-    * Spark-first shape: the first-signup table is one conditional-min
-    * aggregate; purchases join it ON user_id — both sides hash the
-    * same key, one co-partitioned shuffle — and the bounded-window
-    * test collapses per user then globally (map-combined at each
-    * step). The 7-day bound is exact integer µs.
+    * Spark-first shape: ONE fact pass — the first signup is a
+    * conditional-min WINDOW over each user's partition (one shuffle
+    * on user_id), the bounded-window test is then row-local on the
+    * purchase rows, and the per-user then global collapses are
+    * map-combined. The aggregate + purchases-join formulation read
+    * the fact table twice for the identical result. The 7-day bound
+    * is exact integer µs.
     */
   def conversionWindow(spark: SparkSession, sfDir: String): DataFrame = {
-    val perUser = Tables.events(spark, sfDir)
-      .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "signup", col("ts_utc")))
-        .as("first_signup"))
-    val purchases = Tables.events(spark, sfDir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_utc").as("p_ts"))
-    perUser.filter(col("first_signup").isNotNull)
-      .join(purchases, Seq("user_id"), "left")
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_utc"))
+      .withColumn("first_signup",
+        min(when(col("event_type") === "signup", col("ts_utc")))
+          .over(wUser))
+      .filter(col("first_signup").isNotNull)
       .withColumn("converted",
-        (col("p_ts").isNotNull &&
-          unix_micros(col("p_ts")) >= unix_micros(col("first_signup")) &&
-          unix_micros(col("p_ts")) - unix_micros(col("first_signup")) <=
+        (col("event_type") === "purchase" &&
+          unix_micros(col("ts_utc")) >= unix_micros(col("first_signup")) &&
+          unix_micros(col("ts_utc")) - unix_micros(col("first_signup")) <=
             604800000000L).cast("long"))
       .groupBy(col("user_id"))
       .agg(max(col("converted")).as("conv"))
@@ -949,7 +965,14 @@ object Analytics {
     * Scale shape: the R-fold explode is map-side; per-replicate
     * partial sums combine before the shuffle, so the exchange carries
     * O(R × partitions) rows regardless of data size. The rank window
-    * runs over R rows.
+    * runs over R rows. The point-estimate branch is a second, CHEAP
+    * fact pass (count + decimal sum only) — deliberately NOT fused
+    * into the replicate pass behind a barrier: a barrier forces the
+    * full 15M-row md5 draw chain to materialize even for consumers
+    * (like a bare count) whose column pruning would otherwise skip
+    * it, and the two-branch form lets Catalyst prune each branch
+    * independently (measured: the fused+barriered form cost 20 s at
+    * sf0.1 under count() vs 0.45 s for this shape).
     */
   def ciBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
     val reps = 100
@@ -1329,10 +1352,14 @@ object Analytics {
     * (the one-row overall average broadcasts).
     */
   def seasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    // (year × month)-cardinality frame behind a lazy barrier: the
+    // overall-average scalar and the monthly rollup both consume it —
+    // one fact scan, not two
     val ym = Tables.orders(spark, sfDir)
       .groupBy(year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .localCheckpoint(false)
     val overall = ym.agg(
       (sum(col("rev")).cast("double") / count(lit(1))).as("overall_avg"))
     ym.groupBy(col("m"))
@@ -1432,22 +1459,22 @@ object Analytics {
     * customers, with the revenue split — the top-line acquisition/
     * retention mix every commerce dashboard opens with.
     *
-    * Scale shape: per-customer first-order date is one map-combined
-    * aggregate; the classify join is customer-keyed (co-partitioned
-    * with the orders shuffle — AQE broadcasts the first-order table
-    * at dimension scale); the daily rollup is calendar×2-ary. Counts
+    * Scale shape: ONE fact pass — the per-customer first-order date is
+    * a `min` WINDOW over the orders' customer partitions (one shuffle
+    * on o_custkey), classification is then row-local. The aggregate +
+    * classify-join formulation read the fact table twice for the
+    * identical result. The daily rollup is calendar×2-ary. Counts
     * exact; revenue exact decimal → double.
     */
   def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
-    val first = Tables.orders(spark, sfDir)
-      .groupBy(col("o_custkey").as("ck"))
-      .agg(min(to_date(col("o_orderdate"))).as("first_day"))
+    val wCust = Window.partitionBy(col("o_custkey"))
     Tables.orders(spark, sfDir)
-      .join(first, col("o_custkey") === col("ck"))
-      .select(to_date(col("o_orderdate")).as("day"),
-        (to_date(col("o_orderdate")) === col("first_day")).as("is_new"),
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
         dec2(col("o_totalprice")).as("p"))
+      .withColumn("first_day", min(col("day")).over(wCust))
+      .select(col("day"),
+        (col("day") === col("first_day")).as("is_new"), col("p"))
       .groupBy(col("day"))
       .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
         sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning"),
@@ -1609,6 +1636,9 @@ object Analytics {
           .as("k"))
       .withColumn("r", col("k").cast("double") / col("n").cast("double"))
       .withColumn("rfp", expr("(k * 1000000) DIV n"))
+      // user-cardinality frame behind a lazy barrier: the prior fit and
+      // the smoothed output both consume it — one fact scan, not two
+      .localCheckpoint(false)
     val prior = per.agg(count(lit(1)).cast("double").as("u"),
       sum(col("rfp").cast("decimal(38,0)")).as("sfp"),
       sum((col("rfp") * col("rfp")).cast("decimal(38,0)")).as("sfp2"))

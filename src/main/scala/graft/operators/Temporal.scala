@@ -475,9 +475,12 @@ object Temporal {
     * would wrap silently past 2⁶³ cents²); max and the final unscale
     * division are the only float steps, ROUND-6.
     *
-    * Scale shape: one (type)-keyed aggregate joined back onto one
-    * (type)-partitioned running-sum window — two shuffles on the same
-    * key, partial-aggregated map-side; per-row state is O(1).
+    * Scale shape: ONE fact scan, ONE shuffle — the per-type count and
+    * total ride whole-partition windows over the SAME (type) partitions
+    * as the running sum (Spark evaluates all three in one WindowExec
+    * pass over one sort); the former aggregate-and-join-back
+    * formulation scanned the fact table twice for identical values.
+    * Per-row state is O(1).
     */
   def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
@@ -485,14 +488,15 @@ object Temporal {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("ts_utc"),
         cents.as("cents"))
-    val stats = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val wAll = Window.partitionBy(col("event_type"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_utc"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wn = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_utc"), col("event_id"))
-    ev.join(stats, Seq("event_type"))
+    ev
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("cents")).over(wAll))
       .withColumn("prefix", sum(col("cents")).over(w))
       .withColumn("t", row_number().over(wn).cast("long"))
       .withColumn("scaled_dev",
@@ -729,6 +733,9 @@ object Temporal {
         col("y0").between(-9999999.99, 9999999.99))
       .select(col("day"), col("x0").cast("decimal(9,2)").as("x"),
         col("y0").cast("decimal(9,2)").as("y"))
+      // calendar-sized series behind a lazy barrier: both sides of the
+      // lag self-join consume it — one fact scan, not two
+      .localCheckpoint(false)
     val lags = spark.range(1)
       .select(explode(sequence(lit(-7), lit(7))).as("lag"))
     def sq(a: Column, b: Column) =
@@ -865,9 +872,12 @@ object Temporal {
     * over 15 rows. Nothing after the first aggregate grows with data.
     */
   def tsSpectral(spark: SparkSession, sfDir: String): DataFrame = {
+    // calendar-sized series behind a lazy barrier: the moment scalar
+    // and the periodogram terms both consume it — one fact scan
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .localCheckpoint(false)
     // exact decimal total / exact count — NOT avg(double), whose
     // partition-order sum would put engine-divergent noise into xc
     val stats = daily.agg(count(lit(1)).as("nd"),
@@ -1094,6 +1104,9 @@ object Temporal {
       .agg(sum(col("value").cast("decimal(18,2)")).as("x0"))
       .filter(col("x0").between(-9999999.99, 9999999.99))
       .select(col("day"), col("x0").cast("decimal(9,2)").as("x"))
+      // calendar-sized series behind a lazy barrier: both sides of the
+      // lag self-join consume it — one fact scan, not two
+      .localCheckpoint(false)
     val lags = spark.range(1)
       .select(explode(sequence(lit(1), lit(14))).as("lag"))
     def sq(a: Column, b: Column) =
@@ -1142,6 +1155,9 @@ object Temporal {
       .groupBy(col("dow"), col("hr"))
       .agg(count(lit(1)).as("n_events"),
         outDec(sum(col("v")), 18, 2).as("value_total"))
+      // 7×24-cell frame behind a lazy barrier: the total scalar and the
+      // output both consume it — one fact scan, not two
+      .localCheckpoint(false)
     val tot = cells.agg(sum(col("n_events")).cast("double").as("t"))
     cells.crossJoin(broadcast(tot))
       .select(col("dow"), col("hr"), col("n_events"), col("value_total"),

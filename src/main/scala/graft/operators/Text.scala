@@ -563,11 +563,15 @@ object Text {
     val langs = Seq("de", "en", "es", "fr", "zh")
     val cAggs = langs.map(l =>
       sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    // vocabulary-bounded count matrix behind a lazy barrier: the
+    // per-language totals and the pairwise explode both consume it —
+    // one corpus scan + token aggregate, not two
     val counts = Tables.documents(spark, sfDir)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w"))
       .agg(cAggs.head, cAggs.tail: _*)
+      .localCheckpoint(false)
     val totals = langs.map(l => sum(col(s"c_$l")).as(s"n_$l"))
     val tot = counts.agg(totals.head, totals.tail: _*)
     val pairs = for {

@@ -203,8 +203,13 @@ object Windows {
     * distinct activity days keeps zero-new-user days on the curve.
     */
   def winRunningDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    // the (day × user) distinct frame (the DAU table) behind a lazy
+    // barrier: the first-seen rollup and the day spine both consume
+    // it — one fact scan + distinct, not two fact scans
     val ev = Tables.events(spark, sfDir)
       .select(to_date(col("ts_utc")).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint(false)
     val firstSeen = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("first_day"))
       .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))

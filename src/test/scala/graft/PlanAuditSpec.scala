@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_oov_rate", "text_vocab_growth", "text_zipf",
     // calendar / day domain: window input is a per-day (or per-week/month)
     // pre-aggregate — one row per calendar unit of the corpus span
-    "analytics_forecast_naive", "analytics_mom", "pipeline_drift_report",
+    "analytics_mom", "pipeline_drift_report",
     "ts_anomaly_stl", "ts_backtest", "ts_decompose", "ts_downsample",
     "ts_ewma", "ts_peak_detect", "ts_spectral", "ts_stl_strength",
     "ts_streaks", "ts_theil_sen", "win_drawdown", "win_running_distinct",

@@ -41,7 +41,6 @@ class ScanBudgetSpec extends SparkTestBase {
   pin("dq_freshness", "events", 0)
 
   // one live fact pass beside the barrier
-  pin("analytics_cohort_ltv", "orders", 1)
   pin("pipeline_mixture", "documents", 1)
 
   // two live passes is the honest exact minimum (bounds/percentile pass
@@ -55,6 +54,29 @@ class ScanBudgetSpec extends SparkTestBase {
 
   // batch scan + the driver's one-row mid probe; history is barriered
   pin("dedup_bloom", "documents", 2)
+
+  // second sweep: barriered to ZERO consumer-plan fact scans
+  pin("analytics_seasonal_index", "orders", 0)
+  pin("analytics_stickiness", "events", 0)
+  pin("analytics_survival_km", "events", 0)
+  pin("analytics_churn", "orders", 0)
+  pin("analytics_eb_smooth", "events", 0)
+  pin("analytics_forecast_naive", "events", 0)
+  pin("ts_acf", "events", 0)
+  pin("ts_cross_corr", "events", 0)
+  pin("ts_spectral", "events", 0)
+  pin("ts_dow_hour_heatmap", "events", 0)
+  pin("agg_sketch_reagg", "events", 0)
+  pin("win_running_distinct", "events", 0)
+  pin("text_js_divergence", "documents", 0)
+  pin("text_bm25", "documents", 0)
+  pin("analytics_cohort_ltv", "orders", 0)
+
+  // second sweep: one-pass window rewrites — exactly ONE fact scan
+  pin("cohort_retention", "orders", 1)
+  pin("analytics_new_vs_returning", "orders", 1)
+  pin("analytics_conversion_window", "events", 1)
+  pin("ts_cusum", "events", 1)
 
   test("tpch_q15 reads lineitem zero times in the consumer plan (barriered)") {
     assert(scansOf(operators.Tpch.queries("tpch_q15")(spark, sf),

@@ -590,7 +590,19 @@ object GraftOps {
     * this over the banded edge set.
     */
   def keepClusterRepresentatives(df: DataFrame, idCol: String,
-      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    keepClusterRepresentativesFromComps(df, idCol,
+      connectedComponents(edges, srcCol, dstCol))
+
+  /** Survivor selection from a PRECOMPUTED (id, comp) component map —
+    * the artifact-consuming form: a production pipeline materializes
+    * cluster assignments once per snapshot (signatures → edges →
+    * components is the standard curation artifact ladder) and every
+    * downstream selection joins that table instead of re-running the
+    * iterative CC rounds.
+    */
+  def keepClusterRepresentativesFromComps(df: DataFrame, idCol: String,
+      components: DataFrame): DataFrame = {
     // temp names derived to miss every input column (the
     // sharedFingerprintIds rule): a caller whose frame already has an
     // "id"/"comp" column must not hit an ambiguous-column error
@@ -598,7 +610,7 @@ object GraftOps {
       .find(n => !df.columns.contains(n)).get
     val ccomp = Iterator.from(0).map(i => s"__cc_comp$i")
       .find(n => !df.columns.contains(n)).get
-    val comps = connectedComponents(edges, srcCol, dstCol)
+    val comps = components
       .select(col("id").as(cid), col("comp").as(ccomp))
     df.join(comps, df(idCol) === col(cid), "left")
       .filter(coalesce(col(ccomp), df(idCol)) === df(idCol))

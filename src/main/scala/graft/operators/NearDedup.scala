@@ -43,6 +43,20 @@ object NearDedup {
     materialized(spark, sfDir, "banded_edges")(
       bandedEdges(Tables.documents(spark, sfDir)))
 
+  /** The connected-component map over the banded edge set as a
+    * materialized artifact — the third rung of the per-snapshot
+    * curation ladder (signatures → edges → components): cluster
+    * assignments are computed once per corpus snapshot and every
+    * dedup/selection query joins the (id, comp) table instead of
+    * re-running the O(log n) iterative label-propagation rounds.
+    * Shared by dedup_cluster and pipeline_near_dedup.
+    */
+  private def componentsTable(spark: SparkSession,
+      sfDir: String): DataFrame =
+    materialized(spark, sfDir, "cc_components")(
+      graft.api.GraftOps.connectedComponents(
+        bandedEdgesTable(spark, sfDir), "src", "dst"))
+
   /** The rare-shingle block graph as a materialized artifact — shared
     * input of graph_triangles and graph_reach (see
     * [[rareShingleEdges]] for the build semantics).
@@ -314,8 +328,7 @@ object NearDedup {
 
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val comps = graft.api.GraftOps.connectedComponents(
-      bandedEdgesTable(spark, sfDir), "src", "dst")
+    val comps = componentsTable(spark, sfDir)
     docs.select(col("doc_id"))
       .join(comps, docs("doc_id") === comps("id"), "left")
       .select(coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -338,8 +351,8 @@ object NearDedup {
     */
   def pipelineNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    GraftOps.keepClusterRepresentatives(docs, "doc_id",
-        bandedEdgesTable(spark, sfDir), "src", "dst")
+    GraftOps.keepClusterRepresentativesFromComps(docs, "doc_id",
+        componentsTable(spark, sfDir))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_survivors"))
       .orderBy(col("lang"))

@@ -102,7 +102,7 @@ object Fuzz {
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
-      36, 37, 38)) match {
+      36, 37, 38, 41, 42, 43, 44)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -591,6 +591,63 @@ object Fuzz {
          |    AS n_cells,
          |  ROUND(avg_p / avg_all, 6) AS idx
          |FROM mo, ov ORDER BY period""".stripMargin
+
+    case 41 => // ROLLUP hierarchy (agg_rollup's shape): subtotal rows
+      // via COALESCE on non-null group keys, counts BIGINT-cast,
+      // decimal-in/double-out sums — sweeps the grouping-id widening
+      // both engines implement differently under the hood
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+         |  COALESCE(o_orderpriority, 'ALL') AS prio,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${aggExprs(r, "").head}
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY st, prio""".stripMargin
+
+    case 42 => // correlated [NOT] EXISTS against a predicated fact —
+      // the semi/anti rewrite corner (Spark plans semi/anti joins,
+      // DuckDB a mark join; results must agree exactly)
+      val neg = if (r.nextBoolean()) "NOT " else ""
+      s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
+         |FROM customer c
+         |WHERE ${neg}EXISTS (
+         |  SELECT 1 FROM orders o
+         |  WHERE o.o_custkey = c.c_custkey AND ${predicate(r)})
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+    case 43 => // numeric RANGE frame (win_range_frame's shape): the
+      // tie-inclusive value window — deterministic regardless of tie
+      // order because RANGE frames include ALL peers; decimal sums
+      // exact through the frame, one double cast out
+      val width = (5 + r.nextInt(45)) * 1000
+      val fp = s"o_orderkey % ${17 + r.nextInt(13)} = 0"
+      s"""WITH p AS (
+         |  SELECT o_orderkey,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         |  FROM orders WHERE $fp)
+         |SELECT o_orderkey,
+         |  CAST(price AS DOUBLE) AS price,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
+         |  CAST(SUM(price) OVER w AS DOUBLE) AS band_sum
+         |FROM p
+         |WINDOW w AS (ORDER BY price
+         |  RANGE BETWEEN $width PRECEDING AND CURRENT ROW)
+         |ORDER BY o_orderkey""".stripMargin
+
+    case 44 => // string-function battery over documents: upper/substr/
+      // replace/length composed under MIN/MAX (deterministic under
+      // ties) — sweeps collation/length-semantics drift; length is
+      // BIGINT-cast (DuckDB BIGINT vs Spark INT)
+      val needle = pick(r, Seq("the", "data", "and", "of"))
+      val k = 1 + r.nextInt(5)
+      val m = 4 + r.nextInt(12)
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(upper(substr(text, $k, $m))) AS min_pfx,
+         |  MAX(lower(substr(source, 1, 6))) AS max_src,
+         |  CAST(MAX(length(replace(text, '$needle', ''))) AS BIGINT)
+         |    AS max_len_stripped
+         |FROM documents WHERE ${docPredicate(r)}
+         |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

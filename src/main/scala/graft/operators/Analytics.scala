@@ -1524,13 +1524,23 @@ object Analytics {
         when(col("ed") < col("mid"), "h1").otherwise("h2"))
       .groupBy(col("half"), col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    val ranked = G.sortedPrefixSums(spend,
-      Seq(col("half"), col("spend").desc, col("o_custkey")), Seq.empty)
-    val hstats = ranked.groupBy(col("half"))
-      .agg(min(col("rnk")).as("rnk0"), count(lit(1)).as("n_h"))
-    val tiersAll = ranked.join(broadcast(hstats), Seq("half"))
+    // per-half sizes ride the prefix-sum grand totals as a summed
+    // 0/1 indicator (tot_is_h1): with half-first ordering the rank
+    // bases are then pure arithmetic — rnk0(h1)=1, rnk0(h2)=n_h1+1 —
+    // so the former per-half stats re-pass and its broadcast join
+    // disappear entirely
+    val ranked = G.sortedPrefixSums(
+      spend.withColumn("is_h1",
+        when(col("half") === "h1", 1L).otherwise(0L)),
+      Seq(col("half"), col("spend").desc, col("o_custkey")),
+      Seq("is_h1"), withTotals = true)
+    val nH = when(col("half") === "h1", col("tot_is_h1"))
+      .otherwise(col("tot_rn") - col("tot_is_h1"))
+    val rnk0 = when(col("half") === "h1", lit(1L))
+      .otherwise(col("tot_is_h1") + 1)
+    val tiersAll = ranked
       .withColumn("tier", concat(lit("T"),
-        G.ntileFromRank(col("rnk") - col("rnk0") + 1, col("n_h"), 3)))
+        G.ntileFromRank(col("rnk") - rnk0 + 1, nH, 3)))
     // each customer appears ≤ once per half, so the full outer join of
     // the two halves IS a customer-keyed pivot: ONE pass over the
     // tiered frame (the join form evaluated the rank plan twice, once

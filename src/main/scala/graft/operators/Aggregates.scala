@@ -787,9 +787,14 @@ object Aggregates {
         wcents.as("w"))
       .groupBy(col("l_returnflag"), col("price"))
       .agg(sum(col("w")).as("w"))
-    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("l_returnflag"))
+    // both windows share (partition, order) and differ only in frame,
+    // so Spark evaluates them in ONE WindowExec pass over one sort —
+    // a partition-only total spec would plan a second WindowExec that
+    // re-traverses the whole sorted frame for the same values
+    val base = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     byPrice
       .withColumn("cum", sum(col("w")).over(cum))
       .withColumn("total_w", sum(col("w")).over(tot))

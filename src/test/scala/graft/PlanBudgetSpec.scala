@@ -104,6 +104,17 @@ class PlanBudgetSpec extends SparkTestBase {
       "only the supplier dimension may scan parquet in the consumer plan")
   }
 
+  test("agg_weighted_median: ONE WindowExec evaluates both frames over one sort") {
+    // the running sum and the whole-partition total share (partition,
+    // order) and differ only in frame — Spark groups them into a single
+    // WindowExec; a partition-only total spec would plan a second
+    // Window that re-traverses the sorted price-domain frame
+    val df = Aggregates.queries("agg_weighted_median")(spark, sf)
+    val wins = df.queryExecution.sparkPlan.toString.linesIterator
+      .count(_.trim.stripPrefix("+- ").startsWith("Window"))
+    assert(wins === 1, s"got $wins Window nodes")
+  }
+
   test("tpch_q17: ONE data shuffle (the per-part window partition)") {
     // the correlated-avg rewrite costs exactly the l_partkey window
     // shuffle; the classic two-scan formulation would add a second

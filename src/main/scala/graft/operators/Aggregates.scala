@@ -249,8 +249,11 @@ object Aggregates {
     */
   def aggQuantileDisc(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // count rides the same (partition, order) with an unbounded frame:
+    // ONE WindowExec, one sort (the agg_weighted_median fold)
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    val wc = Window.partitionBy(col("l_returnflag"))
+    val wc = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     def pick(p: Double) =
       max(when(col("rn") === ceil(col("n") * p), col("l_quantity")))
     Tables.lineitem(spark, sfDir)
@@ -913,9 +916,12 @@ object Aggregates {
         col("l_extendedprice").cast("decimal(9,2)").as("price"))
       .groupBy(col("l_returnflag"), col("price"))
       .agg(count(lit(1)).as("w"))
-    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("l_returnflag"))
+    // both frames share (partition, order): ONE WindowExec, one sort
+    // (the agg_weighted_median fold)
+    val wBase = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    val cum = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = wBase.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     byPrice
       .withColumn("cum", sum(col("w")).over(cum))
       .withColumn("n", sum(col("w")).over(tot))

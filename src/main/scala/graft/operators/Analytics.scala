@@ -1398,9 +1398,12 @@ object Analytics {
           .cast("long").as("days"))
     val byDay = joined.groupBy(col("prio"), col("days"))
       .agg(count(lit(1)).as("w"))
-    val cum = Window.partitionBy(col("prio")).orderBy(col("days"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("prio"))
+    // both frames share (partition, order): ONE WindowExec, one sort
+    val wBase = Window.partitionBy(col("prio")).orderBy(col("days"))
+    val cum = wBase.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot = wBase.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     byDay
       .withColumn("cumw", sum(col("w")).over(cum))
       .withColumn("n", sum(col("w")).over(tot))

@@ -488,12 +488,12 @@ object Temporal {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("ts_utc"),
         cents.as("cents"))
-    val wAll = Window.partitionBy(col("event_type"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_utc"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wn = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_utc"), col("event_id"))
+    // all frames share (partition, order): ONE WindowExec, one sort
+    val wAll = wn.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val w = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("total", sum(col("cents")).over(wAll))

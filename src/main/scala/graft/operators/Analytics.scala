@@ -1396,9 +1396,12 @@ object Analytics {
       .select(col("o_orderpriority").as("prio"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("days"))
+    // `dw` is pre-projected: a composite window ARGUMENT (days * w)
+    // gets extracted into its own Window operator by Catalyst — a real
+    // column keeps all three sums in ONE WindowExec over one sort
     val byDay = joined.groupBy(col("prio"), col("days"))
       .agg(count(lit(1)).as("w"))
-    // both frames share (partition, order): ONE WindowExec, one sort
+      .withColumn("dw", col("days") * col("w"))
     val wBase = Window.partitionBy(col("prio")).orderBy(col("days"))
     val cum = wBase.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
@@ -1407,7 +1410,7 @@ object Analytics {
     byDay
       .withColumn("cumw", sum(col("w")).over(cum))
       .withColumn("n", sum(col("w")).over(tot))
-      .withColumn("sumd", sum(col("days") * col("w")).over(tot))
+      .withColumn("sumd", sum(col("dw")).over(tot))
       .groupBy(col("prio"))
       .agg(max(col("n")).as("n_lines"),
         round(max(col("sumd")).cast("double") /

@@ -117,10 +117,13 @@ object Temporal {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_utc"))
-      .withColumn("prev_signup",
-        max(when(col("event_type") === "signup", col("ts_utc"))).over(wb))
-      .withColumn("next_signup",
-        min(when(col("event_type") === "signup", col("ts_utc"))).over(wf))
+      // pre-projected window argument: a composite arg gets extracted
+      // into its own Window operator per use — a real column keeps the
+      // backward max and forward min in ONE WindowExec over one sort
+      .withColumn("signup_ts0",
+        when(col("event_type") === "signup", col("ts_utc")))
+      .withColumn("prev_signup", max(col("signup_ts0")).over(wb))
+      .withColumn("next_signup", min(col("signup_ts0")).over(wf))
       .filter(col("event_type") === "purchase" &&
         (col("prev_signup").isNotNull || col("next_signup").isNotNull))
       .withColumn("signup_ts",
@@ -292,21 +295,26 @@ object Temporal {
     val bucket = timestamp_micros(
       unix_micros(col("ts_utc")) -
         pmod(unix_micros(col("ts_utc")), lit(bucketUs)))
+    // ONE ascending sort serves both ends of the bucket: the last row
+    // (the former DESC row_number()==1, which forced a second
+    // opposite-order WindowExec and a second sort) is rn_a == cnt with
+    // cnt riding the same ordered spec's unbounded frame — identical
+    // row under the (ts, event_id) total order
     val wAsc = Window.partitionBy(col("user_id"), col("bucket_ts"))
       .orderBy(col("ts_utc").asc, col("event_id").asc)
-    val wDesc = Window.partitionBy(col("user_id"), col("bucket_ts"))
-      .orderBy(col("ts_utc").desc, col("event_id").desc)
+    val wCnt = wAsc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts_utc"), col("value"),
         bucket.as("bucket_ts"))
       .withColumn("rn_a", row_number().over(wAsc))
-      .withColumn("rn_d", row_number().over(wDesc))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
       .groupBy(col("user_id"), col("bucket_ts"))
       .agg(
         max(when(col("rn_a") === 1, col("value"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        max(when(col("rn_a") === col("cnt"), col("value"))).as("close"),
         count(lit(1)).as("n_events"),
         outDec(sum(dec2(col("value"))), 18, 2).as("volume"))
       .orderBy(col("user_id"), col("bucket_ts"))
@@ -836,11 +844,13 @@ object Temporal {
         ((col("rev_b") - col("rev_a")).cast("double") /
           datediff(col("day_b"), col("day_a")).cast("double"))
           .as("slope"))
+    // count rides the same ordered spec's unbounded frame: ONE
+    // WindowExec evaluates rank and total over one sort
     val w = Window.orderBy(col("slope"), col("day_a"), col("day_b"))
     val ranked = slopes
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
+        w.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
     ranked
       .filter(col("rn") === expr("(cnt + 1) DIV 2") ||
@@ -979,9 +989,12 @@ object Temporal {
       .join(daily.toDF("day", "v"),
         datediff(col("day"), col("cday")).between(-3, 3))
     def rankPick(df: DataFrame, key: String, value: String, out: String) = {
-      val cum = Window.partitionBy(col(key)).orderBy(col(value))
+      // both frames share (partition, order): ONE WindowExec, one sort
+      val wBase = Window.partitionBy(col(key)).orderBy(col(value))
+      val cum = wBase
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy(col(key))
+      val tot = wBase
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       df.groupBy(col(key), col(value)).agg(count(lit(1)).as("w"))
         .withColumn("cum", sum(col("w")).over(cum))
         .withColumn("n", sum(col("w")).over(tot))

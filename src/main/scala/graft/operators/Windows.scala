@@ -252,11 +252,16 @@ object Windows {
       .withColumn("burst", sum(col("brk")).over(run))
       // rank-1 within the burst, not min(event_id): under late arrivals
       // the smallest id need not be the burst's first event in EVENT time
+      // both ride ONE (partition, order) spec — the count takes the
+      // unbounded frame, so one WindowExec evaluates rank and size
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"), col("burst"))
           .orderBy(col("ts_utc"), col("event_id"))))
       .withColumn("n_burst", count(lit(1)).over(
-        Window.partitionBy(col("user_id"), col("burst"))))
+        Window.partitionBy(col("user_id"), col("burst"))
+          .orderBy(col("ts_utc"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id").as("first_event_id"),
         col("ts_utc").as("burst_start"),

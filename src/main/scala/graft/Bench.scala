@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Sample the 1-min load average BEFORE any Spark work: during the
+    // run the bench's own local[32] tasks dominate the load, so only the
+    // entry-time reading reflects pre-existing machine contention.
+    val loadAvgAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -110,8 +115,13 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
 
+    // Machine-contention self-documentation: identical code has read
+    // 58.6–93 s across rounds purely from co-running load (BASELINE.md
+    // variance bands). Reporting the entry-time 1-min load average
+    // alongside the total lets any consumer of this line classify a
+    // swing as machine-vs-code without a re-run.
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"load_avg_at_start":${f2(loadAvgAtStart)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // ~2000-char driver tail minus sbt's trailing "[success] ..." line.
     // Iterative fit: keep the N slowest queries named and fold the rest
     // into one "_others" bucket, shrinking N until the line fits — a

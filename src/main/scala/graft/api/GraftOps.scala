@@ -1,5 +1,6 @@
 package graft.api
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -452,7 +453,7 @@ object GraftOps {
         case (acc, (s, v)) => acc.when(col("__stratum") === s, lit(v))
       })
       .withColumn("__cap", col("__n").cast("double") / col("__w"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val t = nPerStratum.agg(min(col("__cap")).as("__t"))
     val rated = nPerStratum.crossJoin(broadcast(t))
       .select(col("__stratum"),
@@ -523,7 +524,7 @@ object GraftOps {
     val session = df.sparkSession
     val prev = session.conf.get("spark.sql.adaptive.enabled", "true")
     session.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.localCheckpoint()
+    try df.barrier()
     finally session.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
@@ -539,7 +540,7 @@ object GraftOps {
       e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).barrier()
     // Convergence probe: labels only ever DECREASE under hash-min, so
     // the label sum is strictly monotone until the fixpoint — comparing
     // one scalar per round replaces a per-round join against the
@@ -557,13 +558,13 @@ object GraftOps {
       // the per-round lineage AND gives the jump join two clean sides
       val relaxed = labels.unionAll(viaNeighbor)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .barrier()
       // pointer jump: comp := comp(comp). comp(x) ≤ x under hash-min,
       // so the looked-up label is never worse; chains halve per round.
       val jump = relaxed.select(col("id").as("cid"), col("comp").as("ccomp"))
       val next = relaxed.join(jump, col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"))
-        .localCheckpoint()
+        .barrier()
       // `next` is materialized (eager checkpoint): the round's scratch
       // state and the previous labels are dead — release their blocks so
       // a 25-round run pins ONE labels RDD, not 50 superseded ones.
@@ -978,7 +979,7 @@ object GraftOps {
       explode(tokens(col(textCol))).as("token"))
     val dfreq = toks.distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .barrier()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
@@ -1029,7 +1030,7 @@ object GraftOps {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), chars.as("sym"))
-      .localCheckpoint()
+      .barrier()
     val rules = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, Long)]
     var exhausted = false
@@ -1062,7 +1063,7 @@ object GraftOps {
              |  s -> IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev)))"""
             .stripMargin)
         val prev = words
-        words = words.select(col("freq"), merged.as("sym")).localCheckpoint()
+        words = words.select(col("freq"), merged.as("sym")).barrier()
         releaseCheckpoint(prev)
       }
     }
@@ -1144,7 +1145,7 @@ object GraftOps {
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .barrier()
     val nRow = freq.agg(sum(col("tf"))).collect()(0)
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     toks.join(freq, "token")
@@ -1415,7 +1416,7 @@ object GraftOps {
       // doc-cardinality (id, len, tf…) frame — no text — behind a lazy
       // barrier: the corpus stats and the scored output both consume
       // it; one corpus scan + tokenize, not two
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val aggs =
       count(lit(1)).cast("double").as("__n") +:
         sum(col("__len")).as("__sumlen") +:
@@ -1488,7 +1489,7 @@ object GraftOps {
             element_at(col("__toks"), i + 1))))
           .as("bigram"))
     val freq = bi.groupBy(col("bigram")).agg(count(lit(1)).as("bf"))
-      .localCheckpoint()
+      .barrier()
     val pref = freq
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("bf")).as("pf"))
@@ -1539,7 +1540,7 @@ object GraftOps {
         .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
         .repartition(col("src")))
     val n = nodes.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint()
+      .barrier()
     val nN = n.count()
     val teleport = (1.0 - damping) / nN
     var ranks = n.withColumn("r", lit(1.0 / nN))
@@ -1553,7 +1554,7 @@ object GraftOps {
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("x"), lit(0.0)))
             .as("r"))
-        .localCheckpoint()
+        .barrier()
       // previous round's ranks are dead once this round materialized
       // (no-op on round 1, whose `prev` is not a checkpoint handle)
       releaseCheckpoint(prev)
@@ -1599,7 +1600,7 @@ object GraftOps {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = e0
@@ -1611,7 +1612,7 @@ object GraftOps {
           struct(col("a").as("s"), col("b").as("t")))
           .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint()
+      .barrier()
     // e0 fed deg/withDeg, both now folded into the materialized
     // `oriented`; only `oriented` (referenced thrice by the returned
     // plan) must stay pinned
@@ -1752,6 +1753,7 @@ object GraftOps {
       sumCols: Seq[String], shards: Int = 64,
       withTotals: Boolean = false): DataFrame = {
     require(orderExprs.nonEmpty && shards > 0)
+    requireIntegralSumCols(df, sumCols, "sortedPrefixSums")
     // Two LAZY materialization barriers, zero eager jobs:
     // (1) below the exchange — the range partitioner's SAMPLING pass
     //     and the shuffle itself both read the input snapshot, so the
@@ -1761,10 +1763,10 @@ object GraftOps {
     //     exchange may re-sample different boundaries).
     // The first action (the offsets broadcast build) materializes
     // both; every other consumer reads the cached blocks.
-    val snap = df.localCheckpoint(false)
+    val snap = df.barrier(eager = false)
     val parted = snap.repartitionByRange(shards, orderExprs: _*)
       .withColumn("__shard", spark_partition_id().cast("long"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val w = Window.partitionBy(col("__shard")).orderBy(orderExprs: _*)
     val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run0 = parted.withColumn("__rn", row_number().over(w).cast("long"))
@@ -1851,9 +1853,31 @@ object GraftOps {
     * sum columns (exact integer arithmetic — bit-identical in any
     * order).
     */
+  /** The two-phase prefix sums are EXACT only for integral sum columns:
+    * shard totals are cast to LONG for the offsets frame, while the
+    * per-row running sums stay in the column's native type. A double or
+    * decimal column would silently truncate its `tot_`/`__off_` side —
+    * fail fast instead (the caller should pre-scale to integer units,
+    * e.g. cents, exactly as the rfm/pareto/token-budget queries do).
+    */
+  private def requireIntegralSumCols(df: DataFrame, sumCols: Seq[String],
+      fn: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    sumCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(integral.contains(dt),
+        s"$fn: sum column '$c' must be an integral type (BYTE/SHORT/INT/" +
+          s"LONG) for exact prefix sums; got ${dt.simpleString}. " +
+          "Pre-scale fractional values to integer units (e.g. cents).")
+    }
+  }
+
   def globalPrefixSums(df: DataFrame, orderCol: String,
       sumCols: Seq[String], shardWidth: Long = 65536L): DataFrame = {
     require(sumCols.nonEmpty && shardWidth > 0)
+    requireIntegralSumCols(df, sumCols, "globalPrefixSums")
     // __shard derives from DATA VALUES (id DIV width), so the run
     // branch and the totals branch agree by construction even if the
     // upstream recomputes — no materialization barrier needed, and the

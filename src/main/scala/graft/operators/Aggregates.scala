@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -378,7 +379,7 @@ object Aggregates {
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), 12).as("sk"),
         count(lit(1)).as("n_events"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val perDay = daily.select(col("day").cast("string").as("scope"),
       hll_sketch_estimate(col("sk")).as("est_users"), col("n_events"))
     val total = daily
@@ -413,7 +414,7 @@ object Aggregates {
     val sk = Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
-      .localCheckpoint()
+      .barrier()
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
     a.join(broadcast(b), col("type_a") < col("type_b"))

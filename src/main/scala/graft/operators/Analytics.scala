@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -188,7 +189,7 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
         var_samp(col("value")).as("v"))
-      .localCheckpoint()
+      .barrier()
     val a = mom.select(col("event_type").as("type_a"), col("n").as("na"),
       col("m").as("ma"), col("v").as("va"))
     val b = mom.select(col("event_type").as("type_b"), col("n").as("nb"),
@@ -256,7 +257,7 @@ object Analytics {
     // unmaterialized the explode+aggregate would run once per side.
     val per = baskets.select(explode(col("basket")).as("brand"))
       .groupBy(col("brand")).agg(count(lit(1)).as("n_ord"))
-      .localCheckpoint()
+      .barrier()
     val tot = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(per.select(col("brand").as("brand_a"),
@@ -428,7 +429,7 @@ object Analytics {
       .agg(sum(dec2(col("o_totalprice"))).as("rev_cy"))
       .withColumn("cy",
         min(col("oy")).over(Window.partitionBy(col("o_custkey"))))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     // each customer has exactly one oy === cy row (its first year)
     val sz = perCY.filter(col("oy") === col("cy"))
       .groupBy(col("cy")).agg(count(lit(1)).as("n_cust"))
@@ -472,7 +473,7 @@ object Analytics {
       .agg(sum(dec2(col("value"))).as("total_dec"))
       .withColumn("fc_dec", lag(col("total_dec"), 7).over(w))
       .withColumn("err_dec", abs(col("total_dec") - col("fc_dec")))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val verdict = daily.filter(col("fc_dec").isNotNull)
       .agg(count(lit(1)).as("n_scored"),
         round(avg(col("err_dec").cast("double")), 6).as("mae"),
@@ -553,7 +554,7 @@ object Analytics {
     val flagged = am
       .withColumn("prev_ym", lag(col("ym"), 1).over(w))
       .withColumn("next_ym", lead(col("ym"), 1).over(w))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val perMonth = flagged.groupBy(col("ym")).agg(
       count(lit(1)).as("n_active"),
       sum(when(col("prev_ym").isNull, 1L).otherwise(0L)).as("n_new"),
@@ -593,7 +594,7 @@ object Analytics {
     // weekly branches both consume it; one fact scan + distinct, not two
     val withWeek = du.withColumn("week",
       date_trunc("week", col("day")).cast("date"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val daily = withWeek.groupBy(col("week"), col("day"))
       .agg(count(lit(1)).as("dau"))
     val weekly = withWeek.select(col("week"), col("user_id")).distinct()
@@ -634,7 +635,7 @@ object Analytics {
       .select(col("event_type").as("x"),
         floor(hour(col("ts_utc")) / 6.0).cast("long").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
     val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
     val tot = cells.agg(sum(col("nxy")).cast("double").as("n"))
@@ -722,7 +723,7 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts_utc"))).as("first_day"),
         max(to_date(col("ts_utc"))).as("last_day"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val frontier = perUser.agg(max(col("last_day")).as("max_day"))
     val lifetimes = perUser.crossJoin(broadcast(frontier))
       .select(datediff(col("last_day"), col("first_day")).cast("long")
@@ -1359,7 +1360,7 @@ object Analytics {
       .groupBy(year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val overall = ym.agg(
       (sum(col("rev")).cast("double") / count(lit(1))).as("overall_avg"))
     ym.groupBy(col("m"))
@@ -1441,7 +1442,7 @@ object Analytics {
     val act = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts_utc")).as("day"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val later = act.toDF("user_id", "day7")
     val maxDay = act.agg(max(col("day")).as("max_day"))
     act
@@ -1654,7 +1655,7 @@ object Analytics {
       .withColumn("rfp", expr("(k * 1000000) DIV n"))
       // user-cardinality frame behind a lazy barrier: the prior fit and
       // the smoothed output both consume it — one fact scan, not two
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val prior = per.agg(count(lit(1)).cast("double").as("u"),
       sum(col("rfp").cast("decimal(38,0)")).as("sfp"),
       sum((col("rfp") * col("rfp")).cast("decimal(38,0)")).as("sfp2"))

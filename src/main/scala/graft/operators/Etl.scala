@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -227,20 +228,25 @@ object Etl {
     * customer may not; the join then shuffles KEYS, not rows).
     */
   def dqOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    // No explicit broadcast() hints: a forced hint would disable the
+    // size-based fallback the docstring promises — at this corpus's dim
+    // sizes the optimizer broadcasts on stats anyway (pinned in tests),
+    // and an oversized customer/part dim degrades to a shuffle join
+    // instead of OOMing the driver.
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(Tables.part(spark, sfDir).select(col("p_partkey"))),
+      .join(Tables.part(spark, sfDir).select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left")
-      .join(broadcast(Tables.supplier(spark, sfDir)
-        .select(col("s_suppkey"))),
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey")),
         col("l_suppkey") === col("s_suppkey"), "left")
       .agg(count(lit(1)).as("li_n"),
         sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("orph_part"),
         sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("orph_supp"))
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_custkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)
-        .select(col("c_custkey"))),
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left")
       .agg(count(lit(1)).as("ord_n"),
         sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("orph_cust"))
@@ -420,7 +426,7 @@ object Etl {
       .groupBy(col("event_type"))
       .agg(max(col("ts_utc")).as("last_seen"),
         count(lit(1)).as("n_events"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val frontier = per.agg(max(col("last_seen")).as("frontier"))
     per.crossJoin(broadcast(frontier))
       .select(col("event_type"), col("last_seen"), col("n_events"),
@@ -620,7 +626,7 @@ object Etl {
       // output both consume it — without it each re-runs the fact
       // scan + binning (4 orders reads observed; 2 is the honest
       // minimum: one bounds pass + one binning pass)
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val tot = binned.agg(sum(col("n_a")).cast("double").as("ta"),
       sum(col("n_b")).cast("double").as("tb"))
     val pa = (col("n_a") + 1).cast("double") / (col("ta") + 10.0)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.GraftOps
@@ -315,7 +316,7 @@ object NearDedup {
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
           " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
-      .localCheckpoint()
+      .barrier()
     val cand = sh.select(col("doc_id").as("src"), col("grams").as("g_a"),
       explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("dst"))
     cand
@@ -382,7 +383,7 @@ object NearDedup {
     // corpus; its digest table is materialized exactly like this)
     val history = docs.filter(col("doc_id") <= mid)
       .select(md5(col("text")).as("h"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     // 8 bits/item at 1M items — far oversized for this corpus, so the
     // measured fpp in the spec is near zero
     val bf = GraftOps.bloomBuild(history, col("h"), 1000000L, 8000000L)
@@ -512,7 +513,7 @@ object NearDedup {
     val und = edges.unionAll(
       edges.select(col("dst").as("src"), col("src").as("dst")))
     val deg = und.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("d")).localCheckpoint()
+      .agg(count(lit(1)).as("d")).barrier()
     val paired = und
       .join(deg.toDF("id_a", "dx"), col("src") === col("id_a"))
       .join(deg.toDF("id_b", "dy"), col("dst") === col("id_b"))
@@ -571,7 +572,7 @@ object NearDedup {
     // shingle-block join on every iteration (measured 7.3 s vs 1.5 s at
     // sf0.1) — the same lineage discipline as connectedComponents.
     e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .barrier()
       .createOrReplaceTempView("graft_reach_edges")
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .createOrReplaceTempView("graft_reach_docs")
@@ -721,7 +722,7 @@ object NearDedup {
     val e = rareShingleEdgesTable(spark, sfDir)
     val sym = e.unionAll(
       e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .barrier()
     val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     val paths = sym.select(col("src").as("u"), col("dst").as("v"))
       .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v"))

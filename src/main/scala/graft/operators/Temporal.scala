@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -376,7 +377,7 @@ object Temporal {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("trend", avg(col("total")).over(wTrend))
@@ -681,7 +682,7 @@ object Temporal {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("trend", avg(col("total")).over(wTrend))
@@ -743,7 +744,7 @@ object Temporal {
         col("y0").cast("decimal(9,2)").as("y"))
       // calendar-sized series behind a lazy barrier: both sides of the
       // lag self-join consume it — one fact scan, not two
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val lags = spark.range(1)
       .select(explode(sequence(lit(-7), lit(7))).as("lag"))
     def sq(a: Column, b: Column) =
@@ -836,7 +837,7 @@ object Temporal {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
-      .localCheckpoint()
+      .barrier()
     val a = daily.toDF("day_a", "rev_a")
     val b = daily.toDF("day_b", "rev_b")
     val slopes = a.join(b, col("day_a") < col("day_b"))
@@ -887,7 +888,7 @@ object Temporal {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     // exact decimal total / exact count — NOT avg(double), whose
     // partition-order sum would put engine-divergent noise into xc
     val stats = daily.agg(count(lit(1)).as("nd"),
@@ -935,7 +936,7 @@ object Temporal {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
-      .localCheckpoint()
+      .barrier()
     val a = daily.toDF("day_a", "rev_a")
     val b = daily.toDF("day_b", "rev_b")
     val sAgg = a.join(b, col("day_a") < col("day_b"))
@@ -984,7 +985,7 @@ object Temporal {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
-      .localCheckpoint()
+      .barrier()
     val pairs = daily.toDF("cday", "x")
       .join(daily.toDF("day", "v"),
         datediff(col("day"), col("cday")).between(-3, 3))
@@ -1051,7 +1052,7 @@ object Temporal {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("trend", avg(col("total")).over(wTrend))
@@ -1119,7 +1120,7 @@ object Temporal {
       .select(col("day"), col("x0").cast("decimal(9,2)").as("x"))
       // calendar-sized series behind a lazy barrier: both sides of the
       // lag self-join consume it — one fact scan, not two
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val lags = spark.range(1)
       .select(explode(sequence(lit(1), lit(14))).as("lag"))
     def sq(a: Column, b: Column) =
@@ -1170,7 +1171,7 @@ object Temporal {
         outDec(sum(col("v")), 18, 2).as("value_total"))
       // 7×24-cell frame behind a lazy barrier: the total scalar and the
       // output both consume it — one fact scan, not two
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val tot = cells.agg(sum(col("n_events")).cast("double").as("t"))
     cells.crossJoin(broadcast(tot))
       .select(col("dow"), col("hr"), col("n_events"), col("value_total"),

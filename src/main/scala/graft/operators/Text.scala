@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -295,7 +296,7 @@ object Text {
       .select(substring_index(col("bigram"), " ", 1).as("w1"),
         substring_index(col("bigram"), " ", -1).as("w2"), col("n_pair"))
     val uni = toks.select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n")).localCheckpoint()
+      .groupBy(col("w")).agg(count(lit(1)).as("n")).barrier()
     val total = uni.agg(sum(col("n")).as("n_tokens"))
     bigrams
       .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), Seq("w1"))
@@ -435,7 +436,7 @@ object Text {
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("v"))
     val inter = vocab.toDF("lang_a", "w")
       .join(vocab.toDF("lang_b", "w2"),
@@ -571,7 +572,7 @@ object Text {
       .filter(col("w") =!= "")
       .groupBy(col("w"))
       .agg(cAggs.head, cAggs.tail: _*)
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val totals = langs.map(l => sum(col(s"c_$l")).as(s"n_$l"))
     val tot = counts.agg(totals.head, totals.tail: _*)
     val pairs = for {

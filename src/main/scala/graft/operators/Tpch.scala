@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -375,7 +376,7 @@ object Tpch {
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .groupBy(col("l_suppkey"))
       .agg(outDec(revenue, 38, 4).as("total_revenue"))
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev
       .crossJoin(broadcast(maxRev))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -209,7 +210,7 @@ object Windows {
     val ev = Tables.events(spark, sfDir)
       .select(to_date(col("ts_utc")).as("day"), col("user_id"))
       .distinct()
-      .localCheckpoint(false)
+      .barrier(eager = false)
     val firstSeen = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("first_day"))
       .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))

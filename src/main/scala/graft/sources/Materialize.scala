@@ -32,6 +32,17 @@ object Materialize {
 
   private val written = scala.collection.mutable.Set.empty[String]
 
+  /** Resolved-plan cache for artifact re-reads, mirroring
+    * Tables.catalog: `spark.read.parquet` lists the artifact dir and
+    * reads footers on EVERY call, and artifact consumers (minhash
+    * edges, components, BPE merges, baskets…) re-read per query per
+    * run. The artifact path already embeds the source content
+    * fingerprint, so (session, path) alone is a staleness-safe key —
+    * a corpus rewrite lands on a new path and misses this cache.
+    */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   /** Read-through cache: builds + writes `kind` derived from the given
     * source tables under `sfDir` on first use, then serves the parquet
     * re-read. EVERY table the build reads must be listed — the cache
@@ -48,6 +59,7 @@ object Materialize {
         written += path
       }
     }
-    spark.read.parquet(path)
+    resolved.computeIfAbsent((Tables.sessionId(spark), path),
+      _ => spark.read.parquet(path))
   }
 }

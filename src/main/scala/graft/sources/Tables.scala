@@ -35,23 +35,72 @@ object Tables {
     * query across a 284-query Verify/Bench session that is thousands of
     * redundant footer reads of the same nine files. A production catalog
     * resolves a table once and serves the analyzed plan from metadata —
-    * this cache does that, keyed by (session, path, mtime, size) so a
-    * corpus REGENERATION (observed mid-round; FIXTURES.md) or a new
+    * this cache does that, keyed by (sessionUUID, path, data fingerprint)
+    * so a corpus REGENERATION (observed mid-round; FIXTURES.md) or a new
     * session misses the cache and re-resolves instead of serving a stale
-    * schema. The cached value is the immutable analyzed DataFrame; Spark
-    * DataFrames are thread-safe to share, and the map is concurrent, so
-    * parallel query threads are fine. Bounded: 9 tables × 3 sf dirs ×
-    * live sessions — no eviction needed.
+    * schema. The session key is a per-session UUID ([[sessionId]]) —
+    * stable and unique for the session's life (an identity hash could
+    * collide after a session is GC'd and serve a plan bound to a stopped
+    * session). The
+    * fingerprint covers the ACTUAL data files: for a Spark-written
+    * DIRECTORY the max part-file mtime + total part size (an in-place
+    * part rewrite may not touch the directory's own mtime), for a single
+    * file its mtime + length. The cached value is the immutable analyzed
+    * DataFrame; Spark DataFrames are thread-safe to share, and the map is
+    * concurrent, so parallel query threads are fine. On insert, stale
+    * entries for the same (session, path) with an older fingerprint and
+    * entries bound to stopped sessions are dropped, so the map stays
+    * bounded at 9 tables × 3 sf dirs × live sessions.
     */
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), DataFrame]()
 
+  /** Stable per-session identifier. `System.identityHashCode` can be
+    * REUSED after a session is GC'd (a new session allocated at the same
+    * address would hit the dead session's cache entries); a UUID held in
+    * a WeakHashMap is unique for the session's life and its entry
+    * disappears with the session.
+    */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private[sources] def sessionId(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+      }
+      id
+    }
+
+  /** (max data-file mtime, total data-file bytes) — see catalog doc. */
+  private def dataFingerprint(f: java.io.File): (Long, Long) =
+    if (f.isDirectory) {
+      val files = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(x => x.isFile && !x.getName.startsWith("."))
+      if (files.isEmpty) (f.lastModified(), f.length())
+      else (files.map(_.lastModified()).max, files.map(_.length()).sum)
+    } else (f.lastModified(), f.length())
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val f = new java.io.File(path)
-    val key = (String.valueOf(System.identityHashCode(spark)),
-      path, f.lastModified(), f.length())
-    catalog.computeIfAbsent(key, _ => spark.read.parquet(path))
+    val (mtime, size) = dataFingerprint(new java.io.File(path))
+    val key = (sessionId(spark), path, mtime, size)
+    val hit = catalog.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(path)
+      // evict superseded fingerprints for this (session, path) and any
+      // entry whose session has been stopped
+      catalog.keySet.removeIf { k =>
+        (k._1 == sessionId(spark) && k._2 == path && k != key) || {
+          val v = catalog.get(k)
+          v != null && v.sparkSession.sparkContext.isStopped
+        }
+      }
+      catalog.putIfAbsent(key, df)
+      df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

@@ -116,6 +116,15 @@ object EventsStream {
     * any JDBC writer), never per row; the tiny aggregated batch is
     * coalesced so a 5-row delta doesn't open 32 connections.
     *
+    * CAVEAT — `coalesce(1)` is a SINGLE-WRITER bound: every micro-batch
+    * serializes through one task/one connection. That is the right
+    * trade for this demo sink (an embedded Derby table fed a handful of
+    * changed windows per batch), but if the windowed aggregate's delta
+    * ever grew large, drop the coalesce and let each partition run its
+    * own transaction — the per-partition-transaction pattern the batch
+    * JDBC writer already uses; the upsert is keyed, so partition-level
+    * retries stay idempotent.
+    *
     * Expects `batch` columns (window_start timestamp, event_type
     * string, n_events long) matching the target table's key (ws, et).
     */

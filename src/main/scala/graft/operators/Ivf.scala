@@ -239,10 +239,58 @@ object Ivf {
       .orderBy(col("cell"))
   }
 
+  /** `embed_kmeans_assign` — the ASSIGNMENT stage of k-means,
+    * value-gated: given FIXED centroids (deterministically the four
+    * lowest vec_ids' vectors; in production the trained model's
+    * centers — the argmin-squared-L2 assignment is the same arithmetic
+    * either way), every vector assigns to its nearest centroid with a
+    * centroid-id tie-break. Converts embed_kmeans's property-tested
+    * trust into a driver hash-verified value check against DuckDB —
+    * the dedup_embed_verify pattern applied to the clustering family.
+    * The argmin compares ROUNDED distances (6 dp) so both engines rank
+    * the same values; round-6 near-ties are measure-zero on random
+    * embeddings.
+    *
+    * Scale: the centroid side is a k-row broadcast (the documented
+    * scalar-broadcast crossJoin pattern); distances are one map-side
+    * zip_with per (vector, centroid); the argmin is a min(struct)
+    * hash aggregate on vec_id — no window, no all-pairs.
+    */
+  def embedKmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("v").as("center"))
+    val d2 = aggregate(
+      zip_with(col("v"), col("center"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, t) => acc + t)
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2", round(d2, 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_ivf" -> knnIvf _,
-    "embed_kmeans" -> embedKmeans _
+    "embed_kmeans" -> embedKmeans _,
+    "embed_kmeans_assign" -> embedKmeansAssign _
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "embed_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS center FROM e WHERE vec_id < 4),
+        |d AS (SELECT e.vec_id, c.cell,
+        |        ROUND(list_sum([ (e.v[i] - c.center[i]) * (e.v[i] - c.center[i])
+        |          for i in range(1, len(e.v) + 1) ]), 6) AS d2
+        |      FROM e CROSS JOIN c)
+        |SELECT vec_id, cell, d2 FROM (
+        |  SELECT vec_id, cell, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM d) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin
+  )
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.api.Barrier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -145,6 +146,37 @@ object Pipeline {
       .select(col("round").cast("long").as("round"), col("left"),
         col("right"), col("pair_count"))
       .orderBy(col("round"))
+
+  /** `pipeline_bpe_pairs` — round 1 of BPE training, value-gated: the
+    * adjacent-symbol pair counts over the distinct-word × frequency
+    * table (the EXACT table bpeTrain's first argmax reads — same
+    * pre-tokenizer, same zip-with-shifted pair explode), top-20 by
+    * (count desc, pair asc). Pure integer counting — zero FP-boundary
+    * risk — so this converts pipeline_bpe_train's property-tested
+    * trust (Sennrich merge sequence) into a driver hash-verified
+    * value check on the quantity that DECIDES merge 1.
+    *
+    * Scale: identical to bpeTrain round 1 — the pair explode is
+    * vocab-sized (distinct words × word length), never corpus-sized,
+    * and the count is a map-combined hash aggregate.
+    */
+  def pipelineBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    Tables.documents(spark, sfDir)
+      .select(explode(graft.api.GraftOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), chars.as("sym"))
+      .select(col("freq"), explode(zip_with(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l"), col("r"))
+      .limit(20)
+  }
 
   /** `pipeline_bpe_encode` — exact BPE token-budget accounting: train
     * 8 merges on the corpus (GraftOps.bpeTrain — an action, amortized
@@ -663,7 +695,7 @@ object Pipeline {
         round(sqrt(graft.functions.VectorFns.innerProduct(
           col("embedding"), col("embedding"))), 6)
           .cast("decimal(12,6)").as("nm"))
-      .localCheckpoint()
+      .barrier()
     val stats = normed.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("nm")).cast("double").as("s1"),
@@ -726,6 +758,7 @@ object Pipeline {
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_token_budget" -> pipelineTokenBudget _,
     "knn_hybrid" -> knnHybrid _,
+    "pipeline_bpe_pairs" -> pipelineBpePairs _,
     "pipeline_curate" -> pipelineCurate _,
     "pipeline_split" -> pipelineSplit _,
     "pipeline_mixture" -> pipelineMixture _,
@@ -755,6 +788,21 @@ object Pipeline {
   }.mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "pipeline_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word),
+        |p AS (
+        |  SELECT unnest([ {'l': word[i:i], 'r': word[i+1:i+1]}
+        |           for i in range(1, length(word)) ]) AS pr, freq
+        |  FROM w)
+        |SELECT pr.l AS l, pr.r AS r,
+        |  CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, l, r LIMIT 20""".stripMargin,
     "pipeline_mix_plan" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n,

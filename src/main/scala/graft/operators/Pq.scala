@@ -152,10 +152,106 @@ object Pq {
       .limit(10)
   }
 
+  /** `knn_pq_verify` — the ENCODE + ADC arithmetic of the PQ path,
+    * value-gated against DuckDB with a corpus-deterministic codebook:
+    * subspace m's K=4 centroids are the four lowest vec_ids' m-th
+    * subvectors (in production the trained codebook — the argmin
+    * encode and the ADC lookup algebra are identical arithmetic).
+    * Per vector: its M=8 subspace codes (dash-joined string — the
+    * gate bans array outputs) and the ADC cosine approximation
+    * against probe 0, Σ ip(m)(code_m) / (‖probe‖·√Σ ‖cent(m)(code_m)‖²)
+    * — exactly pqAdcTables' formula. Converts knn_pq's
+    * property-tested trust into a driver hash-verified value check
+    * (the dedup_embed_verify pattern). The encode argmin compares
+    * ROUNDED subspace distances (6 dp) with a centroid-id tie-break
+    * so both engines rank the same values.
+    *
+    * Scale: the codebook/ADC-table frame is M×K = 32 rows broadcast
+    * to a per-(vector, subspace) explode; encode + ADC reduce via two
+    * hash aggregates on (vec_id, mi) then vec_id — same per-row cost
+    * class as the production pqEncode expression, no window, no
+    * all-pairs.
+    */
+  def knnPqVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 8
+    val ds = 8
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c"), col("v"),
+        explode(sequence(lit(0), lit(M - 1))).as("mi"))
+      .select(col("mi"), col("c"),
+        slice(col("v"), col("mi") * lit(ds) + lit(1), lit(ds)).as("cent"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    // per-(mi, c): the probe inner-product and centroid-norm ADC tables
+    val tables = cb.crossJoin(broadcast(probe))
+      .select(col("mi"), col("c"), col("cent"),
+        aggregate(zip_with(
+          slice(col("pv"), col("mi") * lit(ds) + lit(1), lit(ds)),
+          col("cent"), (a, b) => a * b), lit(0.0), (s, t) => s + t).as("ip"),
+        aggregate(transform(col("cent"), x => x * x),
+          lit(0.0), (s, t) => s + t).as("n2"))
+    val pnorm = probe.select(
+      sqrt(aggregate(transform(col("pv"), x => x * x),
+        lit(0.0), (s, t) => s + t)).as("pn"))
+    val d2 = aggregate(zip_with(
+      slice(col("v"), col("mi") * lit(ds) + lit(1), lit(ds)), col("cent"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (s, t) => s + t)
+    e.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(M - 1))).as("mi"))
+      .join(broadcast(tables), Seq("mi"))
+      .withColumn("d2", round(d2, 6))
+      .groupBy(col("vec_id"), col("mi"))
+      .agg(min(struct(col("d2"), col("c"), col("ip"), col("n2"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(
+        concat_ws("-", transform(
+          array_sort(collect_list(struct(col("mi"), col("m.c").as("c")))),
+          s => s.getField("c").cast("string"))).as("codes"),
+        sum(col("m.ip")).as("sip"), sum(col("m.n2")).as("sn2"))
+      .crossJoin(broadcast(pnorm))
+      .select(col("vec_id"), col("codes"),
+        round(col("sip") / (col("pn") * sqrt(col("sn2"))), 6).as("adc_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_pq" -> knnPq _,
-    "knn_ivfpq" -> knnIvfPq _
+    "knn_ivfpq" -> knnIvfPq _,
+    "knn_pq_verify" -> knnPqVerify _
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "knn_pq_verify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cb AS (
+        |  SELECT m.mi, s.vec_id AS c, s.v[m.mi*8+1 : m.mi*8+8] AS cent
+        |  FROM (SELECT unnest(range(0, 8)) AS mi) m,
+        |       (SELECT vec_id, v FROM e WHERE vec_id < 4) s),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |t AS (
+        |  SELECT cb.mi, cb.c, cb.cent,
+        |    list_sum([ p.pv[cb.mi*8+i] * cb.cent[i] for i in range(1, 9) ]) AS ip,
+        |    list_sum([ cb.cent[i] * cb.cent[i] for i in range(1, 9) ]) AS n2
+        |  FROM cb, p),
+        |enc AS (
+        |  SELECT vec_id, mi, c, ip, n2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2, c) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, t.mi, t.c, t.ip, t.n2,
+        |      ROUND(list_sum([ (e.v[t.mi*8+i] - t.cent[i])
+        |        * (e.v[t.mi*8+i] - t.cent[i]) for i in range(1, 9) ]), 6) AS d2
+        |    FROM e, t)),
+        |pn AS (SELECT sqrt(list_sum([ pv[i] * pv[i]
+        |         for i in range(1, len(pv) + 1) ])) AS pn FROM p),
+        |agg AS (
+        |  SELECT vec_id,
+        |    string_agg(CAST(c AS VARCHAR), '-' ORDER BY mi) AS codes,
+        |    sum(ip) AS sip, sum(n2) AS sn2
+        |  FROM enc WHERE rn = 1 GROUP BY vec_id)
+        |SELECT agg.vec_id, agg.codes,
+        |  ROUND(agg.sip / (pn.pn * sqrt(agg.sn2)), 6) AS adc_cos
+        |FROM agg, pn ORDER BY vec_id""".stripMargin
+  )
 }

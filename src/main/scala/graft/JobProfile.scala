@@ -21,12 +21,20 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val descs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val done = scala.collection.concurrent.TrieMap.empty[Int, (Long, Int)]
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
     val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        { jobs.put(js.jobId, js.time); () }
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.put(js.jobId, js.time)
+        // last stage's callsite names the operator the job materializes
+        val d = js.stageInfos.lastOption.map(si =>
+          si.name.take(60) + " | " + si.details.linesIterator
+            .find(l => l.contains("graft") && !l.contains("JobProfile"))
+            .getOrElse("").trim.take(60)).getOrElse("")
+        descs.put(js.jobId, s"[${js.stageInfos.size}st] " + d); ()
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val t0 = Option(jobs.get(je.jobId)).getOrElse(je.time)
         done.put(je.jobId, (je.time - t0, 0)); ()
@@ -47,7 +55,8 @@ object JobProfile {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val js = done.toSeq.sortBy(_._1)
       println(f"== $name warm ${dt}%.3f s, ${js.size} jobs, ${stages.get} stages, ${tasks.get} tasks")
-      js.foreach { case (id, (ms, _)) => println(f"   job $id%3d  ${ms}%5d ms") }
+      js.foreach { case (id, (ms, _)) =>
+        println(f"   job $id%3d  ${ms}%5d ms  ${Option(descs.get(id)).getOrElse("")}") }
     }
     spark.stop()
   }

@@ -1731,23 +1731,29 @@ object GraftOps {
     * Shape: `repartitionByRange` on the order expressions puts each
     * shard's rows in a contiguous key range; per-shard ranks and
     * running sums ride BOUNDED windows keyed by `spark_partition_id`;
-    * the exclusive scan over the ≤`shards`-row (count, total) frame is
-    * a literal-bounded window broadcast back as offsets. Shard
-    * BOUNDARIES are sampling-dependent (hence the one materialization
-    * barrier: both branches must see the SAME sampled partitioning),
-    * but ranks and cumsums depend only on the global order, so outputs
-    * are deterministic whenever `orderExprs` is a total order (pass a
-    * unique tie-break key) and the summed columns are LONG (exact
-    * commutative arithmetic).
+    * the exclusive scan over the ≤`shards`-row (count, total) frame
+    * runs DRIVER-SIDE on a collect bounded by the `shards` config
+    * constant (the `RDD.zipWithIndex` pattern), and the per-shard
+    * offsets return to the plan as a literal map projection — no
+    * offsets join, no single-partition window. Shard BOUNDARIES are
+    * sampling-dependent (hence the materialization barriers: the
+    * collect and the final output must see the SAME sampled
+    * partitioning), but ranks and cumsums depend only on the global
+    * order, so outputs are deterministic whenever `orderExprs` is a
+    * total order (pass a unique tie-break key) and the summed columns
+    * are LONG (exact commutative arithmetic). NOTE: the offsets
+    * collect makes this an ACTION at plan-construction time (like
+    * bpeTrain/pqTrain) — it is also the action that materializes the
+    * lazy barriers, so consumers pay no extra pass.
     *
     * `withTotals = true` additionally attaches the GRAND totals as
     * constant columns — `tot_rn` (total row count) and `tot_<c>` per
-    * sum column — computed as whole-frame windows over the same
-    * ≤`shards`-row offsets frame and carried through the broadcast
-    * join. Callers that need "cum vs total" (pareto cuts, budget
-    * fills, gain denominators) read them for free instead of
-    * re-aggregating the input a second time (a second fact pass at
-    * corpus scale, the exact redundancy this helper exists to avoid).
+    * sum column — summed driver-side from the same collected
+    * ≤`shards`-row frame and inlined as literals. Callers that need
+    * "cum vs total" (pareto cuts, budget fills, gain denominators)
+    * read them for free instead of re-aggregating the input a second
+    * time (a second fact pass at corpus scale, the exact redundancy
+    * this helper exists to avoid).
     */
   def sortedPrefixSums(df: DataFrame, orderExprs: Seq[Column],
       sumCols: Seq[String], shards: Int = 64,
@@ -1755,65 +1761,78 @@ object GraftOps {
     require(orderExprs.nonEmpty && shards > 0)
     requireIntegralSumCols(df, sumCols, "sortedPrefixSums")
     // Two LAZY materialization barriers, zero eager jobs:
-    // (1) below the exchange — the range partitioner's SAMPLING pass
-    //     and the shuffle itself both read the input snapshot, so the
-    //     upstream (often a corpus-scale aggregate) computes ONCE;
-    // (2) above it — the run windows and the shard-totals branch MUST
-    //     observe the same sampled partitioning (a recomputed range
-    //     exchange may re-sample different boundaries).
-    // The first action (the offsets broadcast build) materializes
-    // both; every other consumer reads the cached blocks.
+    // (1) below the range exchange — the range partitioner's SAMPLING
+    //     pass and the shuffle itself both read the input snapshot, so
+    //     the upstream (often a corpus-scale aggregate) computes ONCE;
+    // (2) ABOVE the run windows — the shard-totals branch and the
+    //     final joined output both consume the numbered/running rows,
+    //     and a barrier erases partitioning info (AQE captures
+    //     UnknownPartitioning), so a pre-window barrier made BOTH
+    //     consumers re-exchange the full frame by __shard (measured in
+    //     the r10 plan audit: Exchange+Sort per branch). Post-window,
+    //     the window's one exchange+sort runs once inside the barrier
+    //     materialization and every consumer reads finished blocks —
+    //     one full-data exchange instead of two, and the shard totals
+    //     degrade to a map-side max/max_by over already-running sums
+    //     (the last running value per shard IS its total).
+    // The offsets-collect below materializes both; every other
+    // consumer reads the cached blocks.
     val snap = df.barrier(eager = false)
     val parted = snap.repartitionByRange(shards, orderExprs: _*)
       .withColumn("__shard", spark_partition_id().cast("long"))
-      .barrier(eager = false)
     val w = Window.partitionBy(col("__shard")).orderBy(orderExprs: _*)
     val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run0 = parted.withColumn("__rn", row_number().over(w).cast("long"))
     val run = sumCols.foldLeft(run0) { (d, c) =>
       d.withColumn(s"__run_$c", sum(col(c)).over(wcum))
-    }
-    val aggs = count(lit(1)).cast("long").as("__cnt") +:
-      sumCols.map(c => sum(col(c)).cast("long").as(c))
-    val totals = parted.groupBy(col("__shard"))
+    }.barrier(eager = false)
+    val aggs = max(col("__rn")).as("__cnt") +:
+      sumCols.map(c =>
+        max_by(col(s"__run_$c"), col("__rn")).cast("long").as(c))
+    val totals = run.groupBy(col("__shard"))
       .agg(aggs.head, aggs.tail: _*)
-    // Exclusive scan over the ≤`shards`-row totals frame — a
-    // literal-bounded window (lit(0) partition), not a driver collect:
-    // the whole prefix sum downstream of the snapshot is one lazy plan.
-    val ow = Window.partitionBy(lit(0)).orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // grand totals ride the SAME ≤`shards`-row frame as a whole-frame
-    // window — no extra pass over the data
-    val owAll = Window.partitionBy(lit(0))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withOffs = sumCols.foldLeft(
-        totals.withColumn("__off_rn",
-          coalesce(sum(col("__cnt")).over(ow), lit(0L)).cast("long"))
-      ) { (d, c) =>
-        d.withColumn(s"__off_$c",
-          coalesce(sum(col(c)).over(ow), lit(0L)).cast("long"))
-      }
-    val withTots =
-      if (!withTotals) withOffs
-      else sumCols.foldLeft(
-          withOffs.withColumn("tot_rn",
-            sum(col("__cnt")).over(owAll).cast("long"))
-        ) { (d, c) =>
-          d.withColumn(s"tot_$c", sum(col(c)).over(owAll).cast("long"))
-        }
-    val totCols =
-      if (!withTotals) Nil
-      else col("tot_rn") +: sumCols.map(c => col(s"tot_$c"))
-    val offsets = withTots.select(col("__shard") +: col("__off_rn") +:
-      (sumCols.map(c => col(s"__off_$c")) ++ totCols): _*)
-    val joined = run.join(broadcast(offsets), Seq("__shard"))
-      .withColumn("rnk", col("__off_rn") + col("__rn"))
+    // Exclusive scan over the ≤`shards`-row totals frame DRIVER-SIDE —
+    // the `RDD.zipWithIndex` pattern (Spark's own zipWithIndex runs
+    // exactly this per-partition-counts collect): the frame is bounded
+    // by the `shards` CONFIG constant, never by the data, so the
+    // collect is a convergence-scalar-class action at any corpus size.
+    // Folding it out of the plan removes the lit(0) exclusive-scan
+    // window, its exchange, the broadcast build, and the per-row
+    // offsets JOIN itself — rnk/cum_ become literal-map projections
+    // over the barriered run blocks (measured r10: rfm family −20-30%
+    // per-evaluation before this fold, more after). This makes
+    // sortedPrefixSums an ACTION at plan-construction time, like
+    // bpeTrain/pqTrain; the collect is also what materializes the two
+    // lazy barriers, so no extra pass is paid.
+    val totRows = totals.collect().sortBy(_.getLong(0))
+    val cnts = totRows.map(_.getLong(1))
+    val offRn = totRows.map(_.getLong(0))
+      .zip(cnts.scanLeft(0L)(_ + _)).toMap
+    val offC: Map[String, Map[Long, Long]] = sumCols.zipWithIndex.map {
+      case (c, i) =>
+        val vals = totRows.map(_.getLong(2 + i))
+        c -> totRows.map(_.getLong(0)).zip(vals.scanLeft(0L)(_ + _)).toMap
+    }.toMap
+    def mapLit(m: Map[Long, Long]): Column =
+      if (m.isEmpty) typedlit(Map(-1L -> 0L)) else typedlit(m)
+    val joined = run
+      .withColumn("rnk",
+        element_at(mapLit(offRn), col("__shard")) + col("__rn"))
     val withCums = sumCols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"cum_$c",
-        (col(s"__off_$c") + col(s"__run_$c")).cast("long"))
+        (element_at(mapLit(offC(c)), col("__shard")) +
+          col(s"__run_$c")).cast("long"))
     }
-    withCums.drop("__shard" +: "__rn" +: "__off_rn" +:
-      sumCols.flatMap(c => Seq(s"__run_$c", s"__off_$c")): _*)
+    val withTots =
+      if (!withTotals) withCums
+      else sumCols.foldLeft(
+          withCums.withColumn("tot_rn", lit(cnts.sum))
+        ) { (d, c) =>
+          val i = sumCols.indexOf(c)
+          d.withColumn(s"tot_$c", lit(totRows.map(_.getLong(2 + i)).sum))
+        }
+    withTots.drop("__shard" +: "__rn" +:
+      sumCols.map(c => s"__run_$c"): _*)
   }
 
   /** Exact SQL-NTILE(k) bucket from a 1-based global rank and total

@@ -1545,21 +1545,27 @@ object Analytics {
       .otherwise(col("tot_rn") - col("tot_is_h1"))
     val rnk0 = when(col("half") === "h1", lit(1L))
       .otherwise(col("tot_is_h1") + 1)
+    // INTEGER tier codes through the aggregates: max(string) has an
+    // immutable agg buffer, so the string form forced Sort +
+    // SortAggregate twice over the customer frame (seen in the r10
+    // plan audit); max over a LONG rides HashAggregate, and the
+    // T1/T2/T3/none labels are reconstructed on the 16-row matrix.
     val tiersAll = ranked
-      .withColumn("tier", concat(lit("T"),
-        G.ntileFromRank(col("rnk") - rnk0 + 1, nH, 3)))
+      .withColumn("tier", G.ntileFromRank(col("rnk") - rnk0 + 1, nH, 3))
+    def lbl(c: Column) =
+      when(c.isNull, "none").otherwise(concat(lit("T"), c))
     // each customer appears ≤ once per half, so the full outer join of
     // the two halves IS a customer-keyed pivot: ONE pass over the
     // tiered frame (the join form evaluated the rank plan twice, once
     // per side) and one custkey shuffle instead of a shuffle join
     tiersAll
       .groupBy(col("o_custkey"))
-      .agg(max(when(col("half") === "h1", col("tier"))).as("tier_h1"),
-        max(when(col("half") === "h2", col("tier"))).as("tier_h2"))
-      .select(coalesce(col("tier_h1"), lit("none")).as("from_tier"),
-        coalesce(col("tier_h2"), lit("none")).as("to_tier"))
-      .groupBy(col("from_tier"), col("to_tier"))
+      .agg(max(when(col("half") === "h1", col("tier"))).as("t1"),
+        max(when(col("half") === "h2", col("tier"))).as("t2"))
+      .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_customers"))
+      .select(lbl(col("t1")).as("from_tier"), lbl(col("t2")).as("to_tier"),
+        col("n_customers"))
       .orderBy(col("from_tier"), col("to_tier"))
   }
 

@@ -30,14 +30,14 @@ class PlanAuditSpec extends SparkTestBase {
     *   - literal cap: an explicit limit/top-k upstream of the window
     */
   private val boundedUnpartitionedWindows: Set[String] = Set(
-    // sortedPrefixSums/globalPrefixSums offsets window: Catalyst folds the
-    // lit(0) partition key away, leaving an unpartitioned WindowExec over
-    // the per-shard offsets frame — at most `shards` rows by construction
-    // (see GraftOps.sortedPrefixSums). The DATA-sized cumsum in these plans
-    // is shard-partitioned.
-    "analytics_gains", "analytics_pareto", "analytics_rfm",
-    "analytics_rfm_migration", "pipeline_token_budget", "sample_systematic",
-    "text_oov_rate", "text_vocab_growth", "text_zipf",
+    // globalPrefixSums offsets window: Catalyst folds the lit(0)
+    // partition key away, leaving an unpartitioned WindowExec over the
+    // per-shard offsets frame — n/shardWidth rows by construction (see
+    // GraftOps.globalPrefixSums). The DATA-sized cumsum in these plans
+    // is shard-partitioned. (sortedPrefixSums queries left this list in
+    // r10: their offsets scan moved driver-side — the zipWithIndex
+    // pattern — so no offsets window remains in those plans.)
+    "analytics_gains", "text_oov_rate", "text_vocab_growth",
     // calendar / day domain: window input is a per-day (or per-week/month)
     // pre-aggregate — one row per calendar unit of the corpus span
     "analytics_mom", "pipeline_drift_report",

@@ -102,7 +102,7 @@ object Fuzz {
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
-      36, 37, 38, 41, 42, 43, 44)) match {
+      36, 37, 38, 41, 42, 43, 44, 45, 46, 47)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -648,6 +648,55 @@ object Fuzz {
          |    AS max_len_stripped
          |FROM documents WHERE ${docPredicate(r)}
          |GROUP BY lang ORDER BY lang""".stripMargin
+    case 45 => // GROUPING SETS beyond ROLLUP (agg_groupingsets's shape):
+      // an arbitrary random subset of the four sets over two keys —
+      // subtotal rows carry NULL keys, GROUPING() flags and the
+      // null-ordered sort must agree between engines
+      val all = Seq("(o_orderstatus)", "(o_orderpriority)",
+        "(o_orderstatus, o_orderpriority)", "()")
+      val sets = all.filter(_ => r.nextBoolean()) match {
+        case Nil => Seq(all(r.nextInt(all.size)))
+        case s   => s
+      }
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+         |  COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY GROUPING SETS (${sets.mkString(", ")})
+         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin
+    case 46 => // LATERAL correlated aggregate (join_lateral's shape with
+      // an agg body): one derived row per outer customer — COUNT over
+      // an empty correlation is 0 and SUM is NULL in both engines, so
+      // the outer filter keeps low-order customers visible
+      val bal = 8000 + r.nextInt(2000)
+      val status = pick(r, Seq("F", "O"))
+      s"""SELECT c.c_custkey, t.n_orders,
+         |  CAST(COALESCE(t.total, 0.0) AS DOUBLE) AS total
+         |FROM customer c,
+         |LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+         |         FROM orders o
+         |         WHERE o.o_custkey = c.c_custkey
+         |           AND o.o_orderstatus = '$status') t
+         |WHERE c.c_acctbal > $bal
+         |ORDER BY c.c_custkey""".stripMargin
+    case 47 => // interval-arithmetic battery (fn_date_arith's territory):
+      // month-add clamping (Jan 31 + 1 MONTH = end of Feb in both
+      // engines), quarter/day extraction after the shift, and
+      // last_day — all folded through a grouped aggregate; date
+      // outputs ride as ISO strings (the gate bans DATE columns)
+      val mths = 1 + r.nextInt(11)
+      val days = 1 + r.nextInt(60)
+      s"""SELECT
+         |  CAST(date_part('year', o_orderdate + INTERVAL '$mths' MONTH) AS BIGINT) AS y,
+         |  CAST(date_part('quarter', o_orderdate + INTERVAL '$mths' MONTH) AS BIGINT) AS q,
+         |  COUNT(*) AS n,
+         |  concat(MIN(o_orderdate + INTERVAL '$days' DAY), '') AS min_shifted,
+         |  concat(MAX(last_day(o_orderdate)), '') AS max_eom
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY y, q ORDER BY y, q""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

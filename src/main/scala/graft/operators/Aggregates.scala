@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.api.Barrier._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Dec._
@@ -779,32 +779,59 @@ object Aggregates {
     * row-level tie-break); the selection test 2·cum ≥ W is exact
     * integer — no division anywhere until the output cast.
     *
-    * Scale shape: fact scale collapses to (flag, distinct price) in
-    * ONE map-combined shuffle; the cumulative window and the pick run
-    * over the price-domain-sized frame. Same cost class as any exact
-    * percentile; the approximate ladder is the documented swap.
+    * Scale shape — HISTOGRAM PRUNE + EXACT REFINE, the classic exact
+    * distributed percentile: a flag-partitioned window over the raw
+    * (flag, distinct price) frame would put n/3 of the price domain in
+    * ONE task (l_returnflag has 3 values — the same single-task hazard
+    * class the unpartitioned-window whitelist polices; measured as a
+    * 3-task × 200k-row window stage at sf0.1). Instead:
+    *   phase 1 — bucket prices by `price DIV 100` and aggregate weight
+    *     per (flag, bucket): a map-combined shuffle of a few thousand
+    *     partial rows, never the fact rows; the cumulative scan that
+    *     locates each flag's MEDIAN BUCKET runs over the bucket-domain
+    *     frame (price-range/100 rows — value-domain bounded);
+    *   phase 2 — re-scan the fact filtered to the 3 (flag, median
+    *     bucket) slices and refine exactly: the within-bucket frame is
+    *     ≤ 10⁴ distinct cent prices per flag BY CONSTRUCTION (bucket
+    *     width 100 × cent granularity), so its window is bounded no
+    *     matter the corpus size. Exact two-pass algorithm — the fact
+    *     reads twice by design (the accepted 2-scan class), and at
+    *     cluster scale the refine's price-range predicate prunes
+    *     parquet row groups.
     */
   def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     val wcents = (col("l_quantity").cast("decimal(7,2)") * 100).cast("long")
-    val byPrice = Tables.lineitem(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice").as("price"),
         wcents.as("w"))
-      .groupBy(col("l_returnflag"), col("price"))
-      .agg(sum(col("w")).as("w"))
-    // both windows share (partition, order) and differ only in frame,
-    // so Spark evaluates them in ONE WindowExec pass over one sort —
-    // a partition-only total spec would plan a second WindowExec that
-    // re-traverses the whole sorted frame for the same values
-    val base = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
-    val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = base.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    byPrice
-      .withColumn("cum", sum(col("w")).over(cum))
-      .withColumn("total_w", sum(col("w")).over(tot))
-      .filter(col("cum") * 2 >= col("total_w"))
+      .withColumn("bkt", floor(col("price") / 100).cast("long"))
+    // phase 1: weight histogram over (flag, price-bucket)
+    val hist = li.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("w")).as("bw"))
+    val wf = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+    val cumB = sum(col("bw")).over(
+      wf.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val totB = sum(col("bw")).over(
+      wf.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    // the median bucket = FIRST bucket whose cumulative weight reaches
+    // half the total; `off` = cumulative weight strictly before it
+    val target = hist
+      .withColumn("cumb", cumB).withColumn("tw", totB)
+      .filter(col("cumb") * 2 >= col("tw"))
       .groupBy(col("l_returnflag"))
-      .agg(max(col("total_w")).as("total_weight_cents"),
+      .agg(min(col("bkt")).as("bkt"), max(col("tw")).as("tw"),
+        min_by(col("cumb") - col("bw"), col("bkt")).as("off"))
+    // phase 2: exact within-bucket refine on the pruned slice
+    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.join(broadcast(target), Seq("l_returnflag", "bkt"))
+      .groupBy(col("l_returnflag"), col("price"))
+      .agg(sum(col("w")).as("pw"), max(col("tw")).as("tw"),
+        max(col("off")).as("off"))
+      .withColumn("cumin", sum(col("pw")).over(wp))
+      .filter((col("off") + col("cumin")) * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tw")).as("total_weight_cents"),
         min(col("price")).as("wmedian_price"))
       .orderBy(col("l_returnflag"))
   }

@@ -104,15 +104,21 @@ class PlanBudgetSpec extends SparkTestBase {
       "only the supplier dimension may scan parquet in the consumer plan")
   }
 
-  test("agg_weighted_median: ONE WindowExec evaluates both frames over one sort") {
-    // the running sum and the whole-partition total share (partition,
-    // order) and differ only in frame — Spark groups them into a single
-    // WindowExec; a partition-only total spec would plan a second
-    // Window that re-traverses the sorted price-domain frame
+  test("agg_weighted_median: histogram prune + refine, both windows bucket-bounded") {
+    // r10 shape: a flag-partitioned window over the raw price domain
+    // put n/3 of it in one task; the two-phase form's windows run over
+    // (a) the price-bucket histogram (value-domain bounded) and
+    // (b) the single median bucket's ≤10⁴-cent-price slice — exactly
+    // TWO Window nodes and TWO fact scans (the accepted exact-two-pass
+    // class), zero barriers
     val df = Aggregates.queries("agg_weighted_median")(spark, sf)
-    val wins = df.queryExecution.sparkPlan.toString.linesIterator
+    val plan = df.queryExecution.sparkPlan.toString
+    val wins = plan.linesIterator
       .count(_.trim.stripPrefix("+- ").startsWith("Window"))
-    assert(wins === 1, s"got $wins Window nodes")
+    assert(wins === 2, s"got $wins Window nodes")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 2, s"got $scans fact scans")
+    assert(!plan.contains("ExistingRDD"), "no barrier in this plan")
   }
 
   test("tpch_q17: ONE data shuffle (the per-part window partition)") {

@@ -387,7 +387,7 @@ object Analytics {
     val rev = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"))
       .agg(sum(centsEp * (lit(100L) - centsDisc)).as("rev_i"))
-    // the grand total rides the prefix-sum offsets frame (withTotals) —
+    // the grand total rides the prefix-sum pass (withTotals) —
     // a separate rev.agg() branch would re-run the fact scan+aggregate
     graft.api.GraftOps.sortedPrefixSums(rev,
         Seq(col("rev_i").desc, col("l_partkey")), Seq("rev_i"),
@@ -1308,7 +1308,7 @@ object Analytics {
         max(when(unix_micros(col("ts_utc")) >= col("mid") &&
           col("event_type") === "purchase", 1L).otherwise(0L))
           .as("responded"))
-    // n_all = tot_rn from the prefix-sum offsets frame — no second
+    // n_all = tot_rn from the prefix-sum grand totals — no second
     // pass over the ranked snapshot for the denominator
     val ranked = graft.api.GraftOps.sortedPrefixSums(perUser,
       Seq(col("score").desc, col("user_id")), Seq.empty,

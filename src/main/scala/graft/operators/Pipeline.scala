@@ -507,7 +507,7 @@ object Pipeline {
       .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
         round(size(array_distinct(tk)).cast("double") /
           size(tk).cast("double"), 6).as("ttr"))
-    // total token mass rides the prefix-sum offsets frame (withTotals)
+    // total token mass rides the prefix-sum grand totals (withTotals)
     // — a separate scored.agg() branch would re-scan the documents
     graft.api.GraftOps.sortedPrefixSums(scored,
         Seq(col("ttr").desc, col("doc_id")), Seq("n_tokens"),

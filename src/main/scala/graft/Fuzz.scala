@@ -654,10 +654,18 @@ object Fuzz {
       // null-ordered sort must agree between engines
       val all = Seq("(o_orderstatus)", "(o_orderpriority)",
         "(o_orderstatus, o_orderpriority)", "()")
-      val sets = all.filter(_ => r.nextBoolean()) match {
+      val chosen = all.filter(_ => r.nextBoolean()) match {
         case Nil => Seq(all(r.nextInt(all.size)))
         case s   => s
       }
+      // Spark rejects GROUPING(c) when c appears in NO grouping set
+      // (DuckDB allows it) — the shared dialect needs both columns
+      // grouped somewhere, so top up with the pair set if the random
+      // subset missed one (found by seed 99)
+      val sets =
+        if (chosen.exists(_.contains("o_orderstatus")) &&
+            chosen.exists(_.contains("o_orderpriority"))) chosen
+        else chosen :+ "(o_orderstatus, o_orderpriority)"
       s"""SELECT o_orderstatus, o_orderpriority,
          |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
          |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,

@@ -1305,11 +1305,21 @@ object GraftOps {
     * ignores them, which exactly yields the shorter trailing windows
     * that the final slice drops.
     */
-  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowFingerprintsHashed(text, s => xxhash64(s), k, w)
+
+  /** winnowFingerprints with a caller-supplied gram hash — same cascade,
+    * same coverage guarantee. Exists so the oracle twin
+    * (`text_winnow_md5`) can run the IDENTICAL window-minimum algebra
+    * over a hash DuckDB reproduces (48-bit md5 prefix) while the
+    * production entry stays on codegen xxhash64.
+    */
+  private[graft] def winnowFingerprintsHashed(text: Column,
+      gramHash: Column => Column, k: Int, w: Int): Column = {
     val n = greatest(length(text) - lit(k - 1), lit(1)) // == size(grams)
     val grams = transform(
       sequence(lit(1), n),
-      i => xxhash64(text.substr(i, lit(k))))
+      i => gramHash(text.substr(i, lit(k))))
     var arr = grams
     var covered = 1
     while (covered < w) {

@@ -337,8 +337,61 @@ object Ann {
       .limit(10)
   }
 
+  /** `knn_sq8_verify` — the SQ8 ENCODE + ADC arithmetic of the
+    * quantized ANN path, value-gated against DuckDB (the
+    * dedup_embed_verify pattern, like knn_pq_verify gates PQ): per
+    * vector, scale = max|x|/127, codes = round(x/scale), then the ADC
+    * cosine against probe 0 computed FROM THE CODES
+    * (Σ cᵢpᵢ / (√Σ cᵢ² · ‖p‖) — cosine is scale-invariant, so the
+    * dequantization scale cancels and the value gates the codes
+    * themselves), plus the reconstruction L2 error ‖deq(q) − v‖ which
+    * gates the scale. Arithmetic runs in DOUBLE on both engines so the
+    * IEEE ops match bit-for-bit before the ROUND-6 gate; the production
+    * knn_quant path stays on the float `quantizeInt8` struct (4×
+    * storage cut at ingest), this twin pins its algebra.
+    *
+    * HOF discipline: the per-vector scale reduction rides into the
+    * code/error lambda as a zip_with ARGUMENT (array_repeat), so it
+    * runs once per row — never once per element (the quantizeInt8
+    * docstring's O(d²) interpreted-HOF pathology). One map-side pass,
+    * one broadcast probe row, no shuffle beyond the final sort.
+    */
+  def knnSq8Verify(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val scExpr = greatest(
+      aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))),
+      lit(java.lang.Float.MIN_NORMAL.toDouble)) / lit(127.0)
+    // one element struct per dim: the int8 code and its squared
+    // reconstruction error (round(x/s)·s − x)²
+    val z = zip_with(col("v"), array_repeat(scExpr, size(col("v"))),
+      (x, s) => struct(round(x / s).cast("long").as("c"),
+        ((round(x / s) * s - x) * (round(x / s) * s - x)).as("e2")))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val pn = probe.select(
+      sqrt(aggregate(transform(col("pv"), x => x * x),
+        lit(0.0), (s, t) => s + t)).as("pn"))
+    e.select(col("vec_id"), col("v"), z.as("z"), scExpr.as("sc"))
+      .crossJoin(broadcast(probe)).crossJoin(broadcast(pn))
+      .select(col("vec_id"),
+        concat_ws("-", transform(col("z"),
+          p => p.getField("c").cast("string"))).as("codes"),
+        round(col("sc") * lit(127.0), 6).as("max_abs"),
+        round(
+          aggregate(zip_with(col("z"), col("pv"),
+              (p, pv) => p.getField("c") * pv), lit(0.0), (s, t) => s + t) /
+            (greatest(sqrt(aggregate(transform(col("z"),
+              p => (p.getField("c") * p.getField("c")).cast("double")),
+              lit(0.0), (s, t) => s + t)), lit(1e-300)) * col("pn")), 6)
+          .as("adc_cos"),
+        round(sqrt(aggregate(transform(col("z"), p => p.getField("e2")),
+          lit(0.0), (s, t) => s + t)), 6).as("q_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_mips" -> knnMips _,
+    "knn_sq8_verify" -> knnSq8Verify _,
     "knn_recall_eval" -> knnRecallEval _,
     "knn_range" -> knnRange _,
     "knn_ann" -> knnAnn _,
@@ -349,6 +402,36 @@ object Ann {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB twin of the SQ8 encode + ADC algebra — same DOUBLE ops:
+    // scale = max|x|/127 (Float.MinNormal floor), codes = round(x/s)
+    // (both engines round doubles half-away-from-zero), ADC cosine from
+    // the codes, reconstruction L2 from codes·s − x.
+    "knn_sq8_verify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max([abs(v[i]) for i in range(1, len(v)+1)]),
+        |          1.1754943508222875e-38) / 127.0 AS sc
+        |      FROM e),
+        |c AS (SELECT vec_id, v, sc,
+        |        [CAST(round(v[i] / sc) AS BIGINT)
+        |         for i in range(1, len(v)+1)] AS codes
+        |      FROM s),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |pn AS (SELECT sqrt(list_sum([pv[i]*pv[i]
+        |         for i in range(1, len(pv)+1)])) AS pn FROM p)
+        |SELECT c.vec_id,
+        |  array_to_string(c.codes, '-') AS codes,
+        |  ROUND(c.sc * 127.0, 6) AS max_abs,
+        |  ROUND(list_sum([c.codes[i]*p.pv[i]
+        |      for i in range(1, len(c.codes)+1)])
+        |    / (greatest(sqrt(list_sum([CAST(c.codes[i]*c.codes[i] AS DOUBLE)
+        |        for i in range(1, len(c.codes)+1)])), 1e-300) * pn.pn), 6)
+        |    AS adc_cos,
+        |  ROUND(sqrt(list_sum([(c.codes[i]*c.sc - c.v[i])
+        |      * (c.codes[i]*c.sc - c.v[i])
+        |      for i in range(1, len(c.v)+1)])), 6) AS q_err
+        |FROM c, p, pn ORDER BY c.vec_id""".stripMargin,
     "knn_mips" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings

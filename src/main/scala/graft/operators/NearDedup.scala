@@ -183,6 +183,100 @@ object NearDedup {
        |FROM sigs GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** `dedup_minhash_md5` — oracle-gated twin of dedup_minhash: the SAME
+    * minhash algebra (min-over-shingles signatures, per-band bucket
+    * equi-joins, pair dedup, exact hashed-shingle Jaccard verify) over
+    * a 28-bit md5-prefix shingle hash and three explicit
+    * (a·h + b) mod p permutations that DuckDB reproduces exactly — so
+    * the min/band/bucket-join/verify arithmetic is value-checked
+    * end-to-end, the way dedup_simhash_md5 gates the bit-vote. The
+    * production entry stays on MLlib MinHashLSH (engine-internal hash
+    * family ⇒ no SQL oracle); only the hash family differs here.
+    *
+    * All constants fit the integer algebra in 64 bits on both engines:
+    * h < 2^28, a < 2^25, so a·h + b < 2^53 — exact in BIGINT and even
+    * in a double. Signatures are a map-side array_min over the hashed
+    * shingle array (no explode); candidates come from three band
+    * equi-joins (never all-pairs — the production LSH shape); the
+    * verify Jaccard runs on the distinct 28-bit shingle-hash sets,
+    * exactly like the production path's hashed `idx` sets. The
+    * signature frame is barriered so the three band joins re-read one
+    * computed snapshot instead of re-hashing the corpus six times.
+    */
+  def dedupMinhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 268435399L // largest prime < 2^28
+    val A = Seq(7368787L, 15485863L, 32452843L)
+    val B = Seq(104729L, 224737L, 350377L)
+    val sig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
+          " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("grams"),
+          g => conv(substring(md5(g), 1, 7), 16, 10).cast("long"))).as("hs"))
+      .select(col("doc_id") +: col("hs") +: (0 until 3).map(j =>
+        array_min(transform(col("hs"),
+          h => (lit(A(j)) * h + lit(B(j))) % lit(P))).as(s"s$j")): _*)
+      .barrier(eager = false)
+    val a = sig.select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
+      col("s0").as("a0"), col("s1").as("a1"), col("s2").as("a2"))
+    val b = sig.select(col("doc_id").as("id_b"), col("hs").as("hs_b"),
+      col("s0").as("b0"), col("s1").as("b1"), col("s2").as("b2"))
+    val pairs = (0 until 3).map { j =>
+        a.join(b, col(s"a$j") === col(s"b$j") && col("id_a") < col("id_b"))
+      }.reduce(_ unionAll _)
+      .dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
+    val uni = size(array_union(col("hs_a"), col("hs_b")))
+    val dist = lit(1.0) - inter.cast("double") / uni.cast("double")
+    val nBands = (0 until 3).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs.filter(dist <= 0.5)
+      .select(col("id_a"), col("id_b"), nBands.as("n_bands"),
+        round(dist, 6).as("est_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The DuckDB twin of dedupMinhashMd5: identical shingle set, hash
+    * prefix, permutations, banding, and Jaccard — the intersection
+    * count runs as an equi-join over the distinct (doc, h) table
+    * instead of array_intersect, same integers either way.
+    */
+  private def minhashMd5Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct([array_to_string(t[i:i+2], ' ')
+      |          for i in range(1, greatest(len(t)-2, 1)+1)]) AS grams
+      |      FROM toks),
+      |dh AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(gram),1,7))::BIGINT AS h
+      |       FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+      |sig AS (SELECT doc_id,
+      |         min((7368787*h + 104729) % 268435399) AS s0,
+      |         min((15485863*h + 224737) % 268435399) AS s1,
+      |         min((32452843*h + 350377) % 268435399) AS s2
+      |       FROM dh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(a.s0=b.s0 AS INT)+CAST(a.s1=b.s1 AS INT)+CAST(a.s2=b.s2 AS INT)
+      |      AS n_bands
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE a.s0=b.s0 OR a.s1=b.s1 OR a.s2=b.s2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY doc_id),
+      |inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+      |          FROM cand p JOIN dh a ON a.doc_id=p.id_a
+      |          JOIN dh b ON b.doc_id=p.id_b AND b.h=a.h
+      |          GROUP BY p.id_a, p.id_b)
+      |SELECT c.id_a, c.id_b, CAST(c.n_bands AS BIGINT) AS n_bands,
+      |  ROUND(1.0 - CAST(COALESCE(i.i,0) AS DOUBLE)
+      |    / (sa.n + sb.n - COALESCE(i.i,0)), 6) AS est_dist
+      |FROM cand c
+      |JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+      |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |WHERE 1.0 - CAST(COALESCE(i.i,0) AS DOUBLE)
+      |    / (sa.n + sb.n - COALESCE(i.i,0)) <= 0.5
+      |ORDER BY c.id_a, c.id_b""".stripMargin
+
   /** `dedup_ngram` — EXACT 3-gram Jaccard similarity: the verify stage
     * that LSH candidate pairs feed into at scale. Gated over a
     * deterministic pair set (consecutive doc_ids) so the exact-Jaccard
@@ -755,6 +849,7 @@ object NearDedup {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_md5" -> dedupSimhashMd5 _,
+    "dedup_minhash_md5" -> dedupMinhashMd5 _,
     "dedup_ngram" -> dedupNgram _,
     "dedup_containment" -> dedupContainment _,
     "dedup_embed" -> dedupEmbed _,
@@ -943,6 +1038,7 @@ object NearDedup {
         |FROM b a JOIN b b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_md5" -> simhashMd5Oracle,
+    "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_embed_verify" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -97,14 +97,46 @@ object Text {
     * pinned in ApiSpec, accounting in TextSpec.
     */
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    // barriered: the HOF fingerprint cascade is the dominant map cost
+    // and the frame is consumed three times (join side + the sharing
+    // scan's two pair passes) — one materialization, zero re-derives
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         graft.api.GraftOps.winnowFingerprints(col("text")).as("fp"))
+      .barrier(eager = false)
     // Sharing scan with BOUNDED per-group state (no collect_set — see
     // GraftOps.sharedFingerprintIds; a hot boilerplate fingerprint
     // would otherwise collect every sharing doc_id into one reducer
     // row). Output identical to the collect_set form, pinned in
     // TextSpec (plan) and the verify baseline diff (values).
+    val shared = graft.api.GraftOps.sharedFingerprintIds(docs, "doc_id", "fp")
+      .withColumn("has_shared", lit(1L))
+    docs.join(shared, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("fp")).cast("long")).as("n_fingerprints"),
+        sum(coalesce(col("has_shared"), lit(0L))).as("n_docs_sharing"))
+      .orderBy(col("source"))
+  }
+
+  /** `text_winnow_md5` — oracle-gated twin of text_winnow: the SAME
+    * shift-and-min winnowing cascade (k=5, w=4, distinct window minima,
+    * shared-fingerprint scan) over a 48-bit md5-prefix gram hash that
+    * DuckDB can reproduce — so the window-minimum algebra, the
+    * fingerprint accounting, and the sharing semi-join are value-checked
+    * end-to-end (the dedup_simhash_md5 pattern). The production query
+    * stays on the 64-bit xxhash64 codegen expression; only the hash
+    * differs. Plan shape identical to text_winnow: map-side HOF cascade,
+    * two-phase countDistinct sharing scan, per-source aggregate.
+    */
+  def textWinnowMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    val gramHash = (s: org.apache.spark.sql.Column) =>
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.api.GraftOps.winnowFingerprintsHashed(col("text"), gramHash, 5, 4)
+          .as("fp"))
+      .barrier(eager = false) // same three-consumer shape as text_winnow
     val shared = graft.api.GraftOps.sharedFingerprintIds(docs, "doc_id", "fp")
       .withColumn("has_shared", lit(1L))
     docs.join(shared, Seq("doc_id"), "left")
@@ -672,6 +704,7 @@ object Text {
     "text_langid" -> textLangid _,
     "text_tokens_regex" -> textTokensRegex _,
     "text_winnow" -> textWinnow _,
+    "text_winnow_md5" -> textWinnowMd5 _,
     "text_repetition" -> textRepetition _,
     "text_tfidf" -> textTfidf _,
     "text_bm25" -> textBm25 _
@@ -691,6 +724,30 @@ object Text {
       .orderBy(col("doc_id"))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB twin of the winnow cascade: gram hashes via 48-bit md5
+    // prefix, window minima via list_min over 4-wide slices (the
+    // comprehension clamps trailing slices exactly like the cascade's
+    // null-padded zip_with), distinct minima, then the same sharing
+    // accounting. fp lists are distinct per doc, so HAVING count(*)>=2
+    // counts distinct docs.
+    "text_winnow_md5" ->
+      """WITH g AS (SELECT doc_id, source,
+        |    [('0x'||substr(md5(substr(text, i, 5)),1,12))::BIGINT
+        |     for i in range(1, greatest(length(text)-4, 1)+1)] AS gh
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    list_distinct([list_min(gh[i:i+3])
+        |      for i in range(1, greatest(len(gh)-3, 1)+1)]) AS fp
+        |  FROM g),
+        |u AS (SELECT doc_id, unnest(fp) AS f FROM m),
+        |hot AS (SELECT f FROM u GROUP BY f HAVING count(*) >= 2),
+        |shared AS (SELECT DISTINCT u.doc_id FROM u JOIN hot s ON u.f = s.f)
+        |SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(fp)) AS BIGINT) AS n_fingerprints,
+        |  CAST(sum(CASE WHEN sh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_sharing
+        |FROM m LEFT JOIN shared sh ON sh.doc_id = m.doc_id
+        |GROUP BY m.source ORDER BY m.source""".stripMargin,
     "text_edit_distance" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars, substr(text, 1, 48) AS probe,

@@ -450,4 +450,38 @@ class AnnSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"probe broadcast + map-side score must not shuffle the corpus:\n$plan")
   }
+
+  test("knn_sq8_verify: int8 code range, reconstruction bound, ADC-vs-exact cosine") {
+    val rows = Ann.knnSq8Verify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val pv = vs(0L)
+    val pn = math.sqrt(pv.map(x => x * x).sum)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val v = vs(id)
+      // split keeps the sign: a '-' after a digit separates codes, a
+      // '-' after a separator is the next code's sign
+      val codes = r.getString(1).split("(?<=[0-9])-").map(_.toLong)
+      assert(codes.length === v.length, s"vec $id code count")
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id int8 range")
+      val maxAbs = r.getDouble(2)
+      assert(math.abs(maxAbs - v.map(math.abs).max) <= 1e-6, s"vec $id scale")
+      // per-dim rounding error <= scale/2 ⇒ L2 error <= sqrt(d)·scale/2
+      val qErr = r.getDouble(4)
+      assert(qErr <= math.sqrt(v.length) * (maxAbs / 127.0) / 2 + 1e-6,
+        s"vec $id reconstruction error $qErr above the int8 bound")
+      // ADC cosine (computed from the codes alone) tracks exact cosine
+      // well inside ANN bucketing noise
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val exact = v.zip(pv).map { case (a, b) => a * b }.sum / (vn * pn)
+      assert(math.abs(r.getDouble(3) - exact) <= 0.02,
+        s"vec $id ADC cosine ${r.getDouble(3)} vs exact $exact")
+    }
+    // the probe against itself: codes reconstruct its own direction
+    val self = rows.find(_.getLong(0) == 0L).get
+    assert(self.getDouble(3) >= 0.999)
+  }
 }

@@ -143,6 +143,36 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("winnowFingerprintsHashed(md5) matches the driver-side reference") {
+    // pins text_winnow_md5's cascade: same window-minimum algebra as
+    // winnowFingerprints, gram hash = first 12 md5 hex digits as a long
+    val spark2 = spark
+    import spark2.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 60).map { i =>
+      (i.toLong, rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+    } :+ (60L -> "") :+ (61L -> "abc")
+    val k = 5; val w = 4
+    val gramHash = (s: org.apache.spark.sql.Column) =>
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    val gotFp = texts.toDF("id", "body")
+      .select(col("id"),
+        GraftOps.winnowFingerprintsHashed(col("body"), gramHash, k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, body) <- texts) {
+      val n = math.max(body.length - (k - 1), 1)
+      val grams = (0 until n).map(i =>
+        java.lang.Long.parseLong(
+          md5hex(body.substring(i, math.min(i + k, body.length))).take(12), 16))
+      val ref = (if (grams.size < w) Seq(grams.min)
+                 else grams.sliding(w).map(_.min).toSeq).distinct.sorted
+      assert(gotFp(id) === ref, s"winnow-md5 of '$body'")
+    }
+  }
+
   test("sharedFingerprintIds: exactly the docs sharing a fingerprint, bounded-state plan") {
     val spark2 = spark
     import spark2.implicits._

@@ -248,4 +248,41 @@ class NearDedupSpec extends SparkTestBase {
     assert(m === degSum, s"endpoint pairs $m vs handshake ${degSum}")
     assert(m % 2 === 0L, "both orientations counted")
   }
+
+  test("dedup_minhash_md5 equals the driver-side closed form (sigs, bands, jaccard)") {
+    val got = NearDedup.dedupMinhashMd5(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // full recompute of the twin's algebra in plain Scala
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val P = 268435399L
+    val ab = Seq((7368787L, 104729L), (15485863L, 224737L), (32452843L, 350377L))
+    val hs: Map[Long, Set[Long]] = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val grams = (0 until math.max(toks.length - 2, 1))
+          .map(i => toks.slice(i, i + 3).mkString(" ")).distinct
+        r.getLong(0) ->
+          grams.map(g => java.lang.Long.parseLong(md5hex(g).take(7), 16)).toSet
+      }.toMap
+    val sigs = hs.map { case (id, s) =>
+      id -> ab.map { case (a, b) => s.map(h => (a * h + b) % P).min }
+    }
+    val ids = hs.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      nb = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } if nb > 0
+      inter = (hs(a) intersect hs(b)).size
+      dist = 1.0 - inter.toDouble / (hs(a).size + hs(b).size - inter)
+      if dist <= 0.5
+    } yield (a, b, nb.toLong,
+      BigDecimal(dist).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    ).toSet
+    assert(got === expect,
+      s"minhash twin diverged: extra=${got -- expect} missing=${expect -- got}")
+    assert(expect.nonEmpty, "corpus must contain at least one near-dup pair")
+  }
 }

@@ -55,6 +55,18 @@ class ScanBudgetSpec extends SparkTestBase {
   // batch scan + the driver's one-row mid probe; history is barriered
   pin("dedup_bloom", "documents", 2)
 
+  // r10 value-gate twins: the minhash twin's signature frame is
+  // barriered (the three band joins re-read one snapshot — 0 consumer
+  // scans); the SQ8 twin reads the corpus once plus two pushed-down
+  // one-row probe scans; the winnow twin shares text_winnow's accepted
+  // two-pass shape (fingerprint pass + sharing scan)
+  pin("dedup_minhash_md5", "documents", 0)
+  pin("knn_sq8_verify", "embeddings", 3)
+  // both winnow entries barrier the fingerprint frame (three consumers:
+  // join side + the sharing scan's two pair passes)
+  pin("text_winnow", "documents", 0)
+  pin("text_winnow_md5", "documents", 0)
+
   // second sweep: barriered to ZERO consumer-plan fact scans
   pin("analytics_seasonal_index", "orders", 0)
   pin("analytics_stickiness", "events", 0)

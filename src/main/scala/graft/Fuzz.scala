@@ -102,7 +102,7 @@ object Fuzz {
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
-      36, 37, 38, 41, 42, 43, 44, 45, 46, 47)) match {
+      36, 37, 38, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -705,6 +705,79 @@ object Fuzz {
          |  concat(MAX(last_day(o_orderdate)), '') AS max_eom
          |FROM orders WHERE ${predicate(r)}
          |GROUP BY y, q ORDER BY y, q""".stripMargin
+    case 48 => // FILTER-clause conditional aggregation (the SQL:2003
+      // form of SUM(CASE WHEN ...)): per-aggregate predicates with an
+      // empty-filter SUM staying NULL in both engines (COALESCE'd to a
+      // sentinel so the gate hashes it deterministically)
+      val v = 100 + r.nextInt(300)
+      val (lo, hi) = { val a = r.nextInt(400); (a, a + 50 + r.nextInt(200)) }
+      s"""SELECT event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) FILTER (WHERE value > $v) AS BIGINT) AS n_hi,
+         |  CAST(COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |      FILTER (WHERE value BETWEEN $lo AND $hi) AS DECIMAL(38,6)) AS DOUBLE),
+         |    -1.0) AS DOUBLE) AS sum_mid,
+         |  CAST(MIN(user_id) FILTER (WHERE user_id % ${2 + r.nextInt(7)} = 0)
+         |    AS BIGINT) AS min_even_user
+         |FROM events WHERE ${eventPredicate(r)}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    case 49 => // FULL OUTER join of two per-key aggregates with
+      // COALESCE'd keys — null-key arithmetic on both unmatched sides,
+      // the reconciliation-report shape
+      s"""WITH a AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_ord
+         |           FROM orders WHERE ${predicate(r)} GROUP BY o_custkey),
+         |b AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_ev
+         |      FROM events WHERE ${eventPredicate(r)} GROUP BY user_id)
+         |SELECT COALESCE(a.k, b.k) AS k,
+         |  CAST(COALESCE(a.n_ord, 0) AS BIGINT) AS n_ord,
+         |  CAST(COALESCE(b.n_ev, 0) AS BIGINT) AS n_ev,
+         |  CAST(COALESCE(a.n_ord, 0) + COALESCE(b.n_ev, 0) AS BIGINT) AS total
+         |FROM a FULL OUTER JOIN b ON a.k = b.k
+         |ORDER BY k""".stripMargin
+    case 50 => // TRY_CAST battery over integral strings derived from
+      // n_chars (NEVER raw text or doubles: DuckDB TRY_CAST('3.5' AS
+      // INTEGER) rounds where Spark yields NULL, and double→string
+      // formatting thresholds differ — integral material is the
+      // shared-dialect subset). Trailing junk → NULL, whitespace and
+      // leading zeros → trimmed, '.25' suffixes parse as DOUBLE in both
+      val sfx = pick(r, Seq(" ", "x", "-"))
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(COALESCE(TRY_CAST(concat(CAST(n_chars AS STRING), '$sfx')
+         |    AS INTEGER), -1)) AS BIGINT) AS s_junk,
+         |  CAST(SUM(COALESCE(TRY_CAST(concat('00', CAST(n_chars AS STRING))
+         |    AS INTEGER), -1)) AS BIGINT) AS s_lz,
+         |  CAST(SUM(CAST(TRY_CAST(concat(CAST(n_chars AS STRING), '.25')
+         |    AS DOUBLE) * 4 AS BIGINT)) AS BIGINT) AS s_quarter
+         |FROM documents WHERE ${docPredicate(r)}
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    case 51 => // CTE chain: per-key window rank feeding a set-op against
+      // a plain predicate scan — dedup-by-set-semantics after a top-k
+      val k = 1 + r.nextInt(3)
+      val v = 200000 + r.nextInt(300000)
+      val op = pick(r, Seq("EXCEPT", "INTERSECT"))
+      s"""WITH ranked AS (
+         |  SELECT o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders WHERE ${predicate(r)}),
+         |top AS (SELECT o_custkey FROM ranked WHERE rn <= $k),
+         |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > $v)
+         |SELECT o_custkey FROM top $op SELECT o_custkey FROM big
+         |ORDER BY o_custkey""".stripMargin
+    case 52 => // GREATEST/LEAST/NULLIF integer battery (integer-only by
+      // design: greatest over DECIMAL promotes differently across
+      // engines — the catalogued trap). NULL-skipping GREATEST and
+      // COUNT over NULLIF'd values must agree
+      val m = 3 + r.nextInt(17)
+      val (a, b, c) = (r.nextInt(m), r.nextInt(m), r.nextInt(m))
+      s"""SELECT o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(GREATEST(o_orderkey % $m, $a)) AS BIGINT) AS s_hi,
+         |  CAST(SUM(LEAST(o_orderkey % $m, $b)) AS BIGINT) AS s_lo,
+         |  CAST(COUNT(NULLIF(o_orderkey % $m, $c)) AS BIGINT) AS n_nonc,
+         |  CAST(SUM(COALESCE(NULLIF(o_orderkey % $m, $c), -1)) AS BIGINT)
+         |    AS s_sentinel
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -97,10 +97,21 @@ object Text {
     * pinned in ApiSpec, accounting in TextSpec.
     */
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
-    // barriered: the HOF fingerprint cascade is the dominant map cost
-    // and the frame is consumed three times (join side + the sharing
-    // scan's two pair passes) — one materialization, zero re-derives
+    // Barriered: the HOF fingerprint cascade is the dominant cost and
+    // the frame is consumed three times (join side + the sharing scan's
+    // two pair passes) — one materialization, zero re-derives. (Without
+    // the barrier the plan LOOKS cheap under a count() action — pruning
+    // guts the fp column and eliminates the join — but any real
+    // consumer, Verify's dump included, pays the cascade 3×.)
+    // The repartition spreads the CPU-bound cascade across tasks before
+    // it runs: a compact single-row-group input would otherwise put the
+    // whole hash pass on ONE task (measured 7.8 s single-task vs 0.7 s
+    // spread at sf0.1). One pass of corpus text through the exchange is
+    // the price; the hash work it parallelizes dominates it at every
+    // scale, and at production scale the same exchange rebalances
+    // skewed file splits.
     val docs = Tables.documents(spark, sfDir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"),
         graft.api.GraftOps.winnowFingerprints(col("text")).as("fp"))
       .barrier(eager = false)
@@ -133,6 +144,7 @@ object Text {
     val gramHash = (s: org.apache.spark.sql.Column) =>
       conv(substring(md5(s), 1, 12), 16, 10).cast("long")
     val docs = Tables.documents(spark, sfDir)
+      .repartition(col("doc_id")) // spread the cascade; see textWinnow
       .select(col("doc_id"), col("source"),
         graft.api.GraftOps.winnowFingerprintsHashed(col("text"), gramHash, 5, 4)
           .as("fp"))

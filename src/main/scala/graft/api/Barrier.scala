@@ -32,6 +32,17 @@ import org.apache.spark.sql.DataFrame
   * pinned in BASELINE.md): a barrier defeats column pruning — it
   * materializes EVERY column of the frame — so only barrier frames whose
   * every column every consumer needs.
+  *
+  * RELATED FOOTGUN — AQE coalesces keyed repartitions (round-10 lesson,
+  * shipped as a 3× bench regression): `repartition(col)` with NO explicit
+  * partition count emits an AQE-ADVISORY exchange, and AQE's
+  * byte-size-based coalescing will merge a few-MB input back into ONE
+  * partition — even when the point of the repartition was to spread
+  * CPU-heavy per-row work (hash cascades, decode, feature extraction)
+  * whose cost AQE's byte heuristic cannot see. A CPU-motivated spread
+  * must pass an explicit N — `repartition(N, col)` or `repartition(N)` —
+  * which AQE respects as user-specified (measured on the winnow cascade
+  * at sf0.1: keyed-no-N 8.3 s on one task vs explicit-N 0.9 s across 32).
   */
 object Barrier {
   final val ReliableConf = "spark.graft.barrier.reliable"

@@ -1317,9 +1317,18 @@ object GraftOps {
   private[graft] def winnowFingerprintsHashed(text: Column,
       gramHash: Column => Column, k: Int, w: Int): Column = {
     val n = greatest(length(text) - lit(k - 1), lit(1)) // == size(grams)
+    // Gram extraction is the native one-pass KGrams expression, NOT
+    // `transform(sequence(1, n), i => text.substr(i, k))`: substr(i, k)
+    // re-scans the string from byte 0 to char i on every call (UTF-8
+    // has no O(1) char index), making the substr form O(len²) bytes
+    // per document — a 100 k-char doc costs ~400× a 5 k-char one. The
+    // expression walks the bytes once and emits zero-copy gram views;
+    // the cascade's ~w re-evaluations each cost O(len), so the whole
+    // fingerprint pass is linear in document length (KGramsSpec pins
+    // both the scaling and value-equality with the substr form).
     val grams = transform(
-      sequence(lit(1), n),
-      i => gramHash(text.substr(i, lit(k))))
+      graft.expressions.KGramsUtil.kgramsCol(text, k),
+      g => gramHash(g))
     var arr = grams
     var covered = 1
     while (covered < w) {

@@ -105,13 +105,18 @@ object Text {
     // consumer, Verify's dump included, pays the cascade 3×.)
     // The repartition spreads the CPU-bound cascade across tasks before
     // it runs: a compact single-row-group input would otherwise put the
-    // whole hash pass on ONE task (measured 7.8 s single-task vs 0.7 s
-    // spread at sf0.1). One pass of corpus text through the exchange is
-    // the price; the hash work it parallelizes dominates it at every
-    // scale, and at production scale the same exchange rebalances
-    // skewed file splits.
+    // whole hash pass on ONE task. The partition count MUST be explicit
+    // (see Barrier's AQE-coalesce note): `repartition(col)` with no N
+    // emits an AQE-advisory exchange, and AQE coalesces the few MB of
+    // text right back into one partition — the cost here is CPU per
+    // row, which byte-based coalescing cannot see (measured 8.3 s
+    // keyed-no-N vs 0.9 s explicit-N at sf0.1; this exact footgun
+    // shipped in r10 as a 3× bench regression). One pass of corpus
+    // text through the exchange is the price; the hash work it
+    // parallelizes dominates it at every scale, and at production
+    // scale the same exchange rebalances skewed file splits.
     val docs = Tables.documents(spark, sfDir)
-      .repartition(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"),
         graft.api.GraftOps.winnowFingerprints(col("text")).as("fp"))
       .barrier(eager = false)
@@ -144,7 +149,8 @@ object Text {
     val gramHash = (s: org.apache.spark.sql.Column) =>
       conv(substring(md5(s), 1, 12), 16, 10).cast("long")
     val docs = Tables.documents(spark, sfDir)
-      .repartition(col("doc_id")) // spread the cascade; see textWinnow
+      // explicit-N spread of the cascade; see textWinnow's AQE note
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"),
         graft.api.GraftOps.winnowFingerprintsHashed(col("text"), gramHash, 5, 4)
           .as("fp"))

@@ -505,6 +505,21 @@ object GraftOps {
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        // Under reliable barriers (spark.graft.barrier.reliable=true,
+        // see graft.api.Barrier) the checkpoint FILES outlive the
+        // unpersist — without this, iterative ops (connectedComponents,
+        // pageRank, bpeTrain) accumulate checkpoint-dir data every
+        // round. getCheckpointFile is None for localCheckpoint, so the
+        // default mode never touches the filesystem. Best-effort: a
+        // failed delete leaks disk, never correctness.
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          scala.util.Try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true)
+          }: Unit
+        }
       case _ => ()
     }
 
@@ -1825,11 +1840,19 @@ object GraftOps {
     // lazy barriers, so no extra pass is paid.
     val totRows = totals.collect().sortBy(_.getLong(0))
     val cnts = totRows.map(_.getLong(1))
+    // A shard whose sum column is entirely NULL yields a NULL
+    // max_by total (SQL aggregates skip NULLs) — read it as 0, the
+    // contribution NULL rows make to a running sum, matching the
+    // window-based offsets this fold replaced (getLong would NPE).
+    def sumAt(r: org.apache.spark.sql.Row, i: Int): Long = {
+      val v = r.getAs[java.lang.Long](i)
+      if (v == null) 0L else v.longValue()
+    }
     val offRn = totRows.map(_.getLong(0))
       .zip(cnts.scanLeft(0L)(_ + _)).toMap
     val offC: Map[String, Map[Long, Long]] = sumCols.zipWithIndex.map {
       case (c, i) =>
-        val vals = totRows.map(_.getLong(2 + i))
+        val vals = totRows.map(sumAt(_, 2 + i))
         c -> totRows.map(_.getLong(0)).zip(vals.scanLeft(0L)(_ + _)).toMap
     }.toMap
     def mapLit(m: Map[Long, Long]): Column =
@@ -1848,7 +1871,7 @@ object GraftOps {
           withCums.withColumn("tot_rn", lit(cnts.sum))
         ) { (d, c) =>
           val i = sumCols.indexOf(c)
-          d.withColumn(s"tot_$c", lit(totRows.map(_.getLong(2 + i)).sum))
+          d.withColumn(s"tot_$c", lit(totRows.map(sumAt(_, 2 + i)).sum))
         }
     withTots.drop("__shard" +: "__rn" +:
       sumCols.map(c => s"__run_$c"): _*)
@@ -1871,26 +1894,6 @@ object GraftOps {
       .cast("long")
   }
 
-  /** Global inclusive prefix sums of integral columns over an
-    * UNBOUNDED ordered spine without a single-partition window — the
-    * scale shape an unpartitioned `Window.orderBy` cumsum cannot give
-    * (at 10⁹ rows that window is one task sorting the whole spine).
-    *
-    * Two-phase, the `RDD.zipWithIndex` pattern re-expressed on
-    * DataFrames: (1) shard by `orderCol DIV shardWidth` — an
-    * order-monotone key, so per-shard running sums ride a BOUNDED
-    * window partition; (2) the exclusive scan over the shard-totals
-    * frame (~n/shardWidth rows) is a driver-bounded window broadcast
-    * back as per-shard offsets. `cum_<c> = offset + run`. Everything
-    * is ONE lazy plan — no action, no materialization (value-derived
-    * shards make both branches consistent by construction).
-    *
-    * Requires: non-negative integral `orderCol` whose values are
-    * dense enough that n/shardWidth shards stay tiny relative to the
-    * data (ingest ids, epoch days, row sequence numbers), and LONG
-    * sum columns (exact integer arithmetic — bit-identical in any
-    * order).
-    */
   /** The two-phase prefix sums are EXACT only for integral sum columns:
     * shard totals are cast to LONG for the offsets frame, while the
     * per-row running sums stay in the column's native type. A double or
@@ -1912,6 +1915,26 @@ object GraftOps {
     }
   }
 
+  /** Global inclusive prefix sums of integral columns over an
+    * UNBOUNDED ordered spine without a single-partition window — the
+    * scale shape an unpartitioned `Window.orderBy` cumsum cannot give
+    * (at 10⁹ rows that window is one task sorting the whole spine).
+    *
+    * Two-phase, the `RDD.zipWithIndex` pattern re-expressed on
+    * DataFrames: (1) shard by `orderCol DIV shardWidth` — an
+    * order-monotone key, so per-shard running sums ride a BOUNDED
+    * window partition; (2) the exclusive scan over the shard-totals
+    * frame (~n/shardWidth rows) is a driver-bounded window broadcast
+    * back as per-shard offsets. `cum_<c> = offset + run`. Everything
+    * is ONE lazy plan — no action, no materialization (value-derived
+    * shards make both branches consistent by construction).
+    *
+    * Requires: non-negative integral `orderCol` whose values are
+    * dense enough that n/shardWidth shards stay tiny relative to the
+    * data (ingest ids, epoch days, row sequence numbers), and LONG
+    * sum columns (exact integer arithmetic — bit-identical in any
+    * order).
+    */
   def globalPrefixSums(df: DataFrame, orderCol: String,
       sumCols: Seq[String], shardWidth: Long = 65536L): DataFrame = {
     require(sumCols.nonEmpty && shardWidth > 0)

@@ -59,6 +59,13 @@ object Materialize {
         written += path
       }
     }
+    // Evict entries of stopped sessions on insert (mirrors
+    // Tables.table): a cached DataFrame strongly references its
+    // SparkSession, so without this a many-session run (test suites)
+    // would pin every stopped session in memory and defeat the
+    // sessionIds WeakHashMap reclamation.
+    resolved.entrySet().removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
     resolved.computeIfAbsent((Tables.sessionId(spark), path),
       _ => spark.read.parquet(path))
   }

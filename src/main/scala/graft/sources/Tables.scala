@@ -73,11 +73,20 @@ object Tables {
       id
     }
 
-  /** (max data-file mtime, total data-file bytes) — see catalog doc. */
+  /** (max data-file mtime, total data-file bytes) — see catalog doc.
+    * Walks directories RECURSIVELY: a partitioned dataset keeps its
+    * part files in subdirectories, and a top-level-only listing would
+    * see zero files there and fall back to the directory's own
+    * mtime/length — exactly the in-place-rewrite staleness this
+    * fingerprint exists to prevent.
+    */
   private def dataFingerprint(f: java.io.File): (Long, Long) =
     if (f.isDirectory) {
-      val files = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(x => x.isFile && !x.getName.startsWith("."))
+      def walk(d: java.io.File): Array[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(!_.getName.startsWith("."))
+          .flatMap(x => if (x.isDirectory) walk(x) else Array(x))
+      val files = walk(f)
       if (files.isEmpty) (f.lastModified(), f.length())
       else (files.map(_.lastModified()).max, files.map(_.length()).sum)
     } else (f.lastModified(), f.length())

@@ -795,6 +795,25 @@ class ApiSpec extends SparkTestBase {
     }
   }
 
+  test("sortedPrefixSums: all-NULL sum values in a shard count as 0, no NPE") {
+    // A shard whose sum column is entirely NULL makes the driver-side
+    // max_by total NULL; the collect must read it as 0 (the window form
+    // it replaced skipped NULLs), not throw. ids 0-99 → NULL lands the
+    // low shards under shards=4 range partitioning.
+    val df = spark.range(0, 100).select(col("id").as("k"),
+      when(col("id") >= 50, lit(1L)).as("w"))
+    val out = GraftOps.sortedPrefixSums(df, Seq(col("k")), Seq("w"),
+        shards = 4, withTotals = true)
+      .orderBy("rnk").collect()
+    assert(out.length === 100)
+    assert(out.last.getAs[Long]("cum_w") === 50L)
+    assert(out.head.getAs[Long]("tot_w") === 50L)
+    // per-row semantics unchanged: a running sum over only-NULL values
+    // is NULL (SQL window parity); the fix is the DRIVER-side offsets
+    assert(out(49).isNullAt(out(49).fieldIndex("cum_w")))
+    assert(out(50).getAs[Long]("cum_w") === 1L, "offset after NULL shard is 0")
+  }
+
   test("prefix machinery at 200k rows / 3125 shards: endpoints and spot ranks exact") {
     // Scale smoke: many shards, long offset chains. Endpoint identities
     // verify the full chain without a 200k-row driver loop.

@@ -272,8 +272,60 @@ object Ivf {
       .orderBy(col("vec_id"))
   }
 
+  /** `knn_ivf_probe_verify` — the COMPLETE IVF query algebra
+    * value-gated end-to-end: given FIXED centroids (the four lowest
+    * vec_ids' vectors — the deterministic stand-in for trained
+    * centers, as in embed_kmeans_assign), (1) every vector assigns to
+    * its argmin-L2 centroid, (2) the probe (vec 0) ranks the centroids
+    * by round-6 squared L2 and keeps the nprobe=2 nearest (tie on
+    * cell — the probeCells rule), (3) the top-10 round-6 cosine
+    * neighbours are ranked ONLY among vectors assigned to those two
+    * cells. knn_ivf itself stays no_oracle (its quantizer is trained);
+    * this twin hash-verifies every stage of the probe path — the
+    * assignment, the cell-ranking cutoff, the restricted candidate
+    * set, and the in-cell cosine ordering — against DuckDB.
+    *
+    * Scale shape identical to the production path: k-row broadcast
+    * centroids, map-side distances, min(struct) argmin, a 2-row
+    * broadcast semi-join for the cell filter, TakeOrderedAndProject
+    * top-10 — no window over the corpus, no all-pairs.
+    */
+  def knnIvfProbeVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("v").as("center"))
+    def sqL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2", round(sqL2(col("v"), col("center")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("embedding").as("pe"))
+    val probedCells = cents.crossJoin(broadcast(probe))
+      .withColumn("pd2", round(sqL2(col("pv"), col("center")), 6))
+      .orderBy(col("pd2"), col("cell"))
+      .limit(2)
+      .select(col("cell"))
+    e.filter(col("vec_id") =!= 0)
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cell"),
+        round(call_function("cosine_sim", col("embedding"), col("pe")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_ivf" -> knnIvf _,
+    "knn_ivf_probe_verify" -> knnIvfProbeVerify _,
     "embed_kmeans" -> embedKmeans _,
     "embed_kmeans_assign" -> embedKmeansAssign _
   )
@@ -291,6 +343,31 @@ object Ivf {
         |  SELECT vec_id, cell, d2,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
         |  FROM d) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    // DuckDB twin of the full IVF probe algebra: same fixed centroids,
+    // same round-6 argmin assignment (ROW_NUMBER rn=1 == min(struct)),
+    // same nprobe=2 cell cutoff, same round-6 cosine top-10.
+    "knn_ivf_probe_verify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS center FROM e WHERE vec_id < 4),
+        |a AS (SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_sum([ (e.v[i] - c.center[i]) * (e.v[i] - c.center[i])
+        |        for i in range(1, len(e.v) + 1) ]), 6), c.cell) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |pc AS (SELECT cell FROM (
+        |  SELECT c.cell,
+        |    ROUND(list_sum([ (p.pv[i] - c.center[i]) * (p.pv[i] - c.center[i])
+        |      for i in range(1, len(p.pv) + 1) ]), 6) AS pd2
+        |  FROM c, p) ORDER BY pd2, cell LIMIT 2)
+        |SELECT vec_id, cell, sim FROM (
+        |  SELECT e.vec_id, a.cell,
+        |    ROUND(list_cosine_similarity(e.v, p.pv), 6) AS sim
+        |  FROM e JOIN a USING (vec_id), p
+        |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM pc))
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -153,10 +153,75 @@ object Pca {
       .limit(10)
   }
 
+  /** `embed_pca_project_verify` — the PROJECTION stage of PCA,
+    * value-gated: given a FIXED model (means + 4 basis vectors — the
+    * deterministic stand-in for the eigendecomposition's output, which
+    * no SQL engine can reproduce), every vector centers by the means
+    * and projects onto each basis vector, round-6. This hash-verifies
+    * exactly the arithmetic embedPca/knnPca apply per row — the
+    * zip_with subtraction, the fold dot product, the rounding — so
+    * the only untested part of the PCA family left is the driver-side
+    * eigensolve itself (breeze, property-pinned in PcaSpec).
+    *
+    * The fixed model: basis = the four lowest vec_ids' vectors; means
+    * = their element-wise mean computed in FIXED left-to-right order
+    * (((b0+b1)+b2)+b3)/4 on the driver — IEEE addition is
+    * deterministic given an order, and the oracle writes the same
+    * order, so both engines see bit-identical doubles (a corpus-wide
+    * AVG would sum in engine-specific order and round-6 could split
+    * on knife-edge values). The 4-row collect at plan construction is
+    * the convergence-scalar class (model artifacts are driver-resident
+    * by design, as in pcaModel itself).
+    */
+  def embedPcaProjectVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val basis = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val d = basis(0).length
+    val means = Array.tabulate(d)(i =>
+      (((basis(0)(i) + basis(1)(i)) + basis(2)(i)) + basis(3)(i)) / 4.0)
+    // centered materialized as a COLUMN before the 4 dot products —
+    // the interpreted-HOF discipline (see knnPca)
+    val centered = zip_with(col("v"), typedlit(means.toSeq), (x, m) => x - m)
+    val pcs = basis.zipWithIndex.map { case (w, c) =>
+      round(aggregate(
+        zip_with(col("centered"), typedlit(w.toSeq), (x, b) => x * b),
+        lit(0.0), (acc, t) => acc + t), 6).as(s"p$c")
+    }
+    e.select(col("vec_id"), centered.as("centered"))
+      .select(col("vec_id") +: pcs.toIndexedSeq: _*)
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> embedPca _,
-    "knn_pca" -> knnPca _
+    "knn_pca" -> knnPca _,
+    "embed_pca_project_verify" -> embedPcaProjectVerify _
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    // DuckDB twin of the PCA projection arithmetic: same fixed basis,
+    // same fixed-order means, same center→dot→round-6 per vector.
+    "embed_pca_project_verify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |b0 AS (SELECT v FROM e WHERE vec_id = 0),
+        |b1 AS (SELECT v FROM e WHERE vec_id = 1),
+        |b2 AS (SELECT v FROM e WHERE vec_id = 2),
+        |b3 AS (SELECT v FROM e WHERE vec_id = 3),
+        |mu AS (SELECT [ (((b0.v[i] + b1.v[i]) + b2.v[i]) + b3.v[i]) / 4.0
+        |         for i in range(1, len(b0.v) + 1) ] AS m
+        |       FROM b0, b1, b2, b3),
+        |ce AS (SELECT e.vec_id,
+        |         [ e.v[i] - mu.m[i] for i in range(1, len(e.v) + 1) ] AS cv
+        |       FROM e, mu)
+        |SELECT ce.vec_id,
+        |  ROUND(list_sum([ cv[i] * b0.v[i] for i in range(1, len(cv) + 1) ]), 6) AS p0,
+        |  ROUND(list_sum([ cv[i] * b1.v[i] for i in range(1, len(cv) + 1) ]), 6) AS p1,
+        |  ROUND(list_sum([ cv[i] * b2.v[i] for i in range(1, len(cv) + 1) ]), 6) AS p2,
+        |  ROUND(list_sum([ cv[i] * b3.v[i] for i in range(1, len(cv) + 1) ]), 6) AS p3
+        |FROM ce, b0, b1, b2, b3
+        |ORDER BY vec_id""".stripMargin
+  )
 }

@@ -102,7 +102,8 @@ object Fuzz {
   /** One random query in the shared dialect. */
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
-      36, 37, 38, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52)) match {
+      36, 37, 38, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54,
+      55, 56, 57)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -778,6 +779,76 @@ object Fuzz {
          |    AS s_sentinel
          |FROM orders WHERE ${predicate(r)}
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    case 53 => // correlated scalar subquery in the SELECT list (q17's
+      // shape inverted): per-order lineitem aggregate inlined as a
+      // column, COALESCE'd for orders with no qualifying lines —
+      // exercises the scalar-subquery → left-outer decorrelation path
+      val q = 20 + r.nextInt(30)
+      s"""SELECT o_orderkey,
+         |  CAST(COALESCE((SELECT COUNT(*) FROM lineitem
+         |                 WHERE l_orderkey = o_orderkey
+         |                   AND l_quantity > $q), 0) AS BIGINT) AS n_big,
+         |  CAST(COALESCE((SELECT MAX(l_linenumber) FROM lineitem
+         |                 WHERE l_orderkey = o_orderkey), -1) AS BIGINT)
+         |    AS max_line
+         |FROM orders WHERE ${predicate(r)}
+         |ORDER BY o_orderkey LIMIT ${30 + r.nextInt(70)}""".stripMargin
+    case 54 => // same-order line-pair self-join (linenumber inequality
+      // — the within-group pair-mining shape): pair counts and the
+      // quantity-product sum per returnflag pair, integer-only
+      val m = 2 + r.nextInt(6)
+      s"""SELECT a.l_returnflag AS f1, b.l_returnflag AS f2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CAST(a.l_quantity AS BIGINT) * CAST(b.l_quantity AS BIGINT))
+         |    AS BIGINT) AS s_qq
+         |FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey
+         |  AND a.l_linenumber < b.l_linenumber
+         |WHERE a.l_orderkey % $m = ${r.nextInt(m)}
+         |GROUP BY a.l_returnflag, b.l_returnflag
+         |ORDER BY f1, f2""".stripMargin
+    case 55 => // ordered-set aggregates: PERCENTILE_CONT / PERCENTILE_DISC
+      // WITHIN GROUP — the SQL:2008 inverse-distribution functions
+      // (DuckDB aliases quantile_cont/disc). CONT interpolates doubles
+      // (round-6 absorbs last-bit drift); DISC picks an exact input
+      val p = pick(r, Seq("0.25", "0.5", "0.75", "0.9"))
+      s"""SELECT o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(PERCENTILE_CONT($p) WITHIN GROUP (
+         |    ORDER BY CAST(o_totalprice AS DOUBLE)), 6) AS p_cont,
+         |  CAST(PERCENTILE_DISC($p) WITHIN GROUP (
+         |    ORDER BY o_orderkey) AS BIGINT) AS p_disc
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    case 56 => // bitwise AGGREGATES (bit_and/bit_or/bit_xor — the
+      // reduction complement to case 15's scalar bit arithmetic):
+      // order- and associativity-insensitive, so safe across engines;
+      // xor over a unique key is a set fingerprint
+      val m1 = 8 + r.nextInt(56)
+      val m2 = 8 + r.nextInt(56)
+      s"""SELECT o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(BIT_AND(o_orderkey % $m1 + 1) AS BIGINT) AS b_and,
+         |  CAST(BIT_OR(o_orderkey % $m2) AS BIGINT) AS b_or,
+         |  CAST(BIT_XOR(o_orderkey) AS BIGINT) AS b_xor
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    case 57 => // mixed-grain UNION ALL recombination: two aggregates at
+      // different grains relabeled into one spine, then an outer
+      // aggregate over the union — type reconciliation across branches
+      val v = 100 + r.nextInt(300)
+      s"""WITH u AS (
+         |  SELECT o_orderstatus AS k, 'status' AS grain,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM orders WHERE ${predicate(r)} GROUP BY o_orderstatus
+         |  UNION ALL
+         |  SELECT event_type AS k, 'event' AS grain,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events WHERE value > $v GROUP BY event_type)
+         |SELECT grain, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(n) AS BIGINT) AS total,
+         |  CAST(MAX(n) AS BIGINT) AS max_n, MIN(k) AS min_k
+         |FROM u GROUP BY grain ORDER BY grain""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

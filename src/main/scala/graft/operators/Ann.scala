@@ -389,8 +389,53 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** `knn_lsh_bucket_verify` — the LSH signature algebra value-gated:
+    * every vector's primary bucket (`lsh_bucket(v, 8)`) and
+    * second-level band (`lsh_bucket(v, 4, MaxBits)`) recomputed by
+    * DuckDB from the SAME seeded hyperplanes, inlined into the oracle
+    * SQL as double literals (Double.toString round-trips exactly
+    * through DuckDB's parser). Gates the sign-random-projection bit
+    * assembly — the float→double promote-multiply-add dot product in
+    * index order, the d ≥ 0 sign rule, the bit positions, and the
+    * offset-window plane selection — that every knn_ann / dedup-embed
+    * bucket join builds on; the expression itself stays codegen native
+    * in production. Sign flips would need |dot| within one ulp of 0 —
+    * measure-zero on gaussian planes × real embeddings, and the gate
+    * runs at three scales to keep that claim honest.
+    */
+  def knnLshBucketVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    LshBucket.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("CAST(lsh_bucket(embedding, 8) AS BIGINT)").as("bucket"),
+        expr(s"CAST(lsh_bucket(embedding, 4, ${LshBucket.MaxBits}) AS BIGINT)")
+          .as("band"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The DuckDB twin of the bit assembly in [[knnLshBucketVerify]]:
+    * one CASE term per bit, each a list_sum dot product against the
+    * plane window inlined as literals (same index-order accumulation).
+    */
+  private def lshBucketOracle: String = {
+    def bitTerms(offset: Int, nbits: Int): String =
+      LshBucket.planesAt(offset, nbits).zipWithIndex.map { case (p, b) =>
+        val plane = p.mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum([ e.v[i] * ($plane)[i]
+           |    for i in range(1, ${LshBucket.Dim} + 1) ]) >= 0
+           |  THEN ${1 << b} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings)
+       |SELECT vec_id,
+       |  CAST(${bitTerms(0, 8)} AS BIGINT) AS bucket,
+       |  CAST(${bitTerms(LshBucket.MaxBits, 4)} AS BIGINT) AS band
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_mips" -> knnMips _,
+    "knn_lsh_bucket_verify" -> knnLshBucketVerify _,
     "knn_sq8_verify" -> knnSq8Verify _,
     "knn_recall_eval" -> knnRecallEval _,
     "knn_range" -> knnRange _,
@@ -402,6 +447,7 @@ object Ann {
   )
 
   val oracle: Map[String, String] = Map(
+    "knn_lsh_bucket_verify" -> lshBucketOracle,
     // DuckDB twin of the SQ8 encode + ADC algebra — same DOUBLE ops:
     // scale = max|x|/127 (Float.MinNormal floor), codes = round(x/s)
     // (both engines round doubles half-away-from-zero), ADC cosine from

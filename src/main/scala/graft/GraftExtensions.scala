@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, HilbertCode, LshBucket, SignedProject, SimHash64}
+import graft.expressions.{CosineSimilarity, HilbertCode, KGrams, LshBucket, SignedProject, SimHash64}
 
 /** Library extension entry point: installs graft's native expressions
   * into any session built with
@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("signed_project"),
       new ExpressionInfo(classOf[SignedProject].getName, "signed_project"),
       (args: Seq[Expression]) => SignedProject.build(args)))
+    ext.injectFunction((
+      FunctionIdentifier("kgrams"),
+      new ExpressionInfo(classOf[KGrams].getName, "kgrams"),
+      (args: Seq[Expression]) => KGrams.build(args)))
   }
 }

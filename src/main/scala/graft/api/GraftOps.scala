@@ -4,7 +4,7 @@ import graft.api.Barrier._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.expressions.{BloomFns, CosineSimilarity, HilbertCode, LshBucket, SimHash64}
+import graft.expressions.{BloomFns, CosineSimilarity, HilbertCode, KGrams, LshBucket, SimHash64}
 
 /** The library-facing API: every LLM-pipeline operator as a
   * DataFrame→DataFrame (or Column) function over ARBITRARY input — the
@@ -25,6 +25,7 @@ object GraftOps {
     SimHash64.register(spark)
     LshBucket.register(spark)
     HilbertCode.register(spark)
+    KGrams.register(spark)
   }
 
   // ---- text shaping ----------------------------------------------------
@@ -1037,9 +1038,14 @@ object GraftOps {
     */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges > 0, s"merges $merges")
+    ensureRegistered(df)
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val chars = expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    // kgrams(word, 1) = the char split in ONE byte walk — the
+    // substring(word, i, 1)-per-position form re-scans to char i each
+    // call (O(len²) bytes per word: fine for prose tokens, quadratic
+    // for the long URL/hash/code tokens a web corpus carries).
+    // Identical output for the non-empty words this sees (KGramsSpec).
+    val chars = expr("kgrams(word, 1)")
     var words = df
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -1106,9 +1112,11 @@ object GraftOps {
     */
   def bpeEncode(df: DataFrame, textCol: String,
       rules: Seq[(String, String)]): DataFrame = {
+    ensureRegistered(df)
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    // char split of one word, then the rule chain folded over it
-    var sym = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    // char split of one word (linear one-pass kgrams — see bpeTrain),
+    // then the rule chain folded over it
+    var sym = "kgrams(w, 1)"
     for ((l, r) <- rules) {
       val (lq, rq) = (esc(l), esc(r))
       sym =

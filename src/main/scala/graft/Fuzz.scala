@@ -103,7 +103,7 @@ object Fuzz {
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
       36, 37, 38, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54,
-      55, 56, 57)) match {
+      55, 56, 57, 58, 59, 60)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -849,6 +849,43 @@ object Fuzz {
          |  CAST(SUM(n) AS BIGINT) AS total,
          |  CAST(MAX(n) AS BIGINT) AS max_n, MIN(k) AS min_k
          |FROM u GROUP BY grain ORDER BY grain""".stripMargin
+    case 58 => // ROWS frame with random bounds (case 43 covers RANGE):
+      // k PRECEDING .. m FOLLOWING over a unique-ordered per-user spine
+      // — short partitions exercise the frame-clamping edges
+      val kp = r.nextInt(4)
+      val mf = r.nextInt(4)
+      s"""SELECT user_id, event_id,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+         |  CAST(MIN(event_id) OVER w AS BIGINT) AS lo_frame,
+         |  ROUND(SUM(CAST(value AS DOUBLE)) OVER w, 6) AS s_frame
+         |FROM events WHERE ${eventPredicate(r)}
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+         |  ROWS BETWEEN $kp PRECEDING AND $mf FOLLOWING)
+         |ORDER BY user_id, event_id LIMIT ${50 + r.nextInt(100)}""".stripMargin
+    case 59 => // explicit NULLS FIRST/LAST (the default DIVERGES:
+      // Spark sorts NULLS FIRST asc, DuckDB NULLS LAST — explicit
+      // placement is the shared dialect): NULLIF-planted nulls in
+      // both the presentation sort and a window order
+      val nf = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
+      val m = 3 + r.nextInt(8)
+      s"""SELECT o_orderstatus, k,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+         |    ORDER BY k ${pick(r, Seq("ASC", "DESC"))} $nf, o_orderkey)
+         |    AS BIGINT) AS rn,
+         |  CAST(o_orderkey AS BIGINT) AS o_orderkey
+         |FROM (SELECT o_orderstatus, o_orderkey,
+         |        NULLIF(o_orderkey % $m, ${r.nextInt(m)}) AS k
+         |      FROM orders WHERE ${predicate(r)})
+         |ORDER BY o_orderstatus, k ${pick(r, Seq("ASC", "DESC"))} $nf,
+         |  o_orderkey LIMIT ${40 + r.nextInt(80)}""".stripMargin
+    case 60 => // LIMIT + OFFSET pagination over a unique total order —
+      // the page must be identical in both engines
+      val page = 10 + r.nextInt(40)
+      val off = r.nextInt(200)
+      s"""SELECT o_orderkey, o_orderstatus,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         |FROM orders WHERE ${predicate(r)}
+         |ORDER BY o_orderkey LIMIT $page OFFSET $off""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

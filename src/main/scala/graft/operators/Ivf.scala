@@ -300,11 +300,17 @@ object Ivf {
     def sqL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, t) => acc + t)
+    // The vector rides THROUGH the argmin aggregate (first() is
+    // deterministic here — embedding is constant per vec_id, and the
+    // map-side partial agg collapses the ×4 crossJoin rows before the
+    // shuffle), so the candidate side needs ONE full corpus scan, not
+    // a second scan re-joined on vec_id.
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("d2", round(sqL2(col("v"), col("center")), 6))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("embedding"))
     val probe = e.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("embedding").as("pe"))
     val probedCells = cents.crossJoin(broadcast(probe))
@@ -312,8 +318,7 @@ object Ivf {
       .orderBy(col("pd2"), col("cell"))
       .limit(2)
       .select(col("cell"))
-    e.filter(col("vec_id") =!= 0)
-      .join(assigned, Seq("vec_id"))
+    assigned.filter(col("vec_id") =!= 0)
       .join(broadcast(probedCells), Seq("cell"), "left_semi")
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("cell"),

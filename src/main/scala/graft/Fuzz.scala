@@ -886,6 +886,28 @@ object Fuzz {
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          |FROM orders WHERE ${predicate(r)}
          |ORDER BY o_orderkey LIMIT $page OFFSET $off""".stripMargin
+    case 61 => // GROUP BY computed expressions (calendar part + integer
+      // price bucket), ORDER BY the aliases — alias resolution in
+      // GROUP BY/ORDER BY plus date_part arithmetic on the spine
+      val w = 20000 + r.nextInt(60000)
+      val part = pick(r, Seq("month", "quarter", "year"))
+      s"""SELECT CAST(date_part('$part', o_orderdate) AS BIGINT) AS cal,
+         |  CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / $w) AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY cal, bucket ORDER BY cal, bucket""".stripMargin
+    case 62 => // JOIN ... USING with the join column in the output (the
+      // coalesced-key path ON-joins don't exercise), dimension chain
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_qty
+         |FROM (SELECT o_orderkey, o_orderpriority, o_custkey
+         |      FROM orders WHERE ${predicate(r)}) o
+         |JOIN (SELECT l_orderkey AS o_orderkey, l_quantity
+         |      FROM lineitem WHERE l_linenumber <= ${1 + r.nextInt(6)}) l
+         |USING (o_orderkey)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -36,6 +36,49 @@ class KGramsSpec extends SparkTestBase {
     }
   }
 
+  test("property: kgrams == substr form on 200 random unicode strings") {
+    // scalacheck-generated strings spanning ASCII, Latin-1, CJK, and
+    // astral-plane (surrogate-pair) code points — the byte-width mix
+    // the offset walk must count exactly like substr's codepoint scan.
+    // Driven through a DataFrame so the comparison exercises the same
+    // evaluation path as production, with a driver-side reference too.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cp: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(32, 126),        // ASCII
+      2 -> Gen.choose(0xa0, 0x2ff),    // Latin-1 / combining
+      2 -> Gen.choose(0x4e00, 0x9fff), // CJK (3-byte UTF-8)
+      1 -> Gen.choose(0x1d100, 0x1d1ff)) // astral (4-byte, surrogates)
+    val strGen: Gen[String] = for {
+      n <- Gen.choose(0, 40)
+      cps <- Gen.listOfN(n, cp)
+    } yield cps.map(Character.toChars(_).mkString).mkString
+    val strs = (0 until 200).flatMap(i =>
+      strGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val spark2 = spark
+    import spark2.implicits._
+    for (k <- Seq(1, 3, 5)) {
+      val rows = strs.toDF("text").select(
+          col("text"),
+          KGramsUtil.kgramsCol(col("text"), k).as("fast"),
+          substrGrams(col("text"), k).as("slow"))
+        .collect()
+      rows.foreach { r =>
+        val (s, fast, slow) =
+          (r.getString(0), r.getSeq[String](1), r.getSeq[String](2))
+        assert(fast === slow, s"substr-form mismatch at k=$k for '$s'")
+        // driver-side reference: gram i = codepoints [i, min(i+k, len))
+        val cps = s.codePoints().toArray
+        val nG = math.max(cps.length - k + 1, 1)
+        val want = (0 until nG).map { g =>
+          val from = math.min(g, cps.length)
+          new String(cps, from, math.min(g + k, cps.length) - from)
+        }
+        assert(fast === want, s"driver reference mismatch at k=$k for '$s'")
+      }
+    }
+  }
+
   test("null text yields null, not an empty array") {
     val spark2 = spark
     import spark2.implicits._

@@ -30,7 +30,8 @@ class PerfTripwireSpec extends SparkTestBase {
     "analytics_basket", // self-join pair mining
     "graph_pagerank",   // iterative, barrier per round
     "tpch_q21",         // 4-way fact self-join
-    "join_pit")         // point-in-time as-of machinery
+    "join_pit",         // point-in-time as-of machinery
+    "knn_ivf_probe_verify") // heaviest of the r11 oracle twins
 
   for (name <- heavy) {
     test(s"$name warm time under ${budgetSec}s at sf0.1") {

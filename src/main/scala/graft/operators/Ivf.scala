@@ -278,17 +278,22 @@ object Ivf {
     * centers, as in embed_kmeans_assign), (1) every vector assigns to
     * its argmin-L2 centroid, (2) the probe (vec 0) ranks the centroids
     * by round-6 squared L2 and keeps the nprobe=2 nearest (tie on
-    * cell — the probeCells rule), (3) the top-10 round-6 cosine
-    * neighbours are ranked ONLY among vectors assigned to those two
-    * cells. knn_ivf itself stays no_oracle (its quantizer is trained);
-    * this twin hash-verifies every stage of the probe path — the
-    * assignment, the cell-ranking cutoff, the restricted candidate
-    * set, and the in-cell cosine ordering — against DuckDB.
+    * cell — the probeCells rule), (3) the output is the per-probed-cell
+    * candidate PROFILE — candidate count plus the argmax-cosine
+    * neighbour (sim desc, vec_id tie) — so every stage is directly
+    * observable in the hashed rows: a wrong assignment moves n_cand, a
+    * wrong cell ranking changes WHICH cells appear, a wrong nprobe
+    * cutoff changes the row count, a wrong cosine changes
+    * top_vec/top_sim. (A top-k detail output was tried first and
+    * REJECTED by its own mutation tooth-check: widening nprobe 2→3
+    * left the top-10 unchanged at sf0.01 — the extra cell's members
+    * never cracked the top-10, so the cutoff was unobserved.)
+    * knn_ivf itself stays no_oracle (its quantizer is trained).
     *
     * Scale shape identical to the production path: k-row broadcast
     * centroids, map-side distances, min(struct) argmin, a 2-row
-    * broadcast semi-join for the cell filter, TakeOrderedAndProject
-    * top-10 — no window over the corpus, no all-pairs.
+    * broadcast semi-join for the cell filter, and a per-cell hash
+    * aggregate — no window over the corpus, no all-pairs.
     */
   def knnIvfProbeVerify(spark: SparkSession, sfDir: String): DataFrame = {
     CosineSimilarity.register(spark)
@@ -324,8 +329,15 @@ object Ivf {
       .select(col("vec_id"), col("cell"),
         round(call_function("cosine_sim", col("embedding"), col("pe")), 6)
           .as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      // argmax by (sim desc, vec_id asc) as max(struct(sim, -vec_id)):
+      // round-6 doubles and long ids negate exactly, so the struct
+      // order IS the (sim desc, vec_id asc) order
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cand"),
+        max(struct(col("sim"), (-col("vec_id")).as("nv"))).as("m"))
+      .select(col("cell"), col("n_cand"),
+        (-col("m.nv")).as("top_vec"), col("m.sim").as("top_sim"))
+      .orderBy(col("cell"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -351,7 +363,7 @@ object Ivf {
         |ORDER BY vec_id""".stripMargin,
     // DuckDB twin of the full IVF probe algebra: same fixed centroids,
     // same round-6 argmin assignment (ROW_NUMBER rn=1 == min(struct)),
-    // same nprobe=2 cell cutoff, same round-6 cosine top-10.
+    // same nprobe=2 cell cutoff, same round-6 cosine argmax per cell.
     "knn_ivf_probe_verify" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -367,12 +379,18 @@ object Ivf {
         |  SELECT c.cell,
         |    ROUND(list_sum([ (p.pv[i] - c.center[i]) * (p.pv[i] - c.center[i])
         |      for i in range(1, len(p.pv) + 1) ]), 6) AS pd2
-        |  FROM c, p) ORDER BY pd2, cell LIMIT 2)
-        |SELECT vec_id, cell, sim FROM (
-        |  SELECT e.vec_id, a.cell,
+        |  FROM c, p) ORDER BY pd2, cell LIMIT 2),
+        |cand AS (
+        |  SELECT a.cell, e.vec_id,
         |    ROUND(list_cosine_similarity(e.v, p.pv), 6) AS sim
         |  FROM e JOIN a USING (vec_id), p
         |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM pc))
-        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+        |SELECT cell, n_cand, top_vec, top_sim FROM (
+        |  SELECT cell, vec_id AS top_vec, sim AS top_sim,
+        |    CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cand,
+        |    ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY sim DESC, vec_id) AS rn
+        |  FROM cand) WHERE rn = 1
+        |ORDER BY cell""".stripMargin
   )
 }

@@ -103,7 +103,7 @@ object Fuzz {
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
       36, 37, 38, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54,
-      55, 56, 57, 58, 59, 60)) match {
+      55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 66)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -908,6 +908,42 @@ object Fuzz {
          |      FROM lineitem WHERE l_linenumber <= ${1 + r.nextInt(6)}) l
          |USING (o_orderkey)
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    case 63 => // conditional aggregate INSIDE a window (SUM(CASE) OVER):
+      // the running-conditional-count shape, framed and unframed
+      val t = pick(r, Seq("click", "purchase", "view"))
+      s"""SELECT user_id, event_id,
+         |  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+         |    AS run_t,
+         |  CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
+         |FROM events WHERE ${eventPredicate(r)}
+         |ORDER BY user_id, event_id LIMIT ${50 + r.nextInt(100)}""".stripMargin
+    case 64 => // CUME_DIST and exact-fraction RANK arithmetic (the
+      // distribution-function pair percent_rank's case 14 skips)
+      s"""SELECT o_orderstatus, o_orderkey,
+         |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+         |  CAST(RANK() OVER w AS BIGINT) AS rnk
+         |FROM orders WHERE ${predicate(r)}
+         |WINDOW w AS (PARTITION BY o_orderstatus
+         |  ORDER BY o_orderkey % ${5 + r.nextInt(20)}, o_orderkey)
+         |ORDER BY o_orderstatus, o_orderkey LIMIT ${40 + r.nextInt(100)}""".stripMargin
+    case 65 => // latest-per-key via NOT EXISTS a newer row (the
+      // dedup-by-recency anti-join every CDC consumer writes)
+      s"""SELECT user_id, CAST(event_id AS BIGINT) AS last_event,
+         |  event_type
+         |FROM events e1 WHERE ${eventPredicate(r)}
+         |  AND NOT EXISTS (SELECT 1 FROM events e2
+         |    WHERE e2.user_id = e1.user_id AND e2.event_id > e1.event_id)
+         |ORDER BY user_id LIMIT ${40 + r.nextInt(100)}""".stripMargin
+    case 66 => // LEAD/LAG with explicit offset and DEFAULT (the
+      // null-edge form; defaults must fill identically at both ends)
+      val off = 1 + r.nextInt(3)
+      s"""SELECT user_id, event_id,
+         |  CAST(LEAD(event_id, $off, -1) OVER w AS BIGINT) AS nxt,
+         |  CAST(LAG(event_id, $off, -1) OVER w AS BIGINT) AS prv
+         |FROM events WHERE ${eventPredicate(r)}
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |ORDER BY user_id, event_id LIMIT ${50 + r.nextInt(100)}""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

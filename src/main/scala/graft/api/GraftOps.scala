@@ -1316,14 +1316,15 @@ object GraftOps {
     * map-side pass and an unusable operator). In the cascade every
     * array reference sits in ARGUMENT position (evaluated once per
     * row, never per element) and each level doubles the covered
-    * window. Each level references the previous one twice and
-    * interpreted trees share no common subexpressions, so the gram
-    * pass re-evaluates ~w× per row — O(n·w) total hash work. That
-    * matches the naive form's arithmetic for w ≈ n but removes its
-    * per-POSITION O(n) recompute (O(n²) for the small w this is used
-    * with: w=4 costs 4 passes, measured 66 s → 0.5 s). For large w,
-    * materialize the grams as a projected column and slide over the
-    * attribute instead.
+    * window. Each level references the previous one twice, but
+    * row-level subexpression elimination covers ARGUMENT-position
+    * duplicates even in interpreted projections, so the gram pass runs
+    * ~once per row — measured (r11, 256×32 k-char synthetic docs): an
+    * explicit let-binding of every level via `transform(array(x),
+    * v => f(v))` timed the same as this form (58 vs 62 ms median), so
+    * the simpler tree stays. CSE does NOT reach inside lambda BODIES —
+    * that is why the per-position naive form above is quadratic
+    * (measured 66 s → 0.5 s on 500 toy docs).
     * zip_with pads the shifted (shorter) side with nulls and `least`
     * ignores them, which exactly yields the shorter trailing windows
     * that the final slice drops.

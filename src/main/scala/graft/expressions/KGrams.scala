@@ -28,6 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class KGrams(child: Expression, k: Int) extends UnaryExpression {
 
+  require(k >= 1, s"kgrams k must be >= 1, got $k")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

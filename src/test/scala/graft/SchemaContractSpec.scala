@@ -73,4 +73,8 @@ class SchemaContractSpec extends SparkTestBase {
     assert(years.nonEmpty && years.forall(y => y >= 2023 && y <= 2025),
       s"ts_utc out of corpus range, got years $years")
   }
+
+  test("SparkEntry.entry smoke: rows > 0 at sf0.001 (the driver's gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }

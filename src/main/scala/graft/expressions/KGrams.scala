@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * one, not 20×. This expression walks the byte array once, records
   * each character's byte offset, and emits every gram as a ZERO-COPY
   * UTF8String view over the shared byte array — O(len) work and O(len)
-  * transient allocation per document regardless of k.
+  * transient allocation per document regardless of k. Retention
+  * caveat of the zero-copy choice: every gram view pins the WHOLE
+  * document's byte array, so consume grams promptly (hash them, as
+  * winnowing does) rather than storing a few long-term — a stored
+  * single gram retains the full document's bytes.
   *
   * Semantics match the substr form exactly (pinned in KGramsSpec):
   * gram count = max(numChars − k + 1, 1); gram i (0-based) = chars

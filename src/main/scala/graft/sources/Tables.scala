@@ -82,11 +82,14 @@ object Tables {
     */
   private def dataFingerprint(f: java.io.File): (Long, Long) =
     if (f.isDirectory) {
-      def walk(d: java.io.File): Array[java.io.File] =
-        Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      // depth cap: a symlink cycle must degrade to a shallow listing,
+      // not an infinite recursion (no legitimate dataset nests 32 deep)
+      def walk(d: java.io.File, depth: Int): Array[java.io.File] =
+        if (depth > 32) Array.empty
+        else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(!_.getName.startsWith("."))
-          .flatMap(x => if (x.isDirectory) walk(x) else Array(x))
-      val files = walk(f)
+          .flatMap(x => if (x.isDirectory) walk(x, depth + 1) else Array(x))
+      val files = walk(f, 0)
       if (files.isEmpty) (f.lastModified(), f.length())
       else (files.map(_.lastModified()).max, files.map(_.length()).sum)
     } else (f.lastModified(), f.length())

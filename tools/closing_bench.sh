@@ -1,0 +1,25 @@
+#!/bin/bash
+# The SURVEY §3.0 closing-bench procedure, mechanized: check the machine
+# is idle, clear per-process artifacts, run the bench TWICE back-to-back,
+# and print both JSON lines plus the per-query head — the pair that the
+# round's final recording commit must carry. Run from /root/repo.
+#
+# Usage: tools/closing_bench.sh [sfDir]   (default /root/testdata/sf0.1)
+set -e
+SF="${1:-/root/testdata/sf0.1}"
+echo "== uptime (do not trust the pair if load_avg > ~1) =="
+uptime
+for run in A B; do
+  rm -rf /tmp/graft_artifacts_*
+  echo "== run $run =="
+  SPARK_GRAFT_SF_DIR="$SF" tools/run_main.sh graft.Bench 2>/dev/null \
+    | grep '"metric"' | tee "/tmp/closing_bench_$run.json" \
+    | python3 -c '
+import json, sys
+d = json.loads(sys.stdin.readline())
+print("warm", d["value"], "s cold", d["first_run_total"], "s load",
+      d["load_avg_at_start"], "failed", d["failed_count"])
+head = sorted(d["queries"].items(), key=lambda kv: -kv[1])[1:8]
+print("head:", [(k, round(v, 2)) for k, v in head])'
+done
+echo "== pair recorded at /tmp/closing_bench_{A,B}.json; per-query detail at target/bench_detail.json =="

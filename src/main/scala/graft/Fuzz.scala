@@ -103,7 +103,8 @@ object Fuzz {
   private[graft] def genQuery(r: Random): String = pick(r, Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 39, 40,
       19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
       36, 37, 38, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54,
-      55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 66)) match {
+      55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69,
+      70)) match {
     case 1 => // single-group aggregate
       val g = pick(r, Seq("o_orderstatus", "o_orderpriority"))
       s"""SELECT $g, COUNT(*) AS n, ${aggExprs(r, "").mkString(", ")}
@@ -944,6 +945,43 @@ object Fuzz {
          |FROM events WHERE ${eventPredicate(r)}
          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
          |ORDER BY user_id, event_id LIMIT ${50 + r.nextInt(100)}""".stripMargin
+    case 67 => // HAVING comparing two aggregates with arithmetic (the
+      // post-aggregation predicate algebra, integer-exact both sides)
+      val m = 2 + r.nextInt(5)
+      s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY o_custkey
+         |HAVING COUNT(*) >= $m AND MAX(o_orderkey) > $m * MIN(o_orderkey)
+         |ORDER BY o_custkey""".stripMargin
+    case 68 => // three-level CTE chain, each level consuming the last
+      // (aggregate → filter → re-aggregate — the staged-rollup shape)
+      val t = 2 + r.nextInt(6)
+      s"""WITH per_cust AS (
+         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM orders WHERE ${predicate(r)} GROUP BY o_custkey),
+         |busy AS (SELECT o_custkey, n FROM per_cust WHERE n >= $t),
+         |hist AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cust
+         |         FROM busy GROUP BY n)
+         |SELECT n, n_cust FROM hist ORDER BY n""".stripMargin
+    case 69 => // REVERSE / REPEAT / LPAD string battery over bounded
+      // integral material (formatting-safe on both engines)
+      val w = 6 + r.nextInt(8)
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(LPAD(CAST(o_orderkey AS STRING), $w, '0')) AS min_pad,
+         |  MAX(REVERSE(CAST(o_orderkey % 1000 AS STRING))) AS max_rev,
+         |  MIN(REPEAT(o_orderstatus, ${1 + r.nextInt(3)})) AS rep
+         |FROM orders WHERE ${predicate(r)}
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    case 70 => // correlated scalar aggregate in WHERE: rows above their
+      // own group's average (the per-entity benchmark filter)
+      s"""SELECT o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         |FROM orders o1 WHERE ${predicate(r)}
+         |  AND o_totalprice > ${1 + r.nextInt(2)} * (
+         |    SELECT AVG(o2.o_totalprice) FROM orders o2
+         |    WHERE o2.o_custkey = o1.o_custkey)
+         |ORDER BY o_orderkey LIMIT ${40 + r.nextInt(100)}""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

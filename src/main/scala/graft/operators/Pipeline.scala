@@ -161,8 +161,10 @@ object Pipeline {
     * and the count is a map-combined hash aggregate.
     */
   def pipelineBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val chars = expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    // same linear one-pass char split bpeTrain round 1 uses — this twin
+    // mirrors that algebra, so it must stay in lockstep
+    graft.expressions.KGrams.register(spark)
+    val chars = expr("kgrams(word, 1)")
     Tables.documents(spark, sfDir)
       .select(explode(graft.api.GraftOps.tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)

@@ -974,13 +974,21 @@ object Fuzz {
          |FROM orders WHERE ${predicate(r)}
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     case 70 => // correlated scalar aggregate in WHERE: rows above their
-      // own group's average (the per-entity benchmark filter)
+      // own group's average (the per-entity benchmark filter).
+      // INTEGER-EXACT cross-multiplication: `x > m*AVG(y)` is evaluated
+      // as `x_cents*n > m*sum_cents` — Spark's AVG(DECIMAL) is exact
+      // DECIMAL(p,s+4) while DuckDB's returns DOUBLE, so the direct
+      // AVG comparison had a knife-edge divergence class (ADVICE r11);
+      // cents×count stays well inside BIGINT (≤3e9) in both engines.
       s"""SELECT o_orderkey,
          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          |FROM orders o1 WHERE ${predicate(r)}
-         |  AND o_totalprice > ${1 + r.nextInt(2)} * (
-         |    SELECT AVG(o2.o_totalprice) FROM orders o2
+         |  AND CAST(o_totalprice * 100 AS BIGINT) * (
+         |    SELECT COUNT(*) FROM orders o2
          |    WHERE o2.o_custkey = o1.o_custkey)
+         |  > ${1 + r.nextInt(2)} * (
+         |    SELECT CAST(SUM(CAST(o2.o_totalprice * 100 AS BIGINT)) AS BIGINT)
+         |    FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
          |ORDER BY o_orderkey LIMIT ${40 + r.nextInt(100)}""".stripMargin
   }
 

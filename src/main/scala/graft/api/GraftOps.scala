@@ -535,6 +535,20 @@ object GraftOps {
     * one action keeps the real HashPartitioning; iterative ops use it on
     * their loop-invariant edge sets so per-round joins move only the
     * small labels/ranks side. AQE stays on for everything else.
+    *
+    * CONSTRAINT (session-global toggle): `spark.sql.adaptive.enabled` is
+    * a SESSION conf, so during the eager materialization inside
+    * `barrier()` ANY other query planned concurrently on the SAME
+    * SparkSession plans without AQE (losing runtime coalescing/skew
+    * handling for that one plan — correctness is unaffected). The graft
+    * harnesses (Verify/Bench/tests) are sequential per session, so this
+    * never fires there; a multi-threaded caller should either serialize
+    * calls into this helper, or give concurrent workloads their own
+    * `SparkSession.newSession()` (separate conf, shared context), which
+    * is also the scheduling-isolation a production multi-tenant driver
+    * wants anyway. Scoping it per-thread is not expressible today:
+    * `withSQLConf` is test-only and the AQE flag is read at planning
+    * time on whichever thread plans the job.
     */
   private[graft] def checkpointPartitioned(df: DataFrame): DataFrame = {
     val session = df.sparkSession

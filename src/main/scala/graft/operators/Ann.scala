@@ -83,19 +83,74 @@ object Ann {
     (banded, bits)
   }
 
-  /** `knn_ann` — top-10 cosine neighbours of vec_id=0 restricted to the
-    * probe's LSH bucket. No oracle (bucketing is engine-specific); the
-    * structural guarantees are pinned in AnnSpec. Fully UDF-free: bucket
-    * assignment and cosine both native codegen expressions.
+  /** Probe state for the auto-widening `knn_ann` path, memoized per
+    * corpus fingerprint: the vec_id=0 probe vector, the full
+    * margin-ordered probe ladder (primary bucket + every single-bit
+    * flip, closest hyperplanes first), and the cumulative non-probe
+    * candidate count along that ladder. The count query touches only
+    * the ≤ bits+1 ladder buckets and returns ≤ bits+1 rows — a catalog
+    * statistic, not a scan result; memoizing it makes warm re-builds
+    * job-free (same class as [[bitsMemo]]).
+    */
+  private val widenMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Float], Array[Int], Array[Long])]
+
+  private[graft] def probeState(spark: SparkSession,
+      sfDir: String): (Seq[Float], Array[Int], Array[Long]) = {
+    val (e, bits) = bucketed(spark, sfDir)
+    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
+    widenMemo.getOrElseUpdate(fp, {
+      val pv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val ladder = probeBuckets(pv, bits, nprobe = bits + 1)
+      val cnts = e.filter(col("bucket")
+            .isin(ladder.toIndexedSeq.map(Integer.valueOf): _*) &&
+            col("vec_id") =!= 0)
+        .groupBy(col("bucket")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cum = ladder.scanLeft(0L)((a, b) => a + cnts.getOrElse(b, 0L)).tail
+      (pv, ladder, cum)
+    })
+  }
+
+  /** The bucket prefix of the probe ladder a k-NN probe must read to
+    * hold at least `k` candidates — the data-free nprobe choice (bucket
+    * COUNTS, not vectors, decide). Empty ⇒ even the full single-flip
+    * ladder can't fill k (tiny corpus): callers drop the bucket filter
+    * and the probe degrades to the exact scan, which is both correct
+    * and cheap exactly when it happens.
+    */
+  private[graft] def selectedBuckets(spark: SparkSession, sfDir: String,
+      k: Int = 10): Array[Int] = {
+    val (_, ladder, cum) = probeState(spark, sfDir)
+    ladder.indices.find(cum(_) >= k) match {
+      case Some(i) => ladder.take(i + 1)
+      case None    => Array.empty
+    }
+  }
+
+  /** `knn_ann` — top-10 cosine neighbours of vec_id=0 over the probe's
+    * LSH bucket, AUTO-WIDENED along the multi-probe ladder until the
+    * candidate pool holds ≥ k (r11 verdict: the fixed single-bucket form
+    * silently returned 2 rows for a top-10 probe at sf0.01 — bucket
+    * confinement at small scale). nprobe is chosen data-free from the
+    * memoized per-bucket counts, so the query yields min(k, n−1) rows at
+    * every scale while still reading only the selected buckets (a
+    * partition filter under the writeBucketed layout). No oracle
+    * (bucketing is engine-specific); structural guarantees pinned in
+    * AnnSpec. Fully UDF-free: bucket assignment and cosine both native
+    * codegen expressions.
     */
   def knnAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val (e, _) = bucketed(spark, sfDir)
-    val probe = e.filter(col("vec_id") === 0)
-      .select(col("bucket").as("p_bucket"), col("embedding").as("pv"))
-    e.join(broadcast(probe), col("bucket") === col("p_bucket"))
-      .filter(col("vec_id") =!= 0)
+    val (pv, _, _) = probeState(spark, sfDir)
+    val sel = selectedBuckets(spark, sfDir)
+    val scoped =
+      if (sel.isEmpty) e
+      else e.filter(col("bucket").isin(sel.toIndexedSeq.map(Integer.valueOf): _*))
+    scoped.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("bucket"),
-        round(expr("cosine_sim(embedding, pv)"), 6).as("sim"))
+        round(call_function("cosine_sim", col("embedding"), typedlit(pv)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -207,18 +262,24 @@ object Ann {
   }
 
   /** `knn_ann` against a bucket-partitioned layout (writeBucketed): the
-    * probe's bucket is resolved first (one point lookup), then the main
-    * scan carries `bucket = <probe>` as a PARTITION filter — pruning at
-    * file-listing time, pinned in AnnSpec. Identical results to knnAnn.
+    * caller passes the auto-widened bucket selection ([[selectedBuckets]]
+    * — the same prefix knnAnn reads in-memory), and the scan carries
+    * `bucket IN (...)` as a PARTITION filter — pruning at file-listing
+    * time, pinned in AnnSpec. Identical results to knnAnn. An empty
+    * selection (tiny corpus, ladder can't fill k) reads all buckets,
+    * matching knnAnn's exact-scan degradation.
     */
-  def knnAnnPruned(spark: SparkSession, bucketDir: String): DataFrame = {
+  def knnAnnPruned(spark: SparkSession, bucketDir: String,
+      buckets: Array[Int]): DataFrame = {
     CosineSimilarity.register(spark)
     val e = spark.read.parquet(bucketDir)
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("bucket"), col("embedding")).collect()(0)
-    val pBucket = probe.getInt(0)
-    val pv = typedlit(probe.getSeq[Float](1))
-    e.filter(col("bucket") === pBucket && col("vec_id") =!= 0)
+      .select(col("embedding")).collect()(0)
+    val pv = typedlit(probe.getSeq[Float](0))
+    val scoped =
+      if (buckets.isEmpty) e
+      else e.filter(col("bucket").isin(buckets.toIndexedSeq.map(Integer.valueOf): _*))
+    scoped.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("bucket"),
         round(call_function("cosine_sim", col("embedding"), pv), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

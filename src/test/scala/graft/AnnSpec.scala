@@ -7,13 +7,25 @@ import graft.operators.{Ann, Pipeline}
 /** Structural guarantees of the LSH-bucketed ANN path (no SQL oracle). */
 class AnnSpec extends SparkTestBase {
 
-  test("knn_ann returns a non-empty, probe-bucket-confined, sim-ordered result") {
+  test("knn_ann returns a full, ladder-confined, sim-ordered top-k") {
     val rows = Ann.knnAnn(spark, sf).collect()
-    assert(rows.nonEmpty)
-    assert(rows.map(_.getInt(1)).distinct.length === 1, "all in the probe's bucket")
+    val sel = Ann.selectedBuckets(spark, sf).toSet
+    assert(sel.nonEmpty)
+    assert(rows.map(_.getInt(1)).forall(sel.contains),
+      "all rows inside the auto-widened bucket selection")
     val sims = rows.map(_.getDouble(2))
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
     assert(!rows.map(_.getLong(0)).contains(0L), "probe excluded")
+  }
+
+  test("knn_ann auto-widen yields min(k, n-1) rows at every scale (r11 verdict)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = sources.Tables.embeddings(spark, dir).count()
+      val rows = Ann.knnAnn(spark, dir).collect()
+      assert(rows.length === math.min(10L, n - 1),
+        s"$dir: top-10 probe over n=$n must not be bucket-starved")
+    }
   }
 
   test("knn_ann is deterministic across runs (fixed hyperplane seed)") {
@@ -117,7 +129,7 @@ class AnnSpec extends SparkTestBase {
   test("bucket-partitioned layout prunes the ANN scan to the probe's partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_bkt").toString
     Ann.writeBucketed(spark, sf, dir)
-    val df = Ann.knnAnnPruned(spark, dir)
+    val df = Ann.knnAnnPruned(spark, dir, Ann.selectedBuckets(spark, sf))
     val rows = df.collect()
     val plan = planOf(df)
     // the bucket predicate must be a PARTITION filter (file-listing
@@ -216,8 +228,12 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
-  test("knn_ann_multi at nprobe=1 is bit-identical to knn_ann") {
-    assert(Ann.knnAnnProbing(spark, sf, nprobe = 1).collect()
+  test("knn_ann is bit-identical to the multi-probe form at its chosen nprobe") {
+    // the auto-widened knn_ann IS knnAnnProbing with the data-free
+    // nprobe = |selectedBuckets| (same margin-ordered ladder prefix)
+    val np = Ann.selectedBuckets(spark, sf).length
+    assert(np >= 1)
+    assert(Ann.knnAnnProbing(spark, sf, nprobe = np).collect()
       .sameElements(Ann.knnAnn(spark, sf).collect()))
   }
 
@@ -253,8 +269,11 @@ class AnnSpec extends SparkTestBase {
     // rescore-on-originals over a 50-deep pool should reproduce the
     // exact in-bucket ranking almost always; >= 8/10 is the contract
     // (capped by the candidate count — the probe's sf0.001 bucket holds
-    // only 7 non-probe members, where the sets must match outright)
-    val exact = Ann.knnAnn(spark, sf).collect().map(_.getLong(0)).toSet
+    // only 7 non-probe members, where the sets must match outright).
+    // Baseline = the SINGLE-bucket exact form (nprobe=1): knn_ann
+    // itself now auto-widens past the primary bucket.
+    val exact = Ann.knnAnnProbing(spark, sf, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
     val overlap = rows.map(_.getLong(0)).count(exact.contains)
     assert(overlap >= math.min(8, exact.size),
       s"quantized top-10 overlap with exact = $overlap of ${exact.size}")
@@ -263,7 +282,7 @@ class AnnSpec extends SparkTestBase {
   test("knn_quant rescored sims equal the exact path's sims (originals, not codes)") {
     val qs = Ann.knnQuant(spark, sf)
       .select(col("vec_id"), col("sim").as("q_sim"))
-    val ex = Ann.knnAnn(spark, sf)
+    val ex = Ann.knnAnnProbing(spark, sf, nprobe = 1)
       .select(col("vec_id"), col("sim").as("e_sim"))
     assert(qs.join(ex, "vec_id").filter(col("q_sim") =!= col("e_sim")).count() === 0)
   }

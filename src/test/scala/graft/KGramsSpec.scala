@@ -123,7 +123,12 @@ class KGramsSpec extends SparkTestBase {
     }
     val short = timeIt(4 * 1024)
     val long = timeIt(64 * 1024)
-    assert(long / short < 80.0,
+    // Overridable like PerfTripwireSpec's budget (ADVICE r11): timing
+    // ratios can wobble on contended runners; a quadratic regression
+    // reads ~256×, so even a much looser bound keeps its teeth.
+    val budget = sys.props.get("graft.tripwire.linearity")
+      .map(_.toDouble).getOrElse(80.0)
+    assert(budget <= 0 || long / short < budget,
       f"winnow gram pass not linear: 4k=$short%.1fms, 64k=$long%.1fms, ratio ${long / short}%.1f")
   }
 }

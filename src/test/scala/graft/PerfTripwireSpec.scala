@@ -20,7 +20,15 @@ package graft
 class PerfTripwireSpec extends SparkTestBase {
 
   private val sf01 = "/root/testdata/sf0.1"
-  private val budgetSec = 10.0
+  // Overridable for contended/slower runners (ADVICE r11): the default
+  // assumes an otherwise-idle 32-core box; a CI host under load can
+  // relax it (`sbt -Dgraft.tripwire.budget=30 test`) without losing the
+  // blown-plan detection (regressions of the r10 class read 10-20×, not
+  // 2×). Values ≤ 0 disable the assertion but keep the timing `info`.
+  private val budgetSec =
+    sys.props.get("graft.tripwire.budget")
+      .orElse(sys.env.get("GRAFT_TRIPWIRE_BUDGET"))
+      .map(_.toDouble).getOrElse(10.0)
 
   private val heavy = Seq(
     "text_winnow",      // the r10 regression pair
@@ -41,7 +49,7 @@ class PerfTripwireSpec extends SparkTestBase {
       fn(spark, sf01).count()
       val warm = (System.nanoTime() - t0) / 1e9
       info(f"$name warm $warm%.2fs")
-      assert(warm < budgetSec,
+      assert(budgetSec <= 0 || warm < budgetSec,
         f"$name warm $warm%.2fs exceeds ${budgetSec}s tripwire — plan regression " +
           "(single-task serialization / lost broadcast / O(n²) expression)?")
     }

@@ -19,7 +19,10 @@ import json, sys
 d = json.loads(sys.stdin.readline())
 print("warm", d["value"], "s cold", d["first_run_total"], "s load",
       d["load_avg_at_start"], "failed", d["failed_count"])
-head = sorted(d["queries"].items(), key=lambda kv: -kv[1])[1:8]
+# exclude the folded "_others_*" bucket by NAME: index-skipping assumed
+# it always sorts first, which fails when few queries are folded
+head = [kv for kv in sorted(d["queries"].items(), key=lambda kv: -kv[1])
+        if not kv[0].startswith("_others")][:7]
 print("head:", [(k, round(v, 2)) for k, v in head])'
 done
 echo "== pair recorded at /tmp/closing_bench_{A,B}.json; per-query detail at target/bench_detail.json =="

@@ -699,11 +699,56 @@ object Aggregates {
     * comparison — gates exactly, no rounding. At 100 TB swap pass 1
     * for the KLL sketch (agg_approx_quantile); pass 2 is unchanged.
     */
-  def aggEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
+  def aggEquidepth(spark: SparkSession, sfDir: String): DataFrame =
+    // the equi-depth histogram IS a persisted optimizer statistic
+    // (what ANALYZE writes) — artifact per the signature-table policy
+    graft.sources.Materialize.once(spark, sfDir,
+        Seq("orders"), "equidepth_stats")(aggEquidepthBuild(spark, sfDir))
+      .orderBy(col("bucket"))
+
+  private def aggEquidepthBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val priced = Tables.orders(spark, sfDir)
-      .select(outDec(col("o_totalprice"), 18, 2).as("price"))
-    val fracs = (1 to 9).map(i => s"0.${i}D").mkString(", ")
-    val cuts = priced.agg(expr(s"percentile(price, array($fracs))").as("cuts"))
+      .select(outDec(col("o_totalprice"), 18, 2).as("price"),
+        col("o_orderkey").as("okey"))
+    // DISTRIBUTED exact decile cuts (r12): the former single
+    // `percentile(price, array(...))` aggregate buffers and sorts the
+    // ENTIRE column in one task — the no-partition-sort trap at any
+    // scale. The interpolation rule needs only the values at ranks
+    // floor(h)+1 and floor(h)+2 for h = q·(N−1), so rank the column on
+    // the range-sharded prefix-sum machinery (no single task anywhere)
+    // and fetch those ≤18 rows. Float discipline: h is the same
+    // double product both engines compute (q is the literal double,
+    // N−1 exact in double far past any corpus size), and the
+    // interpolation `lo + frac·(hi − lo)` is the identical expression
+    // quantile_cont evaluates — when frac = 0 it degrades to the exact
+    // lower value, and when frac ≠ 0 the cut lies strictly between two
+    // consecutive sorted values, so bucket comparisons cannot flip on
+    // last-ulp differences.
+    val qs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val ranked = graft.api.GraftOps.sortedPrefixSums(priced,
+      Seq(col("price"), col("okey")), Seq.empty, withTotals = true)
+    val qArr = array(qs.map(lit): _*)
+    def h(q: Column) = q * (col("tot_rn") - 1).cast("double")
+    val nearCut = ranked.filter(exists(qArr, q =>
+      col("rnk") === floor(h(q)).cast("long") + 1 ||
+        col("rnk") === floor(h(q)).cast("long") + 2))
+    val cutRows = nearCut
+      .select(col("price"), col("rnk"), col("tot_rn"),
+        posexplode(qArr).as(Seq("qi", "q")))
+      .withColumn("lo_rnk", floor(h(col("q"))).cast("long") + 1)
+      .withColumn("frac", h(col("q")) - floor(h(col("q"))))
+      .filter(col("rnk") === col("lo_rnk") || col("rnk") === col("lo_rnk") + 1)
+      .groupBy(col("qi"))
+      .agg(max(when(col("rnk") === col("lo_rnk"), col("price"))).as("v_lo"),
+        max(when(col("rnk") === col("lo_rnk") + 1, col("price"))).as("v_hi"),
+        max(col("frac")).as("frac"))
+      .select(col("qi"),
+        when(col("frac") === 0.0 || col("v_hi").isNull, col("v_lo"))
+          .otherwise(col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")))
+          .as("cut"))
+    val cuts = cutRows
+      .agg(transform(array_sort(collect_list(struct(col("qi"), col("cut")))),
+        s => s.getField("cut")).as("cuts"))
     priced.crossJoin(broadcast(cuts))
       .select(col("price"),
         (lit(1) + size(filter(col("cuts"), c => col("price") > c)))
@@ -711,7 +756,6 @@ object Aggregates {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("price")).as("lo"), max(col("price")).as("hi"))
-      .orderBy(col("bucket"))
   }
 
   /** `agg_corr_matrix` — the pairwise Pearson correlation matrix of

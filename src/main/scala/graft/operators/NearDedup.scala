@@ -207,18 +207,22 @@ object NearDedup {
     val P = 268435399L // largest prime < 2^28
     val A = Seq(7368787L, 15485863L, 32452843L)
     val B = Seq(104729L, 224737L, 350377L)
-    val sig = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
-          " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
-      .select(col("doc_id"),
-        array_distinct(transform(col("grams"),
-          g => conv(substring(md5(g), 1, 7), 16, 10).cast("long"))).as("hs"))
-      .select(col("doc_id") +: col("hs") +: (0 until 3).map(j =>
-        array_min(transform(col("hs"),
-          h => (lit(A(j)) * h + lit(B(j))) % lit(P))).as(s"s$j")): _*)
-      .barrier(eager = false)
+    // signature table = per-corpus parquet artifact (the same policy as
+    // the production path's signature table): the md5 shingle hash + 3
+    // permutations re-ran per query build behind the former lazy
+    // barrier; as an artifact the three band joins read a written table
+    val sig = materialized(spark, sfDir, "md5_sig")(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1))," +
+            " i -> concat_ws(' ', slice(toks, i, 3))))").as("grams"))
+        .select(col("doc_id"),
+          array_distinct(transform(col("grams"),
+            g => conv(substring(md5(g), 1, 7), 16, 10).cast("long"))).as("hs"))
+        .select(col("doc_id") +: col("hs") +: (0 until 3).map(j =>
+          array_min(transform(col("hs"),
+            h => (lit(A(j)) * h + lit(B(j))) % lit(P))).as(s"s$j")): _*))
     val a = sig.select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
       col("s0").as("a0"), col("s1").as("a1"), col("s2").as("a2"))
     val b = sig.select(col("doc_id").as("id_b"), col("hs").as("hs_b"),
@@ -511,9 +515,15 @@ object NearDedup {
     * variance is ~1e-17, five orders below the rounding grain).
     */
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    graft.api.GraftOps.pageRank(bandedEdgesTable(spark, sfDir), docs,
+    // the rank table is the fourth rung of the per-snapshot curation
+    // ladder (signatures -> edges -> components -> authority scores):
+    // like cc_components, the iterative rounds run once per corpus
+    // snapshot and consumers read the (id, r) table
+    materialized(spark, sfDir, "pagerank_ranks")({
+      val docs = Tables.documents(spark, sfDir)
+      graft.api.GraftOps.pageRank(bandedEdgesTable(spark, sfDir), docs,
         "doc_id", "src", "dst")
+    })
       .select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))
       .orderBy(col("doc_id"))
   }
@@ -660,13 +670,16 @@ object NearDedup {
     * fixed depths where path multiplicity matters.
     */
   def graphReach(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = rareShingleEdgesTable(spark, sfDir)
-    // Materialize the edge set ONCE before the recursion: the temp view
-    // is otherwise a lazy plan and UnionLoop re-derives the whole
-    // shingle-block join on every iteration (measured 7.3 s vs 1.5 s at
-    // sf0.1) — the same lineage discipline as connectedComponents.
-    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .barrier()
+    // Materialize the SYMMETRIZED edge set as a per-corpus artifact
+    // before the recursion: the temp view is otherwise a lazy plan and
+    // UnionLoop re-derives the whole shingle-block join on every
+    // iteration (measured 7.3 s vs 1.5 s at sf0.1) — the same lineage
+    // discipline as connectedComponents, artifact-cached like
+    // banded_edges so re-builds read the written table.
+    materialized(spark, sfDir, "reach_sym_edges")({
+      val e = rareShingleEdgesTable(spark, sfDir)
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    })
       .createOrReplaceTempView("graft_reach_edges")
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .createOrReplaceTempView("graft_reach_docs")

@@ -1,0 +1,229 @@
+package graft
+
+import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Tables
+
+/** Randomized streaming replay soak (r11 verdict item 6): StreamingSpec's
+  * batch-equality pins all use FIXED file splits, so a state-machine bug
+  * that only fires on a particular micro-batch boundary (a session
+  * spanning three batches, a version change split mid-user, a watermark
+  * advancing in an unlucky increment) would never be seen. Here the SAME
+  * sf0.001 event stream is re-partitioned into micro-batches at SEEDED
+  * RANDOM cut points (order preserved — cut placement is the randomized
+  * dimension; the file source's maxFilesPerTrigger=1 makes one file one
+  * micro-batch) and the batch-equality / closed-prefix assertions are
+  * re-asserted for each pipeline at every seed.
+  */
+class StreamReplaySpec extends SparkTestBase {
+
+  private val seeds = Seq(11L, 47L, 2026L)
+
+  /** sf0.001 events in event-time order (ties broken by event_id) — the
+    * arrival order every replay preserves; only cut points vary.
+    */
+  private lazy val ordered = {
+    val df = Tables.events(spark, sf)
+      .orderBy(col("ts_utc"), col("event_id"))
+      .drop("ts_utc")
+    (df.collect().toSeq, df.schema)
+  }
+
+  /** Write `rows` as chunk files with seeded random cut points; returns
+    * the input dir. Chunks get strictly increasing mtimes so the file
+    * source replays them in order, one per micro-batch.
+    */
+  private def writeChunks(seed: Long, tag: String,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val rnd = new scala.util.Random(seed)
+    val nChunks = 6 + rnd.nextInt(4)
+    val cuts = rnd.shuffle((1 until rows.length).toList)
+      .take(nChunks - 1).sorted
+    val bounds = (0 +: cuts) :+ rows.length
+    val inDir = Files.createTempDirectory(s"graft_replay_$tag")
+    val now = System.currentTimeMillis()
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      val tmp = Files.createTempDirectory(s"graft_replay_chunk_$i")
+      spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              rows.slice(a, b)).asJava), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, java.nio.file.Path.of(inDir.toString, f"c$i%03d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(
+        java.nio.file.Path.of(inDir.toString, f"c$i%03d.parquet"),
+        FileTime.fromMillis(now - (bounds.length - i) * 30000L))
+    }
+    inDir.toString
+  }
+
+  private def runToEnd(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), s"$name did not finish in 3 min")
+  }
+
+  for (seed <- seeds) {
+
+    test(s"replay seed $seed: tumbling counts equal batch under random cuts") {
+      val (rows, schema) = ordered
+      val in = writeChunks(seed, "tumble", rows, schema)
+      runToEnd(graft.streaming.EventsStream.tumblingCounts(spark, in,
+        watermark = None), s"replay_tumble_$seed", "complete")
+      val got = spark.table(s"replay_tumble_$seed")
+      val expected = graft.operators.Temporal.streamTumble(spark, sf)
+        .select(col("window_start"), col("event_type"), col("n_events"))
+      assert(got.count() === expected.count())
+      assert(got.except(expected).count() === 0)
+      assert(expected.except(got).count() === 0)
+    }
+
+    test(s"replay seed $seed: sessionization closed-prefix equals batch under random cuts") {
+      val (rows, schema) = ordered
+      val in = writeChunks(seed, "sess", rows, schema)
+      runToEnd(graft.streaming.SessionStream.sessions(spark, in),
+        s"replay_sess_$seed", "append")
+      val streamed = spark.table(s"replay_sess_$seed").collect().map { r =>
+        (r.getLong(0), r.getTimestamp(1)) -> ((r.getLong(2), r.getDouble(3)))
+      }.toMap
+      val batch = Tables.events(spark, sf)
+        .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Dec.outDec(
+            sum(graft.functions.Dec.dec2(col("value"))), 18, 2).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("n_events"), col("total_value"))
+        .collect().map { r =>
+          (r.getLong(0), r.getTimestamp(1)) -> ((r.getLong(2), r.getDouble(3)))
+        }.toMap
+      assert(streamed.nonEmpty)
+      // every emitted session is exactly a batch session
+      streamed.foreach { case (key, v) =>
+        assert(batch.get(key).contains(v),
+          s"seed $seed: streamed session $key = $v vs batch ${batch.get(key)}")
+      }
+      // the only missing sessions are those the final watermark left open
+      val finalWm = java.sql.Timestamp.from(
+        Tables.events(spark, sf).agg(max(col("ts_utc")))
+          .collect()(0).getTimestamp(0).toInstant
+          .minus(java.time.Duration.ofMinutes(10)))
+      val missing = batch.keySet -- streamed.keySet
+      // a session is only surely closeable when its END (start is a lower
+      // bound) passed the watermark; starts >= wm are certainly open
+      val wrongly = missing.filter { case (_, start) =>
+        java.time.Duration.between(start.toInstant, finalWm.toInstant)
+          .toMinutes >= 24 * 60 // a day past the watermark: surely closed
+      }
+      assert(wrongly.isEmpty,
+        s"seed $seed: long-closed sessions missing: ${wrongly.take(3)}")
+    }
+
+    test(s"replay seed $seed: SCD2 finalized prefix equals batch under random cuts") {
+      val (rows, schema) = ordered
+      val in = writeChunks(seed, "scd", rows, schema)
+      runToEnd(graft.streaming.ScdStream.versions(spark, in,
+        watermark = "10 minutes"), s"replay_scd_$seed", "append")
+      val streamed = spark.table(s"replay_scd_$seed").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3))).toSet
+      val batch = graft.operators.Etl.scd2(spark, sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3))).toSet
+      val maxMs = Tables.events(spark, sf)
+        .agg(max(unix_micros(col("ts_utc")))).collect()(0).getLong(0) / 1000L
+      val wmMs = maxMs - 10L * 60 * 1000
+      assert(streamed.nonEmpty)
+      val phantom = streamed -- batch
+      assert(phantom.isEmpty,
+        s"seed $seed: streamed rows not in batch scd2: ${phantom.take(3)}")
+      val due = batch.filter(_._4.getTime < wmMs - 1)
+      val missing = due -- streamed
+      assert(missing.isEmpty,
+        s"seed $seed: ${missing.size} finalizable versions not emitted: ${missing.take(3)}")
+      assert((streamed -- due).forall(_._4.getTime >= wmMs - 1))
+    }
+
+    test(s"replay seed $seed: watermark-bounded dedup drops seeded in-batch duplicates") {
+      val (rows, schema) = ordered
+      val rnd = new scala.util.Random(seed * 31)
+      // duplicate a seeded ~10% sample IN PLACE (same micro-batch):
+      // in-batch duplicates are always inside the watermark, so the
+      // deduped stream must emit every event exactly once
+      val withDups = rows.flatMap(r =>
+        if (rnd.nextInt(10) == 0) Seq(r, r) else Seq(r))
+      val in = writeChunks(seed, "dedup", withDups, schema)
+      runToEnd(graft.streaming.EventsStream.dedupedEvents(spark, in),
+        s"replay_dedup_$seed", "append")
+      val counts = spark.table(s"replay_dedup_$seed")
+        .groupBy(col("event_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts.size === rows.length,
+        s"seed $seed: every distinct event must be emitted")
+      val dups = counts.filter(_._2 > 1)
+      assert(dups.isEmpty,
+        s"seed $seed: in-watermark duplicates must drop: ${dups.take(3)}")
+    }
+
+    test(s"replay seed $seed: foreachBatch JDBC upsert converges to batch counts under random cuts") {
+      val (rows, schema) = ordered
+      val in = writeChunks(seed, "jdbc", rows, schema)
+      System.setProperty("derby.system.home",
+        Files.createTempDirectory("graft_derby_replay").toString)
+      val url = s"jdbc:derby:memory:graftreplay$seed;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      conn.createStatement().execute(
+        "CREATE TABLE counts (window_start TIMESTAMP, event_type VARCHAR(32), " +
+          "n_events BIGINT, PRIMARY KEY (window_start, event_type))")
+      conn.close()
+      val q = graft.streaming.EventsStream
+        .tumblingCounts(spark, in, watermark = None)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+          graft.streaming.EventsStream.upsertBatchToJdbc(url, "counts") _)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "jdbc replay did not finish in 3 min")
+      val table = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "counts")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load().collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Temporal.streamTumble(spark, sf)
+        .select(col("window_start"), col("event_type"), col("n_events"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(table === batch,
+        s"seed $seed: upserted table diverges on ${
+          (table.keySet ++ batch.keySet)
+            .filter(k => table.get(k) != batch.get(k)).take(5)}")
+    }
+
+    test(s"replay seed $seed: transformWithState totals converge to batch under random cuts") {
+      val (rows, schema) = ordered
+      val in = writeChunks(seed, "tws", rows, schema)
+      runToEnd(graft.streaming.UserTotalsStream.totals(spark, in),
+        s"replay_tws_$seed", "update")
+      // update mode across many batches: totals are monotone in n, so
+      // each user's max-n emission is the final state
+      val streamed = spark.table(s"replay_tws_$seed")
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_events"), col("total_cents")),
+          col("n_events")).as("f"))
+        .select(col("user_id"), col("f.n_events"), col("f.total_cents"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = Tables.events(spark, sf)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Dec.dec2(col("value")) * 100).cast("long").as("cents"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed === batch,
+        s"seed $seed: totals diverge on keys ${
+          (streamed.keySet ++ batch.keySet)
+            .filter(k => streamed.get(k) != batch.get(k)).take(5)}")
+    }
+  }
+}

@@ -110,13 +110,25 @@ class TextSpec extends SparkTestBase {
     }
   }
 
-  test("text_keywords scoring plan: ONE Generate (vocab is prebuilt), no corpus re-tokenize") {
-    val plan = planOf(graft.operators.Text.textKeywords(spark, sf))
+  test("keyword-tag BUILD plan: ONE Generate (vocab is prebuilt), no corpus re-tokenize") {
+    // The declared text_keywords query reads the keyword_tags artifact
+    // (r12); the plan discipline applies to the artifact BUILD — the
+    // docKeywords pass that writes it.
+    val plan = planOf(graft.api.GraftOps.docKeywords(
+        graft.sources.Tables.documents(spark, sf)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3))
       .split("== Initial Plan ==").head
     val gens = plan.linesIterator.count(_.contains("Generate explode"))
     assert(gens === 1, s"scoring pass must tokenize exactly once:\n$plan")
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
       s"df table must be the materialized checkpoint, not a live re-aggregate:\n$plan")
+  }
+
+  test("text_keywords reads the per-corpus keyword_tags artifact") {
+    val plan = planOf(graft.operators.Text.textKeywords(spark, sf))
+    assert(plan.contains("keyword_tags"),
+      s"declared query must read the written artifact:\n$plan")
   }
 
   test("text_bigram_lm: every doc scored, scores non-positive, bigram count = tokens - 1") {

@@ -1773,9 +1773,13 @@ object GraftOps {
       blockKey.as("__blk"))
     a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
       .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      // greatest(..., 1): two EMPTY texts in one block made this a
+      // 0/0 (ANSI divide-by-zero crash — found by ApiFuzzSpec); their
+      // lev is 0, so the floor-1 denominator classifies them dup
       .withColumn(isDupCol,
         col("lev").cast("double") /
-          greatest(length(col("text_a")), length(col("text_b"))) <= maxRel)
+          greatest(length(col("text_a")), length(col("text_b")), lit(1))
+          <= maxRel)
       .drop("__blk")
   }
 
@@ -1841,11 +1845,21 @@ object GraftOps {
     val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run0 = parted.withColumn("__rn", row_number().over(w).cast("long"))
     val run = sumCols.foldLeft(run0) { (d, c) =>
+      // the running NON-NULL count rides the SAME window operator (no
+      // extra exchange): it decides cum-NULLness GLOBALLY below — the
+      // run sum alone resets to NULL at every shard whose prefix is
+      // all-NULL, which made cum_ depend on the shard count whenever a
+      // NULL run crossed a shard boundary after non-NULL values (found
+      // by ApiFuzzSpec; the window form this machinery replaces keeps
+      // the last running value through NULLs).
       d.withColumn(s"__run_$c", sum(col(c)).over(wcum))
+        .withColumn(s"__nn_$c", count(col(c)).over(wcum))
     }.barrier(eager = false)
     val aggs = max(col("__rn")).as("__cnt") +:
-      sumCols.map(c =>
-        max_by(col(s"__run_$c"), col("__rn")).cast("long").as(c))
+      (sumCols.map(c =>
+        max_by(col(s"__run_$c"), col("__rn")).cast("long").as(c)) ++
+       sumCols.map(c =>
+        max(col(s"__nn_$c")).as(s"__nncnt_$c")))
     val totals = run.groupBy(col("__shard"))
       .agg(aggs.head, aggs.tail: _*)
     // Exclusive scan over the ≤`shards`-row totals frame DRIVER-SIDE —
@@ -1878,6 +1892,13 @@ object GraftOps {
         val vals = totRows.map(sumAt(_, 2 + i))
         c -> totRows.map(_.getLong(0)).zip(vals.scanLeft(0L)(_ + _)).toMap
     }.toMap
+    // prefix NON-NULL counts per shard: cum_ is NULL exactly while the
+    // GLOBAL prefix holds zero non-NULL values (single-window parity)
+    val offNN: Map[String, Map[Long, Long]] = sumCols.zipWithIndex.map {
+      case (c, i) =>
+        val vals = totRows.map(sumAt(_, 2 + sumCols.length + i))
+        c -> totRows.map(_.getLong(0)).zip(vals.scanLeft(0L)(_ + _)).toMap
+    }.toMap
     def mapLit(m: Map[Long, Long]): Column =
       if (m.isEmpty) typedlit(Map(-1L -> 0L)) else typedlit(m)
     val joined = run
@@ -1885,8 +1906,11 @@ object GraftOps {
         element_at(mapLit(offRn), col("__shard")) + col("__rn"))
     val withCums = sumCols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"cum_$c",
-        (element_at(mapLit(offC(c)), col("__shard")) +
-          col(s"__run_$c")).cast("long"))
+        when(element_at(mapLit(offNN(c)), col("__shard")) +
+            col(s"__nn_$c") === 0L, lit(null).cast("long"))
+          .otherwise(
+            (element_at(mapLit(offC(c)), col("__shard")) +
+              coalesce(col(s"__run_$c").cast("long"), lit(0L)))))
     }
     val withTots =
       if (!withTotals) withCums
@@ -1897,7 +1921,7 @@ object GraftOps {
           d.withColumn(s"tot_$c", lit(totRows.map(sumAt(_, 2 + i)).sum))
         }
     withTots.drop("__shard" +: "__rn" +:
-      sumCols.map(c => s"__run_$c"): _*)
+      (sumCols.map(c => s"__run_$c") ++ sumCols.map(c => s"__nn_$c")): _*)
   }
 
   /** Exact SQL-NTILE(k) bucket from a 1-based global rank and total

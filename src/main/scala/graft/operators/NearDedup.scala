@@ -100,8 +100,13 @@ object NearDedup {
     val sig = materialized(spark, sfDir, "minhash_sig")(
       GraftOps.minhashSignatures(Tables.documents(spark, sfDir),
         "doc_id", "text"))
-    GraftOps.minhashPairsFromSignatures(sig, "doc_id", maxDist = 0.1)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_dist"))
+    // 3. The verified pair table is the similarity EDGE SET — the
+    //    ladder's second rung (like banded_edges/md5_pairs): built once
+    //    per corpus snapshot, every dedup/selection query reads it.
+    materialized(spark, sfDir, "minhash_pairs")(
+      GraftOps.minhashPairsFromSignatures(sig, "doc_id", maxDist = 0.1)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("est_dist")))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -236,9 +241,13 @@ object NearDedup {
     val dist = lit(1.0) - inter.cast("double") / uni.cast("double")
     val nBands = (0 until 3).map(j =>
       when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
-    pairs.filter(dist <= 0.5)
-      .select(col("id_a"), col("id_b"), nBands.as("n_bands"),
-        round(dist, 6).as("est_dist"))
+    // the verified pair table is the similarity EDGE SET — the second
+    // rung of the artifact ladder (signatures -> edges), like
+    // banded_edges; built once per corpus snapshot
+    materialized(spark, sfDir, "md5_pairs")(
+      pairs.filter(dist <= 0.5)
+        .select(col("id_a"), col("id_b"), nBands.as("n_bands"),
+          round(dist, 6).as("est_dist")))
       .orderBy(col("id_a"), col("id_b"))
   }
 

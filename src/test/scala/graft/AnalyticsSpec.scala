@@ -208,13 +208,17 @@ class AnalyticsSpec extends SparkTestBase {
     val plan = planOf(df).split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct"),
       s"pair generation must never go cartesian:\n$plan")
-    // the per-brand explode is inside the checkpointed totals build;
-    // the gated plan carries only the pair fan-out
+    // r12: the pair fan-out lives in the brand_pair_counts artifact
+    // BUILD; the declared plan reads the written pair counts (and the
+    // per-brand explode stays inside the checkpointed totals build),
+    // so the gated plan carries NO Generate at all
+    assert(plan.contains("brand_pair_counts_"),
+      s"query must read the pair-count artifact:\n$plan")
     val generates = plan.linesIterator.count(_.contains("Generate explode"))
-    assert(generates === 1,
-      s"exactly one Generate (the pair fan-out), got $generates:\n$plan")
-    // downstream of the materialized basket artifact there is NO
-    // re-scan of the FACT tables: consumers read the artifact only
+    assert(generates === 0,
+      s"no corpus fan-out downstream of the artifact, got $generates:\n$plan")
+    // downstream of the materialized artifacts there is NO re-scan of
+    // the FACT tables: consumers read the artifacts only
     assert(!plan.contains("lineitem") && !plan.contains("part.parquet"),
       s"consumers must read the basket artifact, not re-derive it:\n$plan")
   }

@@ -1,0 +1,588 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps
+
+/** Seeded generator-driven API fuzzing (r11 verdict item 5): the SQL
+  * fuzzer covers the dialect; the remaining no-oracle risk is
+  * input-SHAPE edge cases in the public GraftOps surface — empty
+  * inputs, single rows, all-null columns, single-row strata, empty
+  * strings, unicode, ties. Each family here runs on fresh seeded
+  * random small inputs (3 seeds per function, edge shapes injected)
+  * and is compared against an in-memory brute-force reference in
+  * plain Scala collections — an implementation with NO shared code or
+  * shared engine with the Spark path.
+  */
+class ApiFuzzSpec extends SparkTestBase {
+
+  private val seeds = Seq(13L, 101L, 7777L)
+  private def forSeeds(f: scala.util.Random => Unit): Unit =
+    seeds.foreach(s => f(new scala.util.Random(s)))
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  // ---- generators ------------------------------------------------------
+
+  private val vocab = Vector("a", "bb", "ccc", "héllo", "日本", "x1",
+    "Zz", "0", "the", "q")
+  private def rndText(rnd: scala.util.Random, maxTok: Int = 12): String = {
+    val n = rnd.nextInt(maxTok + 1)
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+  /** split-semantics twin of GraftOps.tokens (split(text, " ") keeps
+    * empty strings, including the [""] of an empty text)
+    */
+  private def tok(s: String): Vector[String] = s.split(" ", -1).toVector
+  private def rndVec(rnd: scala.util.Random, d: Int): Seq[Float] =
+    Seq.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)
+
+  // ---- text primitives -------------------------------------------------
+
+  test("fuzz tokens: split semantics incl. empty text") {
+    forSeeds { rnd =>
+      val texts = Seq.fill(20)(rndText(rnd)) :+ "" :+ "a"
+      val got = texts.toDF("t").select(GraftOps.tokens(col("t")))
+        .collect().map(_.getSeq[String](0).toVector)
+      assert(got.toSeq === texts.map(tok))
+    }
+  }
+
+  private def bruteShingles(toks: Vector[String], k: Int): Vector[String] = {
+    val n = toks.length
+    val grams =
+      if (n == 0) Vector.empty
+      else if (n < k) Vector(toks.mkString(" "))
+      else toks.sliding(k).map(_.mkString(" ")).toVector
+    grams.distinct
+  }
+
+  test("fuzz shingles: k-grams with short-input degradation, distinct") {
+    forSeeds { rnd =>
+      for (k <- Seq(2, 3, 5)) {
+        val texts = Seq.fill(15)(rndText(rnd)) ++ Seq("", "a", "a b")
+        val got = texts.toDF("t")
+          .select(GraftOps.shingles(GraftOps.tokens(col("t")), k))
+          .collect().map(_.getSeq[String](0).toVector)
+        assert(got.toSeq === texts.map(t => bruteShingles(tok(t), k)),
+          s"k=$k")
+      }
+    }
+  }
+
+  test("fuzz ngramJaccard vs brute set jaccard") {
+    forSeeds { rnd =>
+      val pairs = Seq.fill(20)((rndText(rnd, 8), rndText(rnd, 8)))
+      val got = pairs.toDF("a", "b")
+        .select(GraftOps.ngramJaccard(col("a"), col("b"), 3))
+        .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+      pairs.zip(got).foreach { case ((a, b), g) =>
+        val (sa, sb) = (bruteShingles(tok(a), 3).toSet, bruteShingles(tok(b), 3).toSet)
+        val u = (sa ++ sb).size
+        if (u == 0) assert(g.isNaN)
+        else assert(math.abs(g - sa.intersect(sb).size.toDouble / u) < 1e-12,
+          s"'$a' vs '$b'")
+      }
+    }
+  }
+
+  test("fuzz redact vs Scala replaceAll chain") {
+    val pats = Seq("[0-9]+" -> "<NUM>", "[A-Z]{2,}" -> "<UP>")
+    forSeeds { rnd =>
+      val texts = Seq.fill(20)(
+        Seq.fill(rnd.nextInt(8))(rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(100000).toString
+          case 1 => "ABC" * (1 + rnd.nextInt(2))
+          case 2 => vocab(rnd.nextInt(vocab.size))
+          case _ => "a1B2"
+        }).mkString(" ")) :+ ""
+      val got = texts.toDF("t").select(GraftOps.redact(col("t"), pats))
+        .collect().map(_.getString(0))
+      val exp = texts.map(t => pats.foldLeft(t) { case (s, (p, r)) =>
+        s.replaceAll(p, r) })
+      assert(got.toSeq === exp)
+    }
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzz fuzzyDupPairs vs brute blocked Levenshtein") {
+    forSeeds { rnd =>
+      val rows = (0 until 18).map(i =>
+        (i.toLong, rndText(rnd, 5), s"blk${rnd.nextInt(3)}"))
+      val got = GraftOps.fuzzyDupPairs(rows.toDF("id", "text", "blk"),
+          "id", "text", col("blk"), maxRel = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4),
+          r.getBoolean(5))).toSet
+      val exp = (for {
+        (ia, ta, ba) <- rows; (ib, tb, bb) <- rows
+        if ba == bb && ia < ib
+      } yield {
+        val l = lev(ta, tb)
+        (ia, ib, l.toLong,
+          l.toDouble / math.max(1, math.max(ta.length, tb.length)) <= 0.4)
+      }).toSet
+      assert(got === exp)
+    }
+  }
+
+  test("fuzz sharedFingerprintIds vs brute any-overlap") {
+    forSeeds { rnd =>
+      val rows = (0 until 20).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(5))(rnd.nextInt(12).toLong))) :+
+        (20L, Seq.empty[Long])
+      val got = GraftOps.sharedFingerprintIds(rows.toDF("id", "fp"),
+        "id", "fp").collect().map(_.getLong(0)).toSet
+      val exp = rows.filter { case (i, fps) =>
+        fps.exists(f => rows.exists { case (j, g) => j != i && g.contains(f) })
+      }.map(_._1).toSet
+      assert(got === exp)
+    }
+  }
+
+  test("fuzz contaminatedIds vs brute shingle overlap") {
+    forSeeds { rnd =>
+      val corpus = (0 until 15).map(i => (i.toLong, rndText(rnd, 10)))
+      val probe = (0 until 4).map(i => (100L + i, rndText(rnd, 10)))
+      val k = 3
+      val got = GraftOps.contaminatedIds(corpus.toDF("id", "text"),
+          probe.toDF("id", "text"), "id", "text", k)
+        .collect().map(_.getLong(0)).toSet
+      val probeGrams = probe.flatMap(p => bruteShingles(tok(p._2), k)).toSet
+      val exp = corpus.filter(c =>
+        bruteShingles(tok(c._2), k).exists(probeGrams.contains)).map(_._1).toSet
+      assert(got === exp)
+    }
+  }
+
+  test("fuzz chunkWindows vs brute chunking (coverage, tail, no-redundant-chunk)") {
+    forSeeds { rnd =>
+      val (window, stride) = (6 + rnd.nextInt(4), 3 + rnd.nextInt(3))
+      val docs = (0 until 15).map(i => (i.toLong, rndText(rnd, 20))) :+
+        (15L, "")
+      val got = GraftOps.chunkWindows(docs.toDF("id", "text"), "id", "text",
+          window, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val exp = docs.flatMap { case (id, t) =>
+        // split(" ", -1) never yields zero tokens: "" is ONE empty
+        // token, so every doc (incl. the empty one) chunks
+        val n = tok(t).length
+        if (n == 0) Seq.empty
+        else {
+          val nChunks = math.max(0,
+            math.ceil((n - window).toDouble / stride).toInt) + 1
+          (0 until nChunks).map(i => (id, i.toLong, (i * stride).toLong,
+            math.min(window, n - i * stride).toLong))
+        }
+      }.toSet
+      assert(got === exp, s"window=$window stride=$stride")
+    }
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  test("fuzz dedupExactStats/Keep vs brute grouping") {
+    forSeeds { rnd =>
+      val rows = (0 until 25).map(i =>
+        (i.toLong, s"g${rnd.nextInt(3)}", rndText(rnd, 3)))
+      val df = rows.toDF("id", "g", "text")
+      val stats = GraftOps.dedupExactStats(df, "text", Seq("g"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val byG = rows.groupBy(_._2)
+      byG.foreach { case (g, rs) =>
+        assert(stats(g) === ((rs.length.toLong,
+          rs.map(_._3).distinct.length.toLong)), s"group $g")
+      }
+      val kept = GraftOps.dedupExactKeep(df, "text", "id")
+        .collect().map(_.getLong(0)).toSet
+      val exp = rows.groupBy(_._3).values.map(_.map(_._1).min).toSet
+      assert(kept === exp)
+    }
+  }
+
+  // ---- vectors ---------------------------------------------------------
+
+  private def bruteCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+      case ((d, x, y), (p, q)) =>
+        (d + p.toDouble * q, x + p.toDouble * p, y + q.toDouble * q)
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("fuzz cosineTopK / cosineRange / knnJoin vs brute cosine ranking") {
+    forSeeds { rnd =>
+      val d = 6 + rnd.nextInt(5)
+      val vecs = (0 until 20).map(i => (i.toLong, rndVec(rnd, d)))
+      val df = vecs.toDF("id", "v")
+      val sims = vecs.tail.map { case (i, v) =>
+        (i, BigDecimal(bruteCos(vecs.head._2, v))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val k = 1 + rnd.nextInt(6)
+      val topk = GraftOps.cosineTopK(df, "id", "v", probeId = 0L, k = k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val expTopk = sims.sortBy { case (i, s) => (-s, i) }.take(k)
+      assert(topk.toSeq === expTopk, s"topk d=$d k=$k")
+      val tau = 0.1 + rnd.nextDouble() * 0.4
+      val rng = GraftOps.cosineRange(df, "id", "v", probeId = 0L, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rng.toSeq === sims.filter(_._2 >= tau)
+        .sortBy { case (i, s) => (-s, i) }, f"range tau=$tau%.3f")
+      val probes = vecs.take(3).toDF("id", "v")
+      val kj = GraftOps.knnJoin(df, probes, "id", "v", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expKj = vecs.take(3).flatMap { case (p, pv) =>
+        vecs.map { case (i, v) =>
+          (p, i, BigDecimal(bruteCos(pv, v))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.sortBy { case (_, i, s) => (-s, i) }.take(3).map(t => (p, t._2))
+      }.toSet
+      assert(kj === expKj)
+    }
+  }
+
+  test("fuzz quantizeInt8 round-trip error bound and zero-vector edge") {
+    forSeeds { rnd =>
+      val d = 8
+      val vecs = (0 until 12).map(i => (i.toLong, rndVec(rnd, d))) :+
+        (12L, Seq.fill(d)(0.0f))
+      val got = vecs.toDF("id", "v")
+        .select(col("id"), col("v"),
+          GraftOps.dequantizeInt8(GraftOps.quantizeInt8(col("v"))).as("rt"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Float](2)))
+      got.foreach { case (id, v, rt) =>
+        val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+        v.zip(rt).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= scale / 2 + 1e-7,
+            s"id=$id: $x vs $y (scale $scale)")
+        }
+      }
+    }
+  }
+
+  // ---- layout codes ----------------------------------------------------
+
+  test("fuzz mortonCode vs brute bit interleave") {
+    forSeeds { rnd =>
+      val pts = Seq.fill(30)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      val got = pts.toDF("a", "b")
+        .select(GraftOps.mortonCode(col("a"), col("b"), 8))
+        .collect().map(_.getLong(0))
+      val exp = pts.map { case (a, b) =>
+        (0 until 8).foldLeft(0L)((acc, i) =>
+          acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+      }
+      assert(got.toSeq === exp)
+    }
+  }
+
+  test("fuzz hilbertCode: bijective on the grid, unit-step adjacent") {
+    val bits = 3
+    val grid = for (a <- 0 until 8; b <- 0 until 8) yield (a.toLong, b.toLong)
+    val rows = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftOps.hilbertCode(col("a"), col("b"), bits).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.values.toSeq.sorted === (0L until 64L), "bijection onto [0,64)")
+    // the defining Hilbert property: consecutive codes are grid neighbors
+    val byCode = rows.map(_.swap)
+    (0L until 63L).foreach { c =>
+      val (a1, b1) = byCode(c); val (a2, b2) = byCode(c + 1)
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) === 1,
+        s"codes $c,${c + 1} not adjacent: ($a1,$b1) -> ($a2,$b2)")
+    }
+  }
+
+  // ---- rank / prefix machinery ------------------------------------------
+
+  test("fuzz ntileFromRank vs bucket-boundary reference") {
+    forSeeds { rnd =>
+      for (_ <- 1 to 10) {
+        val n = 1 + rnd.nextInt(40)
+        val k = 1 + rnd.nextInt(8)
+        val got = (1 to n).map(_.toLong).toDF("r")
+          .select(GraftOps.ntileFromRank(col("r"), lit(n.toLong), k))
+          .collect().map(_.getLong(0))
+        // reference: first n%k buckets hold n/k+1 ranks, the rest n/k
+        val sizes = Array.tabulate(k)(i =>
+          n / k + (if (i < n % k) 1 else 0))
+        val cum = sizes.scanLeft(0)(_ + _)
+        val exp = (1 to n).map(r => (cum.indexWhere(_ >= r)).toLong)
+        assert(got.toSeq === exp, s"n=$n k=$k")
+      }
+    }
+  }
+
+  test("fuzz sortedPrefixSums vs brute sorted cumsum (nulls, ties, tiny shards)") {
+    forSeeds { rnd =>
+      val rows = (0 until 30).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong,
+          if (rnd.nextInt(5) == 0) null else Long.box(rnd.nextInt(100) - 50))
+      }
+      val df = rows.toDF("id", "k", "w")
+      val got = GraftOps.sortedPrefixSums(df,
+          Seq(col("k"), col("id")), Seq("w"), shards = 4, withTotals = true)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("k"),
+          r.getAs[java.lang.Long]("w"), r.getAs[Long]("rnk"),
+          r.getAs[java.lang.Long]("cum_w"), r.getAs[Long]("tot_rn"),
+          r.getAs[Long]("tot_w")))
+        .sortBy(r => (r._2, r._1))
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      // single-window SQL parity: cum is NULL exactly while the global
+      // prefix holds zero non-NULL values; NULLs never reset it later
+      var cum = 0L
+      var seen = false
+      val exp = sorted.zipWithIndex.map { case ((id, k, w), ix) =>
+        if (w != null) { cum += w.longValue(); seen = true }
+        (id, k, w, ix + 1L, if (seen) Long.box(cum) else null, 0L)
+      }
+      val totW = rows.flatMap(r => Option(r._3).map(_.longValue())).sum
+      got.zip(exp).foreach { case (g, e) =>
+        assert((g._1, g._2, g._3) === ((e._1, e._2, e._3)))
+        assert(g._4 === e._4, s"rnk of id ${g._1}")
+        assert(g._5 === e._5, s"cum_w of id ${g._1}")
+        assert(g._6 === rows.length.toLong, "tot_rn")
+        assert(g._7 === totW, "tot_w")
+      }
+    }
+  }
+
+  test("fuzz globalPrefixSums vs brute cumsum over sparse keys") {
+    forSeeds { rnd =>
+      val keys = (0 until 25).map(_ => rnd.nextInt(100000).toLong).distinct
+      val rows = keys.map(k => (k, rnd.nextInt(1000).toLong))
+      val got = GraftOps.globalPrefixSums(rows.toDF("k", "a"), "k",
+          Seq("a"), shardWidth = 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var cum = 0L
+      val exp = rows.sortBy(_._1).map { case (k, a) =>
+        cum += a; (k, a, cum)
+      }
+      assert(got.toSeq === exp)
+    }
+  }
+
+  test("fuzz packBins vs brute exclusive-prefix binning") {
+    forSeeds { rnd =>
+      val rows = (0 until 25).map(i =>
+        (i.toLong, s"s${rnd.nextInt(3)}", 1L + rnd.nextInt(2000)))
+      val budget = 2048L
+      val got = GraftOps.packBins(rows.toDF("ord", "shard", "w"),
+          "shard", "ord", "w", budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val exp = rows.groupBy(_._2).flatMap { case (shard, rs) =>
+        var pre = 0L
+        rs.sortBy(_._1).map { case (ord, _, w) =>
+          val bin = pre / budget
+          pre += w
+          (ord, shard, w, bin)
+        }
+      }.toSet
+      assert(got === exp)
+    }
+  }
+
+  // ---- sampling / splits -------------------------------------------------
+
+  test("fuzz deterministicSample: deterministic, monotone in fraction, exact at 0/1") {
+    forSeeds { rnd =>
+      val rows = (0 until 40).map(i => (i.toLong, rnd.nextInt(100)))
+      val df = rows.toDF("k", "v")
+      def ids(f: Double) = GraftOps.deterministicSample(df, "k", f)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids(0.0).isEmpty && ids(1.0) === rows.map(_._1).toSet)
+      val fs = Seq.fill(3)(rnd.nextDouble()).sorted
+      val samples = fs.map(ids)
+      samples.zip(samples.tail).foreach { case (a, b) =>
+        assert(a.subsetOf(b), s"monotone in fraction: $fs")
+      }
+      assert(ids(fs.head) === ids(fs.head), "deterministic")
+    }
+  }
+
+  test("fuzz splitAssign: complete, disjoint, deterministic, single-row input") {
+    forSeeds { rnd =>
+      val bands = Seq("train" -> 0.7, "val" -> 0.15)
+      for (n <- Seq(1, 37)) {
+        val rows = (0 until n).map(i => (i.toLong + rnd.nextInt(5), i))
+        val got = GraftOps.splitAssign(rows.toDF("k", "v"), "k", "split", bands)
+          .collect().map(r => (r.getLong(0), r.getString(2)))
+        assert(got.length === n)
+        assert(got.forall(r => Set("train", "val", "test").contains(r._2)))
+        val again = GraftOps.splitAssign(rows.toDF("k", "v"), "k", "split", bands)
+          .collect().map(r => (r.getLong(0), r.getString(2)))
+        assert(got.toSeq === again.toSeq, "deterministic")
+        // same key always lands in the same band
+        assert(got.groupBy(_._1).values.forall(_.map(_._2).distinct.length == 1))
+      }
+    }
+  }
+
+  test("fuzz topFractionByScore vs brute percent_rank cut (ties, single-row strata)") {
+    forSeeds { rnd =>
+      val rows = (0 until 30).map(i =>
+        (i.toLong, s"s${rnd.nextInt(4)}", rnd.nextInt(10).toDouble)) :+
+        (30L, "lonely", 5.0)
+      val f = 0.1 + rnd.nextDouble() * 0.8
+      val got = GraftOps.topFractionByScore(rows.toDF("id", "g", "score"),
+          "g", "score", f)
+        .collect().map(_.getLong(0)).toSet
+      val exp = rows.groupBy(_._2).values.flatMap { rs =>
+        val desc = rs.sortBy(-_._3)
+        val n = rs.length
+        desc.zipWithIndex.filter { case ((_, _, s), _) =>
+          // percent_rank with RANK tie semantics over score desc
+          val rank = desc.indexWhere(_._3 == s)
+          n == 1 || rank.toDouble / (n - 1) <= f
+        }.map(_._1._1)
+      }.toSet
+      assert(got === exp, f"fraction $f%.3f")
+    }
+  }
+
+  // ---- temporal --------------------------------------------------------
+
+  test("fuzz latenessAudit vs brute running high-watermark") {
+    forSeeds { rnd =>
+      val base = 1700000000000000L
+      val rows = (0 until 30).map { i =>
+        (s"k${rnd.nextInt(3)}", i.toLong,
+          new java.sql.Timestamp((base + rnd.nextInt(100000).toLong * 1000L) / 1000L))
+      }
+      val got = GraftOps.latenessAudit(rows.toDF("k", "arr", "ts"),
+          "k", "arr", "ts")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        .toSet
+      val exp = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        var hwm = Long.MinValue
+        rs.sortBy(_._2).map { case (_, arr, ts) =>
+          val us = ts.getTime * 1000L
+          val late = if (hwm == Long.MinValue) 0L else math.max(0L, hwm - us)
+          hwm = math.max(hwm, us)
+          (k, arr, late)
+        }
+      }.toSet
+      assert(got === exp)
+    }
+  }
+
+  // ---- graph -----------------------------------------------------------
+
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("fuzz connectedComponents vs brute union-find (self-loops, chains)") {
+    forSeeds { rnd =>
+      val edges = Seq.fill(25)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val got = GraftOps.connectedComponents(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = bruteComponents(edges)
+      assert(got === exp)
+    }
+  }
+
+  test("fuzz triangleCounts vs brute triangle enumeration") {
+    forSeeds { rnd =>
+      val edges = Seq.fill(30)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2)
+      val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val got = GraftOps.triangleCounts(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val vs = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = canon.toSet
+      def linked(a: Long, b: Long) =
+        adj.contains((math.min(a, b), math.max(a, b)))
+      val tris = for {
+        i <- vs; j <- vs if j > i; k <- vs if k > j
+        if linked(i, j) && linked(j, k) && linked(i, k)
+      } yield Seq(i, j, k)
+      val exp = tris.flatten.groupBy(identity).map { case (v, xs) =>
+        v -> xs.length.toLong }
+      assert(got.filter(_._2 > 0) === exp)
+    }
+  }
+
+  test("fuzz pageRank vs brute power iteration") {
+    forSeeds { rnd =>
+      val nodes = (0 until 10).map(_.toLong)
+      val edges = Seq.fill(15)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraftOps.pageRank(edges.toDF("s", "d"),
+          nodes.toDF("id"), "id", "s", "d", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // brute: symmetrized multiset edges (matching the impl's unionAll)
+      val sym = edges ++ edges.map(e => (e._2, e._1))
+      val deg = sym.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+      val n = nodes.length
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 5) {
+        val contrib = sym.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+        r = nodes.map(v =>
+          v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+      }
+      nodes.foreach { v =>
+        assert(math.abs(got(v) - r(v)) < 1e-9,
+          s"node $v: ${got(v)} vs ${r(v)}")
+      }
+    }
+  }
+
+  test("fuzz keepClusterRepresentativesFromComps vs brute min-per-component") {
+    forSeeds { rnd =>
+      val rows = (0 until 20).map(i => (i.toLong, rndText(rnd, 3)))
+      val edges = Seq.fill(8)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val comps = bruteComponents(edges)
+      val compsDf = comps.toSeq.toDF("id", "comp")
+      val got = GraftOps.keepClusterRepresentativesFromComps(
+          rows.toDF("id", "text"), "id", compsDf)
+        .collect().map(_.getLong(0)).toSet
+      val repOf = comps.groupBy(_._2).map { case (_, m) => m.keys.min }.toSet
+      val exp = rows.map(_._1).filter(i =>
+        !comps.contains(i) || repOf.contains(i)).toSet
+      assert(got === exp)
+    }
+  }
+
+  // ---- sketch ----------------------------------------------------------
+
+  test("fuzz bloom filter: zero false negatives at every seed") {
+    forSeeds { rnd =>
+      val present = (0 until 50).map(_ => rnd.nextInt(1000000).toLong).distinct
+      val filter = GraftOps.bloomBuild(present.toDF("k"), col("k"),
+        items = 1000L, bits = 16384L)
+      val absent = (0 until 50).map(_ => 2000000L + rnd.nextInt(1000000))
+      val probe = (present ++ absent).toDF("k")
+      val got = probe.select(col("k"),
+          GraftOps.bloomMightContain(spark, filter, col("k")).as("hit"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      present.foreach(k => assert(got(k), s"false negative on $k"))
+      // quality, not correctness: fpp at 16 bits/item should be tiny
+      val fps = absent.count(got(_))
+      assert(fps <= 5, s"implausible false-positive count $fps/50")
+    }
+  }
+}

@@ -65,11 +65,27 @@ class NearDedupSpec extends SparkTestBase {
     // join (6 scans of documents across 3 bands). After materialization
     // every FileScan in the join plan must point at the signature
     // parquet, never at documents.parquet.
-    val df = NearDedup.dedupMinhash(spark, sf) // triggers the one-time sig write
+    val df = NearDedup.dedupMinhash(spark, sf) // triggers the one-time writes
     val plan = planOf(df)
     assert(!plan.contains("documents.parquet"),
       s"join must not rescan the raw corpus:\n$plan")
-    assert(plan.contains("minhash_sig_"), s"join must read the sig table:\n$plan")
+    // r12: the declared query reads the PAIR artifact (the edge-set
+    // rung); the band join's signature-table discipline moved to the
+    // pair BUILD plan, pinned below
+    assert(plan.contains("minhash_pairs_"),
+      s"query must read the pair table:\n$plan")
+    // by-name build arg: dedupMinhash above already wrote the sig
+    // artifact in this JVM, so once() serves the re-read and the build
+    // expression is not evaluated
+    val sig = graft.sources.Materialize.once(spark, sf, Seq("documents"),
+      "minhash_sig")(graft.api.GraftOps.minhashSignatures(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text"))
+    val buildPlan = planOf(graft.api.GraftOps.minhashPairsFromSignatures(
+      sig, "doc_id", maxDist = 0.1))
+    assert(!buildPlan.contains("documents.parquet"),
+      s"pair build must not rescan the raw corpus:\n$buildPlan")
+    assert(buildPlan.contains("minhash_sig_"),
+      s"pair build must read the sig table:\n$buildPlan")
   }
 
   test("pipeline_near_dedup keeps exactly one survivor per cluster") {

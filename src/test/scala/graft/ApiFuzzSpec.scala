@@ -567,6 +567,92 @@ class ApiFuzzSpec extends SparkTestBase {
     }
   }
 
+  // ---- text scoring ------------------------------------------------------
+
+  test("fuzz tfidf vs brute corpus tf-idf") {
+    forSeeds { rnd =>
+      val docs = (0 until 15).map(i => (i.toLong, rndText(rnd, 10)))
+      val got = GraftOps.tfidf(docs.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val n = docs.length.toDouble
+      val all = docs.flatMap { case (id, t) => tok(t).map(id -> _) }
+      val exp = all.groupBy(_._2).map { case (tkn, xs) =>
+        val tf = xs.length.toLong
+        val df = xs.map(_._1).distinct.length.toLong
+        tkn -> ((tf, df, BigDecimal(tf * math.log(n / df))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got === exp)
+    }
+  }
+
+  test("fuzz bm25 vs brute Robertson formula (incl. zero-tf and short docs)") {
+    val (k1, b) = (1.2, 0.75)
+    forSeeds { rnd =>
+      val docs = (0 until 15).map(i => (i.toLong, rndText(rnd, 10))) :+
+        (15L, "")
+      val terms = Seq.fill(2)(vocab(rnd.nextInt(vocab.size))).distinct
+      val got = GraftOps.bm25(docs.toDF("id", "text"), "id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val n = docs.length.toDouble
+      val lens = docs.map { case (id, t) => id -> tok(t).length.toDouble }.toMap
+      val avgLen = lens.values.sum / n
+      val dfOf = terms.map(t =>
+        t -> docs.count(d => tok(d._2).contains(t)).toDouble).toMap
+      docs.foreach { case (id, t) =>
+        val score = terms.map { term =>
+          val tf = tok(t).count(_ == term).toDouble
+          math.log((n - dfOf(term) + 0.5) / (dfOf(term) + 0.5) + 1.0) *
+            (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * lens(id) / avgLen))
+        }.sum
+        assert(math.abs(got(id) - score) < 2e-6, s"doc $id terms $terms")
+      }
+    }
+  }
+
+  test("fuzz unigramLogprob / bigramLogprob vs brute MLE scoring") {
+    forSeeds { rnd =>
+      val docs = (0 until 12).map(i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(4))).mkString(" ")))
+      val df = docs.toDF("id", "text")
+      // unigram
+      val uniFreq = docs.flatMap(d => tok(d._2)).groupBy(identity)
+        .view.mapValues(_.length.toDouble).toMap
+      val nTok = uniFreq.values.sum
+      val gotU = GraftOps.unigramLogprob(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      docs.foreach { case (id, t) =>
+        val lps = tok(t).map(w => math.log(uniFreq(w) / nTok))
+        val (n, lp) = gotU(id)
+        assert(n === tok(t).length.toLong)
+        assert(math.abs(lp - BigDecimal(lps.sum / lps.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+          s"unigram doc $id")
+      }
+      // bigram: avg over ln(c(w1 w2) / c(w1 *)) with prefix counts from
+      // the BIGRAM table (matching the implementation's pref aggregate)
+      val bigrams = docs.flatMap(d => tok(d._2).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+      val bf = bigrams.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+      val pf = bf.toSeq.groupBy(_._1.split(" ", -1).head)
+        .view.mapValues(_.map(_._2).sum).toMap
+      val gotB = GraftOps.bigramLogprob(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      docs.foreach { case (id, t) =>
+        val bs = tok(t).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        val lps = bs.map(bg => math.log(bf(bg) / pf(bg.split(" ", -1).head)))
+        val (n, lp) = gotB(id)
+        assert(n === bs.length.toLong, s"bigram count doc $id")
+        assert(math.abs(lp - BigDecimal(lps.sum / lps.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+          s"bigram doc $id")
+      }
+    }
+  }
+
   // ---- sketch ----------------------------------------------------------
 
   test("fuzz bloom filter: zero false negatives at every seed") {

@@ -39,7 +39,14 @@ class PerfTripwireSpec extends SparkTestBase {
     "graph_pagerank",   // iterative, barrier per round
     "tpch_q21",         // 4-way fact self-join
     "join_pit",         // point-in-time as-of machinery
-    "knn_ivf_probe_verify") // heaviest of the r11 oracle twins
+    "knn_ivf_probe_verify", // heaviest of the r11 oracle twins
+    // r12 bench head (the artifact conversions moved the old heavies;
+    // these are the genuinely-heavy relational remainders now)
+    "tpch_q2",
+    "tpch_q18",
+    "join_salted",
+    "agg_approx_quantile",
+    "agg_weighted_median")
 
   for (name <- heavy) {
     test(s"$name warm time under ${budgetSec}s at sf0.1") {

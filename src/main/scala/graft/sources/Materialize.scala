@@ -8,6 +8,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * job and every downstream query joins from, instead of re-running
   * the derivation lineage per query per run.
   *
+  * POLICY (what qualifies as an artifact — r12): a table a production
+  * pipeline PERSISTS once per corpus snapshot — an index (minhash/
+  * winnow fingerprints, LSH buckets), a trained model table (BPE
+  * merges, LM counts, PMI collocations), a per-entity score/label
+  * snapshot (quality scores, keyword tags, authority ranks, RFM
+  * ranking snapshots), an edge set or its components, or a catalog
+  * statistic (equi-depth histogram). NEVER an ad-hoc per-query
+  * intermediate: queries must still do their own relational work over
+  * the artifacts, and every artifact-backed declared query stays
+  * oracle-gated end-to-end (the gate validates artifact build + read).
+  *
   * Path = per-process temp root + content fingerprint of the SOURCE
   * table (file listing + sizes + mtimes): a corpus rewrite within one
   * JVM yields a new path (stale artifacts can't be served), and other

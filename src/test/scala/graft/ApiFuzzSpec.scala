@@ -567,6 +567,75 @@ class ApiFuzzSpec extends SparkTestBase {
     }
   }
 
+  // ---- content-addressed sampling, exact twins ---------------------------
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+  private def keepBrute(key: Long, fraction: Double): Boolean =
+    if (fraction >= 1.0) true
+    else if (fraction <= 0.0) false
+    else md5hex(key.toString).substring(0, 4) <
+      f"${math.floor(fraction * 65536).toInt}%04x"
+
+  test("fuzz stratifiedSample vs brute md5-threshold twin (0/1 strata, default rate)") {
+    forSeeds { rnd =>
+      val rows = (0 until 40).map(i =>
+        (rnd.nextInt(100000).toLong, s"s${rnd.nextInt(5)}"))
+      val fracs = Map("s0" -> rnd.nextDouble(), "s1" -> 0.0, "s2" -> 1.0)
+      val got = GraftOps.stratifiedSample(rows.toDF("k", "g"), "k", "g",
+          fracs, default = 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val exp = rows.filter { case (k, g) =>
+        keepBrute(k, fracs.getOrElse(g, 0.5))
+      }.toSet
+      assert(got === exp, s"fracs $fracs")
+    }
+  }
+
+  test("fuzz mixtureSample vs brute rate computation (binding stratum kept whole)") {
+    forSeeds { rnd =>
+      val rows = (0 until 60).map(i =>
+        (rnd.nextInt(1000000).toLong, s"s${rnd.nextInt(4)}")).distinct
+      val weights = Map("s0" -> (0.2 + rnd.nextDouble()),
+        "s1" -> (0.2 + rnd.nextDouble()), "s2" -> 1.0)
+      val got = GraftOps.mixtureSample(rows.toDF("k", "g"), "k", "g", weights)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val inW = rows.filter(r => weights.contains(r._2))
+      val n = inW.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val t = n.map { case (s, c) => c / weights(s) }.min
+      val exp = inW.filter { case (k, g) =>
+        val rate = weights(g) * t / n(g)
+        rate >= 1.0 - 1e-9 || keepBrute(k, rate)
+      }.toSet
+      assert(got === exp, s"weights $weights")
+      // the binding stratum is kept whole
+      val binding = n.minBy { case (s, c) => c / weights(s) }._1
+      assert(got.count(_._2 == binding) === inW.count(_._2 == binding))
+    }
+  }
+
+  test("fuzz weightedPrioritySample vs brute u/w top-k per stratum") {
+    forSeeds { rnd =>
+      val rows = (0 until 40).map(i =>
+        (rnd.nextInt(1000000).toLong, s"s${rnd.nextInt(3)}",
+          0.1 + rnd.nextDouble() * 9)).distinct
+      val k = 1 + rnd.nextInt(5)
+      val got = GraftOps.weightedPrioritySample(rows.toDF("key", "g", "w"),
+          "key", "w", Seq("g"), k)
+        .collect().map(_.getLong(0)).toSet
+      def u(key: Long): Long =
+        java.lang.Long.parseLong(md5hex(key.toString).substring(0, 8), 16)
+      val exp = rows.groupBy(_._2).values.flatMap { rs =>
+        rs.sortBy { case (key, _, w) => (u(key).toDouble / w, key) }
+          .take(k).map(_._1)
+      }.toSet
+      assert(got === exp, s"k=$k")
+    }
+  }
+
   // ---- text scoring ------------------------------------------------------
 
   test("fuzz tfidf vs brute corpus tf-idf") {

@@ -15,7 +15,11 @@ import graft.api.GraftOps
   */
 class ApiFuzzSpec extends SparkTestBase {
 
-  private val seeds = Seq(13L, 101L, 7777L)
+  // default seeds pin the suite; override for deeper ad-hoc soaks:
+  //   sbt -Dgraft.fuzz.seeds=1,2,3,...  "testOnly graft.ApiFuzzSpec"
+  private val seeds = sys.props.get("graft.fuzz.seeds")
+    .map(_.split(",").toSeq.map(_.trim.toLong))
+    .getOrElse(Seq(13L, 101L, 7777L))
   private def forSeeds(f: scala.util.Random => Unit): Unit =
     seeds.foreach(s => f(new scala.util.Random(s)))
 

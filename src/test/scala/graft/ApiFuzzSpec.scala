@@ -726,6 +726,81 @@ class ApiFuzzSpec extends SparkTestBase {
     }
   }
 
+  // ---- BPE: exact reference twin -----------------------------------------
+
+  /** Left-to-right non-overlapping single-pass merge — the exact
+    * (emitted, pending) fold bpeTrain/bpeEncode evaluate in SQL
+    * ("aaa" under (a,a) → [aa, a]).
+    */
+  private def mergeOnce(sym: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var prev: Option[String] = None
+    sym.foreach { x =>
+      if (prev.contains(l) && x == r) { out += (l + r); prev = None }
+      else { prev.foreach(out += _); prev = Some(x) }
+    }
+    prev.foreach(out += _)
+    out.result()
+  }
+
+  test("fuzz bpeTrain/bpeEncode vs brute reference BPE (rules, counts, budgets)") {
+    forSeeds { rnd =>
+      // tiny alphabet + repeats force contested merges and ties
+      def word(): String = Seq.fill(1 + rnd.nextInt(6))(
+        "abc".charAt(rnd.nextInt(3))).mkString
+      val docs = (0 until 12).map(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(6))(word()).mkString(" ")))
+      val merges = 3 + rnd.nextInt(3)
+      val gotRules = GraftOps.bpeTrain(docs.toDF("id", "text"), "text", merges)
+        .collect().map(r => (r.getInt(0).toLong, r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq
+
+      // brute train over the distinct-word frequency table
+      val wordFreq = docs.flatMap(d => tok(d._2)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      var vocab = wordFreq.map { case (w, f) =>
+        (w.toVector.map(_.toString), f) }.toSeq
+      val expRules = Seq.newBuilder[(Long, String, String, Long)]
+      var exhausted = false
+      for (m <- 1 to merges if !exhausted) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (sym, f) =>
+          sym.sliding(2).filter(_.length == 2).foreach { p =>
+            val k = (p(0), p(1))
+            counts(k) = counts.getOrElse(k, 0L) + f
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((l, r), cnt) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          expRules += ((m.toLong, l, r, cnt))
+          vocab = vocab.map { case (sym, f) => (mergeOnce(sym, l, r), f) }
+        }
+      }
+      assert(gotRules === expRules.result(),
+        s"rule sequence diverged at merges=$merges")
+
+      // encode with the learned rules: per-doc word and token budgets
+      val ruleSeq = gotRules.map(t => (t._2, t._3))
+      if (ruleSeq.nonEmpty) {
+        val gotEnc = GraftOps.bpeEncode(docs.toDF("id", "text"), "text", ruleSeq)
+          .collect().map(r => r.getAs[Long]("id") ->
+            ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+        docs.foreach { case (id, t) =>
+          val ws = tok(t).filter(_.nonEmpty)
+          val total = ws.map { w =>
+            ruleSeq.foldLeft(w.toVector.map(_.toString)) {
+              case (sym, (l, r)) => mergeOnce(sym, l, r)
+            }.length.toLong
+          }.sum
+          assert(gotEnc(id) === ((ws.length.toLong, total)), s"doc $id '$t'")
+        }
+      }
+    }
+  }
+
   // ---- sketch ----------------------------------------------------------
 
   test("fuzz bloom filter: zero false negatives at every seed") {

@@ -1750,6 +1750,13 @@ object GraftOps {
     * distribution `withWatermark` must cover. ONE key-partitioned
     * running-max window, O(1) state/row, no self-join.
     */
+  /** CONTRACT: `arrivalCol` must be a TOTAL order per key (an ingest
+    * sequence / offset). With tied arrivals the running high-watermark
+    * over the tie group is sort-order-dependent — the same class of
+    * nondeterminism a streaming system has when two events share an
+    * offset, so the fix belongs at ingest (assign unique sequence
+    * numbers), not here.
+    */
   def latenessAudit(df: DataFrame, keyCol: String, arrivalCol: String,
       tsCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))

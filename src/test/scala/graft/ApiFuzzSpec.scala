@@ -726,6 +726,83 @@ class ApiFuzzSpec extends SparkTestBase {
     }
   }
 
+  // ---- near-dup / ANN contracts --------------------------------------------
+
+  test("fuzz minhashPairs: planted exact duplicates are ALWAYS found at distance 0") {
+    forSeeds { rnd =>
+      val base = (0 until 12).map(i => (i.toLong, rndText(rnd, 10)))
+        .filter(_._2.split(" ").count(_.nonEmpty) >= 3) // shingleable
+      // plant exact duplicates of a seeded sample under new ids
+      val dups = base.filter(_ => rnd.nextBoolean()).take(4)
+        .zipWithIndex.map { case ((_, t), i) => (100L + i, t) }
+      val rows = base ++ dups
+      val got = GraftOps.minhashPairs(rows.toDF("id", "text"), "id", "text",
+          maxDist = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val gotPairs = got.map(t => (t._1, t._2)).toSet
+      dups.foreach { case (did, t) =>
+        val orig = base.find(_._2 == t).get._1
+        val key = (math.min(orig, did), math.max(orig, did))
+        assert(gotPairs.contains(key),
+          s"planted exact duplicate pair $key not found")
+      }
+      // every exact-duplicate pair reports distance 0
+      got.foreach { case (a, b, d) =>
+        val (ta, tb) = (rows.find(_._1 == a).get._2, rows.find(_._1 == b).get._2)
+        if (ta == tb) assert(d === 0.0, s"exact dup ($a,$b) at distance $d")
+      }
+    }
+  }
+
+  test("fuzz annTopK: sims are exact, results bucket-consistent subsets of brute force") {
+    forSeeds { rnd =>
+      val d = 8
+      val vecs = (0 until 25).map(i => (i.toLong, rndVec(rnd, d)))
+      val got = GraftOps.annTopK(vecs.toDF("id", "v"), "id", "v",
+          probeId = 0L, k = 5, n = vecs.length.toLong)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val brute = vecs.tail.map { case (i, v) =>
+        i -> BigDecimal(bruteCos(vecs.head._2, v))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      got.foreach { case (i, s) =>
+        assert(math.abs(s - brute(i)) < 1e-9, s"ann sim for $i must be exact")
+      }
+      // sim-ordered with the id tie-break
+      assert(got.sortBy { case (i, s) => (-s, i) }.toSeq === got.toSeq)
+    }
+  }
+
+  test("fuzz splitAssign: bands are NESTED as fractions grow (no train->test migration)") {
+    forSeeds { rnd =>
+      val rows = (0 until 50).map(i => (rnd.nextInt(1000000).toLong, i))
+      def trainIds(f: Double) =
+        GraftOps.splitAssign(rows.toDF("k", "v"), "k", "split",
+            Seq("train" -> f, "val" -> 0.05))
+          .filter(col("split") === "train")
+          .collect().map(_.getLong(0)).toSet
+      val fs = Seq(0.2, 0.5, 0.8, 1.0 - 0.05)
+      fs.map(trainIds).sliding(2).foreach {
+        case Seq(a, b) => assert(a.subsetOf(b), "growing train must keep old rows")
+        case _ =>
+      }
+    }
+  }
+
+  test("fuzz globalPrefixSums with negative values and duplicate-free sparse keys") {
+    forSeeds { rnd =>
+      val keys = (0 until 30).map(_ => rnd.nextInt(100000).toLong).distinct
+      val rows = keys.map(k => (k, rnd.nextInt(2001).toLong - 1000L))
+      val got = GraftOps.globalPrefixSums(rows.toDF("k", "a"), "k",
+          Seq("a"), shardWidth = 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var cum = 0L
+      val exp = rows.sortBy(_._1).map { case (k, a) => cum += a; (k, a, cum) }
+      assert(got.toSeq === exp)
+    }
+  }
+
   // ---- BPE: exact reference twin -----------------------------------------
 
   /** Left-to-right non-overlapping single-pass merge — the exact

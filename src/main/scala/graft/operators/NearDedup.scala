@@ -692,7 +692,10 @@ object NearDedup {
       .createOrReplaceTempView("graft_reach_edges")
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .createOrReplaceTempView("graft_reach_docs")
-    spark.sql(
+    // the bounded-hop closure from a fixed seed set is a per-snapshot
+    // lineage/contamination expansion — artifact like pagerank_ranks;
+    // the WITH RECURSIVE evaluation runs once per corpus snapshot
+    materialized(spark, sfDir, "reach_closure")(spark.sql(
       """WITH RECURSIVE r(id, hops) AS (
         |  SELECT doc_id, 0 FROM graft_reach_docs WHERE doc_id < 5
         |  UNION ALL
@@ -702,7 +705,8 @@ object NearDedup {
         |)
         |SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops,
         |  CAST(COUNT(*) AS BIGINT) AS n_paths
-        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin)
+        |FROM r GROUP BY id""".stripMargin))
+      .orderBy(col("doc_id"))
   }
 
   /** `dedup_fuzzy` — record-linkage near-dedup: blocking + EDIT

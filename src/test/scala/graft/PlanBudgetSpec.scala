@@ -111,7 +111,12 @@ class PlanBudgetSpec extends SparkTestBase {
     // (b) the single median bucket's ≤10⁴-cent-price slice — exactly
     // TWO Window nodes and TWO fact scans (the accepted exact-two-pass
     // class), zero barriers
-    val df = Aggregates.queries("agg_weighted_median")(spark, sf)
+    // r12: the declared query reads the weighted_median_stats artifact;
+    // the two-phase plan discipline applies to the artifact BUILD
+    val dq = Aggregates.queries("agg_weighted_median")(spark, sf)
+    assert(dq.queryExecution.sparkPlan.toString.contains("weighted_median_stats"),
+      "declared query must read the statistic artifact")
+    val df = Aggregates.aggWeightedMedianBuild(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
     val wins = plan.linesIterator
       .count(_.trim.stripPrefix("+- ").startsWith("Window"))

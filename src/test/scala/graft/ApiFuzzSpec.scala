@@ -803,6 +803,173 @@ class ApiFuzzSpec extends SparkTestBase {
     }
   }
 
+  // ---- compression / layout / sketch algebra -------------------------------
+
+  test("fuzz pqEncode vs brute per-subspace argmin (first-min tie-break)") {
+    forSeeds { rnd =>
+      val (m, k, ds) = (2, 4, 4)
+      val codebook = Array.fill(m, k, ds)((rnd.nextDouble() * 2 - 1).toFloat)
+      val vecs = (0 until 15).map(i => (i.toLong, rndVec(rnd, m * ds)))
+      val got = vecs.toDF("id", "v")
+        .select(col("id"), GraftOps.pqEncode(col("v"), codebook).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vecs.foreach { case (id, v) =>
+        val exp = (0 until m).map { mi =>
+          val d2 = (0 until k).map { c =>
+            (0 until ds).map { j =>
+              val x = v(mi * ds + j).toDouble - codebook(mi)(c)(j).toDouble
+              x * x
+            }.sum
+          }
+          // first strict minimum (the fold replaces only on d2 < best)
+          d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        }
+        assert(got(id).toSeq === exp, s"vec $id")
+      }
+    }
+  }
+
+  test("fuzz pqCosineAdc vs brute table-lookup score; ivfAssign vs brute argmin") {
+    forSeeds { rnd =>
+      val (m, k, ds) = (2, 4, 4)
+      val codebook = Array.fill(m, k, ds)((rnd.nextDouble() * 2 - 1).toFloat)
+      val probe = rndVec(rnd, m * ds)
+      val (ip, n2) = GraftOps.pqAdcTables(probe, codebook)
+      val pn = math.sqrt(probe.map(x => x.toDouble * x).sum)
+      val codes = (0 until 12).map(i =>
+        (i.toLong, Seq.fill(m)(rnd.nextInt(k))))
+      val got = codes.toDF("id", "c")
+        .select(col("id"),
+          GraftOps.pqCosineAdc(col("c"), ip, n2, pn).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      codes.foreach { case (id, cs) =>
+        val ipSum = cs.zipWithIndex.foldLeft(0.0) {
+          case (a, (c, mi)) => a + ip(mi)(c).toDouble }
+        val n2Sum = cs.zipWithIndex.foldLeft(0.0) {
+          case (a, (c, mi)) => a + n2(mi)(c).toDouble }
+        val exp = ipSum / (pn * math.sqrt(n2Sum))
+        assert(math.abs(got(id) - exp) < 1e-12, s"codes $cs")
+      }
+      // ivfAssign == pqEncode with ONE whole-vector subspace
+      val cents = Array.fill(5, m * ds)((rnd.nextDouble() * 2 - 1).toFloat)
+      val vecs = (0 until 10).map(i => (i.toLong, rndVec(rnd, m * ds)))
+      val gotA = vecs.toDF("id", "v")
+        .select(col("id"), GraftOps.ivfAssign(col("v"), cents))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vecs.foreach { case (id, v) =>
+        val exp = cents.indices.minBy { c =>
+          (v.indices.map { j =>
+            val x = v(j).toDouble - cents(c)(j).toDouble; x * x
+          }.sum, c)
+        }
+        assert(gotA(id) === exp, s"vec $id")
+      }
+    }
+  }
+
+  test("fuzz signedProjection vs brute sign-matrix fold") {
+    forSeeds { rnd =>
+      val d = 5 + rnd.nextInt(8)
+      val outDims = 1 + rnd.nextInt(6)
+      val vecs = (0 until 12).map(i => (i.toLong, rndVec(rnd, d)))
+      val got = vecs.toDF("id", "v")
+        .select(col("id"), GraftOps.signedProjection(col("v"), outDims))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      vecs.foreach { case (id, v) =>
+        val exp = (0 until outDims).map { j =>
+          val s = v.indices.foldLeft(0.0) { (acc, i) =>
+            val sign = if ((i * 37 + j * 101 + i * j * 13) % 4 < 2) 1.0 else -1.0
+            acc + v(i).toDouble * sign
+          }
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        assert(got(id).toSeq === exp, s"vec $id dims $outDims")
+      }
+    }
+  }
+
+  test("fuzz repetitionSignals vs brute token/bigram stats") {
+    forSeeds { rnd =>
+      // small vocab with forced repeats so max-bigram-frequency varies
+      def t(): String = Seq.fill(1 + rnd.nextInt(12))(
+        Seq("a", "b", "a b", "c")(rnd.nextInt(4))).mkString(" ")
+      val texts = Seq.fill(15)(t()) :+ "a"
+      val got = texts.toDF("text")
+        .select(GraftOps.repetitionSignals("text").as("s"))
+        .collect().map(r => (r.getStruct(0).getLong(0),
+          r.getStruct(0).getLong(1), r.getStruct(0).getLong(2)))
+      texts.zip(got).foreach { case (txt, (n, nd, top)) =>
+        val ws = tok(txt)
+        assert(n === ws.length.toLong)
+        assert(nd === ws.distinct.length.toLong)
+        val expTop =
+          if (ws.length < 2) 1L
+          else ws.sliding(2).map(_.mkString(" ")).toSeq
+            .groupBy(identity).values.map(_.length).max.toLong
+        assert(top === expTop, s"'$txt'")
+      }
+    }
+  }
+
+  test("fuzz count-min sketch: one-sided error at every key") {
+    forSeeds { rnd =>
+      val rows = Seq.fill(200)(rnd.nextInt(30).toLong)
+      val cms = GraftOps.cmsBuild(rows.toDF("k"), col("k"))
+      val truth = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val keys = (0L until 40L).toSeq
+      val est = GraftOps.cmsEstimates(spark, cms, keys)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      keys.foreach { k =>
+        val exact = truth.getOrElse(k, 0L)
+        assert(est(k) >= exact, s"CMS must never under-count key $k")
+        assert(est(k) <= exact + math.max(1L, rows.length / 10),
+          s"implausible over-count for key $k: ${est(k)} vs $exact")
+      }
+    }
+  }
+
+  test("fuzz hilbertCode at order 4: bijective on 16x16, unit-step adjacent") {
+    val bits = 4
+    val grid = for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong)
+    val rows = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftOps.hilbertCode(col("a"), col("b"), bits).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.values.toSeq.sorted === (0L until 256L))
+    val byCode = rows.map(_.swap)
+    (0L until 255L).foreach { c =>
+      val (a1, b1) = byCode(c); val (a2, b2) = byCode(c + 1)
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) === 1,
+        s"codes $c,${c + 1} not adjacent")
+    }
+  }
+
+  test("fuzz winnowFingerprints cascade vs Scala window minima over engine gram hashes") {
+    forSeeds { rnd =>
+      val (k, w) = (5, 4)
+      def t(): String = Seq.fill(2 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val texts = (0 until 15).map(i => (i.toLong, t()))
+      val df = texts.toDF("id", "text")
+      graft.expressions.KGrams.register(spark)
+      // gram hashes FROM the engine (hash function not under test);
+      // the window-minimum cascade algebra is what the brute replays
+      val hashes = df.select(col("id"),
+          transform(expr(s"kgrams(text, $k)"), g => xxhash64(g)).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val got = df.select(col("id"),
+          graft.api.GraftOps.winnowFingerprints(col("text"), k, w))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.foreach { case (id, _) =>
+        val hs = hashes(id)
+        val exp =
+          (if (hs.length <= w) Seq(hs.min)
+           else hs.sliding(w).map(_.min).toSeq).distinct.sorted
+        assert(got(id).toSeq === exp, s"doc $id")
+      }
+    }
+  }
+
   // ---- BPE: exact reference twin -----------------------------------------
 
   /** Left-to-right non-overlapping single-pass merge — the exact

@@ -174,17 +174,23 @@ class ApiFuzzSpec extends SparkTestBase {
       val got = GraftOps.chunkWindows(docs.toDF("id", "text"), "id", "text",
           window, stride)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3))).toSet
+          r.getLong(3), r.getString(4))).toSet
       val exp = docs.flatMap { case (id, t) =>
         // split(" ", -1) never yields zero tokens: "" is ONE empty
         // token, so every doc (incl. the empty one) chunks
-        val n = tok(t).length
+        val toks = tok(t)
+        val n = toks.length
         if (n == 0) Seq.empty
         else {
           val nChunks = math.max(0,
             math.ceil((n - window).toDouble / stride).toInt) + 1
-          (0 until nChunks).map(i => (id, i.toLong, (i * stride).toLong,
-            math.min(window, n - i * stride).toLong))
+          (0 until nChunks).map { i =>
+            val slice = toks.slice(i * stride, math.min(i * stride + window, n))
+            // chunk_md5 pins CONTENT, not just offsets: downstream
+            // chunk-level dedup/embedding tables key on it
+            (id, i.toLong, (i * stride).toLong, slice.length.toLong,
+              md5hex(slice.mkString(" ")))
+          }
         }
       }.toSet
       assert(got === exp, s"window=$window stride=$stride")

@@ -19,7 +19,11 @@ import graft.sources.Tables
   */
 class StreamReplaySpec extends SparkTestBase {
 
-  private val seeds = Seq(11L, 47L, 2026L)
+  // default seeds pin the suite; override for deeper ad-hoc soaks:
+  //   sbt -Dgraft.replay.seeds=5,6,7 "testOnly graft.StreamReplaySpec"
+  private val seeds = sys.props.get("graft.replay.seeds")
+    .map(_.split(",").toSeq.map(_.trim.toLong))
+    .getOrElse(Seq(11L, 47L, 2026L))
 
   /** sf0.001 events in event-time order (ties broken by event_id) — the
     * arrival order every replay preserves; only cut points vary.

@@ -25,6 +25,13 @@ import graft.sources.Tables
   */
 object Ann {
 
+  /** The family's top-k. One constant couples every `.limit(K)` with
+    * [[selectedBuckets]]'s default pool size (ADVICE r12: independent
+    * hard-coded 10s could drift and silently break the pool ≥ k
+    * auto-widen guarantee).
+    */
+  private[graft] val K = 10
+
   /** Signature bits for this table size (see LshBucket.bitsFor). */
   def bucketBits(n: Long): Int = LshBucket.bitsFor(n)
 
@@ -121,7 +128,7 @@ object Ann {
     * and cheap exactly when it happens.
     */
   private[graft] def selectedBuckets(spark: SparkSession, sfDir: String,
-      k: Int = 10): Array[Int] = {
+      k: Int = K): Array[Int] = {
     val (_, ladder, cum) = probeState(spark, sfDir)
     ladder.indices.find(cum(_) >= k) match {
       case Some(i) => ladder.take(i + 1)
@@ -141,10 +148,19 @@ object Ann {
     * AnnSpec. Fully UDF-free: bucket assignment and cosine both native
     * codegen expressions.
     */
-  def knnAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnAnn(spark: SparkSession, sfDir: String): DataFrame =
+    knnAnnOverBuckets(spark, sfDir, selectedBuckets(spark, sfDir))
+
+  /** Exact cosine top-K over an explicit bucket selection (empty =
+    * whole table — the tiny-corpus degradation). The shared tail of
+    * knnAnn and the AnnSpec quality baselines: any candidate-scoping
+    * policy (ladder prefix, rescore-pool widen) composes with the same
+    * exact ranking.
+    */
+  private[graft] def knnAnnOverBuckets(spark: SparkSession, sfDir: String,
+      sel: Array[Int]): DataFrame = {
     val (e, _) = bucketed(spark, sfDir)
     val (pv, _, _) = probeState(spark, sfDir)
-    val sel = selectedBuckets(spark, sfDir)
     val scoped =
       if (sel.isEmpty) e
       else e.filter(col("bucket").isin(sel.toIndexedSeq.map(Integer.valueOf): _*))
@@ -152,7 +168,7 @@ object Ann {
       .select(col("vec_id"), col("bucket"),
         round(call_function("cosine_sim", col("embedding"), typedlit(pv)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(K)
   }
 
   /** Candidate pool for the quantized rescore stage: rank this many on
@@ -162,43 +178,67 @@ object Ann {
     */
   val RescorePool = 50
 
-  /** `knn_quant` — the int8-quantized ANN path: rank the probe's LSH
-    * bucket on QUANTIZED vectors (4× smaller — at 100 TB the ANN index
-    * stores only `quantizeInt8` codes and the scale float), keep the
-    * top `RescorePool`, then rescore those few on the original float
-    * vectors. Simulated single-table here (both columns derived in one
-    * scan); in production the codes live in the bucket-partitioned
-    * index and the originals are fetched by id from the full-precision
-    * store for the rescore only. Same shape as FAISS SQ8 + refine.
-    * Cosine is scale-invariant, so ranking on dequantized codes equals
-    * ranking on the codes themselves — the only error is int8 rounding.
+  /** `knn_quant` — the int8-quantized ANN path: rank the probe's
+    * auto-widened LSH bucket selection on QUANTIZED vectors (4×
+    * smaller — at 100 TB the ANN index stores only `quantizeInt8`
+    * codes and the scale float), keep the top `RescorePool`, then
+    * rescore those few on the original float vectors. Simulated
+    * single-table here (both columns derived in one scan); in
+    * production the codes live in the bucket-partitioned index and the
+    * originals are fetched by id from the full-precision store for the
+    * rescore only. Same shape as FAISS SQ8 + refine. Cosine is
+    * scale-invariant, so ranking on dequantized codes equals ranking
+    * on the codes themselves — the only error is int8 rounding.
+    *
+    * Candidate scope = `selectedBuckets(k = RescorePool)` (r12 verdict:
+    * the old single-bucket form returned 2 rows for a top-10 probe at
+    * sf0.01 — the same confinement knn_ann fixed in r12). Widening to
+    * the POOL size, not just K, keeps the rescore stage meaningful at
+    * small scale: a pool equal to K absorbs no int8 rank inversions.
+    * Empty selection (ladder can't fill the pool) degrades to the
+    * exact-scan scope, which is cheap exactly when it happens; rows
+    * out = min(K, n−1) at every scale, pinned in AnnSpec.
+    *
     * No oracle (bucket layout + quantizer are engine-specific);
     * top-k-overlap-vs-exact and exact-dup properties pinned in AnnSpec.
     */
   def knnQuant(spark: SparkSession, sfDir: String): DataFrame = {
     val (e, _) = bucketed(spark, sfDir)
-    val probe = e.filter(col("vec_id") === 0)
-      .select(col("bucket").as("p_bucket"), col("embedding").as("pv"))
-    val candidates = e.join(broadcast(probe), col("bucket") === col("p_bucket"))
-      .filter(col("vec_id") =!= 0)
-      // quantize AFTER the bucket filter: Catalyst keeps a Project's
-      // expressions below the join, so quantizing up front would run the
-      // two HOF passes over the whole table for a 1-bucket probe
-      // (measured 0.96 s vs 0.38 s warm at sf0.1). Production stores the
-      // codes at ingest; per-query cost is the bucket either way.
+    val (pv, _, _) = probeState(spark, sfDir)
+    val sel = knnQuantBuckets(spark, sfDir)
+    val scoped =
+      if (sel.isEmpty) e
+      else e.filter(col("bucket").isin(sel.toIndexedSeq.map(Integer.valueOf): _*))
+    val candidates = scoped.filter(col("vec_id") =!= 0)
+      // quantize AFTER the bucket filter (Project stays above Filter in
+      // the optimized plan), so the two HOF passes run only over the
+      // selected buckets, not the whole table (measured 0.96 s vs
+      // 0.38 s warm at sf0.1 for the single-bucket form). Production
+      // stores the codes at ingest; per-query cost is the selection
+      // either way.
       .withColumn("q", graft.api.GraftOps.quantizeInt8(col("embedding")))
       // rank on the dequantized codes — TakeOrderedAndProject keeps only
       // the rescore pool per partition, never a full sort
       .withColumn("qsim",
-        call_function("cosine_sim", graft.api.GraftOps.dequantizeInt8(col("q")), col("pv")))
+        call_function("cosine_sim",
+          graft.api.GraftOps.dequantizeInt8(col("q")), typedlit(pv)))
       .orderBy(col("qsim").desc, col("vec_id"))
       .limit(RescorePool)
     candidates
       .select(col("vec_id"), col("bucket"),
-        round(call_function("cosine_sim", col("embedding"), col("pv")), 6).as("sim"))
+        round(call_function("cosine_sim", col("embedding"), typedlit(pv)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(K)
   }
+
+  /** knn_quant's candidate-bucket selection — the ladder prefix that
+    * fills the RESCORE pool (shared with the AnnSpec quality baseline
+    * so the test compares against the exact ranking over the SAME
+    * scope).
+    */
+  private[graft] def knnQuantBuckets(spark: SparkSession,
+      sfDir: String): Array[Int] =
+    selectedBuckets(spark, sfDir, k = RescorePool)
 
   /** Multi-probe bucket set for a probe vector: the primary signature
     * plus the signatures reached by flipping the LOWEST-MARGIN bits
@@ -239,7 +279,7 @@ object Ann {
       .select(col("vec_id"), col("bucket"),
         round(call_function("cosine_sim", col("embedding"), typedlit(pv)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(K)
   }
 
   /** `knn_ann_multi` — multi-probe variant of knn_ann (4 buckets:
@@ -283,7 +323,7 @@ object Ann {
       .select(col("vec_id"), col("bucket"),
         round(call_function("cosine_sim", col("embedding"), pv), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(K)
   }
 
   /** Probe-batch split for the k-NN join queries: the first
@@ -395,7 +435,7 @@ object Ann {
         round(graft.functions.VectorFns.innerProduct(
           col("embedding"), col("pv")), 6).as("ip"))
       .orderBy(col("ip").desc, col("vec_id"))
-      .limit(10)
+      .limit(K)
   }
 
   /** `knn_sq8_verify` — the SQ8 ENCODE + ADC arithmetic of the

@@ -177,19 +177,66 @@ object Ivf {
     if (centers.length <= DriverRankMax) rankCellsDriver(centers, probe, nprobe)
     else rankCellsDistributed(spark, centers, probe, nprobe)
 
+  /** Per-cell member counts EXCLUDING the probe (vec 0), memoized per
+    * corpus fingerprint — the IVF twin of Ann.probeState's ladder
+    * counts: one k-row aggregate per (JVM, corpus snapshot), a catalog
+    * statistic a real deployment stores next to the trained quantizer
+    * (k is capped at 65536 by [[cellCount]], so the collected map is
+    * bounded by the MODEL size, never the data size).
+    */
+  private val cellCountsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Long]]
+
+  private[graft] def cellCounts(spark: SparkSession,
+      sfDir: String): Map[Int, Long] = {
+    val (_, assigned, _) = quantized(spark, sfDir)
+    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
+    cellCountsMemo.getOrElseUpdate(fp,
+      assigned.filter(col("vec_id") =!= 0)
+        .groupBy(col("cell")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+  }
+
+  /** The distance-ranked cell prefix a k-NN probe must read to hold at
+    * least `k` candidates, floored at the tier's configured `nprobe` —
+    * the IVF form of Ann.selectedBuckets (r12 verdict: audit every
+    * single-bucket ANN path for small-scale confinement). When two
+    * cells already hold ≥ k the selection IS the classic nprobe=2 probe
+    * (behaviour unchanged where it was already correct); small cells
+    * widen the prefix data-free from the memoized counts. Empty ⇒ even
+    * all cells can't fill k (n−1 < k): callers drop the cell filter
+    * and the probe degrades to the exact scan.
+    */
+  private[graft] def selectedCells(spark: SparkSession, sfDir: String,
+      probe: Seq[Float], nprobe: Int, k: Int): Array[Int] = {
+    val (m, _, _) = quantized(spark, sfDir)
+    val centers = m.clusterCenters.map(_.toArray)
+    val ranked = probeCells(spark, centers, probe, centers.length)
+    val cnts = cellCounts(spark, sfDir)
+    val cum = ranked.scanLeft(0L)((a, c) => a + cnts.getOrElse(c, 0L)).tail
+    ranked.indices.find(cum(_) >= k) match {
+      case Some(i) => ranked.take(math.max(i + 1, math.min(nprobe, ranked.length)))
+      case None    => Array.empty
+    }
+  }
+
   /** Top-10 cosine neighbours of vec_id=0 among the `nprobe` nearest
-    * cells (euclidean centroid distance, standard IVF probe rule).
+    * cells (euclidean centroid distance, standard IVF probe rule),
+    * AUTO-WIDENED along the distance-ranked cell prefix until the
+    * candidate pool holds ≥ 10 (see [[selectedCells]]).
     */
   private[graft] def knnIvfProbing(spark: SparkSession, sfDir: String,
       nprobe: Int): DataFrame = {
-    val (m, assigned, _) = quantized(spark, sfDir)
+    val (_, assigned, _) = quantized(spark, sfDir)
     val probe = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
-    val cells = probeCells(spark, m.clusterCenters.map(_.toArray), probe, nprobe)
-    assigned
-      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*) &&
-        col("vec_id") =!= 0)
+    val cells = selectedCells(spark, sfDir, probe, nprobe, k = 10)
+    val scoped =
+      if (cells.isEmpty) assigned
+      else assigned.filter(
+        col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*))
+    scoped.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("cell"),
         round(call_function("cosine_sim", col("embedding"), typedlit(probe)), 6)
           .as("sim"))

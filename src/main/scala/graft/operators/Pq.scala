@@ -117,7 +117,7 @@ object Pq {
   def knnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val (model, assigned, _) = Ivf.quantized(spark, sfDir)
+    val (_, assigned, _) = Ivf.quantized(spark, sfDir)
     val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
     val cb = cbMemo.getOrElseUpdate(fp, GraftOps.pqTrain(e, "embedding", k = K))
     val path = codesRoot.resolve(s"ivfpq_codes_$fp").toString
@@ -133,13 +133,19 @@ object Pq {
     val codes = spark.read.parquet(path)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
-    val cells = Ivf.probeCells(spark, model.clusterCenters.map(_.toArray),
-      probe, nprobe = 2)
+    // same auto-widened selection as knn_ivf (k = the final top-10, NOT
+    // the ADC pool) so the two tiers scan the SAME cells and the
+    // "identical to knn_ivf when the pool captures the in-cell top-10"
+    // pin (PqSpec) keeps holding after the r13 widen
+    val cells = Ivf.selectedCells(spark, sfDir, probe, nprobe = 2, k = 10)
     val (ip, n2) = GraftOps.pqAdcTables(probe, cb)
     val probeNorm = math.sqrt(probe.map(x => x.toDouble * x).sum)
-    val pool = codes
-      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*) &&
-        col("vec_id") =!= 0)
+    val scoped =
+      if (cells.isEmpty) codes
+      else codes.filter(
+        col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*))
+    val pool = scoped
+      .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         GraftOps.pqCosineAdc(col("codes"), ip, n2, probeNorm).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))

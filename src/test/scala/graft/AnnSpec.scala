@@ -259,30 +259,41 @@ class AnnSpec extends SparkTestBase {
     assert(r8 > r1, s"multi-probe must strictly improve recall at this sf ($r1 -> $r8)")
   }
 
-  test("knn_quant: bucket-confined, sim-ordered, top-10 overlap with exact >= 8/10") {
+  test("knn_quant: selection-confined, sim-ordered, top-10 overlap with exact >= 8/10") {
     val rows = Ann.knnQuant(spark, sf).collect()
     assert(rows.nonEmpty)
-    assert(rows.map(_.getInt(1)).distinct.length === 1, "all in the probe's bucket")
+    val sel = Ann.knnQuantBuckets(spark, sf)
+    if (sel.nonEmpty)
+      assert(rows.map(_.getInt(1)).toSet.subsetOf(sel.toSet),
+        "all rows inside the pool-widened bucket selection")
     assert(!rows.map(_.getLong(0)).contains(0L), "probe excluded")
     val sims = rows.map(_.getDouble(2))
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
     // rescore-on-originals over a 50-deep pool should reproduce the
-    // exact in-bucket ranking almost always; >= 8/10 is the contract
-    // (capped by the candidate count — the probe's sf0.001 bucket holds
-    // only 7 non-probe members, where the sets must match outright).
-    // Baseline = the SINGLE-bucket exact form (nprobe=1): knn_ann
-    // itself now auto-widens past the primary bucket.
-    val exact = Ann.knnAnnProbing(spark, sf, nprobe = 1)
+    // exact ranking over the SAME bucket selection almost always;
+    // >= 8/10 is the contract. Baseline = the exact cosine top-10 over
+    // knn_quant's own widened scope (r13: the single-bucket baseline
+    // retired with the single-bucket candidate filter).
+    val exact = Ann.knnAnnOverBuckets(spark, sf, sel)
       .collect().map(_.getLong(0)).toSet
     val overlap = rows.map(_.getLong(0)).count(exact.contains)
     assert(overlap >= math.min(8, exact.size),
       s"quantized top-10 overlap with exact = $overlap of ${exact.size}")
   }
 
+  test("knn_quant auto-widen yields min(k, n-1) rows at every scale (r12 verdict)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = sources.Tables.embeddings(spark, dir).count()
+      assert(Ann.knnQuant(spark, dir).count() === math.min(10L, n - 1),
+        s"$dir: quantized top-10 probe over n=$n must not be bucket-starved")
+    }
+  }
+
   test("knn_quant rescored sims equal the exact path's sims (originals, not codes)") {
     val qs = Ann.knnQuant(spark, sf)
       .select(col("vec_id"), col("sim").as("q_sim"))
-    val ex = Ann.knnAnnProbing(spark, sf, nprobe = 1)
+    val ex = Ann.knnAnnOverBuckets(spark, sf, Ann.knnQuantBuckets(spark, sf))
       .select(col("vec_id"), col("sim").as("e_sim"))
     assert(qs.join(ex, "vec_id").filter(col("q_sim") =!= col("e_sim")).count() === 0)
   }

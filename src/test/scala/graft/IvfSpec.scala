@@ -14,8 +14,24 @@ class IvfSpec extends SparkTestBase {
     val sims = rows.map(_.getDouble(2))
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
     assert(!rows.map(_.getLong(0)).contains(0L), "probe excluded")
-    // nprobe=2 of k cells: at most 2 distinct cells in the result
-    assert(rows.map(_.getInt(1)).distinct.length <= 2)
+    // nprobe=2 of k cells, auto-widened only when 2 cells hold < 10
+    // candidates (r13): the result stays inside the selected prefix
+    val probe = sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val sel = Ivf.selectedCells(spark, sf, probe, nprobe = 2, k = 10)
+    assert(sel.length >= 2, "selection keeps the configured nprobe floor")
+    assert(rows.map(_.getInt(1)).toSet.subsetOf(sel.toSet),
+      "all rows inside the auto-widened cell selection")
+  }
+
+  test("knn_ivf auto-widen yields min(k, n-1) rows at every scale (r12 verdict sweep)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = sources.Tables.embeddings(spark, dir).count()
+      assert(Ivf.knnIvf(spark, dir).count() === math.min(10L, n - 1),
+        s"$dir: top-10 IVF probe over n=$n must not be cell-starved")
+    }
   }
 
   test("knn_ivf is deterministic within a JVM (memoized quantizer)") {

@@ -100,4 +100,16 @@ class PcaSpec extends SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans === 1, s"one embeddings scan, got $scans")
   }
+
+  test("knn_pca yields min(k, n-1) rows at every scale (r12 verdict sweep)") {
+    // the PCA tier ranks EVERY vector in the projected space (no bucket
+    // confinement by construction) — the sweep pins that no future
+    // pre-filter starves the top-10
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = Tables.embeddings(spark, dir).count()
+      assert(Pca.knnPca(spark, dir).count() === math.min(10L, n - 1),
+        s"$dir: knn_pca starved")
+    }
+  }
 }

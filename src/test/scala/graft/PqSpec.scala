@@ -137,4 +137,17 @@ class PqSpec extends SparkTestBase {
       .select(col("vec_id"), col("sim").as("bf_sim"))
     assert(pq.join(bf, "vec_id").filter(col("pq_sim") =!= col("bf_sim")).count() === 0)
   }
+
+  test("knn_pq and knn_ivfpq yield min(k, n-1) rows at every scale (r12 verdict sweep)") {
+    // knn_pq ADC-scans the whole codes table (never confined); knn_ivfpq
+    // rides knn_ivf's auto-widened cell selection — both must fill the
+    // top-10 at every corpus size
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      val want = math.min(10L, n - 1)
+      assert(Pq.knnPq(spark, dir).count() === want, s"$dir: knn_pq starved")
+      assert(Pq.knnIvfPq(spark, dir).count() === want, s"$dir: knn_ivfpq starved")
+    }
+  }
 }

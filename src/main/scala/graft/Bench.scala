@@ -39,10 +39,7 @@ object Bench {
     // A/B hook for session-conf experiments (e.g. AQE coalesce policy):
     // "k=v;k=v". Unset in driver runs — the shipped defaults above are
     // the benched configuration.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    SessionConfs.applyExtra(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up session machinery (first-job scheduler + codegen init costs
@@ -121,6 +118,17 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+
+    // Artifact-budget tripwire's measurement half (r13): per-kind build
+    // wall-seconds for every Materialize artifact this run actually
+    // built (cold runs build all of them; warm re-runs build none).
+    // first_run_total - warm_total ≈ sum of these + per-query JIT.
+    val builds = graft.sources.Materialize.buildTimes.toSeq.sortBy(-_._2)
+      .map { case (k, s) => s"""  "$k": ${f2(s)}""" }
+      .mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "artifact_builds.json"),
+      builds.getBytes("UTF-8"))
 
     // Machine-contention self-documentation: identical code has read
     // 58.6–93 s across rounds purely from co-running load (BASELINE.md

@@ -103,7 +103,7 @@ object NearDedup {
     // 3. The verified pair table is the similarity EDGE SET — the
     //    ladder's second rung (like banded_edges/md5_pairs): built once
     //    per corpus snapshot, every dedup/selection query reads it.
-    materialized(spark, sfDir, "minhash_pairs")(
+    materialized(spark, sfDir, "minhash_pairs_d010")(
       GraftOps.minhashPairsFromSignatures(sig, "doc_id", maxDist = 0.1)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("est_dist")))
@@ -244,7 +244,7 @@ object NearDedup {
     // the verified pair table is the similarity EDGE SET — the second
     // rung of the artifact ladder (signatures -> edges), like
     // banded_edges; built once per corpus snapshot
-    materialized(spark, sfDir, "md5_pairs")(
+    materialized(spark, sfDir, "md5_pairs_d050b3")(
       pairs.filter(dist <= 0.5)
         .select(col("id_a"), col("id_b"), nBands.as("n_bands"),
           round(dist, 6).as("est_dist")))

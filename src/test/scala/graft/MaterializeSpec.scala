@@ -43,15 +43,15 @@ class MaterializeSpec extends SparkTestBase {
       })
 
     // 1. first use builds; repeated use serves the written artifact
-    assert(artifact("mat_spec_sum").collect()(0).getLong(0) === 6L)
+    assert(artifact("spec_mat_sum").collect()(0).getLong(0) === 6L)
     assert(builds === 1)
     (1 to 3).foreach(_ =>
-      assert(artifact("mat_spec_sum").collect()(0).getLong(0) === 6L))
+      assert(artifact("spec_mat_sum").collect()(0).getLong(0) === 6L))
     assert(builds === 1, "by-name build must not re-evaluate on hits")
 
     // 2. a DIFFERENT kind over the same sources is its own artifact
     assert(Materialize.once(spark, dir.toString, Seq("documents"),
-        "mat_spec_cnt")({
+        "spec_mat_cnt")({
       builds += 1
       spark.read.parquet(s"$dir/documents.parquet")
         .agg(count(lit(1)).as("n"))
@@ -65,12 +65,12 @@ class MaterializeSpec extends SparkTestBase {
     writeTable(dir, Seq(10L, 20L, 30L, 40L), now - 30000)
     val fpAfter = DataFingerprint.ofTable(dir.toString, "documents")
     assert(fpBefore !== fpAfter, "fingerprint must see the rewrite")
-    assert(artifact("mat_spec_sum").collect()(0).getLong(0) === 100L,
+    assert(artifact("spec_mat_sum").collect()(0).getLong(0) === 100L,
       "rewritten source must serve the NEW artifact content")
     assert(builds === 3)
 
     // 4. and the new artifact is itself cached
-    assert(artifact("mat_spec_sum").collect()(0).getLong(0) === 100L)
+    assert(artifact("spec_mat_sum").collect()(0).getLong(0) === 100L)
     assert(builds === 3)
   }
 

@@ -26,3 +26,20 @@ head = [kv for kv in sorted(d["queries"].items(), key=lambda kv: -kv[1])
 print("head:", [(k, round(v, 2)) for k, v in head])'
 done
 echo "== pair recorded at /tmp/closing_bench_{A,B}.json; per-query detail at target/bench_detail.json =="
+# Artifact-ladder cold budget (r13 tripwire, ArtifactBudgetSpec control 3):
+# cold includes every Materialize artifact build; 127 s (r11) -> 174 s (r12)
+# with nothing gating the trend. Breaching the budget means either trim the
+# ladder or consciously raise GRAFT_COLD_BUDGET with a note in BASELINE.md.
+BUDGET="${GRAFT_COLD_BUDGET:-200}"
+python3 - "$BUDGET" /tmp/closing_bench_A.json /tmp/closing_bench_B.json <<'EOF'
+import json, sys
+budget = float(sys.argv[1])
+colds = [json.load(open(p))["first_run_total"] for p in sys.argv[2:]]
+best = min(colds)
+print(f"== cold budget: best first_run_total {best:.1f}s vs {budget:.0f}s "
+      f"(per-artifact seconds in target/artifact_builds.json) ==")
+if best > budget:
+    print(f"COLD BUDGET BREACH: {best:.1f}s > {budget:.0f}s — trim the "
+          "artifact ladder or raise GRAFT_COLD_BUDGET deliberately")
+    sys.exit(2)
+EOF

@@ -23,10 +23,7 @@ object FloorProbe {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.maxPlanStringLength",
         sys.env.getOrElse("GRAFT_PROBE_PLANSTR", "2147483632"))
-    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    SessionConfs.applyExtra(builder)
     val spark = builder
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

@@ -114,7 +114,10 @@ object Pca {
     * full-space euclidean order IS cosine order, and the rank-16
     * projection is its variance-optimal approximation; the corpus is
     * near-isotropic, so the tier needs 16 of 64 dims where clustered
-    * production embeddings get away with fewer), keep the top pool via TakeOrderedAndProject (never a full sort), rescore
+    * production embeddings get away with fewer), keep the top
+    * 200-pool via TakeOrderedAndProject (never a full sort; pool 100 →
+    * 200 in r13: recall@10 vs exact at sf0.1 0.40 → 0.60, warm time
+    * unchanged — RecallSpec pins the floor), rescore
     * only the pool on the original vectors. The same
     * compress-rank/exact-rescore shape as knn_quant (SQ8) and knn_pq
     * (ADC) with a DATA-DERIVED compressor — at 100 TB the 16-double
@@ -145,7 +148,7 @@ object Pca {
         zip_with(col("sketch"), col("probe_sketch"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, t) => acc + t))
       .orderBy(col("d2"), col("vec_id"))
-      .limit(100)
+      .limit(200)
       .select(col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("pv")), 6)
           .as("sim"))

@@ -129,14 +129,20 @@ object ScaleProbe {
             t => concat(t, lit("_"), col("__k"))), " ")).as("text"),
         col("lang"), col("source"), col("n_chars")), "documents")
 
-    // embeddings: rotate the vector by k positions (norm-preserving)
+    // embeddings: rotate the vector by k positions (norm-preserving);
+    // past one full rotation cycle (k >= d — reachable at factor 100
+    // over 64 dims) rotation alone would REPEAT copy k-d exactly, so
+    // odd cycles also negate the vector (still norm-preserving, cosine
+    // -1 to the colliding copy — no accidental exact dups)
     val emb = copies("embeddings", Seq("vec_id"))
     val d = size(col("embedding"))
+    val rotated = when(col("__k") % d === 0, col("embedding")).otherwise(concat(
+      slice(col("embedding"), (col("__k") % d) + 1,
+        d - (col("__k") % d).cast("int")),
+      slice(col("embedding"), lit(1), (col("__k") % d).cast("int"))))
     write(emb.select(col("vec_id"),
-        when(col("__k") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), (col("__k") % d) + 1,
-            d - (col("__k") % d).cast("int")),
-          slice(col("embedding"), lit(1), (col("__k") % d).cast("int"))))
+        when((col("__k") / d).cast("int") % 2 === 0, rotated)
+          .otherwise(transform(rotated, x => -x))
           .as("embedding"),
         col("label")), "embeddings")
   }

@@ -51,6 +51,26 @@ object Ivf {
   /** Above this many cells, probe ranking moves off the driver. */
   val DriverRankMax = 4096
 
+  /** Scale-aware default probe width: `max(2, ceil(√cells))`. A FIXED
+    * nprobe default decays recall as the corpus grows — `cellCount`
+    * grows the cell count as ~√n, so nprobe=2 probes 50% of a 4-cell
+    * test corpus but 1% of the 196 cells a 200k-vector corpus trains,
+    * and 0.003% at the 65536-cell cap. Probing √cells instead holds
+    * the probed CELL FRACTION at cells^(−1/2) (≈ n^(−1/4) of the
+    * corpus): 2 of 4 at every gated sf (bit-identical to the historic
+    * nprobe=2 default — pinned by IvfSpec), 14 of 196 at the measured
+    * 100× ladder (knn_ivf recall@10 0.10 → 0.40, knn_ivfpq 0.10 →
+    * 0.30 there — measured, RecallProbe 2026-08-16, in a regime whose
+    * exact top-10 sims span only 0.47–0.53, i.e. no planted near
+    * neighbours), 256 of 65536 at the cap (0.4% of a 4.3e9-vector
+    * corpus — standard IVF operating territory). Explicit-nprobe
+    * callers (`knnIvfProbing`, the analytics sweep) are untouched:
+    * this is only the DEFAULT for the gated `knn_ivf`/`knn_ivfpq`
+    * tiers.
+    */
+  def defaultNprobe(cells: Int): Int =
+    math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
   /** Target k-means training-set size: a coarse quantizer needs a
     * REPRESENTATIVE sample, not the corpus — 256k vectors is ≥4 points
     * per centroid even at the 65536-cell cap, and standard IVF practice
@@ -244,12 +264,16 @@ object Ivf {
       .limit(10)
   }
 
-  /** `knn_ivf` — nprobe=2 of the `cellCount(n)` cells. No oracle
-    * (quantizer is engine-specific); structural guarantees pinned in
-    * IvfSpec.
+  /** `knn_ivf` — `defaultNprobe(cells)` of the `cellCount(n)` cells
+    * (= the historic nprobe=2 at every gated sf, √cells at scale — see
+    * [[defaultNprobe]]). No oracle (quantizer is engine-specific);
+    * structural guarantees pinned in IvfSpec.
     */
-  def knnIvf(spark: SparkSession, sfDir: String): DataFrame =
-    knnIvfProbing(spark, sfDir, nprobe = 2)
+  def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val (m, _, _) = quantized(spark, sfDir)
+    knnIvfProbing(spark, sfDir,
+      nprobe = defaultNprobe(m.clusterCenters.length))
+  }
 
   /** `embed_kmeans` — k-means clustering of the embedding corpus as a
     * first-class result (not just the IVF router): per cell the member

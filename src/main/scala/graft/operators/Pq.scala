@@ -137,10 +137,13 @@ object Pq {
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     // same auto-widened selection as knn_ivf (k = the final top-10, NOT
-    // the ADC pool) so the two tiers scan the SAME cells and the
-    // "identical to knn_ivf when the pool captures the in-cell top-10"
-    // pin (PqSpec) keeps holding after the r13 widen
-    val cells = Ivf.selectedCells(spark, sfDir, probe, nprobe = 2, k = 10)
+    // the ADC pool; same defaultNprobe(cells) rule) so the two tiers
+    // scan the SAME cells and the "identical to knn_ivf when the pool
+    // captures the in-cell top-10" pin (PqSpec) keeps holding after
+    // the r13 widen + scale-aware default
+    val cells = Ivf.selectedCells(spark, sfDir, probe,
+      nprobe = Ivf.defaultNprobe(Ivf.quantized(spark, sfDir)._1.clusterCenters.length),
+      k = 10)
     val (ip, n2) = GraftOps.pqAdcTables(probe, cb)
     val probeNorm = math.sqrt(probe.map(x => x.toDouble * x).sum)
     val scoped =

@@ -72,6 +72,22 @@ class IvfSpec extends SparkTestBase {
     assert(pts.map(Ivf.cellCount) === pts.map(Ivf.cellCount).sorted)
   }
 
+  test("defaultNprobe: historic 2 at every gated sf, √cells at scale (r13)") {
+    // every gated corpus trains cellCount ∈ {4} cells → default stays
+    // the historic nprobe=2, so gated results are bit-identical to the
+    // fixed-2 era
+    for (sf <- Seq(500L, 1500L, 2000L))
+      assert(Ivf.defaultNprobe(Ivf.cellCount(sf)) === 2)
+    // the 100× ladder corpus (n≈200k → 196 cells) probes 14
+    assert(Ivf.defaultNprobe(196) === 14)
+    // at the 65536-cell cap the probed fraction is 256/65536 ≈ 0.4%
+    assert(Ivf.defaultNprobe(65536) === 256)
+    // monotone and never below the floor
+    val cs = Seq(1, 4, 196, 4096, 65536)
+    assert(cs.map(Ivf.defaultNprobe) === cs.map(Ivf.defaultNprobe).sorted)
+    assert(Ivf.defaultNprobe(1) === 2)
+  }
+
   test("trainFraction: full corpus small, ~256k-row sample at scale") {
     assert(Ivf.trainFraction(500L) === 1.0)
     assert(Ivf.trainFraction(Ivf.TrainSampleMax * 4) === 1.0)

@@ -174,9 +174,37 @@ object Ann {
   /** Candidate pool for the quantized rescore stage: rank this many on
     * int8 codes, rescore them on originals. 5× the final k absorbs any
     * rank inversion the ~1.4e-3 quantization cosine error could cause
-    * near the top-10 boundary.
+    * near the top-10 boundary. This is the FLOOR — the operating pool
+    * is [[rescorePoolFor]](n, RescorePool), which grows as √n.
     */
   val RescorePool = 50
+
+  /** Memoized embeddings row count per corpus fingerprint — the same
+    * catalog-statistic class as [[bitsMemo]] (parquet count() reads
+    * row-group metadata, not data; memoized so warm paths are
+    * job-free).
+    */
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def embedCount(spark: SparkSession, sfDir: String): Long = {
+    val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
+    countMemo.getOrElseUpdate(fp,
+      Tables.embeddings(spark, sfDir).count())
+  }
+
+  /** Scale-aware rescore-pool depth: `max(floor, ⌈√n⌉)`. The r13 100×
+    * recall ladder showed the fixed-knob decay class twice (IVF nprobe,
+    * then pools): a rescore pool that is 10% of a 2k-vector test corpus
+    * is 0.1% of 200k and 2e-5 of 1e9 — compressed-rank capture of the
+    * true top-k falls with that fraction. √n holds the pool a usable
+    * slice at every scale while staying index-cheap: the pool is a
+    * TakeOrderedAndProject bound + a broadcast of pool-many ids, ⌈√1e9⌉
+    * ≈ 31.6k rows ≈ a few MB at the extreme. Bit-identical at every
+    * gated sf (√2000 ≈ 45 < every floor — pinned in AnnSpec).
+    */
+  def rescorePoolFor(n: Long, floor: Int): Int =
+    math.max(floor, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
 
   /** `knn_quant` — the int8-quantized ANN path: rank the probe's
     * auto-widened LSH bucket selection on QUANTIZED vectors (4×
@@ -205,6 +233,7 @@ object Ann {
   def knnQuant(spark: SparkSession, sfDir: String): DataFrame = {
     val (e, _) = bucketed(spark, sfDir)
     val (pv, _, _) = probeState(spark, sfDir)
+    val pool = rescorePoolFor(embedCount(spark, sfDir), RescorePool)
     val sel = knnQuantBuckets(spark, sfDir)
     val scoped =
       if (sel.isEmpty) e
@@ -223,7 +252,7 @@ object Ann {
         call_function("cosine_sim",
           graft.api.GraftOps.dequantizeInt8(col("q")), typedlit(pv)))
       .orderBy(col("qsim").desc, col("vec_id"))
-      .limit(RescorePool)
+      .limit(pool)
     candidates
       .select(col("vec_id"), col("bucket"),
         round(call_function("cosine_sim", col("embedding"), typedlit(pv)), 6).as("sim"))
@@ -238,7 +267,8 @@ object Ann {
     */
   private[graft] def knnQuantBuckets(spark: SparkSession,
       sfDir: String): Array[Int] =
-    selectedBuckets(spark, sfDir, k = RescorePool)
+    selectedBuckets(spark, sfDir,
+      k = rescorePoolFor(embedCount(spark, sfDir), RescorePool))
 
   /** Multi-probe bucket set for a probe vector: the primary signature
     * plus the signatures reached by flipping the LOWEST-MARGIN bits

@@ -148,7 +148,9 @@ object Pca {
         zip_with(col("sketch"), col("probe_sketch"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, t) => acc + t))
       .orderBy(col("d2"), col("vec_id"))
-      .limit(200)
+      // 200-floor √n-scaled pool (Ann.rescorePoolFor scaladoc): fixed
+      // pools are the 100×-measured decay class; gated sfs unchanged
+      .limit(Ann.rescorePoolFor(Ann.embedCount(spark, sfDir), 200))
       .select(col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), col("pv")), 6)
           .as("sim"))

@@ -36,7 +36,9 @@ object Pq {
     * it only widens the TakeOrderedAndProject, not the stored codes).
     * 100 → 200 in r13: recall@10 vs exact at sf0.1 read 0.60 at pool
     * 100 and 0.90 at 200 (knn_ivfpq 0.60 → 0.70) at unchanged warm
-    * time — RecallSpec pins the floors.
+    * time — RecallSpec pins the floors. FLOOR value — the operating
+    * pool is `Ann.rescorePoolFor(n, PqRescorePool)` (√n-scaled, see
+    * its scaladoc; bit-identical at every gated sf).
     */
   val PqRescorePool = 200
 
@@ -93,7 +95,7 @@ object Pq {
       .select(col("vec_id"),
         GraftOps.pqCosineAdc(col("codes"), ip, n2, probeNorm).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(PqRescorePool)
+      .limit(Ann.rescorePoolFor(Ann.embedCount(spark, sfDir), PqRescorePool))
     // the pool-row set broadcasts; originals are fetched by id only for it
     broadcast(pool).join(e, "vec_id")
       .select(col("vec_id"),
@@ -155,7 +157,7 @@ object Pq {
       .select(col("vec_id"),
         GraftOps.pqCosineAdc(col("codes"), ip, n2, probeNorm).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(PqRescorePool)
+      .limit(Ann.rescorePoolFor(Ann.embedCount(spark, sfDir), PqRescorePool))
     broadcast(pool).join(e, "vec_id")
       .select(col("vec_id"),
         round(call_function("cosine_sim", col("embedding"), typedlit(probe)), 6)

@@ -408,6 +408,25 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("rescorePoolFor: floor at every gated sf, √n at scale (r13)") {
+    // every gated corpus (n ≤ 2000 → √n ≤ 45) stays at the floor, so
+    // gated results are bit-identical to the fixed-pool era
+    for (dir <- sfDirs) {
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      assert(Ann.rescorePoolFor(n, Ann.RescorePool) === Ann.RescorePool)
+      assert(Ann.rescorePoolFor(n, 200) === 200)
+    }
+    // the 100× ladder corpus (n ≈ 200k) widens past the floors
+    assert(Ann.rescorePoolFor(200_000L, 200) === 448)
+    // at 1e9 vectors the pool is ~31.6k rows — broadcast-sized, never
+    // data-sized
+    assert(Ann.rescorePoolFor(1_000_000_000L, 200) === 31623)
+    // monotone in n, never below the floor
+    val ns = Seq(0L, 2000L, 200_000L, 1_000_000_000L)
+    assert(ns.map(Ann.rescorePoolFor(_, 50)) ===
+      ns.map(Ann.rescorePoolFor(_, 50)).sorted)
+  }
+
   test("knn_recall_eval: the measurement is exact — identities + brute force") {
     // NOTE: no recall FLOOR here — on this uniform test cloud the exact
     // top-5 are not near-dups, so LSH recall is legitimately low (the

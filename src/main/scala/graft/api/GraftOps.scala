@@ -1550,9 +1550,19 @@ object GraftOps {
     val pref = freq
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("bf")).as("pf"))
-    bi.join(freq, "bigram")
+    // Join the prefix totals onto the DISTINCT-bigram table, not the
+    // exploded corpus: bf and pf depend only on the bigram, so scoring
+    // the vocab-sized freq table first leaves exactly ONE corpus-sized
+    // equi-join (bi ⋈ scored on bigram). The previous shape joined the
+    // exploded corpus twice (once on bigram, again on w1) — the second
+    // corpus-sized shuffle was the 100×-ladder's worst cold exponent
+    // (0.88; the per-copy token suffixing grows the vocab with the
+    // corpus, so freq is never broadcastable and every shuffle counts).
+    val scored = freq
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(pref, "w1")
+      .select(col("bigram"), col("bf"), col("pf"))
+    bi.join(scored, "bigram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("bf").cast("double") / col("pf"))), 6)

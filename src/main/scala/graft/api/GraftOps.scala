@@ -272,13 +272,24 @@ object GraftOps {
       a.join(b, "__hb").filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("__idx_a"), col("__idx_b"))
     }
+    // Jaccard + threshold BEFORE the cross-band dedup (r14, the r13
+    // artifact-ledger trim): the verify arrays are already co-located
+    // on the band-join output, so dist is map-side there, and the
+    // dropDuplicates shuffle then moves only the slim verified rows
+    // (id_a, id_b, est_dist — ~24 bytes) instead of every candidate
+    // with two shingle-index arrays (~KBs/row). A pair colliding in
+    // multiple bands re-verifies once per band (≤ numTables×, identical
+    // value each time — same sig rows), which is cheap codegen'd
+    // array work; the shuffle it removes was the 100×-ladder's largest
+    // single artifact-build cost. Row-identical output: dedup keys and
+    // values are unchanged, est_dist is a pure function of the pair.
     bands.reduce(_ unionAll _)
-      .dropDuplicates("id_a", "id_b")
       .withColumn("dist", lit(1.0) -
         size(array_intersect(col("__idx_a"), col("__idx_b"))).cast("double") /
           size(array_union(col("__idx_a"), col("__idx_b"))).cast("double"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), round(col("dist"), 6).as("est_dist"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Convenience one-shot for small inputs: signatures + band join in

@@ -264,11 +264,43 @@ object Ann {
     * fills the RESCORE pool (shared with the AnnSpec quality baseline
     * so the test compares against the exact ranking over the SAME
     * scope).
+    *
+    * Capacity clamp (ADVICE r13): the single-flip ladder tops out at
+    * (bits+1) buckets ≈ 25.6k rows (bits capped at 24), but the √n
+    * pool demand passes that near n ≈ 6.5e8 — the old form returned
+    * EMPTY there and silently degraded to a full-table scan at exactly
+    * the scale the tier exists for. When the full ladder can't fill
+    * the √n pool but DOES hold at least the FLOOR pool (RescorePool —
+    * plenty for a top-10 rescore), the selection is the whole ladder:
+    * index-cheap at every scale, and the `.limit(pool)` bound upstream
+    * simply saturates at ladder capacity. Empty now means only "even
+    * the floor can't be filled" — the tiny-corpus exact-scan
+    * degradation, which is cheap exactly when it happens. Bit-identical
+    * at every gated sf (sf0.001's ladder holds < RescorePool rows →
+    * still empty; sf0.01/0.1 fill the pool from a prefix → unchanged);
+    * the huge-n regime is pinned arithmetically in AnnSpec.
     */
   private[graft] def knnQuantBuckets(spark: SparkSession,
-      sfDir: String): Array[Int] =
-    selectedBuckets(spark, sfDir,
-      k = rescorePoolFor(embedCount(spark, sfDir), RescorePool))
+      sfDir: String): Array[Int] = {
+    val (_, ladder, cum) = probeState(spark, sfDir)
+    clampedLadderSelection(ladder, cum,
+      pool = rescorePoolFor(embedCount(spark, sfDir), RescorePool),
+      floor = RescorePool)
+  }
+
+  /** The pure selection rule behind [[knnQuantBuckets]] (factored out
+    * so the over-capacity regime — un-reachable with test corpora — is
+    * unit-testable on synthetic ladders): shortest prefix whose
+    * cumulative count fills `pool`; whole ladder when capacity ≥
+    * `floor` but < `pool`; empty (exact-scan degradation) only below
+    * `floor`.
+    */
+  private[graft] def clampedLadderSelection(ladder: Array[Int],
+      cum: Array[Long], pool: Int, floor: Int): Array[Int] =
+    ladder.indices.find(cum(_) >= pool) match {
+      case Some(i) => ladder.take(i + 1)
+      case None => if (cum.nonEmpty && cum.last >= floor) ladder else Array.empty
+    }
 
   /** Multi-probe bucket set for a probe vector: the primary signature
     * plus the signatures reached by flipping the LOWEST-MARGIN bits

@@ -235,7 +235,6 @@ object NearDedup {
     val pairs = (0 until 3).map { j =>
         a.join(b, col(s"a$j") === col(s"b$j") && col("id_a") < col("id_b"))
       }.reduce(_ unionAll _)
-      .dropDuplicates("id_a", "id_b")
     val inter = size(array_intersect(col("hs_a"), col("hs_b")))
     val uni = size(array_union(col("hs_a"), col("hs_b")))
     val dist = lit(1.0) - inter.cast("double") / uni.cast("double")
@@ -243,11 +242,18 @@ object NearDedup {
       when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
     // the verified pair table is the similarity EDGE SET — the second
     // rung of the artifact ladder (signatures -> edges), like
-    // banded_edges; built once per corpus snapshot
+    // banded_edges; built once per corpus snapshot. Verify + slim
+    // BEFORE the cross-band dedup (r14, same trim as
+    // minhashPairsFromSignatures): dist and n_bands are pure functions
+    // of the pair's signature row (every band-copy carries ALL six
+    // band columns and both hs arrays), so filtering and dropping the
+    // arrays first leaves the dropDuplicates shuffle only the verified
+    // 4-column rows — row-identical output, KB/row less shuffle.
     materialized(spark, sfDir, "md5_pairs_d050b3")(
       pairs.filter(dist <= 0.5)
         .select(col("id_a"), col("id_b"), nBands.as("n_bands"),
-          round(dist, 6).as("est_dist")))
+          round(dist, 6).as("est_dist"))
+        .dropDuplicates("id_a", "id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.GraftOps
 import graft.sources.Tables
@@ -108,29 +108,130 @@ object Pq {
   /** IVF-PQ codes-table paths already written by this JVM. */
   private val writtenIvfPq = scala.collection.mutable.Set.empty[String]
 
-  /** `knn_ivfpq` — the composed production ANN layout at 100 TB: PQ
-    * codes PARTITIONED BY IVF cell. A probe ranks its `nprobe` nearest
-    * cells' codes via ADC — the scan is partition-PRUNED at file-listing
-    * time (the directory listing skips every other cell; pinned in
-    * PqSpec) AND compressed (8-byte codes, no float vectors) — then
-    * rescores the pool on originals fetched by id. IVF bounds WHAT is
-    * scanned, PQ bounds the BYTES per scanned row; this composition is
-    * what an actual 100 TB ANN deployment runs (FAISS IVF-PQ, SCANN).
-    * Identical results to knn_ivf's exact in-cell ranking whenever the
-    * ADC pool captures the in-cell top-10 (pinned at test scale).
+  /** RESIDUAL codebooks per corpus fingerprint (the IVF-PQ quantizer —
+    * trained on v − centroid[cell(v)], distinct from the raw-vector
+    * codebook knn_pq's full-scan tier keeps).
+    */
+  private val cbResMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Float]]]]
+
+  /** Every vector with its IVF cell and residual (v − centroid[cell]).
+    * The residual is what IVF-PQ quantizes (FAISS form): inside one
+    * Voronoi cell the residuals cluster around 0 with a dynamic range
+    * of one CELL, not the whole corpus, so the same codebook bytes
+    * carry far more precision than raw-vector codes — the r13 100×
+    * measurement read knn_ivfpq recall@10 = 0.30 on raw codes, and
+    * residual encoding is the standard fix at identical storage.
+    * Shape: one broadcast join against the ≤65536-row centroid table +
+    * a map-side zip_with — an ingest cost, same class as the encode.
+    */
+  private[graft] def residuals(spark: SparkSession, sfDir: String): DataFrame = {
+    val (m, assigned, _) = Ivf.quantized(spark, sfDir)
+    val s2 = spark
+    import s2.implicits._
+    val centers = m.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "center")
+    assigned
+      .join(broadcast(centers), Seq("cell"))
+      .withColumn("residual",
+        zip_with(col("embedding"), col("center"),
+          (a, b) => (a - b).cast("float")))
+  }
+
+  /** Driver-side ADC state for the residual scorer, covering exactly
+    * the probed cells (nprobe ≤ √cells ≤ 256 — each table is M×K
+    * floats, so the whole state stays a few-KB plan literal; the
+    * empty-selection degradation only happens when n−1 < k, where
+    * cellCount caps at 4 cells).
+    *
+    * The algebra: reconstruction v̂ = centroid_c + r̂, and subspaces
+    * are disjoint coordinates, so
+    *   ⟨p, v̂⟩  = ⟨p, c⟩ + Σ_m ipP(m)(code_m)
+    *   ‖v̂‖²    = ‖c‖² + Σ_m (2·⟨c_m, cent⟩ + ‖cent‖²)(code_m)
+    * — both EXACT sums of per-subspace table entries, like the raw
+    * ADC, just with two per-cell correction terms.
+    */
+  private[graft] case class ResidualAdcState(
+      ipP: Seq[Seq[Float]],
+      cellU: Map[Int, Seq[Seq[Double]]],
+      cellIpPC: Map[Int, Double],
+      cellC2: Map[Int, Double])
+
+  private[graft] def residualAdcState(probe: Seq[Float],
+      centers: Map[Int, Array[Float]],
+      cb: Array[Array[Array[Float]]]): ResidualAdcState = {
+    val (ipP, n2) = GraftOps.pqAdcTables(probe, cb)
+    def dot(a: Seq[Float], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      val n = math.min(a.length, b.length)
+      while (j < n) { s += a(j).toDouble * b(j); j += 1 }
+      s
+    }
+    val cellU = centers.map { case (cell, cen) =>
+      val ipC = GraftOps.pqAdcTables(cen.toSeq, cb)._1
+      cell -> ipC.zip(n2).map { case (ir, nr) =>
+        ir.zip(nr).map { case (i2, nn) => 2.0 * i2 + nn.toDouble } }
+    }
+    ResidualAdcState(ipP, cellU,
+      centers.map { case (c, cen) => c -> dot(probe, cen) },
+      centers.map { case (c, cen) => c -> dot(cen.toSeq, cen) })
+  }
+
+  /** ADC cosine of a RESIDUAL codes column against the probe: the raw
+    * pqCosineAdc lookup-sum plus the per-cell correction terms, all
+    * table lookups — no float vectors read. The per-cell tables ride
+    * in as map literals keyed by the `cell` column; both map lookups
+    * sit in ARGUMENT position of their HOFs (evaluated once per row —
+    * the interpreted-HOF discipline).
+    */
+  private[graft] def pqCosineAdcResidual(codes: Column, cell: Column,
+      st: ResidualAdcState, probeNorm: Double): Column = {
+    val ipSum = element_at(typedlit(st.cellIpPC), cell) +
+      aggregate(zip_with(codes, typedlit(st.ipP),
+          (c, t) => element_at(t, c + 1)),
+        lit(0.0d), (a, x) => a + x.cast("double"))
+    val n2Sum = element_at(typedlit(st.cellC2), cell) +
+      aggregate(zip_with(codes, element_at(typedlit(st.cellU), cell),
+          (c, t) => element_at(t, c + 1)),
+        lit(0.0d), (a, x) => a + x)
+    ipSum / (lit(probeNorm) * sqrt(greatest(n2Sum, lit(1e-300))))
+  }
+
+  /** `knn_ivfpq` — the composed production ANN layout at 100 TB:
+    * RESIDUAL PQ codes PARTITIONED BY IVF cell (the FAISS IVF-PQ
+    * form). A probe ranks its `nprobe` nearest cells' codes via ADC —
+    * the scan is partition-PRUNED at file-listing time (the directory
+    * listing skips every other cell; pinned in PqSpec) AND compressed
+    * (8-byte codes, no float vectors) — then rescores the pool on
+    * originals fetched by id. IVF bounds WHAT is scanned, PQ bounds
+    * the BYTES per scanned row.
+    *
+    * r14: the quantizer trains/encodes RESIDUALS (v − centroid[cell])
+    * instead of raw vectors — the codebook's dynamic range covers one
+    * Voronoi cell, not the corpus, so the same 8 code bytes carry far
+    * more precision (the r13 verdict's top recall item: raw codes
+    * measured 0.30 recall@10 at the 100× ladder). The ADC score gains
+    * two per-cell correction terms (see [[residualAdcState]]); the
+    * rescore-on-originals tail is unchanged. Identical results to
+    * knn_ivf's exact in-cell ranking whenever the ADC pool captures
+    * the in-cell top-10 (pinned at test scale).
     */
   def knnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val (_, assigned, _) = Ivf.quantized(spark, sfDir)
+    // bind the model once — re-invoking Ivf.quantized for the center
+    // count re-pays its e.count() sizing job (ADVICE r13)
+    val (ivfModel, _, _) = Ivf.quantized(spark, sfDir)
     val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
-    val cb = cbMemo.getOrElseUpdate(fp, GraftOps.pqTrain(e, "embedding", k = K))
+    val cbR = cbResMemo.getOrElseUpdate(fp,
+      GraftOps.pqTrain(residuals(spark, sfDir), "residual", k = K))
     val path = codesRoot.resolve(s"ivfpq_codes_$fp").toString
     Pq.synchronized {
       if (!writtenIvfPq.contains(path)) {
-        graft.expressions.PqEncodeExpr.register(spark, cb)
-        assigned
-          .select(col("vec_id"), col("cell"), expr("pq_encode(embedding)").as("codes"))
+        graft.expressions.PqEncodeExpr.register(spark, cbR)
+        residuals(spark, sfDir)
+          .select(col("vec_id"), col("cell"), expr("pq_encode(residual)").as("codes"))
           .write.partitionBy("cell").mode("overwrite").parquet(path)
         writtenIvfPq += path
       }
@@ -144,9 +245,14 @@ object Pq {
     // captures the in-cell top-10" pin (PqSpec) keeps holding after
     // the r13 widen + scale-aware default
     val cells = Ivf.selectedCells(spark, sfDir, probe,
-      nprobe = Ivf.defaultNprobe(Ivf.quantized(spark, sfDir)._1.clusterCenters.length),
+      nprobe = Ivf.defaultNprobe(ivfModel.clusterCenters.length),
       k = 10)
-    val (ip, n2) = GraftOps.pqAdcTables(probe, cb)
+    val centersArr = ivfModel.clusterCenters.map(_.toArray.map(_.toFloat))
+    // state covers exactly the scanned cells (all of them only in the
+    // n−1 < k degradation, where cellCount caps the model at 4 cells)
+    val stateCells = if (cells.isEmpty) centersArr.indices.toArray else cells
+    val st = residualAdcState(probe,
+      stateCells.map(c => c -> centersArr(c)).toMap, cbR)
     val probeNorm = math.sqrt(probe.map(x => x.toDouble * x).sum)
     val scoped =
       if (cells.isEmpty) codes
@@ -155,7 +261,7 @@ object Pq {
     val pool = scoped
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        GraftOps.pqCosineAdc(col("codes"), ip, n2, probeNorm).as("adc"))
+        pqCosineAdcResidual(col("codes"), col("cell"), st, probeNorm).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(Ann.rescorePoolFor(Ann.embedCount(spark, sfDir), PqRescorePool))
     broadcast(pool).join(e, "vec_id")
@@ -166,21 +272,26 @@ object Pq {
       .limit(10)
   }
 
-  /** `knn_pq_verify` — the ENCODE + ADC arithmetic of the PQ path,
-    * value-gated against DuckDB with a corpus-deterministic codebook:
-    * subspace m's K=4 centroids are the four lowest vec_ids' m-th
-    * subvectors (in production the trained codebook — the argmin
-    * encode and the ADC lookup algebra are identical arithmetic).
-    * Per vector: its M=8 subspace codes (dash-joined string — the
-    * gate bans array outputs) and the ADC cosine approximation
-    * against probe 0, Σ ip(m)(code_m) / (‖probe‖·√Σ ‖cent(m)(code_m)‖²)
-    * — exactly pqAdcTables' formula. Converts knn_pq's
-    * property-tested trust into a driver hash-verified value check
-    * (the dedup_embed_verify pattern). The encode argmin compares
-    * ROUNDED subspace distances (6 dp) with a centroid-id tie-break
-    * so both engines rank the same values.
+  /** `knn_pq_verify` — the RESIDUAL encode + corrected-ADC arithmetic
+    * of the IVF-PQ path (r14: upgraded from the raw-vector form when
+    * knn_ivfpq moved to residual codes, so the PRODUCTION algebra is
+    * the one that stays driver-hash-gated; the raw ADC remains pinned
+    * by PqSpec's reconstruction identity and ApiFuzzSpec's brute-force
+    * twins). Everything is corpus-deterministic: coarse centroids are
+    * the four lowest vec_ids' vectors (argmin round-6 L2 assignment,
+    * cell tie-break — the embed_kmeans_assign rule); the residual
+    * codebook's subspace-m centroids are vec_ids 4..7's RESIDUALS'
+    * m-th subvectors. Per vector: its cell, its M=8 residual codes
+    * (dash-joined string), and the residual-ADC cosine against probe
+    * 0 —
+    *   (⟨p,c⟩ + Σ ip) / (‖p‖·√(‖c‖² + Σ(2·ipc + n2)))
+    * — exactly [[residualAdcState]]'s per-cell correction algebra, so
+    * a wrong assignment, residual, code, or correction term each moves
+    * hashed values. Encode argmin compares ROUNDED subspace distances
+    * (6 dp) with a centroid-id tie-break so both engines rank the same
+    * values.
     *
-    * Scale: the codebook/ADC-table frame is M×K = 32 rows broadcast
+    * Scale: the codebook/table frame is cells×M×K = 128 rows broadcast
     * to a per-(vector, subspace) explode; encode + ADC reduce via two
     * hash aggregates on (vec_id, mi) then vec_id — same per-row cost
     * class as the production pqEncode expression, no window, no
@@ -191,41 +302,75 @@ object Pq {
     val ds = 8
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cb = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("c"), col("v"),
+    val coarse = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("center"))
+    def sqL2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, t) => s + t)
+    // coarse assignment + residual (v − center[cell])
+    val assigned = e.crossJoin(broadcast(coarse))
+      .withColumn("ad2", round(sqL2(col("v"), col("center")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("ad2"), col("cell"))).as("am"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("am.cell").as("cell"), col("v"))
+      .join(broadcast(coarse), Seq("cell"))
+      .withColumn("r", zip_with(col("v"), col("center"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("r"))
+    // residual codebook: vec_ids 4..7's residuals, per subspace
+    val rcb = assigned.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+      .select((col("vec_id") - 4).cast("int").as("c"), col("r"),
         explode(sequence(lit(0), lit(M - 1))).as("mi"))
       .select(col("mi"), col("c"),
-        slice(col("v"), col("mi") * lit(ds) + lit(1), lit(ds)).as("cent"))
+        slice(col("r"), col("mi") * lit(ds) + lit(1), lit(ds)).as("cent"))
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-    // per-(mi, c): the probe inner-product and centroid-norm ADC tables
-    val tables = cb.crossJoin(broadcast(probe))
-      .select(col("mi"), col("c"), col("cent"),
+    // per-(cell, mi, c): probe-ip, center-ip (the correction term), norm
+    val tables = coarse.crossJoin(rcb).crossJoin(broadcast(probe))
+      .select(col("cell"), col("mi"), col("c"), col("cent"),
         aggregate(zip_with(
           slice(col("pv"), col("mi") * lit(ds) + lit(1), lit(ds)),
           col("cent"), (a, b) => a * b), lit(0.0), (s, t) => s + t).as("ip"),
+        aggregate(zip_with(
+          slice(col("center"), col("mi") * lit(ds) + lit(1), lit(ds)),
+          col("cent"), (a, b) => a * b), lit(0.0), (s, t) => s + t).as("ipc"),
         aggregate(transform(col("cent"), x => x * x),
           lit(0.0), (s, t) => s + t).as("n2"))
+    // per-cell scalars: ⟨p, center⟩ and ‖center‖²
+    val pcc = coarse.crossJoin(broadcast(probe))
+      .select(col("cell"),
+        aggregate(zip_with(col("pv"), col("center"), (a, b) => a * b),
+          lit(0.0), (s, t) => s + t).as("ippc"),
+        aggregate(transform(col("center"), x => x * x),
+          lit(0.0), (s, t) => s + t).as("c2"))
     val pnorm = probe.select(
       sqrt(aggregate(transform(col("pv"), x => x * x),
         lit(0.0), (s, t) => s + t)).as("pn"))
     val d2 = aggregate(zip_with(
-      slice(col("v"), col("mi") * lit(ds) + lit(1), lit(ds)), col("cent"),
+      slice(col("r"), col("mi") * lit(ds) + lit(1), lit(ds)), col("cent"),
       (a, b) => (a - b) * (a - b)), lit(0.0), (s, t) => s + t)
-    e.select(col("vec_id"), col("v"),
+    assigned
+      .select(col("vec_id"), col("cell"), col("r"),
         explode(sequence(lit(0), lit(M - 1))).as("mi"))
-      .join(broadcast(tables), Seq("mi"))
+      .join(broadcast(tables), Seq("cell", "mi"))
       .withColumn("d2", round(d2, 6))
       .groupBy(col("vec_id"), col("mi"))
-      .agg(min(struct(col("d2"), col("c"), col("ip"), col("n2"))).as("m"))
+      .agg(first(col("cell")).as("cell"),
+        min(struct(col("d2"), col("c"), col("ip"), col("ipc"), col("n2"))).as("m"))
       .groupBy(col("vec_id"))
-      .agg(
+      .agg(first(col("cell")).as("cell"),
         concat_ws("-", transform(
           array_sort(collect_list(struct(col("mi"), col("m.c").as("c")))),
           s => s.getField("c").cast("string"))).as("codes"),
-        sum(col("m.ip")).as("sip"), sum(col("m.n2")).as("sn2"))
+        sum(col("m.ip")).as("sip"), sum(col("m.ipc")).as("sipc"),
+        sum(col("m.n2")).as("sn2"))
+      .join(broadcast(pcc), Seq("cell"))
       .crossJoin(broadcast(pnorm))
-      .select(col("vec_id"), col("codes"),
-        round(col("sip") / (col("pn") * sqrt(col("sn2"))), 6).as("adc_cos"))
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+        col("codes"),
+        round((col("ippc") + col("sip")) /
+          (col("pn") * sqrt(greatest(
+            col("c2") + lit(2.0) * col("sipc") + col("sn2"), lit(1e-300)))),
+          6).as("adc_cos"))
       .orderBy(col("vec_id"))
   }
 
@@ -236,36 +381,61 @@ object Pq {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB twin of the RESIDUAL encode + corrected-ADC algebra: same
+    // fixed coarse centroids (vec_id < 4), same round-6 argmin
+    // assignment, residuals v − center, residual codebook from vec_ids
+    // 4..7, round-6 per-subspace encode argmin, and the per-cell
+    // correction terms in the ADC cosine.
     "knn_pq_verify" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
-        |cb AS (
-        |  SELECT m.mi, s.vec_id AS c, s.v[m.mi*8+1 : m.mi*8+8] AS cent
+        |co AS (SELECT CAST(vec_id AS INT) AS cell, v AS center
+        |       FROM e WHERE vec_id < 4),
+        |a AS (SELECT vec_id, cell, v FROM (
+        |  SELECT e.vec_id, co.cell, e.v,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_sum([ (e.v[i] - co.center[i]) * (e.v[i] - co.center[i])
+        |        for i in range(1, len(e.v) + 1) ]), 6), co.cell) AS rn
+        |  FROM e CROSS JOIN co) WHERE rn = 1),
+        |r AS (SELECT a.vec_id, a.cell,
+        |        [ a.v[i] - co.center[i] for i in range(1, len(a.v) + 1) ] AS r
+        |      FROM a JOIN co USING (cell)),
+        |rcb AS (
+        |  SELECT m.mi, CAST(s.vec_id - 4 AS INT) AS c,
+        |         s.r[m.mi*8+1 : m.mi*8+8] AS cent
         |  FROM (SELECT unnest(range(0, 8)) AS mi) m,
-        |       (SELECT vec_id, v FROM e WHERE vec_id < 4) s),
+        |       (SELECT vec_id, r FROM r WHERE vec_id >= 4 AND vec_id < 8) s),
         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
         |t AS (
-        |  SELECT cb.mi, cb.c, cb.cent,
-        |    list_sum([ p.pv[cb.mi*8+i] * cb.cent[i] for i in range(1, 9) ]) AS ip,
-        |    list_sum([ cb.cent[i] * cb.cent[i] for i in range(1, 9) ]) AS n2
-        |  FROM cb, p),
+        |  SELECT co.cell, rcb.mi, rcb.c, rcb.cent,
+        |    list_sum([ p.pv[rcb.mi*8+i] * rcb.cent[i] for i in range(1, 9) ]) AS ip,
+        |    list_sum([ co.center[rcb.mi*8+i] * rcb.cent[i] for i in range(1, 9) ]) AS ipc,
+        |    list_sum([ rcb.cent[i] * rcb.cent[i] for i in range(1, 9) ]) AS n2
+        |  FROM co CROSS JOIN rcb, p),
         |enc AS (
-        |  SELECT vec_id, mi, c, ip, n2,
+        |  SELECT vec_id, cell, mi, c, ip, ipc, n2,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2, c) AS rn
         |  FROM (
-        |    SELECT e.vec_id, t.mi, t.c, t.ip, t.n2,
-        |      ROUND(list_sum([ (e.v[t.mi*8+i] - t.cent[i])
-        |        * (e.v[t.mi*8+i] - t.cent[i]) for i in range(1, 9) ]), 6) AS d2
-        |    FROM e, t)),
+        |    SELECT r.vec_id, r.cell, t.mi, t.c, t.ip, t.ipc, t.n2,
+        |      ROUND(list_sum([ (r.r[t.mi*8+i] - t.cent[i])
+        |        * (r.r[t.mi*8+i] - t.cent[i]) for i in range(1, 9) ]), 6) AS d2
+        |    FROM r JOIN t ON r.cell = t.cell)),
+        |pcc AS (SELECT co.cell,
+        |    list_sum([ p.pv[i] * co.center[i]
+        |      for i in range(1, len(co.center) + 1) ]) AS ippc,
+        |    list_sum([ co.center[i] * co.center[i]
+        |      for i in range(1, len(co.center) + 1) ]) AS c2
+        |  FROM co, p),
         |pn AS (SELECT sqrt(list_sum([ pv[i] * pv[i]
         |         for i in range(1, len(pv) + 1) ])) AS pn FROM p),
         |agg AS (
-        |  SELECT vec_id,
+        |  SELECT vec_id, cell,
         |    string_agg(CAST(c AS VARCHAR), '-' ORDER BY mi) AS codes,
-        |    sum(ip) AS sip, sum(n2) AS sn2
-        |  FROM enc WHERE rn = 1 GROUP BY vec_id)
-        |SELECT agg.vec_id, agg.codes,
-        |  ROUND(agg.sip / (pn.pn * sqrt(agg.sn2)), 6) AS adc_cos
-        |FROM agg, pn ORDER BY vec_id""".stripMargin
+        |    sum(ip) AS sip, sum(ipc) AS sipc, sum(n2) AS sn2
+        |  FROM enc WHERE rn = 1 GROUP BY vec_id, cell)
+        |SELECT agg.vec_id, CAST(agg.cell AS BIGINT) AS cell, agg.codes,
+        |  ROUND((pcc.ippc + agg.sip) / (pn.pn * sqrt(greatest(
+        |    pcc.c2 + 2.0 * agg.sipc + agg.sn2, 1e-300))), 6) AS adc_cos
+        |FROM agg JOIN pcc USING (cell), pn ORDER BY agg.vec_id""".stripMargin
   )
 }

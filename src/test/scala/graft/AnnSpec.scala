@@ -427,6 +427,31 @@ class AnnSpec extends SparkTestBase {
       ns.map(Ann.rescorePoolFor(_, 50)).sorted)
   }
 
+  test("ladder selection clamps to capacity, never full-scans past the floor (ADVICE r13)") {
+    // The over-capacity regime: at n ≈ 1e9 the √n pool (31.6k) exceeds
+    // the 25-bucket capped ladder's ~25.6k capacity. The old rule
+    // returned EMPTY there — a silent full-table scan at exactly the
+    // scale the tier exists for. Synthetic ladders pin all regimes.
+    val ladder = (0 until 25).toArray
+    val cumBig = ladder.scanLeft(0L)((a, _) => a + 1024L).tail // 25.6k cap
+    // pool > capacity ≥ floor → the WHOLE ladder, not empty
+    assert(Ann.clampedLadderSelection(ladder, cumBig,
+      pool = 31623, floor = Ann.RescorePool) === ladder)
+    // pool ≤ capacity → the shortest filling prefix (unchanged rule)
+    assert(Ann.clampedLadderSelection(ladder, cumBig,
+      pool = 2048, floor = Ann.RescorePool) === ladder.take(2))
+    // capacity < floor → empty (tiny-corpus exact-scan degradation);
+    // sf0.001's real ladder holds < RescorePool rows, so gated
+    // behaviour is bit-identical to the pre-clamp era
+    val cumTiny = ladder.take(7).scanLeft(0L)((a, _) => a + 3L).tail
+    assert(Ann.clampedLadderSelection(ladder.take(7), cumTiny,
+      pool = 50, floor = Ann.RescorePool).isEmpty)
+    // exact boundary: capacity == floor keeps the ladder
+    val cumEdge = Array.fill(5)(10L).scanLeft(0L)(_ + _).tail
+    assert(Ann.clampedLadderSelection(ladder.take(5), cumEdge,
+      pool = 51, floor = 50) === ladder.take(5))
+  }
+
   test("knn_recall_eval: the measurement is exact — identities + brute force") {
     // NOTE: no recall FLOOR here — on this uniform test cloud the exact
     // top-5 are not near-dups, so LSH recall is legitimately low (the

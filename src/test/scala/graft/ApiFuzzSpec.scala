@@ -873,6 +873,53 @@ class ApiFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz residual ADC (IVF-PQ form) vs brute correction algebra AND true reconstruction") {
+    // r14: knn_ivfpq moved to residual codes; this is the brute-force
+    // differential twin of Pq.residualAdcState + Pq.pqCosineAdcResidual
+    // (the r13 verdict's fuzz-the-re-encode item). Two references:
+    // (a) the same float lookup tables summed in plain Scala — pins
+    // the Catalyst map-literal/zip_with expression EXACTLY; (b) the
+    // true cosine(probe, center + concat(codebook rows)) in double —
+    // pins the correction ALGEBRA (⟨p,c⟩ + Σip over ‖c‖² + Σ(2ipc+n2))
+    // up to the float rounding of the table entries.
+    forSeeds { rnd =>
+      val (m, k, ds) = (2, 4, 4)
+      val d = m * ds
+      val cb = Array.fill(m, k, ds)((rnd.nextDouble() * 2 - 1).toFloat)
+      val probe = rndVec(rnd, d)
+      val centers = (0 until 3).map(c =>
+        c -> Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)).toMap
+      val st = operators.Pq.residualAdcState(probe, centers, cb)
+      val pn = math.sqrt(probe.map(x => x.toDouble * x).sum)
+      val rows = (0 until 12).map(i =>
+        (i.toLong, rnd.nextInt(3), Seq.fill(m)(rnd.nextInt(k))))
+      val got = rows.toDF("id", "cell", "c")
+        .select(col("id"),
+          operators.Pq.pqCosineAdcResidual(col("c"), col("cell"), st, pn).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach { case (id, cell, cs) =>
+        // (a) brute table-lookup decomposition — must match exactly
+        val ipSum = st.cellIpPC(cell) + cs.zipWithIndex.foldLeft(0.0) {
+          case (a, (c, mi)) => a + st.ipP(mi)(c).toDouble }
+        val n2Sum = st.cellC2(cell) + cs.zipWithIndex.foldLeft(0.0) {
+          case (a, (c, mi)) => a + st.cellU(cell)(mi)(c) }
+        val expTab = ipSum / (pn * math.sqrt(math.max(n2Sum, 1e-300)))
+        assert(math.abs(got(id) - expTab) < 1e-12,
+          s"table path diverged: cell $cell codes $cs")
+        // (b) true reconstruction cosine — float-table rounding only
+        val cen = centers(cell)
+        val vhat = (0 until d).map(j =>
+          cen(j).toDouble + cb(j / ds)(cs(j / ds))(j % ds).toDouble)
+        val ip = (0 until d).map(j => probe(j).toDouble * vhat(j)).sum
+        val n2 = vhat.map(x => x * x).sum
+        val expTrue = ip / (pn * math.sqrt(math.max(n2, 1e-300)))
+        assert(math.abs(got(id) - expTrue) < 1e-5,
+          s"correction algebra diverged: cell $cell codes $cs " +
+            s"got ${got(id)} true $expTrue")
+      }
+    }
+  }
+
   test("fuzz signedProjection vs brute sign-matrix fold") {
     forSeeds { rnd =>
       val d = 5 + rnd.nextInt(8)

@@ -28,14 +28,28 @@ import graft.operators.{Ann, Ivf, Pca, Pq}
   * a real algorithmic change; the slack only absorbs deliberate
   * re-tuning of sizing constants across corpus regenerations.
   *
-  * Measured r13 at sf0.1 (n = 2000), after the pool 100 → 200 raise:
-  * ann 0.0 / quant 0.0 (LSH scope; full 7-rung ladder reaches 0.3) /
-  * ivf 0.8 / ivfpq 0.7 / pq 0.9 / pca 0.6; knn_recall_eval mean
-  * recall@5 = 0.100 (LSH batch join, same regime).
+  * Measured r14 at sf0.1 (n = 2000), after the residual re-encode of
+  * knn_ivfpq: ann 0.0 / quant 0.0 (LSH scope; full 7-rung ladder
+  * reaches 0.3) / ivf 0.8 / ivfpq 0.8 / pq 0.9 / pca 0.6;
+  * knn_recall_eval mean recall@5 = 0.100 (LSH batch join, same
+  * regime). ivfpq now EQUALS ivf at both sf0.1 (0.8 = 0.8) and the
+  * 100× ladder (0.4 = 0.4, RecallProbe 2026-08-16): residual codes
+  * erased the ADC quantization loss entirely, so the ivfpq ceiling is
+  * the coarse-quantizer cell selection itself — knn_ivf's number, in
+  * a regime with no planted near neighbours.
   */
 class RecallSpec extends SparkTestBase {
 
   private val sf01 = "/root/testdata/sf0.1"
+
+  /** Corpus guard (r13 verdict hygiene): the recall floors are sf0.1
+    * measurements, not plan-level pins — a relocated/absent corpus
+    * should CANCEL these tests (the AnnSpec sfDirs convention), not
+    * fail the suite.
+    */
+  private def requireCorpus(): Unit =
+    assume(new java.io.File(sf01).isDirectory,
+      s"$sf01 absent — recall floors only measurable on the sf0.1 corpus")
 
   /** Exact cosine top-10 ids for probe vec 0 — the truth set, computed
     * by the same brute-force path the oracle-gated udf_cosine_topk
@@ -52,6 +66,7 @@ class RecallSpec extends SparkTestBase {
 
   private def pin(name: String, df: org.apache.spark.sql.DataFrame,
       floor: Double, measured: Double): Unit = {
+    requireCorpus()
     val r = recallAt10(df)
     info(f"$name recall@10 = $r%.2f (floor $floor%.2f, r13 measured $measured%.2f)")
     assert(r >= floor,
@@ -65,9 +80,10 @@ class RecallSpec extends SparkTestBase {
     pin("knn_ivf", Ivf.knnIvf(spark, sf01), floor = 0.6, measured = 0.8)
   }
 
-  test("knn_ivfpq (pruned ADC + rescore) recall@10 >= 0.5 at sf0.1") {
-    // ceiling is knn_ivf's 0.8 (same cells); ADC pool costs ~0.1 here
-    pin("knn_ivfpq", Pq.knnIvfPq(spark, sf01), floor = 0.5, measured = 0.7)
+  test("knn_ivfpq (pruned residual-ADC + rescore) recall@10 >= 0.6 at sf0.1") {
+    // ceiling is knn_ivf's 0.8 (same cells); residual codes (r14)
+    // reach it exactly — the ADC pool now costs nothing at this sf
+    pin("knn_ivfpq", Pq.knnIvfPq(spark, sf01), floor = 0.6, measured = 0.8)
   }
 
   test("knn_pq (ADC full scan + rescore) recall@10 >= 0.7 at sf0.1") {
@@ -96,6 +112,7 @@ class RecallSpec extends SparkTestBase {
     // the exact ranking — the quality property that CAN regress
     // independently of the regime. (Near-dup-regime recall — the LSH
     // deployment case — is pinned by AnnSpec's planted 200-pair test.)
+    requireCorpus()
     val quant = Ann.knnQuant(spark, sf01).collect().map(_.getLong(0)).toSeq
     val exactSameScope = Ann.knnAnnOverBuckets(spark, sf01,
       Ann.knnQuantBuckets(spark, sf01)).collect().map(_.getLong(0)).toSeq
@@ -108,6 +125,7 @@ class RecallSpec extends SparkTestBase {
     // the exact join, 8 probes) measures the SAME moderate-sim regime:
     // mean 0.100 r13. Pin a loose floor so a broken bucket join (mean
     // 0) still fails while regime-level noise does not.
+    requireCorpus()
     val mean = Ann.knnRecallEval(spark, sf01)
       .agg(avg(col("recall_at_5"))).collect()(0).getDouble(0)
     info(f"knn_recall_eval mean recall@5 = $mean%.3f (r13 measured 0.100)")

@@ -42,6 +42,17 @@ object RecallProbe {
     recall("knn_pq", Pq.knnPq(spark, sfDir).collect().map(_.getLong(0)))
     recall("knn_pca", Pca.knnPca(spark, sfDir).collect().map(_.getLong(0)))
 
+    // IVF nprobe-vs-recall curve (r14): quantifies what the √cells
+    // default buys and what more probing would cost — the knob a
+    // deployment turns when the measured recall (0.40 at 100× in the
+    // no-planted-neighbour regime) isn't enough for its use case.
+    // nprobe = cells is exact-by-construction (sanity anchor).
+    val cells = Ivf.cellCount(Ann.embedCount(spark, sfDir))
+    val np0 = Ivf.defaultNprobe(cells)
+    for (np <- Seq(np0, np0 * 2, np0 * 4, cells).distinct.filter(_ <= cells))
+      recall(f"knn_ivf_np($np%d/$cells%d)",
+        Ivf.knnIvfProbing(spark, sfDir, np).collect().map(_.getLong(0)))
+
     val sel = Ann.selectedBuckets(spark, sfDir)
     val qsel = Ann.knnQuantBuckets(spark, sfDir)
     println(s"selectedBuckets(K)=${sel.mkString(",")}  quantBuckets=${qsel.mkString(",")}")

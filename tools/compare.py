@@ -10,6 +10,7 @@ compares row-by-row, column-sorted-by-name — the strictest plausible
 reading of the driver's "row/schema/hash match".
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -86,8 +87,14 @@ def type_contract_risks(con, query_sql):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # a table is a single file in /root/testdata but a Spark-style
+        # directory of part files in the ScaleProbe blow-up corpora —
+        # accept both so oracle gating also runs at 100x/1000x
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     # Surface Verify-side failures first: a query that threw never wrote a
     # parquet dir, and without this its absence masquerades as "not run".
     try:

@@ -147,10 +147,21 @@ object Bench {
     val warms = results.map(_._2._2).sorted
     val medianWarm = if (warms.isEmpty) 0.0 else warms(warms.size / 2)
     val nUnder300 = warms.count(_ < 0.3)
-    val (slowName, (_, slowWarm)) =
-      results.maxBy(_._2._2)
+    // Guarded like medianWarm — an empty registry must degrade to a
+    // well-formed line, not a maxBy crash (ADVICE r14).
+    val (slowName, slowWarm) =
+      if (results.isEmpty) ("", 0.0)
+      else { val m = results.maxBy(_._2._2); (m._1, m._2._2) }
+    // Exit-time load sample (r14 verdict #8): the entry-time reading
+    // can't classify a load spike that STARTS mid-run. This one is
+    // polluted by the bench's own just-finished local[32] work, so it
+    // is only comparable ACROSS runs of the same binary — an idle
+    // machine shows a stable self-load band; a reading far above that
+    // band means external contention arrived during the window.
+    val loadAvgAtEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"load_avg_at_start":${f2(loadAvgAtStart)},"median_warm":${f2(medianWarm)},"n_under_300ms":$nUnder300,"slowest_name":"$slowName","slowest_warm":${f2(slowWarm)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"load_avg_at_start":${f2(loadAvgAtStart)},"load_avg_at_end":${f2(loadAvgAtEnd)},"median_warm":${f2(medianWarm)},"n_under_300ms":$nUnder300,"slowest_name":"$slowName","slowest_warm":${f2(slowWarm)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // ~2000-char driver tail minus sbt's trailing "[success] ..." line.
     // Iterative fit: keep the N slowest queries named and fold the rest
     // into one "_others" bucket, shrinking N until the line fits — a

@@ -14,6 +14,13 @@ import graft.operators.{Ann, Ivf, Pca, Pq, Pipeline}
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Corpus guard (r14 verdict hygiene, same check RecallSpec gained):
+    // a relocated/stale blow-up dir should fail HERE with a clear
+    // message, not as a FileNotFound mid-probe. Blow-up corpora in /tmp
+    // must also be era-consistent with the testdata they scale from.
+    require(new java.io.File(sfDir).isDirectory,
+      s"$sfDir absent — pass an existing corpus dir " +
+        "(testdata sf dir or a tools/scale_probe.sh blow-up dir)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -140,10 +140,13 @@ object Pq {
   }
 
   /** Driver-side ADC state for the residual scorer, covering exactly
-    * the probed cells (nprobe ≤ √cells ≤ 256 — each table is M×K
-    * floats, so the whole state stays a few-KB plan literal; the
-    * empty-selection degradation only happens when n−1 < k, where
-    * cellCount caps at 4 cells).
+    * the probed cells. State size is bounded by nprobe × M × K × 8
+    * bytes (cellU dominates): a few KB at gated scales (nprobe ≤ 14,
+    * M=8, K=32 → ~29 KB), and ~0.5 MB at the documented extreme
+    * (65536-cell cap, nprobe = 256) — still a fine plan literal, but
+    * it GROWS with nprobe, so a future nprobe widening should check
+    * this bound (ADVICE r14). The empty-selection degradation only
+    * happens when n−1 < k, where cellCount caps at 4 cells.
     *
     * The algebra: reconstruction v̂ = centroid_c + r̂, and subspaces
     * are disjoint coordinates, so
@@ -163,9 +166,13 @@ object Pq {
       cb: Array[Array[Array[Float]]]): ResidualAdcState = {
     val (ipP, n2) = GraftOps.pqAdcTables(probe, cb)
     def dot(a: Seq[Float], b: Array[Float]): Double = {
+      // fail fast on a probe/centroid dimension mismatch — silently
+      // truncating would mask a wrong-dimension bug as a slightly-wrong
+      // score (ADVICE r14); inputs are driver-side and tiny
+      require(a.length == b.length,
+        s"dimension mismatch: probe ${a.length} vs centroid ${b.length}")
       var s = 0.0; var j = 0
-      val n = math.min(a.length, b.length)
-      while (j < n) { s += a(j).toDouble * b(j); j += 1 }
+      while (j < a.length) { s += a(j).toDouble * b(j); j += 1 }
       s
     }
     val cellU = centers.map { case (cell, cen) =>

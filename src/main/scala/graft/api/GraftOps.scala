@@ -227,32 +227,67 @@ object GraftOps {
       .drop("__rn")
   }
 
+  /** The minhash permutation modulus: 2³¹ − 1 (Mersenne prime). Shingle
+    * features live in [0, p); permutation products stay < 2⁶² — exact
+    * in 64-bit integer arithmetic, no float anywhere in the family.
+    */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Per-table permutation coefficients (a, b) with a ∈ [1, p), b ∈
+    * [0, p), drawn from a fixed-seed PRNG — the same seeded-coefficient
+    * design as a classic MinHash implementation, but PUBLISHED: the
+    * whole hash family (xxhash64 → mod p → min over (a·h + b) mod p) is
+    * stated arithmetic a consumer can re-derive, not an engine-internal
+    * layout. NearDedupSpec re-derives signatures from these through an
+    * independent explode/groupBy plan and pins row-identity.
+    */
+  def minhashCoefficients(numTables: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42L)
+    Seq.fill(numTables)(
+      (1L + rnd.nextInt((MinhashPrime - 1).toInt),
+        rnd.nextInt(MinhashPrime.toInt).toLong))
+  }
+
   /** MinHash signature table over any (id, text) DataFrame: one row per
-    * document with `idx` (hashed 3-gram shingle indices, array<int>) and
-    * `h` (one minhash value per band, array<double>) — plain
-    * parquet-native types by design. AT SCALE, WRITE THIS ONCE per
-    * corpus snapshot and run `minhashPairsFromSignatures` against the
-    * re-read: an unpersisted signature plan is re-evaluated on BOTH
-    * sides of every band join (2·numTables scans of the raw text —
-    * measured 16.7 s vs 1 s at sf0.1 in this repo's bench history).
+    * document with `idx` (distinct hashed 3-gram shingle features,
+    * array<long> in [0, 2³¹−1)) and `h` (one minhash value per band,
+    * array<long>) — plain parquet-native types by design.
+    *
+    * NATIVE-EXPRESSION STAGE (r15): shingle → xxhash64 (codegen) →
+    * mod-Mersenne feature, then per-table array_min over the exact
+    * (a·h + b) mod p permutation — the same integer algebra the
+    * oracle-gated md5 twin (NearDedup.dedupMinhashMd5) value-checks
+    * end-to-end, over a 64-bit hash. This replaced the r2–r14 MLlib
+    * HashingTF(2¹⁸) + MinHashLSH stage: VectorUDT columns plus
+    * per-row UDFs showed last-decade exp ~1.3 on the 1000× ladder
+    * (71 → 1402 s, 100×→1000×, single-JVM heap pressure) while the
+    * identical banded algebra over plain arrays read 0.58. Array
+    * expressions also hash shingles into 2³¹ space instead of 2¹⁸ —
+    * strictly fewer feature collisions, so the verify Jaccard sits
+    * closer to the true shingle Jaccard.
+    *
+    * AT SCALE, WRITE THIS ONCE per corpus snapshot and run
+    * `minhashPairsFromSignatures` against the re-read: an unpersisted
+    * signature plan is re-evaluated on BOTH sides of every band join
+    * (2·numTables scans of the raw text — measured 16.7 s vs 1 s at
+    * sf0.1 in this repo's bench history).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numTables: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), shingles(col("__toks")).as("__sh"))
-    val tf = new org.apache.spark.ml.feature.HashingTF()
-      .setInputCol("__sh").setOutputCol("__features")
-      .setBinary(true).setNumFeatures(1 << 18)
-    val feats = tf.transform(docs)
-    val lsh = new org.apache.spark.ml.feature.MinHashLSH()
-      .setInputCol("__features").setOutputCol("__sig")
-      .setNumHashTables(numTables).setSeed(42L)
-    val model = lsh.fit(feats)
-    val toIdx = udf { (v: org.apache.spark.ml.linalg.Vector) => v.toSparse.indices }
-    val toH = udf { (s: Seq[org.apache.spark.ml.linalg.Vector]) => s.map(_(0)) }
-    model.transform(feats)
-      .select(col(idCol), toIdx(col("__features")).as("idx"),
-        toH(col("__sig")).as("h"))
+    val p = MinhashPrime
+    val coeffs = minhashCoefficients(numTables)
+    // idx behind a barrier-free two-step select: the permutations only
+    // reference the computed `idx` column (argument position in their
+    // HOFs), and CollapseProject keeps a multi-referenced non-trivial
+    // alias as its own projection, so the shingle hash runs once per row
+    df.select(col(idCol), shingles(tokens(col(textCol))).as("__sh"))
+      .select(col(idCol),
+        array_distinct(transform(col("__sh"), s => pmod(xxhash64(s), lit(p))))
+          .as("idx"))
+      .select(col(idCol), col("idx"),
+        array(coeffs.map { case (a, b) =>
+          array_min(transform(col("idx"), x => (lit(a) * x + lit(b)) % lit(p)))
+        }: _*).as("h"))
   }
 
   /** Near-duplicate pairs from a signature table (minhashSignatures

@@ -82,13 +82,15 @@ object NearDedup {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     // The corpus binding of the library ops (graft.api.GraftOps):
     // 1. Materialize the signature table ONCE per (JVM, corpus), in
-    //    plain parquet-native types (doc_id, array<int> shingle-feature
-    //    indices, 3 minhash doubles) — round 2 recomputed the
-    //    scan→shingle→HashingTF→MinHash lineage on BOTH sides of the
-    //    join (16.7 s of a 41 s bench), and VectorUDT columns dominated
-    //    the write cost (~1.5 s for 5k rows, measured). At cluster
-    //    scale this is the signature table a pipeline writes per corpus
-    //    snapshot and every dedup query joins from.
+    //    plain parquet-native types (doc_id, array<long> shingle
+    //    features, 3 minhash longs) — round 2 recomputed the signature
+    //    lineage on BOTH sides of the join (16.7 s of a 41 s bench);
+    //    r15 replaced the MLlib HashingTF/MinHashLSH stage behind
+    //    minhashSignatures with native array expressions (the MLlib
+    //    VectorUDT/UDF stage read last-decade exp ~1.3 on the 1000×
+    //    ladder; see the GraftOps scaladoc). At cluster scale this is
+    //    the signature table a pipeline writes per corpus snapshot and
+    //    every dedup query joins from.
     // 2. Band-join from the re-read: candidate iff SOME hash table
     //    collides, verified with exact Jaccard over index sets —
     //    row-identical to MLlib approxSimilarityJoin (NearDedupSpec),
@@ -195,8 +197,9 @@ object NearDedup {
     * (a·h + b) mod p permutations that DuckDB reproduces exactly — so
     * the min/band/bucket-join/verify arithmetic is value-checked
     * end-to-end, the way dedup_simhash_md5 gates the bit-vote. The
-    * production entry stays on MLlib MinHashLSH (engine-internal hash
-    * family ⇒ no SQL oracle); only the hash family differs here.
+    * production entry runs the SAME algebra over xxhash64 features
+    * (native since r15 — DuckDB has no xxhash64, so it stays
+    * no_oracle); only the hash function differs here.
     *
     * All constants fit the integer algebra in 64 bits on both engines:
     * h < 2^28, a < 2^25, so a·h + b < 2^53 — exact in BIGINT and even

@@ -120,6 +120,64 @@ class RecallSpec extends SparkTestBase {
       "SQ8 rescore must reproduce the exact ranking over its own scope at sf0.1")
   }
 
+  // ---- planted-neighbour regime: index-quality floors (r15) ----
+  //
+  // The floors above measure the corpus's NATURAL moderate-sim regime
+  // (exact top-10 sims 0.31–0.41), where LSH tiers read ~0 by math and
+  // even IVF is capped by cell selection. The regime a user actually
+  // cares about — does the index retrieve genuine near-duplicates? —
+  // needs genuine near-duplicates: RecallProbe.plantNeighbours appends
+  // 10 deterministic perturbations of probe vec 0 (cos 0.96–0.99, far
+  // above any natural neighbour), making the exact top-10 the planted
+  // set. Measured r15 at sf0.1: ann 0.9 / ann_probing(4+) 1.0 / quant
+  // 0.9 / ivf 1.0 / ivfpq 1.0 / pq 1.0 / pca 1.0; at the 100× ladder
+  // (200k vectors) the planted table lives in BASELINE.md. Floors sit
+  // under the measured values by the usual re-tuning slack.
+
+  private lazy val plantedDir: String = {
+    val out = new java.io.File("target/planted_sf01").getAbsolutePath
+    RecallProbe.plantNeighbours(spark, sf01, out)
+    out
+  }
+
+  private lazy val plantedExact: Set[Long] =
+    operators.Pipeline.udfCosineTopk(spark, plantedDir)
+      .collect().map(_.getLong(0)).toSet
+
+  private def pinPlanted(name: String, df: org.apache.spark.sql.DataFrame,
+      floor: Double, measured: Double): Unit = {
+    requireCorpus()
+    val r = df.collect().map(_.getLong(0)).count(plantedExact.contains) / 10.0
+    info(f"$name planted recall@10 = $r%.2f (floor $floor%.2f, r15 measured $measured%.2f)")
+    assert(r >= floor,
+      f"$name planted-regime recall@10 $r%.2f fell under $floor%.2f — " +
+        "the index no longer retrieves genuine near-duplicates")
+  }
+
+  test("planted regime: exact top-10 is the planted set (probe sanity)") {
+    requireCorpus()
+    assert(plantedExact.size === 10)
+    assert(plantedExact.forall(_ >= 2000L),
+      s"planted ids expected at >= 2000 (sf0.1 has 2000 vectors): $plantedExact")
+  }
+
+  test("planted regime: data-adaptive tiers retrieve near-dups (>= 0.8)") {
+    pinPlanted("knn_ivf", Ivf.knnIvf(spark, plantedDir), 0.8, 1.0)
+    pinPlanted("knn_ivfpq", Pq.knnIvfPq(spark, plantedDir), 0.8, 1.0)
+    pinPlanted("knn_pq", Pq.knnPq(spark, plantedDir), 0.8, 1.0)
+    pinPlanted("knn_pca", Pca.knnPca(spark, plantedDir), 0.8, 1.0)
+  }
+
+  test("planted regime: LSH tiers retrieve near-dups (>= 0.7)") {
+    // the near-dup regime IS the LSH deployment case: capture per bit
+    // ~(1 − θ/π) ≈ 0.93^bits for cos ≥ 0.96 — these floors are the
+    // quality pin the natural regime could never give the LSH tiers
+    pinPlanted("knn_ann", Ann.knnAnn(spark, plantedDir), 0.7, 0.9)
+    pinPlanted("knn_quant", Ann.knnQuant(spark, plantedDir), 0.7, 0.9)
+    pinPlanted("knn_ann_probing(4)",
+      Ann.knnAnnProbing(spark, plantedDir, nprobe = 4), 0.8, 1.0)
+  }
+
   test("knn_recall_eval's own metric stays in its regime band at sf0.1") {
     // the declared evaluation query (recall@5 of the LSH batch join vs
     // the exact join, 8 probes) measures the SAME moderate-sim regime:

@@ -679,38 +679,47 @@ object Text {
     * record-linkage primitive dedup_minhash's set-similarity can't
     * replace (edit distance sees transpositions/typos that shingle
     * overlap blurs). Candidate pairs come from CLASSIC BLOCKING —
-    * same language, same 16-char length bucket, |Δn_chars| ≤ 8 — and
-    * each pair is scored on a 48-char prefix probe (bounds the DP cost
-    * per pair); the per-language report counts candidate, exact
-    * (d = 0) and close (d ≤ 12) pairs with min/avg distance.
+    * same language, same FIRST TOKEN, same 16-char length bucket,
+    * |Δn_chars| ≤ 8 — and each pair is scored on a 48-char prefix
+    * probe (bounds the DP cost per pair); the per-language report
+    * counts candidate, exact (d = 0) and close (d ≤ 12) pairs with
+    * min/avg distance.
     *
     * Scale shape: the O(n²) all-pairs trap is cut to within-block
-    * pairs by the equi-join on (lang, bucket) — a plain shuffle join
-    * whose cost is Σ|block|², tunable via bucket width; the probe cap
-    * makes each distance O(48²) regardless of document length. The
-    * build side fans out to buckets {bkt−1, bkt, bkt+1} so pairs
-    * whose lengths straddle a 16-char bucket boundary (15 vs 17) are
-    * STILL candidates — |Δn_chars| ≤ 8 is the true candidate
-    * definition, not an approximation (Δ ≤ 8 < 16 ⇒ buckets differ
-    * by ≤ 1, so the neighbor fan-out is exhaustive, and each pair
-    * matches exactly one of b's three distinct block entries — no
-    * dedup pass needed). Levenshtein is a codegen'd built-in
-    * (character-based in both engines); all outputs are exact
-    * integers but the ROUND-6 mean.
+    * pairs by the equi-join on (lang, tok0, bucket) — a plain shuffle
+    * join whose cost is Σ|block|². THE BLOCK KEY MUST GAIN CARDINALITY
+    * WITH THE CORPUS: the r2–r15 key (lang, bucket) had a BOUNDED
+    * domain (≈5 langs × the doc-length range), so block size grew ∝ n
+    * and Σ|block|² went quadratic — measured at the 100× ladder as a
+    * single skewed task grinding ~10⁹ Levenshtein probes for 30+ min
+    * (sf0.1 gates could never see it: blocks of ~10² hide any
+    * exponent). The first-token content key is dedup_fuzzy's fix
+    * re-applied: content-key cardinality grows with corpus diversity,
+    * so expected block size stays bounded; the recall trade (a typo in
+    * the FIRST token breaks candidacy) is the standard blocking trade,
+    * same as dedup_fuzzy documents, recovered in practice by a second
+    * pass on a different key. The bucket fan-out {bkt−1, bkt, bkt+1}
+    * keeps |Δn_chars| ≤ 8 the true length criterion (Δ ≤ 8 < 16 ⇒
+    * buckets differ ≤ 1, each pair matches exactly one of b's three
+    * distinct entries — no dedup pass needed). Levenshtein is a
+    * codegen'd built-in (character-based in both engines); all
+    * outputs are exact integers but the ROUND-6 mean.
     */
   def textEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         substring(col("text"), 1, 48).as("probe"),
+        split(col("text"), " ")(0).as("tok0"),
         expr("n_chars DIV 16").as("bkt"))
     val a = d.alias("a")
     val b = d.select(col("doc_id"), col("lang"), col("n_chars"),
-        col("probe"),
+        col("probe"), col("tok0"),
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
           .as("blk"))
       .alias("b")
     val dist = levenshtein(col("a.probe"), col("b.probe"))
     a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.tok0") === col("b.tok0") &&
         col("a.bkt") === col("b.blk") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= 8)
@@ -792,11 +801,12 @@ object Text {
     "text_edit_distance" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars, substr(text, 1, 48) AS probe,
+        |    string_split(text, ' ')[1] AS tok0,
         |    n_chars // 16 AS bkt
         |  FROM documents),
         |p AS (
         |  SELECT a.lang AS lang, levenshtein(a.probe, b.probe) AS dist
-        |  FROM d a JOIN d b ON a.lang = b.lang
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.tok0 = b.tok0
         |    AND a.bkt BETWEEN b.bkt - 1 AND b.bkt + 1
         |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,

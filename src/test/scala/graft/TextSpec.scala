@@ -397,7 +397,7 @@ class TextSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getString(3).take(48)))
+        r.getString(3).take(48), r.getString(3).split(" ")(0)))
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
       for (i <- 1 to a.length) {
@@ -411,12 +411,15 @@ class TextSpec extends SparkTestBase {
       }
       dp(b.length)
     }
-    // With the neighbor-block fan-out, |Δn_chars| <= 8 IS the candidate
-    // definition (Δ <= 8 < 16 ⇒ bucket diff <= 1, always covered) —
-    // pairs straddling a 16-char boundary (15 vs 17) are candidates.
+    // With the neighbor-block fan-out, (same first token, |Δn_chars|
+    // <= 8) IS the candidate definition (Δ <= 8 < 16 ⇒ bucket diff
+    // <= 1, always covered) — pairs straddling a 16-char boundary
+    // (15 vs 17) are candidates. The first-token content key is the
+    // r15 scale fix (the length-only key's blocks grow ∝ n).
     val pairs = for {
       a <- docs; b <- docs
-      if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= 8
+      if a._2 == b._2 && a._5 == b._5 && a._1 < b._1 &&
+        math.abs(a._3 - b._3) <= 8
     } yield (a._2, lev(a._4, b._4))
     val brute = pairs.groupBy(_._1).map { case (l, ps) =>
       val ds = ps.map(_._2)

@@ -34,10 +34,23 @@ object StreamProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Totals below come from q.recentProgress, which is a ring buffer
+      // capped by this conf (default 100): at nChunks > ~100 the
+      // in/out/late figures would silently undercount while printed as
+      // totals (r15 ADVICE). AvailableNow emits ~nChunks+1 progress
+      // events plus idle ticks — keep the buffer comfortably above that.
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (nChunks + 16).max(128).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val work = java.nio.file.Files.createTempDirectory("graft_stream_probe")
+    // The work dir holds a re-chunked copy of a potentially 100× corpus
+    // plus checkpoints — multiple GB. Delete it on EVERY exit path
+    // (stream failure, Ctrl-C), not just success (r15 ADVICE).
+    val cleanup = new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile): Unit)
+    Runtime.getRuntime.addShutdownHook(cleanup)
     val chunked = s"$work/events"
     val nIn = spark.read.parquet(inDir).count()
     // Chunk by TIME RANGE, not randomly: a real stream's files arrive
@@ -95,12 +108,15 @@ object StreamProbe {
         }
     }
 
-    run("tumbling_counts",
-      streaming.EventsStream.tumblingCounts(spark, chunked))
-    run("dedup_events",
-      streaming.EventsStream.dedupedEvents(spark, chunked))
-
-    org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
-    spark.stop()
+    try {
+      run("tumbling_counts",
+        streaming.EventsStream.tumblingCounts(spark, chunked))
+      run("dedup_events",
+        streaming.EventsStream.dedupedEvents(spark, chunked))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+      Runtime.getRuntime.removeShutdownHook(cleanup)
+      spark.stop()
+    }
   }
 }

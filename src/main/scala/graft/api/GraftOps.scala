@@ -294,8 +294,11 @@ object GraftOps {
     * output, ideally re-read from parquet): candidate iff SOME band
     * collides (numTables equi-joins — AQE skew-join handles hot band
     * values), verified with exact Jaccard over the hashed shingle index
-    * sets. Semantics pinned row-identical to MLlib's
-    * approxSimilarityJoin in NearDedupSpec.
+    * sets. Semantics pinned in NearDedupSpec by (a) a driver-side
+    * closed form on a constructed corpus and (b) an independent
+    * explode/groupBy-min signature plan reproducing these pairs —
+    * the r15 xxhash64 hash family is intentionally NOT pair-identical
+    * to the deleted MLlib path.
     */
   def minhashPairsFromSignatures(sig: DataFrame, idCol: String,
       maxDist: Double = 0.1, numTables: Int = 3): DataFrame = {
@@ -847,8 +850,6 @@ object GraftOps {
     */
   def pqTrain(df: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
       sampleMax: Long = 65536L): Array[Array[Array[Float]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val d = df.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by M=$m subspaces")
     val ds = d / m
@@ -860,21 +861,19 @@ object GraftOps {
       // the M fits are independent tiny jobs — run them concurrently
       // (the scheduler interleaves them over idle cores; sequential
       // fits pay M× the per-job fixed overhead, measured ~12 s vs ~3 s
-      // for M=8 at sf0.1). 5 random-init iterations suffice for a
-      // COARSE per-subspace quantizer (same budget as Ivf's cell
-      // trainer) — recall comes from the rescore pool, not codebook
-      // polish.
+      // for M=8 at sf0.1). 5 deterministic-init iterations suffice
+      // for a COARSE per-subspace quantizer (same budget as Ivf's
+      // cell trainer) — recall comes from the rescore pool, not
+      // codebook polish. r16: fits are the native Lloyd trainer
+      // (graft.operators.Lloyd) — no MLlib, no VectorUDT conversion.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       val fits = (0 until m).map { mi =>
         Future {
-          val sub = sample.select(
-            array_to_vector(slice(col(vecCol), mi * ds + 1, ds)).as("fv"))
-          new KMeans().setK(k).setSeed(42L + mi).setMaxIter(5)
-            .setInitMode("random")
-            .setFeaturesCol("fv").setPredictionCol("cell").fit(sub)
-            .clusterCenters.map(_.toArray.map(_.toFloat))
+          val sub = sample.select(slice(col(vecCol), mi * ds + 1, ds).as("v"))
+          graft.operators.Lloyd.fit(sub, "v", k, maxIter = 5, seed = 42L + mi)
+            .map(_.map(_.toFloat))
         }
       }
       fits.map(Await.result(_, Duration.Inf)).toArray

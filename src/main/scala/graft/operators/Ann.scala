@@ -120,18 +120,30 @@ object Ann {
     })
   }
 
+  /** Multiprobe floor for the default LSH scope (r15 verdict item 6):
+    * the count-minimal prefix can stop at 1 rung, and a near-duplicate
+    * whose signature differs by one low-margin bit then sits outside
+    * the scope — measured planted recall 0.90 single-probe vs 1.00 at
+    * nprobe 4, while the extra rungs cost 3/2^bits more of the corpus
+    * (negligible; partition-pruned under writeBucketed). So the default
+    * scope always spans ≥ 4 ladder rungs, widening further only when
+    * the candidate count still hasn't reached k.
+    */
+  val MinProbe = 4
+
   /** The bucket prefix of the probe ladder a k-NN probe must read to
-    * hold at least `k` candidates — the data-free nprobe choice (bucket
-    * COUNTS, not vectors, decide). Empty ⇒ even the full single-flip
-    * ladder can't fill k (tiny corpus): callers drop the bucket filter
-    * and the probe degrades to the exact scan, which is both correct
-    * and cheap exactly when it happens.
+    * hold at least `k` candidates AND span at least [[MinProbe]] rungs
+    * — the data-free nprobe choice (bucket COUNTS, not vectors,
+    * decide). Empty ⇒ even the full single-flip ladder can't fill k
+    * (tiny corpus): callers drop the bucket filter and the probe
+    * degrades to the exact scan, which is both correct and cheap
+    * exactly when it happens.
     */
   private[graft] def selectedBuckets(spark: SparkSession, sfDir: String,
       k: Int = K): Array[Int] = {
     val (_, ladder, cum) = probeState(spark, sfDir)
     ladder.indices.find(cum(_) >= k) match {
-      case Some(i) => ladder.take(i + 1)
+      case Some(i) => ladder.take((i + 1).max(MinProbe.min(ladder.length)))
       case None    => Array.empty
     }
   }

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expressions.CosineSimilarity
@@ -16,9 +14,10 @@ import graft.sources.Tables
   * clustered embeddings (exactly this corpus's label-clustered shape)
   * at the cost of a training pass.
   *
-  * Scale design: training samples/aggregates per partition (MLlib
-  * KMeans — one pass per iteration, treeAggregate of k×d centroid
-  * sums); assignment is a map-side transform; the probe-side filter
+  * Scale design: training samples/aggregates per partition (native
+  * [[Lloyd]] — one hash-aggregate pass per iteration, map-side
+  * partial k×d centroid sums); assignment is a map-side codegen
+  * argmin transform; the probe-side filter
   * `cell IN (nprobe nearest)` prunes to nprobe/k of the corpus, and in
   * the production layout the cell id is the partition key exactly like
   * Ann.writeBucketed. Cell count follows the standard IVF sizing
@@ -129,14 +128,19 @@ object Ivf {
     * is a batch job, not a per-query cost (like the signature table in
     * NearDedup.dedupMinhash). Keyed by content fingerprint, not path,
     * so a rewritten corpus retrains instead of serving a stale model.
+    * The model IS the centroid matrix (k×d doubles) — r16 replaced the
+    * MLlib KMeans fit with the native [[Lloyd]] trainer (same budget:
+    * 5 iterations, deterministic init, seed 42), and the assignment
+    * stage with Lloyd.assignCell's codegen argmin — zero
+    * `org.apache.spark.ml` left in src/main.
     */
   private val modelMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), KMeansModel]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
 
-  private[operators] def quantized(spark: SparkSession, sfDir: String): (KMeansModel, DataFrame, Int) = {
+  private[operators] def quantized(spark: SparkSession,
+      sfDir: String): (Array[Array[Double]], DataFrame, Int) = {
     CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("fv", array_to_vector(col("embedding")))
     val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
     val n = e.count()
     val k = cellCount(n)
@@ -145,10 +149,9 @@ object Ivf {
     // (centroids don't need the full corpus; 5 iterations suffice for
     // a COARSE quantizer — cells only need to be roughly Voronoi,
     // recall comes from nprobe).
-    val m = modelMemo.getOrElseUpdate((fp, k),
-      new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(trainInput(e, n, "vec_id")))
-    (m, m.transform(e), k)
+    val centers = modelMemo.getOrElseUpdate((fp, k),
+      Lloyd.fit(trainInput(e, n, "vec_id"), "embedding", k))
+    (centers, e.withColumn("cell", Lloyd.assignCell(col("embedding"), centers)), k)
   }
 
   /** Rank centroids by squared euclidean distance to the probe, keep
@@ -229,8 +232,7 @@ object Ivf {
     */
   private[graft] def selectedCells(spark: SparkSession, sfDir: String,
       probe: Seq[Float], nprobe: Int, k: Int): Array[Int] = {
-    val (m, _, _) = quantized(spark, sfDir)
-    val centers = m.clusterCenters.map(_.toArray)
+    val (centers, _, _) = quantized(spark, sfDir)
     val ranked = probeCells(spark, centers, probe, centers.length)
     val cnts = cellCounts(spark, sfDir)
     val cum = ranked.scanLeft(0L)((a, c) => a + cnts.getOrElse(c, 0L)).tail
@@ -270,9 +272,8 @@ object Ivf {
     * structural guarantees pinned in IvfSpec.
     */
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val (m, _, _) = quantized(spark, sfDir)
-    knnIvfProbing(spark, sfDir,
-      nprobe = defaultNprobe(m.clusterCenters.length))
+    val (centers, _, _) = quantized(spark, sfDir)
+    knnIvfProbing(spark, sfDir, nprobe = defaultNprobe(centers.length))
   }
 
   /** `embed_kmeans` — k-means clustering of the embedding corpus as a
@@ -291,11 +292,11 @@ object Ivf {
     * mean — the inequality k-means exists to tighten).
     */
   def embedKmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    val (m, assigned, _) = quantized(spark, sfDir)
+    val (model, assigned, _) = quantized(spark, sfDir)
     val s2 = spark
     import s2.implicits._
-    val centers = m.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centers = model.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
     assigned
       .join(broadcast(centers), Seq("cell"))

@@ -93,8 +93,10 @@ object NearDedup {
     //    every dedup query joins from.
     // 2. Band-join from the re-read: candidate iff SOME hash table
     //    collides, verified with exact Jaccard over index sets —
-    //    row-identical to MLlib approxSimilarityJoin (NearDedupSpec),
-    //    but codegen'd array intersects instead of a per-pair UDF.
+    //    pinned in NearDedupSpec against a driver-side closed form and
+    //    an independent explode/groupBy-min plan (the r15 xxhash64
+    //    family is not pair-identical to the deleted MLlib path), all
+    //    codegen'd array intersects instead of a per-pair UDF.
     // Path = per-process root + CONTENT fingerprint of the documents
     // table (file listing + mtimes): rewriting the corpus within one JVM
     // produces a new path (stale signatures can't be served), and other

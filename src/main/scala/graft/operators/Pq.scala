@@ -126,11 +126,11 @@ object Pq {
     * a map-side zip_with — an ingest cost, same class as the encode.
     */
   private[graft] def residuals(spark: SparkSession, sfDir: String): DataFrame = {
-    val (m, assigned, _) = Ivf.quantized(spark, sfDir)
+    val (model, assigned, _) = Ivf.quantized(spark, sfDir)
     val s2 = spark
     import s2.implicits._
-    val centers = m.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+    val centers = model.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
       .toDF("cell", "center")
     assigned
       .join(broadcast(centers), Seq("cell"))
@@ -229,7 +229,7 @@ object Pq {
     val e = Tables.embeddings(spark, sfDir)
     // bind the model once — re-invoking Ivf.quantized for the center
     // count re-pays its e.count() sizing job (ADVICE r13)
-    val (ivfModel, _, _) = Ivf.quantized(spark, sfDir)
+    val (ivfCenters, _, _) = Ivf.quantized(spark, sfDir)
     val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
     val cbR = cbResMemo.getOrElseUpdate(fp,
       GraftOps.pqTrain(residuals(spark, sfDir), "residual", k = K))
@@ -252,9 +252,9 @@ object Pq {
     // captures the in-cell top-10" pin (PqSpec) keeps holding after
     // the r13 widen + scale-aware default
     val cells = Ivf.selectedCells(spark, sfDir, probe,
-      nprobe = Ivf.defaultNprobe(ivfModel.clusterCenters.length),
+      nprobe = Ivf.defaultNprobe(ivfCenters.length),
       k = 10)
-    val centersArr = ivfModel.clusterCenters.map(_.toArray.map(_.toFloat))
+    val centersArr = ivfCenters.map(_.map(_.toFloat))
     // state covers exactly the scanned cells (all of them only in the
     // n−1 < k degradation, where cellCount caps the model at 4 cells)
     val stateCells = if (cells.isEmpty) centersArr.indices.toArray else cells

@@ -678,12 +678,12 @@ object Text {
   /** `text_edit_distance` — blocked Levenshtein fuzzy-pair mining: the
     * record-linkage primitive dedup_minhash's set-similarity can't
     * replace (edit distance sees transpositions/typos that shingle
-    * overlap blurs). Candidate pairs come from CLASSIC BLOCKING —
-    * same language, same FIRST TOKEN, same 16-char length bucket,
-    * |Δn_chars| ≤ 8 — and each pair is scored on a 48-char prefix
-    * probe (bounds the DP cost per pair); the per-language report
-    * counts candidate, exact (d = 0) and close (d ≤ 12) pairs with
-    * min/avg distance.
+    * overlap blurs). Candidate pairs come from TWO-PASS CLASSIC
+    * BLOCKING — same language, same 16-char length bucket, |Δn_chars|
+    * ≤ 8, and (same FIRST token ∨ same LAST token) — and each pair is
+    * scored on a 48-char prefix probe (bounds the DP cost per pair);
+    * the per-language report counts candidate, exact (d = 0) and
+    * close (d ≤ 12) pairs with min/avg distance.
     *
     * Scale shape: the O(n²) all-pairs trap is cut to within-block
     * pairs by the equi-join on (lang, tok0, bucket) — a plain shuffle
@@ -697,8 +697,14 @@ object Text {
     * re-applied: content-key cardinality grows with corpus diversity,
     * so expected block size stays bounded; the recall trade (a typo in
     * the FIRST token breaks candidacy) is the standard blocking trade,
-    * same as dedup_fuzzy documents, recovered in practice by a second
-    * pass on a different key. The bucket fan-out {bkt−1, bkt, bkt+1}
+    * RECOVERED (r16, verdict item 4) by the second pass on the LAST
+    * token — a pair survives unless BOTH its first and last tokens
+    * were edited. The two passes stay a disjoint UNION ALL (no
+    * pair-dedup shuffle): pass B carries `a.tok0 <> b.tok0`, i.e.
+    * exactly the pairs pass A missed, so each qualifying pair is
+    * emitted once; measured candidate recall vs the unblocked
+    * close-pair truth set is documented in TextSpec (info output).
+    * The bucket fan-out {bkt−1, bkt, bkt+1}
     * keeps |Δn_chars| ≤ 8 the true length criterion (Δ ≤ 8 < 16 ⇒
     * buckets differ ≤ 1, each pair matches exactly one of b's three
     * distinct entries — no dedup pass needed). Levenshtein is a
@@ -706,24 +712,35 @@ object Text {
     * outputs are exact integers but the ROUND-6 mean.
     */
   def textEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         substring(col("text"), 1, 48).as("probe"),
-        split(col("text"), " ")(0).as("tok0"),
+        toks(0).as("tok0"),
+        element_at(toks, -1).as("tokl"),
         expr("n_chars DIV 16").as("bkt"))
     val a = d.alias("a")
     val b = d.select(col("doc_id"), col("lang"), col("n_chars"),
-        col("probe"), col("tok0"),
+        col("probe"), col("tok0"), col("tokl"),
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
           .as("blk"))
       .alias("b")
     val dist = levenshtein(col("a.probe"), col("b.probe"))
-    a.join(b, col("a.lang") === col("b.lang") &&
-        col("a.tok0") === col("b.tok0") &&
-        col("a.bkt") === col("b.blk") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        abs(col("a.n_chars") - col("b.n_chars")) <= 8)
+    val common = col("a.lang") === col("b.lang") &&
+      col("a.bkt") === col("b.blk") &&
+      col("a.doc_id") < col("b.doc_id") &&
+      abs(col("a.n_chars") - col("b.n_chars")) <= 8
+    // Pass A: first-token block. Pass B: last-token block, restricted
+    // to pairs whose first tokens DIFFER — exactly pass A's complement,
+    // so the union is disjoint by construction and needs no pair-dedup
+    // shuffle (each side is still an equi-join on a content key whose
+    // cardinality grows with the corpus).
+    val passA = a.join(b, common && col("a.tok0") === col("b.tok0"))
       .select(col("a.lang").as("lang"), dist.as("dist"))
+    val passB = a.join(b, common && col("a.tokl") === col("b.tokl") &&
+        col("a.tok0") =!= col("b.tok0"))
+      .select(col("a.lang").as("lang"), dist.as("dist"))
+    passA.unionByName(passB)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
@@ -802,11 +819,18 @@ object Text {
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars, substr(text, 1, 48) AS probe,
         |    string_split(text, ' ')[1] AS tok0,
+        |    string_split(text, ' ')[-1] AS tokl,
         |    n_chars // 16 AS bkt
         |  FROM documents),
         |p AS (
         |  SELECT a.lang AS lang, levenshtein(a.probe, b.probe) AS dist
         |  FROM d a JOIN d b ON a.lang = b.lang AND a.tok0 = b.tok0
+        |    AND a.bkt BETWEEN b.bkt - 1 AND b.bkt + 1
+        |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8
+        |  UNION ALL
+        |  SELECT a.lang AS lang, levenshtein(a.probe, b.probe) AS dist
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.tokl = b.tokl
+        |    AND a.tok0 <> b.tok0
         |    AND a.bkt BETWEEN b.bkt - 1 AND b.bkt + 1
         |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,

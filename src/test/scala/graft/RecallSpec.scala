@@ -64,7 +64,11 @@ class RecallSpec extends SparkTestBase {
     df.collect().map(_.getLong(0)).count(exactTop10.contains) / 10.0
   }
 
-  private def pin(name: String, df: org.apache.spark.sql.DataFrame,
+  // df is BY-NAME in both pins (r15 ADVICE): strict arguments are
+  // evaluated before requireCorpus() runs — on a missing corpus the
+  // planted tiers (and lazy plantedDir, which eagerly collects/writes)
+  // would surface a raw FileNotFound instead of the cancel/skip.
+  private def pin(name: String, df: => org.apache.spark.sql.DataFrame,
       floor: Double, measured: Double): Unit = {
     requireCorpus()
     val r = recallAt10(df)
@@ -144,7 +148,7 @@ class RecallSpec extends SparkTestBase {
     operators.Pipeline.udfCosineTopk(spark, plantedDir)
       .collect().map(_.getLong(0)).toSet
 
-  private def pinPlanted(name: String, df: org.apache.spark.sql.DataFrame,
+  private def pinPlanted(name: String, df: => org.apache.spark.sql.DataFrame,
       floor: Double, measured: Double): Unit = {
     requireCorpus()
     val r = df.collect().map(_.getLong(0)).count(plantedExact.contains) / 10.0
@@ -168,11 +172,15 @@ class RecallSpec extends SparkTestBase {
     pinPlanted("knn_pca", Pca.knnPca(spark, plantedDir), 0.8, 1.0)
   }
 
-  test("planted regime: LSH tiers retrieve near-dups (>= 0.7)") {
+  test("planted regime: LSH tiers retrieve near-dups (ann >= 0.9 default-multiprobe)") {
     // the near-dup regime IS the LSH deployment case: capture per bit
     // ~(1 − θ/π) ≈ 0.93^bits for cos ≥ 0.96 — these floors are the
-    // quality pin the natural regime could never give the LSH tiers
-    pinPlanted("knn_ann", Ann.knnAnn(spark, plantedDir), 0.7, 0.9)
+    // quality pin the natural regime could never give the LSH tiers.
+    // knn_ann's default scope spans ≥ MinProbe=4 ladder rungs since r16
+    // (r15 verdict item 6: single-probe left measured recall at 0.90
+    // where multiprobe(4) reads 1.00 at negligible cost) — floor raised
+    // 0.7 → 0.9 accordingly.
+    pinPlanted("knn_ann", Ann.knnAnn(spark, plantedDir), 0.9, 1.0)
     pinPlanted("knn_quant", Ann.knnQuant(spark, plantedDir), 0.7, 0.9)
     pinPlanted("knn_ann_probing(4)",
       Ann.knnAnnProbing(spark, plantedDir, nprobe = 4), 0.8, 1.0)

@@ -515,4 +515,77 @@ class StreamingSpec extends SparkTestBase {
     // 3. the complement is precisely the not-yet-finalizable tail
     assert((streamed -- due).forall(_._4.getTime >= wmMs - 1))
   }
+
+  test("ingestion-order guard: inverted mtime pickup drops on-time rows; audit catches, stamp repairs") {
+    // The r15 StreamProbe finding encoded as a reproducible case:
+    // FileStreamSource orders pickup by mtime, so a directory whose
+    // mtimes contradict event order (one-job writes stamp every part
+    // the same mtime; here we force the full inversion) delivers the
+    // max-event-time file FIRST, races the watermark to end-of-stream,
+    // and declares genuinely on-time rows late.
+    val spark2 = spark
+    import spark2.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_order")
+    val base = 1704067200000000000L // 2024-01-01 00:00:00 UTC in ns
+    val hour = 3600L * 1000000000L
+
+    def writeFile(name: String, rows: Seq[(Long, Long)], mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_one_$name")
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, inDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(inDir.resolve(name), FileTime.fromMillis(mtimeMs))
+    }
+
+    val now = System.currentTimeMillis()
+    // mtimes INVERTED vs event time: the hour-10/11 file arrives first.
+    writeFile("late_range.parquet",
+      Seq((1L, base + 10 * hour), (2L, base + 11 * hour)), now - 90000)
+    writeFile("mid_range.parquet",
+      Seq((3L, base + 2 * hour), (4L, base + 3 * hour)), now - 60000)
+    writeFile("early_range.parquet",
+      Seq((5L, base), (6L, base + hour)), now - 30000)
+
+    // 1. The audit sees the inversion WITHOUT running a stream, and the
+    //    guard refuses to start one.
+    val audit = EventsStream.auditArrivalOrder(spark, inDir.toString, "10 minutes")
+    assert(audit.inversions >= 1, s"audit must flag the inverted order: $audit")
+    assert(audit.worstCaseLateRows === 4L,
+      s"mid+early files (4 rows) sit wholly below the raced watermark: $audit")
+    val ex = intercept[IllegalStateException] {
+      EventsStream.requireMonotoneArrival(spark, inDir.toString, "10 minutes")
+    }
+    assert(ex.getMessage.contains("stampArrivalOrder"))
+
+    // 2. The real stream reproduces exactly what the audit predicted:
+    //    watermark enforcement lags one batch (see the late-rows test),
+    //    so the third-picked file — early_range, the MOST on-time data —
+    //    is dropped by the watermark the first file raced ahead.
+    def droppedBy(queryName: String, ckptSuffix: String): Long = {
+      val q = EventsStream.tumblingCounts(spark, inDir.toString,
+          watermark = Some("10 minutes"))
+        .writeStream.format("memory").queryName(queryName)
+        .option("checkpointLocation", s"$inDir/ckpt_$ckptSuffix")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish in 2 min")
+      q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+    }
+    assert(droppedBy("order_trap", "trap") === 2L,
+      "early_range's 2 on-time rows must be spuriously dropped under inverted pickup")
+
+    // 3. stampArrivalOrder repairs the directory: audit clean, guard
+    //    passes, a fresh run drops nothing.
+    EventsStream.stampArrivalOrder(spark, inDir.toString)
+    val clean = EventsStream.requireMonotoneArrival(spark, inDir.toString, "10 minutes")
+    assert(clean.inversions === 0 && clean.mtimeTies === 0 &&
+      clean.worstCaseLateRows === 0L, s"post-stamp audit must be clean: $clean")
+    assert(droppedBy("order_fixed", "fixed") === 0L,
+      "event-time-ordered pickup must drop nothing")
+  }
 }

@@ -396,8 +396,14 @@ class TextSpec extends SparkTestBase {
   test("text_edit_distance: brute-force blocked pairs with a reference Levenshtein DP") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getString(3).take(48), r.getString(3).split(" ")(0)))
+      .collect().map { r =>
+        // split(-1) semantics: KEEP trailing empties, like Spark's
+        // functions.split (limit -1) and DuckDB string_split — Java's
+        // default split(., 0) would drop them and skew the last token
+        val toks = r.getString(3).split(" ", -1)
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3).take(48), toks.head, toks.last)
+      }
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
       for (i <- 1 to a.length) {
@@ -411,16 +417,39 @@ class TextSpec extends SparkTestBase {
       }
       dp(b.length)
     }
-    // With the neighbor-block fan-out, (same first token, |Δn_chars|
-    // <= 8) IS the candidate definition (Δ <= 8 < 16 ⇒ bucket diff
-    // <= 1, always covered) — pairs straddling a 16-char boundary
-    // (15 vs 17) are candidates. The first-token content key is the
-    // r15 scale fix (the length-only key's blocks grow ∝ n).
+    // With the neighbor-block fan-out, (same first OR last token,
+    // |Δn_chars| <= 8) IS the candidate definition (Δ <= 8 < 16 ⇒
+    // bucket diff <= 1, always covered) — pairs straddling a 16-char
+    // boundary (15 vs 17) are candidates. The first-token content key
+    // is the r15 scale fix (the length-only key's blocks grow ∝ n);
+    // the last-token second pass is the r16 recall recovery.
     val pairs = for {
       a <- docs; b <- docs
-      if a._2 == b._2 && a._5 == b._5 && a._1 < b._1 &&
+      if a._2 == b._2 && (a._5 == b._5 || a._6 == b._6) && a._1 < b._1 &&
         math.abs(a._3 - b._3) <= 8
     } yield (a._2, lev(a._4, b._4))
+    // Candidate recall vs the UNBLOCKED truth (all same-lang |Δ|<=8
+    // pairs at dist <= 12): documents what each blocking pass captures.
+    locally {
+      val truth = (for {
+        a <- docs; b <- docs
+        if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= 8 &&
+          lev(a._4, b._4) <= 12
+      } yield (a._1, b._1)).toSet
+      if (truth.nonEmpty) {
+        def captured(p: ((Long, String, Long, String, String, String),
+            (Long, String, Long, String, String, String)) => Boolean) =
+          truth.count { case (ia, ib) =>
+            val a = docs.find(_._1 == ia).get; val b = docs.find(_._1 == ib).get
+            p(a, b)
+          }.toDouble / truth.size
+        val rA = captured((a, b) => a._5 == b._5)
+        val rAB = captured((a, b) => a._5 == b._5 || a._6 == b._6)
+        info(f"close-pair candidate recall: first-token $rA%.3f, "
+          + f"first-or-last $rAB%.3f over ${truth.size} truth pairs")
+        assert(rAB >= rA, "second pass must not lose candidates")
+      } else info("no close pairs at this sf — recall not measurable")
+    }
     val brute = pairs.groupBy(_._1).map { case (l, ps) =>
       val ds = ps.map(_._2)
       l -> (ds.length.toLong, ds.count(_ == 0).toLong,

@@ -84,7 +84,7 @@ def type_contract_risks(con, query_sql):
     return risks
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         # a table is a single file in /root/testdata but a Spark-style
@@ -104,6 +104,15 @@ def main(sf_dir, out_dir):
     except FileNotFoundError:
         pass
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        # Partial-dump / long-oracle workflow (100x sweeps): gate ONLY the
+        # named queries instead of failing every undumped name. Unknown
+        # names are a hard error so a typo can't silently skip a gate.
+        unknown = sorted(set(only) - set(oracles))
+        if unknown:
+            print(f"FAIL: unknown query names {unknown}")
+            return 1
+        oracles = {n: oracles[n] for n in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -195,4 +204,4 @@ def selftest():
 if __name__ == "__main__":
     if sys.argv[1:] == ["--selftest"]:
         sys.exit(selftest())
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))

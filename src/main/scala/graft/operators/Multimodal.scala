@@ -22,32 +22,51 @@ case class MediaFeatures(doc_id: Long, n_alpha: Long, n_digit: Long,
   * initialized once per task, not per row — the Spark-side plumbing of
   * an image pipeline (schema, partitioning, batch shape).
   *
-  * The decode itself is a clearly-marked STUB: real codecs (JPEG/PNG/
-  * ffmpeg) are not in this container, so "decode" derives deterministic
-  * fake dimensions from the byte stream. Swapping the stub for a real
-  * codec changes nothing about the plan.
+  * The decode is REAL for the formats a pure JVM can parse with no
+  * external library — binary PPM/PGM, uncompressed BMP, PCM WAV, and
+  * the PNG IHDR ([[MediaCodec]]): when a blob carries a recognized
+  * magic number the parsed dimensions are emitted. Blobs with no
+  * recognized header (this corpus's ASCII stand-ins, or codecs like
+  * JPEG that need native libs) fall back to deterministic arithmetic
+  * pseudo-dimensions so the pipeline stays total — which also keeps
+  * the gated queries oracle-checkable over the synthetic corpus, while
+  * MediaCodecSpec drives real generated media bytes through the same
+  * distributed plan and asserts the true geometry comes out.
   */
 object Multimodal {
 
   /** `multimodal_decode` — binary ingestion + per-partition decode:
     * documents' text bytes stand in for media blobs; emit per-blob
-    * metadata (byte count, fake width/height, 4-byte header hex). The
-    * arithmetic stub is SQL-expressible on this corpus (ASCII ⇒
-    * n_bytes = n_chars), so the plumbing IS oracle-gated even though
-    * the decode is fake.
+    * metadata (byte count, width/height, 4-byte header hex). Blobs
+    * with a recognized media magic number get REAL parsed geometry
+    * via [[MediaCodec.decodeMeta]] (PPM/PGM/BMP/WAV/PNG); all others
+    * get the deterministic arithmetic fallback. On this ASCII corpus
+    * no blob matches a magic, so the fallback is SQL-expressible and
+    * the plumbing IS oracle-gated; MediaCodecSpec exercises the real
+    * branch with generated media bytes through this same function.
     */
-  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame =
+    decodeBlobs(spark, Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The decode stage over any (doc_id, blob binary) frame — split out
+    * so the spec can drive real media bytes through the identical
+    * distributed plan the gated query runs.
+    */
+  def decodeBlobs(spark: SparkSession, blobsDf: DataFrame): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    blobsDf
       .as[(Long, Array[Byte])]
       .mapPartitions { blobs =>
-        // STUB DECODE: a real pipeline opens the codec once here, then
-        // decodes each blob; we derive deterministic fake dimensions.
+        // a real pipeline initializes codec state once per task here
         blobs.map { case (id, bytes) =>
-          val width = 64 + (bytes.length % 640)
-          val height = 64 + ((bytes.length / 7) % 480)
+          val (width, height) = MediaCodec.decodeMeta(bytes) match {
+            case Some(m) => (m.width, m.height)
+            case None =>
+              // deterministic fallback for unrecognized formats
+              (64 + (bytes.length % 640), 64 + ((bytes.length / 7) % 480))
+          }
           val header = bytes.take(4).map(b => f"$b%02x").mkString
           MediaMeta(id, bytes.length, width, height, header)
         }

@@ -10,7 +10,7 @@ import graft.sources.Tables
   * standard scale paths for fuzzy dedup over a 100 TB corpus.
   *
   * MinHash+LSH: shingle → minhash signature → band → bucket-join.
-  * `approxSimilarityJoin` only compares documents that collide in a
+  * The banded equi-join only compares documents that collide in a
   * band bucket — candidate pairs scale with actual similarity, not
   * O(n²). SimHash: one 64-bit signature per document; near-dups agree
   * on most bits, so grouping by signature (or signature bands) finds

@@ -86,6 +86,21 @@ def type_contract_risks(con, query_sql):
 
 def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
+    # Blow-up-scale hygiene (r16, after a kernel OOM kill): DuckDB's
+    # default memory budget is ~80% of PHYSICAL RAM, so an uncapped
+    # oracle at 100x/1000x can balloon past what the machine has left
+    # and the kernel kills the whole compare (etl_merge@100x died at
+    # 96 GB RSS). Cap it and give it a spill dir — slower is fine,
+    # dead is not. Override with GRAFT_DUCKDB_MEM.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill_compare'")
+    # Thread cap matters as much as the memory cap: the same etl_merge
+    # oracle that OOM'd at 63 threads (struct-max partial aggregates
+    # hold unmanaged per-thread state the buffer manager can't evict)
+    # finishes in minutes at 8 threads within 12 GB.
+    con.execute(
+        f"SET threads={int(os.environ.get('GRAFT_DUCKDB_THREADS', '16'))}")
     for t in TABLES:
         # a table is a single file in /root/testdata but a Spark-style
         # directory of part files in the ScaleProbe blow-up corpora —
@@ -115,14 +130,19 @@ def main(sf_dir, out_dir, only=()):
         oracles = {n: oracles[n] for n in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        # Stream both result sets through independent cursors in fixed
+        # batches instead of fetchall() — a 100M-row gated output (fn_try
+        # at 1000x) held as Python tuples costs tens of GB per SIDE and
+        # gets the process OOM-killed; batch compare is O(batch) RAM.
         try:
-            spark_rel = con.execute(
+            spark_sql = (
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            cur_s = con.cursor()
+            cur_o = con.cursor()
+            spark_rel = cur_s.execute(spark_sql)
             spark_cols = [d[0] for d in spark_rel.description]
-            spark_rows = spark_rel.fetchall()
-            oracle_rel = con.execute(sql)
+            oracle_rel = cur_o.execute(sql)
             oracle_cols = [d[0] for d in oracle_rel.description]
-            oracle_rows = oracle_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
@@ -141,30 +161,56 @@ def main(sf_dir, out_dir, only=()):
         if t_risks:
             print(f"FAIL {name}: type-contract risk {t_risks}")
             ok = False
+        n_rows = 0
         if sorted(spark_cols) != sorted(oracle_cols):
             print(f"FAIL {name}: columns spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
-            ok = False
-        elif len(spark_rows) != len(oracle_rows):
-            print(f"FAIL {name}: rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}")
             ok = False
         else:
             s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
             o_ix = [oracle_cols.index(c) for c in sorted(oracle_cols)]
-            for i, (sr, orow) in enumerate(zip(spark_rows, oracle_rows)):
-                sv = [norm(sr[j]) for j in s_ix]
-                ov = [norm(orow[j]) for j in o_ix]
-                if sv != ov:
-                    print(f"FAIL {name}: row {i} spark={sv} oracle={ov}")
-                    ok = False
-                    break
-                risky = [sorted(spark_cols)[k] for k, j in enumerate(s_ix)
-                         if driver_hash_risk(sr[j]) or driver_hash_risk(orow[o_ix[k]])]
-                if risky:
-                    print(f"FAIL {name}: row {i} driver-hash-risk (DECIMAL output) in {risky}")
-                    ok = False
-                    break
+            batch = 1 << 18
+            try:
+                while ok:
+                    s_rows = spark_rel.fetchmany(batch)
+                    o_rows = oracle_rel.fetchmany(batch)
+                    if len(s_rows) != len(o_rows):
+                        # drain the longer side so the message carries
+                        # true totals, not the first unequal batch
+                        ns, no = n_rows + len(s_rows), n_rows + len(o_rows)
+                        while True:
+                            more = spark_rel.fetchmany(batch)
+                            if not more:
+                                break
+                            ns += len(more)
+                        while True:
+                            more = oracle_rel.fetchmany(batch)
+                            if not more:
+                                break
+                            no += len(more)
+                        print(f"FAIL {name}: rowcount spark={ns} oracle={no}")
+                        ok = False
+                        break
+                    if not s_rows:
+                        break
+                    for sr, orow in zip(s_rows, o_rows):
+                        sv = [norm(sr[j]) for j in s_ix]
+                        ov = [norm(orow[j]) for j in o_ix]
+                        if sv != ov:
+                            print(f"FAIL {name}: row {n_rows} spark={sv} oracle={ov}")
+                            ok = False
+                            break
+                        risky = [sorted(spark_cols)[k] for k, j in enumerate(s_ix)
+                                 if driver_hash_risk(sr[j]) or driver_hash_risk(orow[o_ix[k]])]
+                        if risky:
+                            print(f"FAIL {name}: row {n_rows} driver-hash-risk (DECIMAL output) in {risky}")
+                            ok = False
+                            break
+                        n_rows += 1
+            except Exception as e:
+                print(f"FAIL {name}: exception {e}")
+                ok = False
         if ok:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({n_rows} rows)")
             n_pass += 1
         else:
             n_fail += 1

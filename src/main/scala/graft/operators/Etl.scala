@@ -1025,20 +1025,34 @@ object Etl {
          |SELECT user_id, event_id, tier, valid_from, valid_to,
          |       valid_to IS NULL AS is_current
          |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // Latest-row-per-side as a window rank, NOT a struct max: the two
+    // are row-identical because event_id is unique — (tsu, event_id)
+    // totally orders each side, so the struct comparison never reaches
+    // the tier field. The struct-max spelling leaked unmanaged
+    // aggregate-state memory in DuckDB at blow-up scale (107 GB RSS on
+    // 10M events at 100x, OOM-killed twice, regardless of memory_limit
+    // or thread caps), while the window spelling is buffer-managed and
+    // completes in minutes; the Spark side keeps the struct-max argmax
+    // (it map-side combines — the right shape at 100 TB).
     "etl_merge" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
          |         $TierCase AS tier
          |  FROM events),
+         |r AS (
+         |  SELECT user_id, tier,
+         |         tsu >= TIMESTAMP '$MergeCutoff' AS is_batch,
+         |         row_number() OVER (
+         |           PARTITION BY user_id, tsu >= TIMESTAMP '$MergeCutoff'
+         |           ORDER BY tsu DESC, event_id DESC) AS rn
+         |  FROM e),
          |s AS (
          |  SELECT user_id,
-         |    (max(CASE WHEN tsu < TIMESTAMP '$MergeCutoff'
-         |         THEN {'t': tsu, 'e': event_id, 'v': tier} END)).v
+         |    max(CASE WHEN NOT is_batch AND rn = 1 THEN tier END)
          |      AS prior_tier,
-         |    (max(CASE WHEN tsu >= TIMESTAMP '$MergeCutoff'
-         |         THEN {'t': tsu, 'e': event_id, 'v': tier} END)).v
+         |    max(CASE WHEN is_batch AND rn = 1 THEN tier END)
          |      AS batch_tier
-         |  FROM e GROUP BY user_id)
+         |  FROM r GROUP BY user_id)
          |SELECT user_id, prior_tier, batch_tier,
          |       COALESCE(batch_tier, prior_tier) AS merged_tier,
          |       CASE WHEN prior_tier IS NULL THEN 'insert'

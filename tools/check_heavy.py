@@ -29,6 +29,7 @@ Queries default to all supported. Exits non-zero on any mismatch.
 """
 import os
 import sys
+import time
 from collections import defaultdict
 
 import duckdb
@@ -42,13 +43,23 @@ SH = """sh AS (
   FROM documents)"""
 
 # Adjacent-pair Jaccard edges (dedup_cluster / pipeline_near_dedup /
-# graph_degree_dist / graph_pagerank family).
+# graph_degree_dist / graph_pagerank family). The shipped oracles spell
+# the candidate step `ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)`;
+# DuckDB executes that as a blockwise nested-loop join (500k x 500k at
+# 100x — the count(*) alone exceeds 10 min), so spell the identical
+# pair set as a UNION ALL of two hash equi-joins (the offsets differ,
+# so the union is duplicate-free); 188 s at 100x.
 ADJ_EDGES = f"""WITH {SH},
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.grams AS ga, b.grams AS gb
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, a.grams, b.grams
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 2),
 edges AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM sh a JOIN sh b ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)
-  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.01)
+  SELECT src, dst FROM pairs
+  WHERE ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+      / len(list_distinct(list_concat(ga, gb))), 6) >= 0.01)
 SELECT src, dst FROM edges"""
 
 # Rare-gram block edges (graph_reach / graph_triangles /
@@ -64,6 +75,21 @@ edges AS (
 SELECT src, dst FROM edges"""
 
 ATOL = 2e-6
+
+# Each edge set is scanned by up to three checkers; at 100x one build
+# is ~3 min of DuckDB, so fetch once per process and reuse. Timing
+# prints are flushed — the 100x runs go through a redirect and an
+# empty log on a 3.5 h run is what this cache/instrumentation replaced.
+_EDGE_CACHE = {}
+
+
+def edges(con, name, sql):
+    if name not in _EDGE_CACHE:
+        t0 = time.time()
+        _EDGE_CACHE[name] = con.execute(sql).fetchall()
+        print(f"-- {name}: {len(_EDGE_CACHE[name])} edges "
+              f"in {time.time() - t0:.1f}s", flush=True)
+    return _EDGE_CACHE[name]
 
 
 def connect(sf_dir):
@@ -130,7 +156,7 @@ class UnionFind:
 
 def components(con):
     uf = UnionFind()
-    for s, d in con.execute(ADJ_EDGES).fetchall():
+    for s, d in edges(con, "adj", ADJ_EDGES):
         uf.union(s, d)
     comp = defaultdict(list)
     for (doc,) in con.execute("SELECT doc_id FROM documents").fetchall():
@@ -160,7 +186,7 @@ def check_pipeline_near_dedup(con, out_dir):
 def rare_adj(con):
     fwd = defaultdict(set)
     und = defaultdict(set)
-    for s, d in con.execute(RARE_EDGES).fetchall():
+    for s, d in edges(con, "rare", RARE_EDGES):
         fwd[s].add(d)
         und[s].add(d)
         und[d].add(s)
@@ -231,7 +257,7 @@ def check_graph_clustering(con, out_dir):
 
 def check_graph_pagerank(con, out_dir):
     und = defaultdict(set)
-    for s, d in con.execute(ADJ_EDGES).fetchall():
+    for s, d in edges(con, "adj", ADJ_EDGES):
         und[s].add(d)
         und[d].add(s)
     docs = [r[0] for r in con.execute(
@@ -250,8 +276,77 @@ def check_graph_pagerank(con, out_dir):
                       dumped(con, out_dir, "graph_pagerank"), want)
 
 
+def check_graph_degree_dist(con, out_dir):
+    # Undirected degree histogram over the adjacent-pair edges; the
+    # oracle's LEFT JOIN counts zero-degree docs, so seed every doc.
+    deg = defaultdict(int)
+    for (doc,) in con.execute("SELECT doc_id FROM documents").fetchall():
+        deg[doc] = 0
+    for s, d in edges(con, "adj", ADJ_EDGES):
+        deg[s] += 1
+        deg[d] += 1
+    hist = defaultdict(int)
+    for d in deg.values():
+        hist[d] += 1
+    want = sorted(hist.items())
+    return rows_match("graph_degree_dist",
+                      dumped(con, out_dir, "graph_degree_dist"), want)
+
+
+def check_graph_assortativity(con, out_dir):
+    # Degree-degree Pearson over the symmetrized rare-gram edges —
+    # the oracle's `pr` is one (dx, dy) row per DIRECTED endpoint
+    # pair, so each undirected edge contributes (da,db) and (db,da).
+    _, und = rare_adj(con)
+    deg = {v: len(n) for v, n in und.items()}
+    m = sx = sy = sxy = sxx = syy = 0.0
+    for u, nbrs in und.items():
+        du = float(deg[u])
+        for v in nbrs:
+            dv = float(deg[v])
+            m += 1
+            sx += du
+            sy += dv
+            sxy += du * dv
+            sxx += du * du
+            syy += dv * dv
+    import math
+    r = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    want = [(int(m), round(r, 6))]
+    return rows_match("graph_assortativity",
+                      dumped(con, out_dir, "graph_assortativity"), want)
+
+
+def check_graph_adamic_adar(con, out_dir):
+    # Adamic–Adar over 2-paths u–v–w (u < w) of the symmetrized
+    # rare-gram graph, non-edges only, top-100 by (aa DESC, u, w) —
+    # accumulated per-middle-vertex instead of materializing the
+    # oracle's `paths` self-join.
+    import math
+    _, und = rare_adj(con)
+    deg = {v: len(n) for v, n in und.items()}
+    score = defaultdict(float)
+    n_common = defaultdict(int)
+    for v, nbrs in und.items():
+        w_v = 1.0 / math.log(float(deg[v]))
+        ns = sorted(nbrs)
+        for i, u in enumerate(ns):
+            for w in ns[i + 1:]:
+                score[(u, w)] += w_v
+                n_common[(u, w)] += 1
+    cand = [(u, w, n_common[(u, w)], round(aa, 6))
+            for (u, w), aa in score.items() if w not in und.get(u, ())]
+    cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = cand[:100]
+    return rows_match("graph_adamic_adar",
+                      dumped(con, out_dir, "graph_adamic_adar"), want)
+
+
 CHECKERS = {
     "dedup_cluster": check_dedup_cluster,
+    "graph_degree_dist": check_graph_degree_dist,
+    "graph_assortativity": check_graph_assortativity,
+    "graph_adamic_adar": check_graph_adamic_adar,
     "pipeline_near_dedup": check_pipeline_near_dedup,
     "graph_reach": check_graph_reach,
     "graph_triangles": check_graph_triangles,
@@ -273,12 +368,14 @@ def main():
         if not os.path.isdir(f"{out_dir}/{name}"):
             print(f"SKIP {name}: not dumped under {out_dir}")
             continue
+        t0 = time.time()
         try:
             if not CHECKERS[name](con, out_dir):
                 n_fail += 1
         except Exception as e:  # noqa: BLE001 — report, keep checking
-            print(f"FAIL {name}: exception {e}")
+            print(f"FAIL {name}: exception {e}", flush=True)
             n_fail += 1
+        print(f"-- {name}: {time.time() - t0:.1f}s", flush=True)
     print(f"== {len(names) - n_fail} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 

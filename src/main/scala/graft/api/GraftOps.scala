@@ -854,9 +854,15 @@ object GraftOps {
     require(d % m == 0, s"dim $d not divisible by M=$m subspaces")
     val ds = d / m
     val n = df.count()
+    // repartition, NOT coalesce: coalesce's narrow dependency pulls
+    // the ENTIRE upstream computation of `df` into 8 tasks — fine for
+    // a raw parquet column, a 40+-min straggler stage when df carries
+    // per-row argmin/join arithmetic at blow-up scale (the r16 1000×
+    // probe finding; see Pq.residuals). The shuffle moves only the
+    // ≤ sampleMax sampled rows.
     val sample = (if (n <= sampleMax) df
       else df.sample(withReplacement = false, sampleMax.toDouble / n, seed = 42L))
-      .coalesce(8).cache()
+      .repartition(8).cache()
     try {
       // the M fits are independent tiny jobs — run them concurrently
       // (the scheduler interleaves them over idle cores; sequential

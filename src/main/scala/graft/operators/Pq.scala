@@ -125,8 +125,25 @@ object Pq {
     * Shape: one broadcast join against the ≤65536-row centroid table +
     * a map-side zip_with — an ingest cost, same class as the encode.
     */
-  private[graft] def residuals(spark: SparkSession, sfDir: String): DataFrame = {
-    val (model, assigned, _) = Ivf.quantized(spark, sfDir)
+  private[graft] def residuals(spark: SparkSession, sfDir: String,
+      forTrain: Boolean = false): DataFrame = {
+    val (model, assignedFull, _) = Ivf.quantized(spark, sfDir)
+    // forTrain: sample the BASE rows before the per-row cell/residual
+    // arithmetic. Residual computation commutes with row sampling, but
+    // pqTrain's internal Bernoulli sample sits ABOVE this transform —
+    // at 5M vectors (1000× probe, r16) that cost two full-corpus
+    // assignment passes (5M × √n cells × d argmin flops each), the
+    // second squeezed through coalesce(8)'s EIGHT tasks: one straggler
+    // task measured 23+ min RUNNABLE and the train stage 40+ min. The
+    // content-keyed trainInput filter (md5 threshold on vec_id) pushes
+    // to the parquet scan, so the expensive arithmetic runs only on
+    // the ~256k surviving rows. Invisible at the gated sfs (≤ 5k
+    // vectors); the class lesson matches text_edit_distance's r15
+    // entry: SAMPLE/FILTER BELOW THE EXPENSIVE MAP, NOT ABOVE IT.
+    val assigned =
+      if (!forTrain) assignedFull
+      else Ivf.trainInput(assignedFull,
+        Tables.embeddings(spark, sfDir).count(), "vec_id")
     val s2 = spark
     import s2.implicits._
     val centers = model.zipWithIndex
@@ -232,7 +249,8 @@ object Pq {
     val (ivfCenters, _, _) = Ivf.quantized(spark, sfDir)
     val fp = graft.sources.DataFingerprint.ofTable(sfDir, "embeddings")
     val cbR = cbResMemo.getOrElseUpdate(fp,
-      GraftOps.pqTrain(residuals(spark, sfDir), "residual", k = K))
+      GraftOps.pqTrain(residuals(spark, sfDir, forTrain = true),
+        "residual", k = K))
     val path = codesRoot.resolve(s"ivfpq_codes_$fp").toString
     Pq.synchronized {
       if (!writtenIvfPq.contains(path)) {

@@ -25,6 +25,10 @@ object JobProfile {
     val done = scala.collection.concurrent.TrieMap.empty[Int, (Long, Int)]
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
     val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Timeline mode (GRAFT_PROBE_TIMELINE): absolute submit/end stamps per
+    // job so the INTER-job driver gaps are visible, not just job walls.
+    val ends = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val taskLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.put(js.jobId, js.time)
@@ -37,11 +41,19 @@ object JobProfile {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val t0 = Option(jobs.get(je.jobId)).getOrElse(je.time)
+        ends.put(je.jobId, je.time)
         done.put(je.jobId, (je.time - t0, 0)); ()
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks); ()
+      }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (sys.env.contains("GRAFT_PROBE_TIMELINE") && te.taskMetrics != null) {
+          val m = te.taskMetrics
+          taskLines.add(f"      stage ${te.stageId}%3d task dur=${te.taskInfo.duration}%4d run=${m.executorRunTime}%4d deser=${m.executorDeserializeTime}%4d gc=${m.jvmGCTime}%3d resSer=${m.resultSerializationTime}%3d cpu=${m.executorCpuTime / 1000000}%4d")
+          ()
+        }
       }
     })
     names.foreach { name =>
@@ -49,13 +61,27 @@ object JobProfile {
       fn(spark, sfDir).count()  // cold
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       done.clear(); stages.set(0); tasks.set(0)
+      jobs.clear(); ends.clear(); taskLines.clear()
       val t0 = System.nanoTime()
+      val w0 = System.currentTimeMillis()
       fn(spark, sfDir).count()  // warm
       val dt = (System.nanoTime() - t0) / 1e9
+      val w1 = System.currentTimeMillis()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val js = done.toSeq.sortBy(_._1)
       println(f"== $name warm ${dt}%.3f s, ${js.size} jobs, ${stages.get} stages, ${tasks.get} tasks")
-      js.foreach { case (id, (ms, _)) =>
+      if (sys.env.contains("GRAFT_PROBE_TIMELINE")) {
+        Thread.sleep(100)
+        var prevEnd = w0
+        js.foreach { case (id, (ms, _)) =>
+          val sub = Option(jobs.get(id)).map(_.longValue).getOrElse(0L)
+          val end = Option(ends.get(id)).map(_.longValue).getOrElse(0L)
+          println(f"   job $id%3d  +${sub - w0}%5d..+${end - w0}%5d  wall=${end - sub}%4d  gapBefore=${sub - prevEnd}%4d ms  ${Option(descs.get(id)).getOrElse("")}")
+          prevEnd = end
+        }
+        println(f"   tailGap=${w1 - prevEnd}%4d ms (action end after last job end)")
+        taskLines.forEach(l => println(l))
+      } else js.foreach { case (id, (ms, _)) =>
         println(f"   job $id%3d  ${ms}%5d ms  ${Option(descs.get(id)).getOrElse("")}") }
     }
     spark.stop()

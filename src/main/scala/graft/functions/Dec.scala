@@ -40,4 +40,33 @@ object Dec {
     * engines, then round to 6 to absorb last-ulp differences.
     */
   def round6(c: Column): Column = round(c, 6)
+
+  /** Long-cents twin of [[dec2]] for NON-NEGATIVE money columns:
+    * HALF_UP to 2 dp as integer cents via pure double arithmetic.
+    * `floor(x·100 + 0.5)` equals `cast(cast(x as decimal(18,2)) * 100
+    * as bigint)` for every non-negative double whose 2-dp rounding both
+    * engines agree on — which is the precondition the existing dec2
+    * design already relies on for its DuckDB hash agreement (audited
+    * per money column on the corpus: 0 mismatches; see
+    * OPTIMIZATION_r16.md). Long sums are associative and exact — the
+    * same any-cluster-size determinism property as the decimal path —
+    * at ~3× less scan-stage CPU (Spark's double→decimal cast pays a
+    * Double.toString per row; ScratchPerf: revenue pass 1016→364 ms on
+    * 600 k rows). NOT for columns that can be negative: floor(x+0.5)
+    * rounds exact negative half-cents toward +∞ where HALF_UP rounds
+    * away from zero.
+    */
+  def cents2(c: Column): Column = floor(c * lit(100) + lit(0.5))
+
+  /** Long-micros twin of [[dec6]], same contract as [[cents2]]. */
+  def cents6(c: Column): Column = floor(c * lit(1000000) + lit(0.5))
+
+  /** Final OUTPUT cast for long-cents aggregates: `double(S) / 10^s` is
+    * bit-identical to [[outDec]]'s decimal(p,s)→double cast of the same
+    * exact value while |S| < 2^53 (the long→double conversion is exact
+    * and IEEE division is correctly rounded — one rounding, same as the
+    * decimal→double cast).
+    */
+  def outCents(c: Column, s: Int): Column =
+    c.cast("double") / lit(math.pow(10, s))
 }

@@ -4,7 +4,7 @@ import graft.api.Barrier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Dec.{asDec, dec2, outDec, round6}
+import graft.functions.Dec.{cents2, dec2, outCents, outDec, round6}
 import graft.sources.Tables
 
 /** Composite flagship queries — ALL 22 classic TPC-H shapes adapted to
@@ -32,8 +32,31 @@ import graft.sources.Tables
   */
 object Tpch {
 
-  private val one = lit(1).cast("decimal(18,2)")
-  private def revenue = sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+  /** Integer-cents money math (r16 optimization; see Dec.cents2 and
+    * OPTIMIZATION_r16.md). Per-row: `floor(x·100+0.5)` long cents —
+    * identical values to the dec2 path (audited, 0 mismatches on every
+    * money column) at ~3× less scan-stage CPU, because Spark's
+    * double→decimal cast pays a Double.toString per row. `revC` is the
+    * scale-4 per-row revenue in integer units. Aggregation stays exact
+    * and associative (the property the decimal design existed for) via
+    * two sum flavors:
+    *  - [[revenueL]]: plain LONG sum — for groups whose row count is
+    *    structurally bounded in TPC-H scaling (per order ≤7 lines, per
+    *    customer/supplier/part a scale-free constant), where the sum
+    *    provably stays far below 2^63 at any data size;
+    *  - [[revenueD]]: DECIMAL(38,0) sum of the long cents — for coarse
+    *    groups (global / per nation / per year) whose row count grows
+    *    with the data; same 38-digit headroom as the old decimal sums,
+    *    still ~2× cheaper (the per-row Decimal now comes from a long,
+    *    not from Double.toString).
+    * Output casts go through Dec.outCents — bit-identical to outDec
+    * while |S| < 2^53 (always at gated scales; beyond, the same
+    * last-ulp class as any double emission).
+    */
+  private def revC =
+    cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))
+  private def revenueL = sum(revC)
+  private def revenueD = sum(revC.cast("decimal(38,0)"))
 
   /** `tpch_q3` — shipping-priority: unshipped-revenue per order for one
     * market segment: BUILDING customers, orders placed before the
@@ -54,7 +77,7 @@ object Tpch {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .agg(outCents(revenueL, 4).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
         col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -83,7 +106,7 @@ object Tpch {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .agg(outCents(revenueD, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -103,7 +126,7 @@ object Tpch {
       .join(broadcast(Tables.nation(spark, sfDir)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .agg(outCents(revenueL, 4).as("revenue"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -122,15 +145,15 @@ object Tpch {
   def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val big = li.groupBy(col("l_orderkey"))
-      .agg(sum(dec2(col("l_quantity"))).as("qty"))
-      .filter(col("qty") > 250)
+      .agg(sum(cents2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 25000)
       .select(col("l_orderkey").as("big_orderkey"))
     li.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"))
-      .agg(outDec(sum(dec2(col("l_quantity"))), 18, 2).as("sum_qty"))
+      .agg(outCents(sum(cents2(col("l_quantity"))), 2).as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
       .limit(100)
   }
@@ -148,16 +171,15 @@ object Tpch {
   def tpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
     val lo = lit("1997-03-01").cast("timestamp")
     val hi = lit("1997-04-01").cast("timestamp")
-    val rev = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .join(broadcast(Tables.part(spark, sfDir)
         .select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        outDec(sum(when(col("p_type") === "PROMO", rev)
-          .otherwise(lit(0).cast("decimal(18,2)"))), 38, 4).as("promo_revenue"),
-        outDec(sum(rev), 38, 4).as("total_revenue"))
+        outCents(sum(when(col("p_type") === "PROMO", revC)
+          .otherwise(lit(0L)).cast("decimal(38,0)")), 4).as("promo_revenue"),
+        outCents(revenueD, 4).as("total_revenue"))
       .select(col("promo_revenue"), col("total_revenue"),
         (col("promo_revenue") / col("total_revenue") * lit(100.0))
           .as("promo_pct"))
@@ -196,7 +218,7 @@ object Tpch {
         col("l_partkey") === col("p_partkey"))
       .filter(full)
       .groupBy(col("p_brand"))
-      .agg(outDec(revenue, 38, 4).as("revenue"),
+      .agg(outCents(revenueD, 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
   }
@@ -233,7 +255,7 @@ object Tpch {
           (col("supp_nation").isin(grpB: _*) && col("cust_nation").isin(grpA: _*)))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(outDec(revenue, 38, 4).as("revenue"))
+      .agg(outCents(revenueD, 4).as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -252,8 +274,8 @@ object Tpch {
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(outDec(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))),
-        38, 4).as("revenue"))
+      .agg(outCents(sum((cents2(col("l_extendedprice")) *
+        cents2(col("l_discount"))).cast("decimal(38,0)")), 4).as("revenue"))
   }
 
   /** `tpch_q8` — national market share: of the ASIA-market ECONOMY-part
@@ -270,7 +292,6 @@ object Tpch {
   def tpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
     val lo = lit("1996-01-01").cast("timestamp")
     val hi = lit("1998-01-01").cast("timestamp")
-    val rev = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
     val asiaNations = Tables.nation(spark, sfDir)
       .join(broadcast(Tables.region(spark, sfDir)
         .filter(col("r_name") === "ASIA")),
@@ -296,9 +317,9 @@ object Tpch {
       .join(broadcast(supNation), col("s_nationkey") === col("supp_nkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        outDec(sum(when(col("supp_nation") === "NATION_3", rev)
-          .otherwise(lit(0).cast("decimal(18,2)"))), 38, 4).as("nation_revenue"),
-        outDec(sum(rev), 38, 4).as("total_revenue"))
+        outCents(sum(when(col("supp_nation") === "NATION_3", revC)
+          .otherwise(lit(0L)).cast("decimal(38,0)")), 4).as("nation_revenue"),
+        outCents(revenueD, 4).as("total_revenue"))
       .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
         (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
       .orderBy(col("o_year"))
@@ -375,7 +396,7 @@ object Tpch {
     val rev = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .groupBy(col("l_suppkey"))
-      .agg(outDec(revenue, 38, 4).as("total_revenue"))
+      .agg(outCents(revenueL, 4).as("total_revenue"))
       .barrier(eager = false)
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev
@@ -542,14 +563,14 @@ object Tpch {
       .filter(col("l_shipdate") <= cutoff)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        outDec(sum(dec2(col("l_quantity"))), 18, 2).as("sum_qty"),
-        outDec(sum(dec2(col("l_extendedprice"))), 18, 2).as("sum_base_price"),
-        outDec(revenue, 38, 4).as("sum_disc_price"),
-        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
-          * (one + dec2(col("l_tax")))), 38, 6).as("sum_charge"),
-        (outDec(sum(dec2(col("l_quantity"))), 18, 2) / cnt).as("avg_qty"),
-        (outDec(sum(dec2(col("l_extendedprice"))), 18, 2) / cnt).as("avg_price"),
-        (outDec(sum(dec2(col("l_discount"))), 18, 2) / cnt).as("avg_disc"),
+        outCents(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2).as("sum_qty"),
+        outCents(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2).as("sum_base_price"),
+        outCents(revenueD, 4).as("sum_disc_price"),
+        outCents(sum((revC * (lit(100L) + cents2(col("l_tax"))))
+          .cast("decimal(38,0)")), 6).as("sum_charge"),
+        (outCents(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2) / cnt).as("avg_qty"),
+        (outCents(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2) / cnt).as("avg_price"),
+        (outCents(sum(cents2(col("l_discount")).cast("decimal(38,0)")), 2) / cnt).as("avg_disc"),
         cnt.as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -633,10 +654,9 @@ object Tpch {
           .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(outDec(
-        revenue -
-          sum(dec2(col("p_retailprice") * col("l_quantity") * lit(0.1))),
-        38, 4).as("profit"))
+      .agg(outCents(sum((revC -
+          cents2(col("p_retailprice") * col("l_quantity") * lit(0.1)) * lit(100L))
+        .cast("decimal(38,0)")), 4).as("profit"))
       .orderBy(col("n_name"), col("o_year").desc)
   }
 
@@ -665,15 +685,16 @@ object Tpch {
     val partVal = Tables.lineitem(spark, sfDir)
       .join(broadcast(amSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(asDec(revenue, 18, 4).as("value_dec"))
+      .agg(revenueL.as("value_c"))
     val totals = partVal.agg(
-      asDec(sum(col("value_dec")), 18, 4).as("total_dec"),
-      count(lit(1)).cast("decimal(10,0)").as("n_parts"))
+      sum(col("value_c").cast("decimal(38,0)")).as("total_c"),
+      count(lit(1)).as("n_parts"))
     partVal
       .crossJoin(broadcast(totals))
-      .filter(col("value_dec") * col("n_parts") > lit(2) * col("total_dec"))
+      .filter(col("value_c").cast("decimal(38,0)") * col("n_parts") >
+        lit(2) * col("total_c"))
       .select(col("l_partkey").as("p_partkey"),
-        outDec(col("value_dec"), 38, 4).as("part_value"))
+        outCents(col("value_c"), 4).as("part_value"))
       .orderBy(col("part_value").desc, col("p_partkey"))
   }
 
@@ -732,12 +753,11 @@ object Tpch {
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(asDec(sum(dec2(col("l_quantity"))), 18, 2).as("pair_qty"))
+      .agg(sum(cents2(col("l_quantity"))).as("pair_qc"))
     val qualified = shipped
-      .withColumn("part_qty",
-        asDec(sum(col("pair_qty")).over(Window.partitionBy(col("l_partkey"))),
-          18, 2))
-      .filter(col("pair_qty") * lit(10) > lit(3) * col("part_qty"))
+      .withColumn("part_qc",
+        sum(col("pair_qc")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("pair_qc") * lit(10) > lit(3) * col("part_qc"))
       .select(col("l_suppkey")).distinct()
     Tables.supplier(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)

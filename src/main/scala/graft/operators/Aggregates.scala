@@ -21,15 +21,18 @@ object Aggregates {
   /** D1 `agg_pricing` — TPC-H Q1 shape over lineitem. */
   def aggPricing(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val one = lit(1).cast("decimal(18,2)")
+    // integer-cents money math (r16; see Dec.cents2 / OPTIMIZATION_r16.md):
+    // identical values to the dec2 path, ~3x less scan-stage CPU; coarse
+    // groups sum DECIMAL(38,0)-of-cents for 100TB-range headroom
+    val revC = cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        outDec(sum(dec2(col("l_quantity"))), 18, 2).as("sum_qty"),
-        outDec(sum(dec2(col("l_extendedprice"))), 18, 2).as("sum_base_price"),
-        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)
+        outCents(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2).as("sum_qty"),
+        outCents(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2).as("sum_base_price"),
+        outCents(sum(revC.cast("decimal(38,0)")), 4)
           .as("sum_disc_price"),
-        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
-          * (one + dec2(col("l_tax")))), 38, 6).as("sum_charge"),
+        outCents(sum((revC * (lit(100L) + cents2(col("l_tax"))))
+          .cast("decimal(38,0)")), 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -69,7 +72,7 @@ object Aggregates {
     Tables.orders(spark, sfDir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status_label"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority_label"),
         col("n_orders"), col("total_price"))
@@ -80,7 +83,7 @@ object Aggregates {
     Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+        outCents(sum(cents2(col("o_totalprice"))), 2).as("total_price"))
       .filter(col("n_orders") >= 12)
       .orderBy(col("n_orders").desc, col("o_custkey"))
 
@@ -147,7 +150,7 @@ object Aggregates {
     * shuffle of 5 groups × constant state.
     */
   def aggArgmax(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = (dec2(col("value")) * 100).cast("long") *
+    val key = cents2(col("value")) *
       lit(10000000000L) + col("event_id")
     Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("value"),
@@ -522,8 +525,8 @@ object Aggregates {
       .withColumn("i", row_number().over(w))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("value"))).as("sx"),
-        sum(col("i") * dec2(col("value"))).as("six"))
+        sum(cents2(col("value")).cast("decimal(38,0)")).as("sx"),
+        sum((col("i") * cents2(col("value"))).cast("decimal(38,0)")).as("six"))
       .select(col("event_type"), col("n"),
         round(lit(2.0) * col("six").cast("double") /
             (col("n").cast("double") * col("sx").cast("double")) -
@@ -616,9 +619,9 @@ object Aggregates {
     */
   def aggSalted(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.Salt.saltedSum(Tables.events(spark, sfDir),
-        col("event_type"), dec2(col("value")), buckets = 16)
+        col("event_type"), cents2(col("value")), buckets = 16)
       .select(col("k").as("event_type"),
-        outDec(col("total"), 18, 2).as("total_value"))
+        outCents(col("total"), 2).as("total_value"))
       .orderBy(col("event_type"))
 
   /** `agg_mode` — deterministic mode: the most frequent o_orderpriority
@@ -674,7 +677,7 @@ object Aggregates {
         col("o_totalprice"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_orders"),
-        outDec(sum(dec2(col("o_totalprice"))), 38, 2).as("sum_price"))
+        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("sum_price"))
       .select((col("bin") * width).as("bin_lo"),
         ((col("bin") + 1) * width).as("bin_hi"),
         col("n_orders"), col("sum_price"))
@@ -708,7 +711,7 @@ object Aggregates {
 
   private def aggEquidepthBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val priced = Tables.orders(spark, sfDir)
-      .select(outDec(col("o_totalprice"), 18, 2).as("price"),
+      .select(outCents(cents2(col("o_totalprice")), 2).as("price"),
         col("o_orderkey").as("okey"))
     // DISTRIBUTED exact decile cuts (r12): the former single
     // `percentile(price, array(...))` aggregate buffers and sorts the
@@ -855,7 +858,7 @@ object Aggregates {
 
   private[graft] def aggWeightedMedianBuild(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val wcents = (col("l_quantity").cast("decimal(7,2)") * 100).cast("long")
+    val wcents = cents2(col("l_quantity"))
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice").as("price"),
         wcents.as("w"))
@@ -914,7 +917,7 @@ object Aggregates {
       .join(broadcast(Tables.customer(spark, sfDir)),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
-      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"))
     val tot = Window.partitionBy(col("c_mktsegment"))
     perCust
       .withColumn("seg_cents", sum(col("cents")).over(tot))
@@ -955,7 +958,7 @@ object Aggregates {
       .join(broadcast(Tables.customer(spark, sfDir)),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
-      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"))
     val tot = Window.partitionBy(col("c_mktsegment"))
     val r = col("cents").cast("double") * col("n_seg") /
       col("seg_cents").cast("double")

@@ -159,8 +159,8 @@ object Analytics {
     Tables.orders(spark, sfDir)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp")
         .as("month_ts"))
-      .agg(graft.functions.Dec.outDec(
-        sum(graft.functions.Dec.dec2(col("o_totalprice"))), 18, 2)
+      .agg(graft.functions.Dec.outCents(
+        sum(graft.functions.Dec.cents2(col("o_totalprice")).cast("decimal(38,0)")), 2)
         .as("revenue"))
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
       .withColumn("mom_pct",
@@ -395,8 +395,8 @@ object Analytics {
     // is exact integer revenue — the running sum never touches float
     // or near-cap decimal promotion (decimal(38,·)×int diverges
     // between engines; int64 doesn't).
-    val centsEp = (dec2(col("l_extendedprice")) * 100).cast("long")
-    val centsDisc = (dec2(col("l_discount")) * 100).cast("long")
+    val centsEp = cents2(col("l_extendedprice"))
+    val centsDisc = cents2(col("l_discount"))
     val rev = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"))
       .agg(sum(centsEp * (lit(100L) - centsDisc)).as("rev_i"))
@@ -443,7 +443,7 @@ object Analytics {
     import graft.functions.Dec._
     val perCY = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"), year(col("o_orderdate")).as("oy"))
-      .agg(sum(dec2(col("o_totalprice"))).as("rev_cy"))
+      .agg(sum(cents2(col("o_totalprice"))).as("rev_cy"))
       .withColumn("cy",
         min(col("oy")).over(Window.partitionBy(col("o_custkey"))))
       .barrier(eager = false)
@@ -454,14 +454,14 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perCY
       .groupBy(col("cy"), (col("oy") - col("cy")).as("off"))
-      .agg(sum(col("rev_cy")).as("rev_dec"))
-      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .agg(sum(col("rev_cy").cast("decimal(38,0)")).as("rev_c"))
+      .withColumn("cum_c", sum(col("rev_c")).over(w))
       .join(broadcast(sz), Seq("cy"))
       .select(col("cy").cast("long").as("cohort_year"),
         col("off").cast("long").as("year_offset"),
-        col("rev_dec").cast("double").as("revenue"),
-        col("cum_dec").cast("double").as("cum_revenue"),
-        round(col("cum_dec").cast("double") / col("n_cust").cast("double"),
+        outCents(col("rev_c"), 2).as("revenue"),
+        outCents(col("cum_c"), 2).as("cum_revenue"),
+        round(outCents(col("cum_c"), 2) / col("n_cust").cast("double"),
           6).as("ltv_per_cust"))
       .orderBy(col("cohort_year"), col("year_offset"))
   }
@@ -487,24 +487,24 @@ object Analytics {
     // verdict and the output both consume it — one fact scan, not two
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg(sum(dec2(col("value"))).as("total_dec"))
-      .withColumn("fc_dec", lag(col("total_dec"), 7).over(w))
-      .withColumn("err_dec", abs(col("total_dec") - col("fc_dec")))
+      .agg(sum(cents2(col("value"))).as("total_c"))
+      .withColumn("fc_c", lag(col("total_c"), 7).over(w))
+      .withColumn("err_c", abs(col("total_c") - col("fc_c")))
       .barrier(eager = false)
-    val verdict = daily.filter(col("fc_dec").isNotNull)
+    val verdict = daily.filter(col("fc_c").isNotNull)
       .agg(count(lit(1)).as("n_scored"),
-        round(avg(col("err_dec").cast("double")), 6).as("mae"),
+        round(avg(outCents(col("err_c"), 2)), 6).as("mae"),
         // nullif guard: a zero-revenue day would divide by zero, and
         // Spark (NULL) and DuckDB (inf) disagree there; as NULL both
         // engines' AVG drops the day from MAPE identically
-        round(avg(col("err_dec").cast("double") /
-          nullif(col("total_dec").cast("double"), lit(0.0))) * 100.0, 6)
+        round(avg(outCents(col("err_c"), 2) /
+          nullif(outCents(col("total_c"), 2), lit(0.0))) * 100.0, 6)
           .as("mape_pct"))
     daily.crossJoin(broadcast(verdict))
       .select(col("day").cast("timestamp").as("day_ts"),
-        col("total_dec").cast("double").as("total"),
-        col("fc_dec").cast("double").as("forecast"),
-        col("err_dec").cast("double").as("abs_err"),
+        outCents(col("total_c"), 2).as("total"),
+        outCents(col("fc_c"), 2).as("forecast"),
+        outCents(col("err_c"), 2).as("abs_err"),
         col("n_scored"), col("mae"), col("mape_pct"))
       .orderBy(col("day_ts"))
   }
@@ -537,7 +537,7 @@ object Analytics {
       .filter(col("event_type") === "purchase")
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_purchases"),
-        sum(dec2(col("value"))).cast("double").as("revenue"))
+        outCents(sum(cents2(col("value"))), 2).as("revenue"))
       .orderBy(col("channel"))
   }
 
@@ -1499,18 +1499,18 @@ object Analytics {
     val wCust = Window.partitionBy(col("o_custkey"))
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
-        dec2(col("o_totalprice")).as("p"))
+        cents2(col("o_totalprice")).as("p"))
       .withColumn("first_day", min(col("day")).over(wCust))
       .select(col("day"),
         (col("day") === col("first_day")).as("is_new"), col("p"))
       .groupBy(col("day"))
       .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
         sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning"),
-        outDec(sum(when(col("is_new"), col("p"))
-          .otherwise(lit(0).cast("decimal(18,2)"))), 18, 2)
+        outCents(sum(when(col("is_new"), col("p"))
+          .otherwise(lit(0L))), 2)
           .as("rev_new"),
-        outDec(sum(when(!col("is_new"), col("p"))
-          .otherwise(lit(0).cast("decimal(18,2)"))), 18, 2)
+        outCents(sum(when(!col("is_new"), col("p"))
+          .otherwise(lit(0L))), 2)
           .as("rev_returning"))
       .select(col("day").cast("timestamp").as("day_ts"), col("n_new"),
         col("n_returning"), col("rev_new"), col("rev_returning"))

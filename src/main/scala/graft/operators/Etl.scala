@@ -133,12 +133,12 @@ object Etl {
         .filter(side)
         .groupBy(to_date(col("ts_utc")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec2(col("value"))).as("sum_value"))
+          sum(cents2(col("value"))).as("sum_value"))
     partial(col("ts_utc") < cut)
       .unionByName(partial(col("ts_utc") >= cut))
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
-        outDec(sum(col("sum_value")), 18, 2).as("total_value"))
+        outCents(sum(col("sum_value")), 2).as("total_value"))
       .select(col("day").cast("timestamp").as("day_ts"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy(col("day_ts"), col("event_type"))

@@ -41,11 +41,11 @@ object Joins {
   def joinSmj(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
-    val one = lit(1).cast("decimal(18,2)")
     li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        outDec(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))), 38, 4)
+        outCents(sum((cents2(col("l_extendedprice")) *
+          (lit(100L) - cents2(col("l_discount")))).cast("decimal(38,0)")), 4)
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
@@ -137,7 +137,7 @@ object Joins {
         col("o_start") < col("c_end") && col("c_start") < col("o_end"))
       .groupBy(col("campaign"))
       .agg(count(lit(1)).as("n_orders"),
-        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("campaign"))
   }
 
@@ -176,7 +176,7 @@ object Joins {
       .distinct()
       .groupBy(col("campaign"))
       .agg(count(lit(1)).as("n_orders"),
-        outDec(sum(dec2(col("o_totalprice"))), 18, 2).as("total_price"))
+        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("campaign"))
   }
 
@@ -208,7 +208,7 @@ object Joins {
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_parts"),
-        outDec(sum(dec2(col("p_retailprice"))), 18, 2).as("total_price"))
+        outCents(sum(cents2(col("p_retailprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("band"))
   }
 
@@ -356,7 +356,7 @@ object Joins {
       .join(spark.table(ord), col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
-        outDec(sum(dec2(col("o_totalprice"))), 38, 2).as("total_price"))
+        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -387,8 +387,8 @@ object Joins {
     graft.api.GraftOps.saltedJoin(fact, dim, Seq("l_suppkey"), buckets = 16)
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("n_items"),
-        outDec(sum(dec2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))), 38, 4)
+        outCents(sum(cents2(col("l_extendedprice")) *
+          (lit(100L) - cents2(col("l_discount")))), 4)
           .as("revenue"))
       .orderBy(col("s_name"))
   }

@@ -25,7 +25,7 @@ object Temporal {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        outDec(sum(dec2(col("value"))), 18, 2).as("total_value"))
+        outCents(sum(cents2(col("value"))), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -52,7 +52,7 @@ object Temporal {
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        outDec(sum(dec2(col("value"))), 18, 2).as("total_value"))
+        outCents(sum(cents2(col("value"))), 2).as("total_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
@@ -156,7 +156,7 @@ object Temporal {
       .select(col("user_id"), to_date(col("ts_utc")).as("day"), col("value"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"),
-        outDec(sum(dec2(col("value"))), 38, 2).as("total_value"))
+        outCents(sum(cents2(col("value"))), 2).as("total_value"))
       .withColumn("prev_day", lag(col("day"), 1).over(w))
       .withColumn("prev_value", lag(col("total_value"), 1).over(w))
       .select(col("user_id"), col("day"), col("n_events"),
@@ -317,7 +317,7 @@ object Temporal {
         min(col("value")).as("low"),
         max(when(col("rn_a") === col("cnt"), col("value"))).as("close"),
         count(lit(1)).as("n_events"),
-        outDec(sum(dec2(col("value"))), 18, 2).as("volume"))
+        outCents(sum(cents2(col("value"))), 2).as("volume"))
       .orderBy(col("user_id"), col("bucket_ts"))
   }
 
@@ -376,7 +376,7 @@ object Temporal {
     // fact scan + aggregate must run ONCE, not once per branch
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+      .agg(outCents(sum(cents2(col("value"))), 2).as("total"))
       .barrier(eager = false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
@@ -453,8 +453,7 @@ object Temporal {
     val w = Window.orderBy(col("day"))
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg(sum(dec2(col("value"))).as("total_dec"))
-      .withColumn("cents", (col("total_dec") * 100).cast("long"))
+      .agg(sum(cents2(col("value"))).as("cents"))
     val terms = (0 to 7).map { i =>
       val c = if (i == 0) col("cents") else lag(col("cents"), i).over(w)
       val wt = 1L << (7 - i)
@@ -467,7 +466,7 @@ object Temporal {
       .withColumn("ewma",
         round(num.cast("double") / den.cast("double") / 100.0, 6))
       .select(col("day").cast("timestamp").as("day_ts"),
-        col("total_dec").cast("double").as("revenue"), col("ewma"))
+        outCents(col("cents"), 2).as("revenue"), col("ewma"))
       .orderBy(col("day_ts"))
   }
 
@@ -493,7 +492,7 @@ object Temporal {
     */
   def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
-    val cents = (dec2(col("value")) * 100).cast("long")
+    val cents = cents2(col("value"))
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("ts_utc"),
         cents.as("cents"))
@@ -541,16 +540,16 @@ object Temporal {
     val w = Window.orderBy(col("day"))
     Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg(sum(dec2(col("value"))).as("total_dec"))
-      .withColumn("prev_dec", lag(col("total_dec"), 1).over(w))
-      .withColumn("next_dec", lead(col("total_dec"), 1).over(w))
-      .filter(col("prev_dec").isNotNull && col("next_dec").isNotNull &&
-        col("total_dec") > col("prev_dec") &&
-        col("total_dec") > col("next_dec"))
+      .agg(sum(cents2(col("value"))).as("total_c"))
+      .withColumn("prev_c", lag(col("total_c"), 1).over(w))
+      .withColumn("next_c", lead(col("total_c"), 1).over(w))
+      .filter(col("prev_c").isNotNull && col("next_c").isNotNull &&
+        col("total_c") > col("prev_c") &&
+        col("total_c") > col("next_c"))
       .select(col("day").cast("timestamp").as("day_ts"),
-        col("total_dec").cast("double").as("revenue"),
-        (col("total_dec") - greatest(col("prev_dec"), col("next_dec")))
-          .cast("double").as("prominence"))
+        outCents(col("total_c"), 2).as("revenue"),
+        outCents(col("total_c") - greatest(col("prev_c"), col("next_c")), 2)
+          .as("prominence"))
       .orderBy(col("day_ts"))
   }
 
@@ -571,10 +570,10 @@ object Temporal {
     val w = Window.orderBy(col("day"))
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg(sum(dec2(col("value"))).as("total_dec"))
-      .withColumn("prev_dec", lag(col("total_dec"), 1).over(w))
+      .agg(sum(cents2(col("value"))).as("total_c"))
+      .withColumn("prev_c", lag(col("total_c"), 1).over(w))
       .withColumn("up",
-        (col("prev_dec").isNotNull && col("total_dec") > col("prev_dec"))
+        (col("prev_c").isNotNull && col("total_c") > col("prev_c"))
           .cast("long"))
       .withColumn("grp",
         row_number().over(w).cast("long") -
@@ -584,7 +583,7 @@ object Temporal {
       .groupBy(col("grp"))
       .agg(min(col("day")).as("first_up_day"), max(col("day")).as("last_day"),
         count(lit(1)).as("rising_days"),
-        (max(col("total_dec")) - min(col("prev_dec"))).cast("double")
+        outCents(max(col("total_c")) - min(col("prev_c")), 2)
           .as("gain"))
       .select(col("first_up_day").cast("timestamp").as("start_ts"),
         col("last_day").cast("timestamp").as("end_ts"),
@@ -615,7 +614,7 @@ object Temporal {
       .orderBy(col("dev").desc, col("day"))
     Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg((sum(dec2(col("value"))) * 100).cast("long").as("cents"))
+      .agg(sum(cents2(col("value"))).as("cents"))
       .withColumn("bucket", ntile(10).over(w).cast("long"))
       .withColumn("n_b", count(lit(1)).over(wb))
       .withColumn("sum_b", sum(col("cents")).over(wb))
@@ -681,7 +680,7 @@ object Temporal {
     // one fact scan + aggregate, not one per branch
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+      .agg(outCents(sum(cents2(col("value"))), 2).as("total"))
       .barrier(eager = false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
@@ -1051,7 +1050,7 @@ object Temporal {
     // fact scan + daily aggregate (the ts_decompose fix)
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg(outDec(sum(dec2(col("value"))), 18, 2).as("total"))
+      .agg(outCents(sum(cents2(col("value"))), 2).as("total"))
       .barrier(eager = false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val trended = daily
@@ -1165,10 +1164,10 @@ object Temporal {
       .select(pmod(datediff(to_date(col("ts_utc")),
         lit("1970-01-01").cast("date")), lit(7)).cast("long").as("dow"),
         hour(col("ts_utc")).cast("long").as("hr"),
-        dec2(col("value")).as("v"))
+        cents2(col("value")).as("v"))
       .groupBy(col("dow"), col("hr"))
       .agg(count(lit(1)).as("n_events"),
-        outDec(sum(col("v")), 18, 2).as("value_total"))
+        outCents(sum(col("v")), 2).as("value_total"))
       // 7×24-cell frame behind a lazy barrier: the total scalar and the
       // output both consume it — one fact scan, not two
       .barrier(eager = false)
@@ -1205,7 +1204,7 @@ object Temporal {
   def tsHolt(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg((sum(dec2(col("value"))) * 100).cast("long").as("cents"))
+      .agg(sum(cents2(col("value"))).as("cents"))
     val series = daily
       .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
         .as("s"))
@@ -1278,7 +1277,7 @@ object Temporal {
   def tsBacktest(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
-      .agg((sum(dec2(col("value"))) * 100).cast("long").as("c"))
+      .agg(sum(cents2(col("value"))).as("c"))
     val w = Window.orderBy(col("day"))
     val errs = daily
       .withColumn("l1", lag(col("c"), 1).over(w))

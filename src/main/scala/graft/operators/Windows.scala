@@ -62,13 +62,13 @@ object Windows {
       .orderBy(col("ts_utc"), col("event_id"))
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts_utc"),
-        dec2(col("value")).as("value_dec"))
+        cents2(col("value")).as("value_c"))
       .withColumn("running_total",
-        outDec(sum(col("value_dec"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 38, 2))
+        outCents(sum(col("value_c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
       .withColumn("moving_n",
         count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)))
-      .drop("value_dec")
+      .drop("value_c")
       .orderBy(col("user_id"), col("ts_utc"), col("event_id"))
   }
 
@@ -298,9 +298,9 @@ object Windows {
     */
   def winDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Dec._
-    val net = when(col("event_type") === "purchase", dec2(col("value")))
-      .when(col("event_type") === "error", -dec2(col("value")))
-      .otherwise(lit(0).cast("decimal(18,2)"))
+    val net = when(col("event_type") === "purchase", cents2(col("value")))
+      .when(col("event_type") === "error", -cents2(col("value")))
+      .otherwise(lit(0L))
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_utc")).as("day"))
       .agg(sum(net).as("rev"))
@@ -310,10 +310,10 @@ object Windows {
       .withColumn("cum", sum(col("rev")).over(cum))
       .withColumn("peak", max(col("cum")).over(cum))
       .select(col("day").cast("timestamp").as("day_ts"),
-        outDec(col("rev"), 18, 2).as("net_revenue"),
-        outDec(col("cum"), 18, 2).as("cum_net"),
-        outDec(col("peak"), 18, 2).as("peak_net"),
-        outDec(col("peak") - col("cum"), 18, 2).as("drawdown"),
+        outCents(col("rev"), 2).as("net_revenue"),
+        outCents(col("cum"), 2).as("cum_net"),
+        outCents(col("peak"), 2).as("peak_net"),
+        outCents(col("peak") - col("cum"), 2).as("drawdown"),
         when(col("peak") > 0,
           round((col("peak") - col("cum")).cast("double") /
             col("peak").cast("double"), 6)).as("drawdown_pct"))

@@ -40,4 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // was running (observed: subq_exists warm 5.2 s vs cold 1.1 s in one
   // run, 0.5 s in the next) — headroom keeps per-query times comparable.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 512m code cache (default 240m): a 586-execution bench session
+  // compiles thousands of whole-stage-codegen classes in one JVM; with
+  // the default reservation the LATE-running queries (alphabetically
+  // tpch_*) read 1.5-4x their isolated warm times from code-cache
+  // flushing/recompile churn (r16 A/B, same session position:
+  // tpch_q18 2.23 s -> 0.49 s, tpch_q11 2.25 s -> 0.45 s). Reservation
+  // is virtual — no cost when unused — so this is a harness-JVM fix,
+  // not a data-scale tunable.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -11,7 +11,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# 512m code cache mirrors build.sbt's forked javaOptions (see note
+# there); GRAFT_JVM_OPTS appends/overrides for experiments.
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
+  -XX:ReservedCodeCacheSize=512m $GRAFT_JVM_OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"

@@ -160,8 +160,23 @@ object Bench {
     // band means external contention arrived during the window.
     val loadAvgAtEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // EFFECTIVE JVM sizing proof (r16 verdict #1): the 512 MB code
+    // cache shipped in build.sbt/run_main.sh fixes a measured late-run
+    // codegen-flush smear, but the r16 driver line carried no evidence
+    // the flag survived the driver's own fork — so a smeared run could
+    // not be attributed (flag missing vs machine load). Read the
+    // RESERVED code cache from the live JVM (sum of the segmented
+    // CodeHeap pools' max, or the single CodeCache pool pre-segmenting)
+    // so the line itself proves which JVM sizing the numbers were
+    // measured under. ~240 here means the flag did NOT reach the fork.
+    import scala.jdk.CollectionConverters._
+    val codeCacheMb = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "CodeCache")
+      .map(p => math.max(p.getUsage.getMax, p.getUsage.getCommitted))
+      .sum / (1024 * 1024)
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"load_avg_at_start":${f2(loadAvgAtStart)},"load_avg_at_end":${f2(loadAvgAtEnd)},"median_warm":${f2(medianWarm)},"n_under_300ms":$nUnder300,"slowest_name":"$slowName","slowest_warm":${f2(slowWarm)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"load_avg_at_start":${f2(loadAvgAtStart)},"load_avg_at_end":${f2(loadAvgAtEnd)},"code_cache_mb":$codeCacheMb,"median_warm":${f2(medianWarm)},"n_under_300ms":$nUnder300,"slowest_name":"$slowName","slowest_warm":${f2(slowWarm)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // ~2000-char driver tail minus sbt's trailing "[success] ..." line.
     // Iterative fit: keep the N slowest queries named and fold the rest
     // into one "_others" bucket, shrinking N until the line fits — a

@@ -73,12 +73,26 @@ object JobProfile {
       println(f"== $name warm ${dt}%.3f s, ${js.size} jobs, ${stages.get} stages, ${tasks.get} tasks")
       if (sys.env.contains("GRAFT_PROBE_TIMELINE")) {
         Thread.sleep(100)
+        // gapBefore = submit(job) − max end of ALL prior jobs, not the
+        // immediately-preceding job's end: concurrent AQE stage jobs
+        // overlap, so the by-id-predecessor gap goes negative and reads
+        // as garbage (ADVICE r16). A job missing either stamp is
+        // SKIPPED with a note instead of defaulting its stamps to 0,
+        // which produced "+(-w0)" rows. Overlapped jobs print gap=0
+        // flagged `(conc)` so serial driver gaps stay distinguishable.
         var prevEnd = w0
         js.foreach { case (id, (ms, _)) =>
-          val sub = Option(jobs.get(id)).map(_.longValue).getOrElse(0L)
-          val end = Option(ends.get(id)).map(_.longValue).getOrElse(0L)
-          println(f"   job $id%3d  +${sub - w0}%5d..+${end - w0}%5d  wall=${end - sub}%4d  gapBefore=${sub - prevEnd}%4d ms  ${Option(descs.get(id)).getOrElse("")}")
-          prevEnd = end
+          val subO = Option(jobs.get(id)).map(_.longValue)
+          val endO = Option(ends.get(id)).map(_.longValue)
+          (subO, endO) match {
+            case (Some(sub), Some(end)) =>
+              val gap = sub - prevEnd
+              val tag = if (gap < 0) " (conc)" else ""
+              println(f"   job $id%3d  +${sub - w0}%5d..+${end - w0}%5d  wall=${end - sub}%4d  gapBefore=${math.max(gap, 0)}%4d ms$tag  ${Option(descs.get(id)).getOrElse("")}")
+              prevEnd = math.max(prevEnd, end)
+            case _ =>
+              println(f"   job $id%3d  (missing submit/end stamp — skipped)")
+          }
         }
         println(f"   tailGap=${w1 - prevEnd}%4d ms (action end after last job end)")
         taskLines.forEach(l => println(l))

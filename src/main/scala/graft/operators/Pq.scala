@@ -327,74 +327,125 @@ object Pq {
     val ds = 8
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val coarse = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("center"))
+
+    // ---- Bounded model fetch (r17, guide §1.2 / r16 verdict item 4) --
+    // Every model piece of this query — coarse centroids (vec_ids 0..3),
+    // probe (vec_id 0), residual codebook (vec_ids 4..7), the 128-entry
+    // ADC tables, the per-cell scalars — is a bounded constant derived
+    // from EIGHT rows fetched by a pushed-down point lookup
+    // (PushedFilters: vec_id < 8, same O(1)-at-scale property the old
+    // inlined-branch form preserved). The old form re-inlined the full
+    // assignment subtree under each of the 5 model branches: an 86-node
+    // plan with 26 Exchanges and ~0.5 s of catalyst per evaluation.
+    // Computing the tables DRIVER-side (identical left-fold IEEE
+    // arithmetic — bit-for-bit what the aggregate/zip_with HOFs
+    // computed) and inlining them as literals collapses the plan to
+    // scan → map-side project → sort: ONE exchange, no joins, no
+    // aggregates. Values are unchanged (oracle-gated at 3 SFs); the
+    // driver state is the same bounded-model class as residualAdcState.
+    val headRows = e.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cellIds: Seq[Int] = (0 to 3).filter(c => headRows.contains(c.toLong))
+    val centers: Map[Int, Array[Double]] =
+      cellIds.map(c => c -> headRows(c.toLong)).toMap
+
+    def emptyResult: DataFrame = e.filter(lit(false))
+      .select(col("vec_id"), col("vec_id").as("cell"),
+        lit("").as("codes"), lit(0.0).as("adc_cos"))
+    if (cellIds.isEmpty || !headRows.contains(0L)) return emptyResult
+
+    // round(x, 6) twin of Spark's Round (BigDecimal.valueOf = shortest
+    // string, HALF_UP) — used only on the 4 codebook-vector assignments
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // left-fold Σ f(a_i, b_i) — the exact order aggregate∘zip_with folds
+    def fold2(a: Array[Double], b: Array[Double],
+        f: (Double, Double) => Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += f(a(i), b(i)); i += 1 }; s
+    }
+    def assign(v: Array[Double]): Int =
+      cellIds.map(c => (r6(fold2(v, centers(c), (x, y) => (x - y) * (x - y))), c))
+        .min._2
+    // residual codebook: vec_ids 4..7's residuals (v − center[cell]),
+    // c = vec_id − 4, per-subspace slices
+    val cVals: Seq[Int] = (4 to 7).filter(i => headRows.contains(i.toLong))
+      .map(_ - 4)
+    if (cVals.isEmpty) return emptyResult
+    val resid: Map[Int, Array[Double]] = cVals.map { cv =>
+      val v = headRows((cv + 4).toLong)
+      val cen = centers(assign(v))
+      cv -> v.indices.map(i => v(i) - cen(i)).toArray
+    }.toMap
+    val pv = headRows(0L)
+    // ADC tables — mi-major, candidate-index minor (bounded: 8×|c|)
+    val cbByMi: Seq[Seq[Seq[Double]]] = (0 until M).map(mi =>
+      cVals.map(cv => resid(cv).slice(mi * ds, mi * ds + ds).toSeq))
+    val ipByMi: Seq[Seq[Double]] = (0 until M).map(mi =>
+      cVals.map(cv => fold2(pv.slice(mi * ds, mi * ds + ds),
+        resid(cv).slice(mi * ds, mi * ds + ds), _ * _)))
+    val n2ByMi: Seq[Seq[Double]] = (0 until M).map(mi =>
+      cVals.map { cv =>
+        val cent = resid(cv).slice(mi * ds, mi * ds + ds)
+        fold2(cent, cent, _ * _)
+      })
+    val ipcByCell: Map[Int, Seq[Seq[Double]]] = cellIds.map(cell =>
+      cell -> (0 until M).map(mi =>
+        cVals.map(cv => fold2(centers(cell).slice(mi * ds, mi * ds + ds),
+          resid(cv).slice(mi * ds, mi * ds + ds), _ * _))).toSeq).toMap
+    val ippcByCell: Map[Int, Double] =
+      cellIds.map(cell => cell -> fold2(pv, centers(cell), _ * _)).toMap
+    val c2ByCell: Map[Int, Double] =
+      cellIds.map(cell => cell -> fold2(centers(cell), centers(cell), _ * _)).toMap
+    val pn = math.sqrt(fold2(pv, pv, _ * _))
+
+    // ---- one map-side pass over the corpus ----
     def sqL2(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (s, t) => s + t)
-    // coarse assignment + residual (v − center[cell])
-    val assigned = e.crossJoin(broadcast(coarse))
-      .withColumn("ad2", round(sqL2(col("v"), col("center")), 6))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("ad2"), col("cell"))).as("am"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("am.cell").as("cell"), col("v"))
-      .join(broadcast(coarse), Seq("cell"))
-      .withColumn("r", zip_with(col("v"), col("center"), (a, b) => a - b))
-      .select(col("vec_id"), col("cell"), col("r"))
-    // residual codebook: vec_ids 4..7's residuals, per subspace
-    val rcb = assigned.filter(col("vec_id") >= 4 && col("vec_id") < 8)
-      .select((col("vec_id") - 4).cast("int").as("c"), col("r"),
-        explode(sequence(lit(0), lit(M - 1))).as("mi"))
-      .select(col("mi"), col("c"),
-        slice(col("r"), col("mi") * lit(ds) + lit(1), lit(ds)).as("cent"))
-    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-    // per-(cell, mi, c): probe-ip, center-ip (the correction term), norm
-    val tables = coarse.crossJoin(rcb).crossJoin(broadcast(probe))
-      .select(col("cell"), col("mi"), col("c"), col("cent"),
-        aggregate(zip_with(
-          slice(col("pv"), col("mi") * lit(ds) + lit(1), lit(ds)),
-          col("cent"), (a, b) => a * b), lit(0.0), (s, t) => s + t).as("ip"),
-        aggregate(zip_with(
-          slice(col("center"), col("mi") * lit(ds) + lit(1), lit(ds)),
-          col("cent"), (a, b) => a * b), lit(0.0), (s, t) => s + t).as("ipc"),
-        aggregate(transform(col("cent"), x => x * x),
-          lit(0.0), (s, t) => s + t).as("n2"))
-    // per-cell scalars: ⟨p, center⟩ and ‖center‖²
-    val pcc = coarse.crossJoin(broadcast(probe))
-      .select(col("cell"),
-        aggregate(zip_with(col("pv"), col("center"), (a, b) => a * b),
-          lit(0.0), (s, t) => s + t).as("ippc"),
-        aggregate(transform(col("center"), x => x * x),
-          lit(0.0), (s, t) => s + t).as("c2"))
-    val pnorm = probe.select(
-      sqrt(aggregate(transform(col("pv"), x => x * x),
-        lit(0.0), (s, t) => s + t)).as("pn"))
-    val d2 = aggregate(zip_with(
-      slice(col("r"), col("mi") * lit(ds) + lit(1), lit(ds)), col("cent"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (s, t) => s + t)
-    assigned
-      .select(col("vec_id"), col("cell"), col("r"),
-        explode(sequence(lit(0), lit(M - 1))).as("mi"))
-      .join(broadcast(tables), Seq("cell", "mi"))
-      .withColumn("d2", round(d2, 6))
-      .groupBy(col("vec_id"), col("mi"))
-      .agg(first(col("cell")).as("cell"),
-        min(struct(col("d2"), col("c"), col("ip"), col("ipc"), col("n2"))).as("m"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("cell")).as("cell"),
-        concat_ws("-", transform(
-          array_sort(collect_list(struct(col("mi"), col("m.c").as("c")))),
+    // coarse assignment: lexicographic min over (round-6 d2, cell) —
+    // the same min(struct(ad2, cell)) the crossJoin+groupBy form took
+    val am = array_min(array(cellIds.map(c =>
+      struct(round(sqL2(col("v"), typedlit(centers(c).toSeq)), 6).as("ad2"),
+        lit(c).as("cell"))): _*))
+    // per-mi encode argmin over the candidate structs (d2, c, ip, ipc,
+    // n2) — identical struct ordering to the old groupBy-min
+    val enc = transform(sequence(lit(0), lit(M - 1)), mi => {
+      val rSlice = slice(col("r"), mi * lit(ds) + lit(1), lit(ds))
+      array_min(array(cVals.zipWithIndex.map { case (cVal, ci) =>
+        val cent = element_at(
+          element_at(typedlit(cbByMi), mi + lit(1)), lit(ci + 1))
+        struct(
+          round(aggregate(zip_with(rSlice, cent, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (s, t) => s + t), 6).as("d2"),
+          lit(cVal).as("c"),
+          element_at(element_at(typedlit(ipByMi), mi + lit(1)),
+            lit(ci + 1)).as("ip"),
+          element_at(element_at(element_at(typedlit(ipcByCell), col("cell")),
+            mi + lit(1)), lit(ci + 1)).as("ipc"),
+          element_at(element_at(typedlit(n2ByMi), mi + lit(1)),
+            lit(ci + 1)).as("n2"))
+      }: _*))
+    })
+    def encSum(field: String): Column =
+      aggregate(col("enc"), lit(0.0), (a, x) => a + x.getField(field))
+    e.withColumn("cell", am.getField("cell"))
+      .withColumn("r",
+        zip_with(col("v"), element_at(typedlit(centers.map {
+          case (k, v) => k -> v.toSeq
+        }), col("cell")), (a, b) => a - b))
+      .withColumn("enc", enc)
+      .select(col("vec_id"), col("cell"),
+        concat_ws("-", transform(col("enc"),
           s => s.getField("c").cast("string"))).as("codes"),
-        sum(col("m.ip")).as("sip"), sum(col("m.ipc")).as("sipc"),
-        sum(col("m.n2")).as("sn2"))
-      .join(broadcast(pcc), Seq("cell"))
-      .crossJoin(broadcast(pnorm))
+        encSum("ip").as("sip"), encSum("ipc").as("sipc"),
+        encSum("n2").as("sn2"))
       .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
         col("codes"),
-        round((col("ippc") + col("sip")) /
-          (col("pn") * sqrt(greatest(
-            col("c2") + lit(2.0) * col("sipc") + col("sn2"), lit(1e-300)))),
+        round((element_at(typedlit(ippcByCell), col("cell")) + col("sip")) /
+          (lit(pn) * sqrt(greatest(
+            element_at(typedlit(c2ByCell), col("cell")) +
+              lit(2.0) * col("sipc") + col("sn2"), lit(1e-300)))),
           6).as("adc_cos"))
       .orderBy(col("vec_id"))
   }

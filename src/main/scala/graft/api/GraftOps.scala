@@ -618,8 +618,17 @@ object GraftOps {
     val sym = checkpointPartitioned(
       e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("dst")))
+    // LAZY barriers + the labelSum collect as the ONE materializing
+    // action per round (r17, r16 verdict item 5 — the sortedPrefixSums
+    // pattern): the eager form paid three driver actions per round
+    // (relaxed checkpoint, next checkpoint, labelSum), each with its
+    // own result-stage job and inter-job gap; lazily-marked checkpoints
+    // store their blocks inside the labelSum job that already runs.
+    // Lineage truncation (the O(1)-plan-per-round property) and the
+    // release points are unchanged — labelSum materializes both
+    // barriers before releaseCheckpoint touches the superseded round.
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).barrier()
+      .withColumn("comp", col("id")).barrier(eager = false)
     // Convergence probe: labels only ever DECREASE under hash-min, so
     // the label sum is strictly monotone until the fixpoint — comparing
     // one scalar per round replaces a per-round join against the
@@ -633,23 +642,23 @@ object GraftOps {
     while (!converged && i < maxIter) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
-      // materialize the relaxed labels BEFORE the self-join: truncates
+      // checkpoint the relaxed labels BEFORE the self-join: truncates
       // the per-round lineage AND gives the jump join two clean sides
       val relaxed = labels.unionAll(viaNeighbor)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .barrier()
+        .barrier(eager = false)
       // pointer jump: comp := comp(comp). comp(x) ≤ x under hash-min,
       // so the looked-up label is never worse; chains halve per round.
       val jump = relaxed.select(col("id").as("cid"), col("comp").as("ccomp"))
       val next = relaxed.join(jump, col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"))
-        .barrier()
-      // `next` is materialized (eager checkpoint): the round's scratch
-      // state and the previous labels are dead — release their blocks so
-      // a 25-round run pins ONE labels RDD, not 50 superseded ones.
+        .barrier(eager = false)
+      val s = labelSum(next) // materializes relaxed + next
+      // the round's scratch state and the previous labels are dead —
+      // release their blocks so a 25-round run pins ONE labels RDD,
+      // not 50 superseded ones.
       releaseCheckpoint(relaxed)
       releaseCheckpoint(labels)
-      val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
@@ -1662,7 +1671,19 @@ object GraftOps {
     val nN = n.count()
     val teleport = (1.0 - damping) / nN
     var ranks = n.withColumn("r", lit(1.0 / nN))
-    for (_ <- 1 to iters) {
+    // Intermediate rounds checkpoint LAZILY and only the LAST round is
+    // eager (r17, the connectedComponents fusion): an eager barrier per
+    // round paid one result-stage driver action per iteration; a lazy
+    // one defers that stage into the NEXT round's shuffle
+    // materialization (its map stage computes — and stores — the
+    // previous round's blocks as part of its lineage), so the loop runs
+    // ONE driver action total instead of one per round. Lineage is
+    // still truncated per round (plan size stays O(1)). The price is
+    // transient storage: superseded rounds release only after the final
+    // materialization — peak (iters+1)·|V| narrow (id, r) rows instead
+    // of 2·|V|, bounded by the iteration CONSTANT, never by the edges.
+    val stale = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (it <- 1 to iters) {
       val contrib = sym
         .join(ranks, sym("src") === ranks("id"))
         .groupBy(sym("dst").as("id"))
@@ -1672,13 +1693,13 @@ object GraftOps {
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("x"), lit(0.0)))
             .as("r"))
-        .barrier()
-      // previous round's ranks are dead once this round materialized
-      // (no-op on round 1, whose `prev` is not a checkpoint handle)
-      releaseCheckpoint(prev)
+        .barrier(eager = it == iters)
+      // round 1's `prev` is not a checkpoint handle — skip it
+      if (it > 1) stale += prev
     }
-    // scratch inputs consumed only inside the loop; the returned ranks
-    // checkpoint stays live for the caller
+    // every superseded round's blocks exist once the final eager
+    // barrier materialized — release them, then the loop inputs
+    stale.foreach(releaseCheckpoint)
     releaseCheckpoint(sym); releaseCheckpoint(n)
     ranks
   }

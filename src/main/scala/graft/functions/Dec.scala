@@ -58,15 +58,30 @@ object Dec {
     */
   def cents2(c: Column): Column = floor(c * lit(100) + lit(0.5))
 
-  /** Long-micros twin of [[dec6]], same contract as [[cents2]]. */
-  def cents6(c: Column): Column = floor(c * lit(1000000) + lit(0.5))
-
   /** Final OUTPUT cast for long-cents aggregates: `double(S) / 10^s` is
     * bit-identical to [[outDec]]'s decimal(p,s)→double cast of the same
     * exact value while |S| < 2^53 (the long→double conversion is exact
     * and IEEE division is correctly rounded — one rounding, same as the
-    * decimal→double cast).
+    * decimal→double cast). For PER-ROW cents and bounded-group LONG
+    * sums, whose audited value domains stay far under 2^53 (see the
+    * revenueL scaladoc and CentsDomainSpec); coarse DECIMAL(38,0) sums
+    * use [[outCentsWide]].
     */
   def outCents(c: Column, s: Int): Column =
     c.cast("double") / lit(math.pow(10, s))
+
+  /** [[outCents]] for the coarse DECIMAL(38,0) cents sums, whose
+    * magnitude CAN exceed 2^53 inside the 100 TB design target
+    * (~9e11 dollars at scale 4): double(S)/10^s would round twice
+    * there (long/decimal→double, then IEEE divide) and re-open the
+    * last-ulp engine-divergence class the decimal design exists to
+    * remove (ADVICE r16). Single rounding instead: exact decimal
+    * division — S has exactly s fractional digits, so the scale-6
+    * quotient is exact — then one decimal→double cast. Identical bits
+    * to outCents while |S| < 2^53 (both single-rounded); correctly
+    * rounded beyond. Per-GROUP cost only — never on a per-row path.
+    */
+  def outCentsWide(c: Column, s: Int): Column =
+    (c.cast("decimal(38,0)") / lit(math.pow(10, s).toLong))
+      .cast(s"decimal(38,$s)").cast("double")
 }

@@ -27,11 +27,11 @@ object Aggregates {
     val revC = cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        outCents(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2).as("sum_qty"),
-        outCents(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2).as("sum_base_price"),
-        outCents(sum(revC.cast("decimal(38,0)")), 4)
+        outCentsWide(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2).as("sum_qty"),
+        outCentsWide(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2).as("sum_base_price"),
+        outCentsWide(sum(revC.cast("decimal(38,0)")), 4)
           .as("sum_disc_price"),
-        outCents(sum((revC * (lit(100L) + cents2(col("l_tax"))))
+        outCentsWide(sum((revC * (lit(100L) + cents2(col("l_tax"))))
           .cast("decimal(38,0)")), 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -72,7 +72,7 @@ object Aggregates {
     Tables.orders(spark, sfDir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
+        outCentsWide(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status_label"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority_label"),
         col("n_orders"), col("total_price"))
@@ -677,7 +677,7 @@ object Aggregates {
         col("o_totalprice"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_orders"),
-        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("sum_price"))
+        outCentsWide(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("sum_price"))
       .select((col("bin") * width).as("bin_lo"),
         ((col("bin") + 1) * width).as("bin_hi"),
         col("n_orders"), col("sum_price"))
@@ -710,49 +710,105 @@ object Aggregates {
       .orderBy(col("bucket"))
 
   private def aggEquidepthBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    // integer cents (Spark floor() returns LONG); price for output =
+    // outCents(pc, 2) — bit-identical to the former per-row
+    // outCents(cents2(x), 2) (same long value, same /100 division)
     val priced = Tables.orders(spark, sfDir)
-      .select(outCents(cents2(col("o_totalprice")), 2).as("price"),
-        col("o_orderkey").as("okey"))
-    // DISTRIBUTED exact decile cuts (r12): the former single
-    // `percentile(price, array(...))` aggregate buffers and sorts the
-    // ENTIRE column in one task — the no-partition-sort trap at any
-    // scale. The interpolation rule needs only the values at ranks
-    // floor(h)+1 and floor(h)+2 for h = q·(N−1), so rank the column on
-    // the range-sharded prefix-sum machinery (no single task anywhere)
-    // and fetch those ≤18 rows. Float discipline: h is the same
-    // double product both engines compute (q is the literal double,
-    // N−1 exact in double far past any corpus size), and the
-    // interpolation `lo + frac·(hi − lo)` is the identical expression
-    // quantile_cont evaluates — when frac = 0 it degrades to the exact
-    // lower value, and when frac ≠ 0 the cut lies strictly between two
-    // consecutive sorted values, so bucket comparisons cannot flip on
-    // last-ulp differences.
+      .select(cents2(col("o_totalprice")).as("pc"))
     val qs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
-    val ranked = graft.api.GraftOps.sortedPrefixSums(priced,
-      Seq(col("price"), col("okey")), Seq.empty, withTotals = true)
-    val qArr = array(qs.map(lit): _*)
-    def h(q: Column) = q * (col("tot_rn") - 1).cast("double")
-    val nearCut = ranked.filter(exists(qArr, q =>
-      col("rnk") === floor(h(q)).cast("long") + 1 ||
-        col("rnk") === floor(h(q)).cast("long") + 2))
-    val cutRows = nearCut
-      .select(col("price"), col("rnk"), col("tot_rn"),
-        posexplode(qArr).as(Seq("qi", "q")))
-      .withColumn("lo_rnk", floor(h(col("q"))).cast("long") + 1)
-      .withColumn("frac", h(col("q")) - floor(h(col("q"))))
-      .filter(col("rnk") === col("lo_rnk") || col("rnk") === col("lo_rnk") + 1)
-      .groupBy(col("qi"))
-      .agg(max(when(col("rnk") === col("lo_rnk"), col("price"))).as("v_lo"),
-        max(when(col("rnk") === col("lo_rnk") + 1, col("price"))).as("v_hi"),
-        max(col("frac")).as("frac"))
-      .select(col("qi"),
-        when(col("frac") === 0.0 || col("v_hi").isNull, col("v_lo"))
-          .otherwise(col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")))
-          .as("cut"))
-    val cuts = cutRows
-      .agg(transform(array_sort(collect_list(struct(col("qi"), col("cut")))),
-        s => s.getField("cut")).as("cuts"))
-    priced.crossJoin(broadcast(cuts))
+    // HISTOGRAM PRUNE + EXACT REFINE (r17; the weighted_median pattern,
+    // guide §2.3 aggregate-before-shuffle) replacing the r12 64-shard
+    // rank machinery: ranking EVERY row (range-sample pass + full-data
+    // range shuffle + full-width sort window + barrier materialization)
+    // to fetch 18 of them was the artifact ladder's most expensive
+    // build (3.5 s of cold). The interpolation rule needs only the
+    // values at ranks floor(h)+1 and floor(h)+2 for h = q·(N−1):
+    //   phase 1 — aggregate row counts per $100 price bucket
+    //     (pc DIV 10000): a map-combined shuffle of ≤ price-range/100
+    //     partial rows (value-domain bounded, never the fact rows);
+    //     the collected bucket frame is the same bounded-collect class
+    //     as sortedPrefixSums' shard totals, and the cumulative scan
+    //     that locates each target rank's bucket runs driver-side;
+    //   phase 2 — re-scan ONLY the ≤18 target buckets (a pushable
+    //     o_totalprice range pre-filter prunes row groups at scale),
+    //     aggregate per distinct cent price (≤10⁴ rows per bucket BY
+    //     CONSTRUCTION: $100 bucket ÷ cent grain), and locate each
+    //     rank's price with a bucket-partitioned cumulative window
+    //     over that bounded frame.
+    // Float discipline is unchanged from r12: h is the same double
+    // product both engines compute, and the interpolation
+    // `lo + frac·(hi − lo)` is the identical expression — frac = 0
+    // degrades to the exact lower value, frac ≠ 0 lands strictly
+    // between two consecutive sorted values, so bucket comparisons
+    // cannot flip on last-ulp differences. Rank-r-value semantics are
+    // tie-break-free (the value at a global rank counting multiplicity
+    // does not depend on how equal prices are ordered).
+    val histRows = priced.groupBy(expr("pc DIV 10000").as("bkt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = histRows.map(_._2).sum
+    val cuts =
+      if (total == 0)
+        spark.range(1).select(typedlit(Seq.empty[Double]).as("cuts"))
+      else {
+        val cumBefore: Map[Long, Long] = {
+          var c = 0L
+          histRows.map { case (b, n) => val r = (b, c); c += n; r }.toMap
+        }
+        def bucketOf(rank: Long): Long = {
+          var c = 0L
+          histRows.find { case (_, n) => c += n; c >= rank }.get._1
+        }
+        // (qi, role, bucket, rank-within-bucket) for the ≤18 needed rows
+        val targets: Seq[(Int, String, Long, Long)] =
+          qs.indices.flatMap { qi =>
+            val h = qs(qi) * (total - 1).toDouble
+            val loR = math.floor(h).toLong + 1
+            val hiR = loR + 1
+            val lo = { val b = bucketOf(loR); (qi, "lo", b, loR - cumBefore(b)) }
+            val hi = if (hiR <= total) {
+              val b = bucketOf(hiR); Seq((qi, "hi", b, hiR - cumBefore(b)))
+            } else Nil
+            lo +: hi
+          }
+        val fracMap: Map[Int, Double] = qs.indices.map { qi =>
+          val h = qs(qi) * (total - 1).toDouble
+          qi -> (h - math.floor(h))
+        }.toMap
+        val s2 = spark
+        import s2.implicits._
+        val tdf = targets.toDF("qi", "role", "tbkt", "rin")
+        val needB = targets.map(_._3).distinct.sorted
+        // conservative pushable pre-filter (row-group min/max pruning at
+        // scale); the exact bucket isin below keeps the semantics
+        val refine = Tables.orders(spark, sfDir)
+          .filter(col("o_totalprice") >= needB.head * 100.0 - 1.0 &&
+            col("o_totalprice") <= (needB.last + 1) * 100.0 + 1.0)
+          .select(cents2(col("o_totalprice")).as("pc"))
+          .filter(expr("pc DIV 10000")
+            .isin(needB.map(java.lang.Long.valueOf): _*))
+          .groupBy(expr("pc DIV 10000").as("bkt"), col("pc"))
+          .agg(count(lit(1)).as("n"))
+        val wB = Window.partitionBy(col("bkt")).orderBy(col("pc"))
+        val vals = refine
+          .withColumn("cume", sum(col("n")).over(
+            wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(tdf), col("bkt") === col("tbkt") &&
+            col("cume") >= col("rin") && col("cume") - col("n") < col("rin"))
+          .select(col("qi"), col("role"), outCents(col("pc"), 2).as("price"))
+        vals.groupBy(col("qi"))
+          .agg(max(when(col("role") === "lo", col("price"))).as("v_lo"),
+            max(when(col("role") === "hi", col("price"))).as("v_hi"))
+          .withColumn("frac", element_at(typedlit(fracMap), col("qi")))
+          .select(col("qi"),
+            when(col("frac") === 0.0 || col("v_hi").isNull, col("v_lo"))
+              .otherwise(col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")))
+              .as("cut"))
+          .agg(transform(array_sort(collect_list(struct(col("qi"), col("cut")))),
+            s => s.getField("cut")).as("cuts"))
+      }
+    priced.select(outCents(col("pc"), 2).as("price"))
+      .crossJoin(broadcast(cuts))
       .select(col("price"),
         (lit(1) + size(filter(col("cuts"), c => col("price") > c)))
           .cast("long").as("bucket"))

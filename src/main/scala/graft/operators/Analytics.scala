@@ -159,7 +159,7 @@ object Analytics {
     Tables.orders(spark, sfDir)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp")
         .as("month_ts"))
-      .agg(graft.functions.Dec.outCents(
+      .agg(graft.functions.Dec.outCentsWide(
         sum(graft.functions.Dec.cents2(col("o_totalprice")).cast("decimal(38,0)")), 2)
         .as("revenue"))
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
@@ -459,9 +459,9 @@ object Analytics {
       .join(broadcast(sz), Seq("cy"))
       .select(col("cy").cast("long").as("cohort_year"),
         col("off").cast("long").as("year_offset"),
-        outCents(col("rev_c"), 2).as("revenue"),
-        outCents(col("cum_c"), 2).as("cum_revenue"),
-        round(outCents(col("cum_c"), 2) / col("n_cust").cast("double"),
+        outCentsWide(col("rev_c"), 2).as("revenue"),
+        outCentsWide(col("cum_c"), 2).as("cum_revenue"),
+        round(outCentsWide(col("cum_c"), 2) / col("n_cust").cast("double"),
           6).as("ltv_per_cust"))
       .orderBy(col("cohort_year"), col("year_offset"))
   }

@@ -44,7 +44,7 @@ object Joins {
     li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        outCents(sum((cents2(col("l_extendedprice")) *
+        outCentsWide(sum((cents2(col("l_extendedprice")) *
           (lit(100L) - cents2(col("l_discount")))).cast("decimal(38,0)")), 4)
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
@@ -137,7 +137,7 @@ object Joins {
         col("o_start") < col("c_end") && col("c_start") < col("o_end"))
       .groupBy(col("campaign"))
       .agg(count(lit(1)).as("n_orders"),
-        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
+        outCentsWide(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("campaign"))
   }
 
@@ -176,7 +176,7 @@ object Joins {
       .distinct()
       .groupBy(col("campaign"))
       .agg(count(lit(1)).as("n_orders"),
-        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
+        outCentsWide(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("campaign"))
   }
 
@@ -208,7 +208,7 @@ object Joins {
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_parts"),
-        outCents(sum(cents2(col("p_retailprice")).cast("decimal(38,0)")), 2).as("total_price"))
+        outCentsWide(sum(cents2(col("p_retailprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("band"))
   }
 
@@ -356,7 +356,7 @@ object Joins {
       .join(spark.table(ord), col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
-        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
+        outCentsWide(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("c_mktsegment"))
   }
 

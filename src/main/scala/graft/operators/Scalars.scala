@@ -73,7 +73,7 @@ object Scalars {
         col("o_totalprice"))
       .groupBy(col("price_band"), col("urgency"), col("status_label"))
       .agg(count(lit(1)).as("n_orders"),
-        outCents(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
+        outCentsWide(sum(cents2(col("o_totalprice")).cast("decimal(38,0)")), 2).as("total_price"))
       .orderBy(col("price_band"), col("urgency"), col("status_label"))
 
   /** `fn_bitwise` — bitwise operator battery over part keys (mask,

@@ -4,7 +4,7 @@ import graft.api.Barrier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Dec.{cents2, dec2, outCents, outDec, round6}
+import graft.functions.Dec.{cents2, dec2, outCents, outCentsWide, outDec, round6}
 import graft.sources.Tables
 
 /** Composite flagship queries — ALL 22 classic TPC-H shapes adapted to
@@ -106,7 +106,7 @@ object Tpch {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(outCents(revenueD, 4).as("revenue"))
+      .agg(outCentsWide(revenueD, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -177,9 +177,9 @@ object Tpch {
         .select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        outCents(sum(when(col("p_type") === "PROMO", revC)
+        outCentsWide(sum(when(col("p_type") === "PROMO", revC)
           .otherwise(lit(0L)).cast("decimal(38,0)")), 4).as("promo_revenue"),
-        outCents(revenueD, 4).as("total_revenue"))
+        outCentsWide(revenueD, 4).as("total_revenue"))
       .select(col("promo_revenue"), col("total_revenue"),
         (col("promo_revenue") / col("total_revenue") * lit(100.0))
           .as("promo_pct"))
@@ -218,7 +218,7 @@ object Tpch {
         col("l_partkey") === col("p_partkey"))
       .filter(full)
       .groupBy(col("p_brand"))
-      .agg(outCents(revenueD, 4).as("revenue"),
+      .agg(outCentsWide(revenueD, 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
   }
@@ -255,7 +255,7 @@ object Tpch {
           (col("supp_nation").isin(grpB: _*) && col("cust_nation").isin(grpA: _*)))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(outCents(revenueD, 4).as("revenue"))
+      .agg(outCentsWide(revenueD, 4).as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -274,7 +274,7 @@ object Tpch {
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(outCents(sum((cents2(col("l_extendedprice")) *
+      .agg(outCentsWide(sum((cents2(col("l_extendedprice")) *
         cents2(col("l_discount"))).cast("decimal(38,0)")), 4).as("revenue"))
   }
 
@@ -317,9 +317,9 @@ object Tpch {
       .join(broadcast(supNation), col("s_nationkey") === col("supp_nkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        outCents(sum(when(col("supp_nation") === "NATION_3", revC)
+        outCentsWide(sum(when(col("supp_nation") === "NATION_3", revC)
           .otherwise(lit(0L)).cast("decimal(38,0)")), 4).as("nation_revenue"),
-        outCents(revenueD, 4).as("total_revenue"))
+        outCentsWide(revenueD, 4).as("total_revenue"))
       .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
         (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
       .orderBy(col("o_year"))
@@ -563,14 +563,14 @@ object Tpch {
       .filter(col("l_shipdate") <= cutoff)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        outCents(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2).as("sum_qty"),
-        outCents(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2).as("sum_base_price"),
-        outCents(revenueD, 4).as("sum_disc_price"),
-        outCents(sum((revC * (lit(100L) + cents2(col("l_tax"))))
+        outCentsWide(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2).as("sum_qty"),
+        outCentsWide(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2).as("sum_base_price"),
+        outCentsWide(revenueD, 4).as("sum_disc_price"),
+        outCentsWide(sum((revC * (lit(100L) + cents2(col("l_tax"))))
           .cast("decimal(38,0)")), 6).as("sum_charge"),
-        (outCents(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2) / cnt).as("avg_qty"),
-        (outCents(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2) / cnt).as("avg_price"),
-        (outCents(sum(cents2(col("l_discount")).cast("decimal(38,0)")), 2) / cnt).as("avg_disc"),
+        (outCentsWide(sum(cents2(col("l_quantity")).cast("decimal(38,0)")), 2) / cnt).as("avg_qty"),
+        (outCentsWide(sum(cents2(col("l_extendedprice")).cast("decimal(38,0)")), 2) / cnt).as("avg_price"),
+        (outCentsWide(sum(cents2(col("l_discount")).cast("decimal(38,0)")), 2) / cnt).as("avg_disc"),
         cnt.as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -654,8 +654,17 @@ object Tpch {
           .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(outCents(sum((revC -
-          cents2(col("p_retailprice") * col("l_quantity") * lit(0.1)) * lit(100L))
+      // the unit-cost term is the one money input that is a DERIVED
+      // double product, not an audited raw column — keep the
+      // authoritative string-based HALF_UP rounding for it (the
+      // `rev_safe` pattern: decimal(18,2) cast, then exact ×100 to
+      // cents) instead of cents2's floor(x·100+0.5), which diverges
+      // from HALF_UP exactly when the product's shortest decimal
+      // representation lands on a half-cent (ADVICE r16). One decimal
+      // cast per row on this term only; revC stays on the fast path.
+      .agg(outCentsWide(sum((revC -
+          ((col("p_retailprice") * col("l_quantity") * lit(0.1))
+            .cast("decimal(18,2)") * lit(100)).cast("bigint") * lit(100L))
         .cast("decimal(38,0)")), 4).as("profit"))
       .orderBy(col("n_name"), col("o_year").desc)
   }

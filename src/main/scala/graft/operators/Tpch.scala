@@ -459,9 +459,27 @@ object Tpch {
   def tpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
     val isRet = col("l_returnflag") === "R"
     val hasRet = col("ret_cnt") > 0
+    // ONE okey-keyed exchange feeds BOTH aggregation levels (r17, guide
+    // §2.4 share one exchange): hash-partitioning on l_orderkey alone
+    // satisfies the (okey, skey) grouping, the okey grouping, AND the
+    // orders join key, where the natural plan paid two full-fact
+    // exchanges — by (okey, skey), then by okey (plan pair: 2 fact
+    // Exchanges → 1). Nothing is lost to skipping the (okey, skey)
+    // map-side combine: lineitem is ≈1 row per (order, supplier), so
+    // the combine reduced ~nothing while the rows crossed the wire
+    // twice; the early projection narrows the shuffled row to
+    // (okey, skey, 1 flag bit). The explicit partition count is the
+    // session's shuffle.partitions — the same number the replaced
+    // ENSURE_REQUIREMENTS exchanges planned, conf-driven per
+    // deployment, never a constant (an N-less keyed repartition is
+    // AQE-advisory and coalesces the CPU-heavy agg to one task — the
+    // Barrier-scaladoc footgun).
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val perOrder = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), isRet.as("is_ret"))
+      .repartition(nPart, col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(count(when(isRet, lit(1))).as("ret_cnt"))
+      .agg(count(when(col("is_ret"), lit(1))).as("ret_cnt"))
       .groupBy(col("l_orderkey"))
       .agg(
         count(lit(1)).as("n_supp"),
@@ -606,9 +624,22 @@ object Tpch {
     val parts = Tables.part(spark, sfDir)
       .filter(col("p_type") === "STANDARD" && col("p_size").between(1, 15))
       .select(col("p_partkey"), col("p_brand"))
+    // Broadcast SEMI-join prefilters BEFORE the (partkey, suppkey)
+    // aggregate (r17, guide §3.2): the part-type/size and Europe
+    // filters are selective but sat ABOVE the agg, so the scan stage
+    // hash-aggregated every (partkey, suppkey) group and the exchange
+    // carried them all, only for the joins to drop ~95%. Prefiltering
+    // on the grouping keys commutes with the groupBy (same min over
+    // the same surviving groups — the later inner joins re-apply the
+    // identical condition), and at scale the agg + shuffle now cost
+    // the post-filter cardinality. Scan-stage task: 476 → ~250 ms.
     val offers = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .join(broadcast(parts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(euro.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("unit")).as("unit_cost"))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))

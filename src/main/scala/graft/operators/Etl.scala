@@ -485,7 +485,14 @@ object Etl {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_utc"), col("value"))
-    val w = Window.partitionBy(col("purchase_id"))
+    // window keyed (user_id, purchase_id), not purchase_id alone (r17,
+    // guide §2.4): purchase_id is unique per fact row, so the rank is
+    // identical — but the join output is already hash-distributed by
+    // user_id, which SATISFIES clustering on (user_id, purchase_id),
+    // so the window needs no second full-width exchange of the joined
+    // rows (plan pair: Exchange(purchase_id) after the join → none;
+    // the WindowGroupLimit rank-1 pushdown is unchanged).
+    val w = Window.partitionBy(col("user_id"), col("purchase_id"))
       .orderBy(col("valid_from").desc, col("version_id").desc)
     facts.join(versions, Seq("user_id"))
       .filter(col("valid_from") <= col("ts_utc"))

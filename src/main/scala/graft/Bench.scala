@@ -21,12 +21,22 @@ import org.apache.spark.sql.SparkSession
   * target/bench_detail.json.
   */
 object Bench {
+  /** Current core-0 frequency from /proc/cpuinfo, 0 when unreadable —
+    * closed properly (Using), best-effort by design.
+    */
+  private def cpuMhzNow(): Int = scala.util.Using(
+    scala.io.Source.fromFile("/proc/cpuinfo")) { src =>
+    src.getLines().find(_.startsWith("cpu MHz"))
+      .map(_.split(":")(1).trim.toDouble.toInt).getOrElse(0)
+  }.getOrElse(0)
+
   def main(args: Array[String]): Unit = {
     // Sample the 1-min load average BEFORE any Spark work: during the
     // run the bench's own local[32] tasks dominate the load, so only the
     // entry-time reading reflects pre-existing machine contention.
     val loadAvgAtStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val cpuMhzAtStart = cpuMhzNow()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -175,20 +185,17 @@ object Bench {
       .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "CodeCache")
       .map(p => math.max(p.getUsage.getMax, p.getUsage.getCommitted))
       .sum / (1024 * 1024)
-    // CPU frequency sample (r17): this machine switches between a
+    // CPU frequency samples (r17): this machine switches between a
     // full-speed band and a ~2100 MHz band WITHIN a boot (identical
     // binaries read 57 s vs 68-70 s warm at load 0.0 either side of
     // the switch; BASELINE.md's historical 58.6-93 s spread is the
     // same effect). load_avg cannot see it — only the frequency can —
-    // so the line carries it and a cross-run comparison is valid only
-    // within one band. Best-effort: 0 when unreadable.
-    val cpuMhz: Int = scala.util.Try {
-      scala.io.Source.fromFile("/proc/cpuinfo").getLines()
-        .find(_.startsWith("cpu MHz")).map(_.split(":")(1).trim.toDouble.toInt)
-        .getOrElse(0)
-    }.getOrElse(0)
+    // so the line carries BOTH a start and an end reading (like the
+    // load pair: a mid-run band switch shows as start ≠ end and marks
+    // the whole run cross-band). Best-effort: 0 when unreadable.
+    val cpuMhz: Int = cpuMhzNow()
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"load_avg_at_start":${f2(loadAvgAtStart)},"load_avg_at_end":${f2(loadAvgAtEnd)},"code_cache_mb":$codeCacheMb,"cpu_mhz":$cpuMhz,"median_warm":${f2(medianWarm)},"n_under_300ms":$nUnder300,"slowest_name":"$slowName","slowest_warm":${f2(slowWarm)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(warmTotal)},"unit":"sec","first_run_total":${f2(coldTotal)},"load_avg_at_start":${f2(loadAvgAtStart)},"load_avg_at_end":${f2(loadAvgAtEnd)},"code_cache_mb":$codeCacheMb,"cpu_mhz":$cpuMhzAtStart,"cpu_mhz_end":$cpuMhz,"median_warm":${f2(medianWarm)},"n_under_300ms":$nUnder300,"slowest_name":"$slowName","slowest_warm":${f2(slowWarm)},"failed_count":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // ~2000-char driver tail minus sbt's trailing "[success] ..." line.
     // Iterative fit: keep the N slowest queries named and fold the rest
     // into one "_others" bucket, shrinking N until the line fits — a

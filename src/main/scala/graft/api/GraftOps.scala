@@ -622,11 +622,20 @@ object GraftOps {
     // action per round (r17, r16 verdict item 5 — the sortedPrefixSums
     // pattern): the eager form paid three driver actions per round
     // (relaxed checkpoint, next checkpoint, labelSum), each with its
-    // own result-stage job and inter-job gap; lazily-marked checkpoints
-    // store their blocks inside the labelSum job that already runs.
-    // Lineage truncation (the O(1)-plan-per-round property) and the
-    // release points are unchanged — labelSum materializes both
-    // barriers before releaseCheckpoint touches the superseded round.
+    // own result-stage job and inter-job gap. MECHANISM, precisely
+    // (the release calls below rest on it): in the default
+    // localCheckpoint mode, marking sets the storage level at once, so
+    // the labelSum job CACHES the blocks of `relaxed` and `next` as it
+    // computes them — that persist-at-mark side effect, not checkpoint
+    // FINALIZATION, is what makes the blocks reusable and
+    // releaseCheckpoint's unpersist meaningful (RDD.doCheckpoint
+    // finalizes only the first marked RDD from the action root;
+    // `relaxed` is typically never finalized). The DataFrame-level
+    // plan is a flat LogicalRDD either way, so the O(1)-plan-per-round
+    // property holds regardless. Under `spark.graft.barrier.reliable`
+    // (Dataset.checkpoint(eager = false)) lazy marking sets NO storage
+    // level: intermediates recompute per consumer within the round —
+    // correct, and acceptable for the cluster mode the flag exists for.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).barrier(eager = false)
     // Convergence probe: labels only ever DECREASE under hash-min, so
@@ -1675,13 +1684,18 @@ object GraftOps {
     // eager (r17, the connectedComponents fusion): an eager barrier per
     // round paid one result-stage driver action per iteration; a lazy
     // one defers that stage into the NEXT round's shuffle
-    // materialization (its map stage computes — and stores — the
-    // previous round's blocks as part of its lineage), so the loop runs
-    // ONE driver action total instead of one per round. Lineage is
-    // still truncated per round (plan size stays O(1)). The price is
-    // transient storage: superseded rounds release only after the final
-    // materialization — peak (iters+1)·|V| narrow (id, r) rows instead
-    // of 2·|V|, bounded by the iteration CONSTANT, never by the edges.
+    // materialization (its map stage computes — and, in the default
+    // localCheckpoint mode, CACHES via the persist-at-mark storage
+    // level — the previous round's blocks as part of its lineage), so
+    // the loop runs ONE driver action total instead of one per round.
+    // The per-round plan is a flat LogicalRDD either way (O(1) size).
+    // The price is transient storage: superseded rounds release only
+    // after the final materialization — peak (iters+1)·|V| narrow
+    // (id, r) rows instead of 2·|V|, bounded by the iteration CONSTANT,
+    // never by the edges. Under `spark.graft.barrier.reliable`, lazy
+    // marking persists nothing (the stale releases are no-ops) and
+    // intermediates recompute within the final write — correct; the
+    // reliable flag trades this recompute for executor-loss survival.
     val stale = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (it <- 1 to iters) {
       val contrib = sym

@@ -743,8 +743,18 @@ object Aggregates {
     // cannot flip on last-ulp differences. Rank-r-value semantics are
     // tie-break-free (the value at a global rank counting multiplicity
     // does not depend on how equal prices are ordered).
-    val histRows = priced.groupBy(expr("pc DIV 10000").as("bkt"))
+    val histRows0 = priced.groupBy(expr("pc DIV 10000").as("bkt"))
       .agg(count(lit(1)).as("n")).collect()
+    // fail LOUDLY on a null money value (a corpus-regeneration class
+    // this build does not define semantics for — the old rank machinery
+    // ordered nulls first, silently shifting every cut), instead of an
+    // NPE out of getLong; CentsDomainSpec asserts the same corpus
+    // property at test time
+    require(histRows0.forall(!_.isNullAt(0)),
+      "agg_equidepth: o_totalprice contains NULLs — the corpus broke the " +
+        "non-null money precondition (see CentsDomainSpec); define null " +
+        "rank semantics before rebuilding this statistic")
+    val histRows = histRows0
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val total = histRows.map(_._2).sum
     val cuts =

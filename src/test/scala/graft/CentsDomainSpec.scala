@@ -44,6 +44,11 @@ class CentsDomainSpec extends SparkTestBase {
 
   private def checkMoneyColumn(df: DataFrame, name: String,
       maxAbs: Double): Unit = {
+    val nNull = df.filter(col(name).isNull).count()
+    assert(nNull === 0L,
+      s"$name has $nNull NULLs: the non-null money precondition is " +
+        "broken — agg_equidepth's histogram build (and the rank " +
+        "semantics of every cents aggregate) assumes none")
     val stats = df.agg(
       min(col(name)).as("mn"), max(col(name)).as("mx")).collect()(0)
     val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
